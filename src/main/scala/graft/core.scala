@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A registered query: the Spark implementation plus, when the operator is
+  * SQL-expressible, an equivalent DuckDB oracle over the same parquet tables.
+  *
+  * Contract (driver): `fn(spark, sfDir)` must return a deterministic result
+  * whose column names match the oracle's aliases exactly — the driver sorts
+  * columns by name and hashes values, so every computed column is aliased
+  * identically on both sides and floats are rounded to a fixed number of
+  * decimals to absorb accumulation-order ulp differences.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String] = None,
+    /** headline benchmark query (run by [[Bench]] at sf0.1) */
+    bench: Boolean = false)
+
+/** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+    // timestamp type, so sessions set spark.sql.legacy.parquet.nanosAsLong
+    // and we normalize here to a microsecond TimestampType (floor-div, which
+    // matches DuckDB's ns→us truncation for positive epochs).
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
