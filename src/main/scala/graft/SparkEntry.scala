@@ -15,7 +15,9 @@ object SparkEntry {
 
   /** All registered queries (name → implementation + optional oracle). */
   def registry: Map[String, Q] =
-    etl.Relational.queries
+    etl.Relational.queries ++ stats.StatsQueries.queries ++
+      text.TextOps.queries ++ dedup.DedupOps.queries ++
+      sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style pricing summary: scan → filter → groupBy → agg, fully

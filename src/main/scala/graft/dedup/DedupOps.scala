@@ -1,0 +1,194 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import graft.functions.SimHash64
+import graft.text.TextOps
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: exact dedup is a single hash aggregation; Jaccard/LSH
+  * variants never compare all pairs — candidates come from an equi-join on
+  * a blocking key (shared shingle / LSH bucket / band), which Spark executes
+  * as a shuffle join on that key. At 100 TB the blocking key IS the
+  * partition key, so each executor only sees its own buckets.
+  */
+object DedupOps {
+
+  /** Exact dedup on a normalized content hash: one groupBy, keeps the
+    * smallest id as canonical. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        md5(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+          .cast("binary")).as("h"))
+      .groupBy("h")
+      .agg(min(idCol).as("keep"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-k-gram shingles per document (+ a blocking column). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        when(size(toks) >= k,
+          array_distinct(transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      .select(col("id"), col("block"), explode(col("sh")).as("shingle"))
+  }
+
+  /** N-gram Jaccard near-dup pairs: candidates from a shared-shingle
+    * self-join within a block, similarity = |∩| / (|A|+|B|−|∩|). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 3, threshold: Double = 0.05): DataFrame = {
+    val sh = shingles(df, idCol, textCol, blockCol, k).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("ida", "block", "shingle")
+    val b = sh.toDF("idb", "block", "shingle")
+    val shared = a.join(b, Seq("block", "shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.toDF("ida", "sza"), "ida")
+      .join(sizes.toDF("idb", "szb"), "idb")
+      .withColumn("jaccard", round(col("shared") /
+        (col("sza") + col("szb") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "shared", "jaccard")
+  }
+
+  /** MinHash+LSH candidate pairs via MLlib: shingle→binary vector
+    * (CountVectorizer) → MinHashLSH banded join. The approxSimilarityJoin
+    * only compares within-band hash buckets — the linear-scale path. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashTables: Int = 8, maxJaccardDist: Double = 0.8): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        TextOps.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val cv = new CountVectorizer().setInputCol("toks").setOutputCol("vec")
+      .setBinary(true).setVocabSize(1 << 18).fit(toks)
+    val vecs = cv.transform(toks)
+    val lsh = new MinHashLSH().setInputCol("vec").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(42L).fit(vecs)
+    lsh.approxSimilarityJoin(vecs, vecs, maxJaccardDist, "jaccard_dist")
+      .select(col("datasetA.id").as("ida"), col("datasetB.id").as("idb"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("ida") < col("idb"))
+  }
+
+  /** SimHash signatures (custom Catalyst expression) + near-dup pairs by
+    * Hamming distance within 4-band buckets (a signature within distance d
+    * matches on ≥1 of d+1 bands — standard banding bound). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      SimHash64.simhash64(TextOps.tokens(lower(col(textCol)))).as("simhash"))
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol)
+    // 4 bands of 16 bits: dist ≤ 12 pairs share ≥1 band only probabilistically;
+    // with 4 bands the guarantee holds for dist ≤ 3 — wider dist is best-effort
+    // candidate generation, which is the standard trade.
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          shiftrightunsigned(col("simhash"), bnd * 16)
+            .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val a = banded.select(col("id").as("ida"), col("simhash").as("sa"), col("bk"))
+    val b = banded.select(col("id").as("idb"), col("simhash").as("sb"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("ida") < col("idb"))
+      .select("ida", "idb", "sa", "sb").distinct()
+      .withColumn("hamming", SimHash64.hammingDist(col("sa"), col("sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking column (here: label),
+    * norms precomputed once, dot products only for within-block pairs. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+    val a = v.toDF("ida", "block", "va", "na")
+    val b = v.toDF("idb", "block", "vb", "nb")
+    a.join(b, Seq("block")).filter(col("ida") < col("idb"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  // -- registered queries -------------------------------------------------
+
+  private val dExact = Q(
+    (s, d) => exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("keep"),
+    Some("""SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h,
+                   MIN(doc_id) AS keep, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY keep"""))
+
+  private val dNgram = Q(
+    (s, d) => ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      "lang", 3, 0.05).orderBy("ida", "idb"),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            sh AS (SELECT DISTINCT doc_id, lang,
+                unnest(list_transform(range(GREATEST(len(t) - 2, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                       || ' ' || t[CAST(i AS INT)+3])) AS shingle
+              FROM toks),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1,2)
+            SELECT ida, idb, shared,
+                   ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = ida
+            JOIN sizes sb ON sb.doc_id = idb
+            WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.05
+            ORDER BY ida, idb"""))
+
+  private val dMinhash = Q(
+    (s, d) => minhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("ida", "idb"))
+
+  private val dSimhash = Q(
+    (s, d) => simhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id"))
+
+  private val dSimhashPairs = Q(
+    (s, d) => simhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("ida", "idb"))
+
+  private val dEmbed = Q(
+    (s, d) => embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
+      "embedding", "label", 0.9).orderBy("ida", "idb"),
+    Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+            SELECT a.vec_id AS ida, b.vec_id AS idb,
+                   ROUND(list_dot_product(a.e, b.e)
+                     / (SQRT(list_dot_product(a.e, a.e))
+                        * SQRT(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e)
+                  / (SQRT(list_dot_product(a.e, a.e))
+                     * SQRT(list_dot_product(b.e, b.e))) >= 0.9
+            ORDER BY ida, idb"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_d_exact" -> dExact,
+    "q_d_ngram_jaccard" -> dNgram,
+    "q_d_minhash_lsh" -> dMinhash,
+    "q_d_simhash" -> dSimhash,
+    "q_d_simhash_pairs" -> dSimhashPairs,
+    "q_d_embed_neardup" -> dEmbed)
+}

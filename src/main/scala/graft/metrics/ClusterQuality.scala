@@ -1,0 +1,112 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Internal clustering-quality indices over a (vector column, label column)
+  * frame (SURVEY.md §2.8 M13-M15, M17; reference metrics.py:59-90).
+  *
+  * Scale design: every index reduces the data in ONE distributed pass to
+  * per-(label, dimension) moment aggregates (count, Σx, Σx²) — k·dim rows —
+  * then finishes with tiny driver-side matrix math. Nothing point-wise is
+  * ever collected; Davies-Bouldin's per-point distances are a second
+  * distributed pass against broadcast centroids.
+  */
+object ClusterQuality {
+
+  /** (label, dim) → (n, Σx, Σx²) moment table, the shared reduction. */
+  private def moments(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).cast("string").as("label"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy("label", "i")
+      .agg(count(lit(1)).as("nl"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+
+  private final case class Moment(label: String, i: Int, n: Long, sx: Double, sxx: Double)
+
+  private def collectMoments(df: DataFrame, vecCol: String, labelCol: String): Seq[Moment] =
+    moments(df, vecCol, labelCol).collect().toSeq
+      .map(r => Moment(r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+
+  /** Calinski-Harabasz index (M15): (B/(k−1)) / (W/(n−k)) with
+    * B = Σ_l n_l·‖μ_l − μ‖², W = Σ_l Σ_d (Σx² − n_l·μ_ld²). */
+  def calinskiHarabasz(df: DataFrame, vecCol: String, labelCol: String): Double = {
+    val ms = collectMoments(df, vecCol, labelCol)
+    val labels = ms.map(_.label).distinct.sorted
+    val dims = ms.map(_.i).distinct.sorted
+    val k = labels.size
+    val n = ms.filter(_.i == dims.head).map(_.n).sum
+    if (k <= 1 || n <= k) return 0.0
+    val byKey = ms.map(m => (m.label, m.i) -> m).toMap
+    var w = 0.0
+    var b = 0.0
+    dims.foreach { d =>
+      val col = labels.map(byKey(_, d))
+      val globalMean = col.map(_.sx).sum / n
+      col.foreach { m =>
+        val mean = m.sx / m.n
+        w += m.sxx - m.n * mean * mean
+        b += m.n * (mean - globalMean) * (mean - globalMean)
+      }
+    }
+    (b / (k - 1)) / (w / (n - k))
+  }
+
+  /** Davies-Bouldin index (M14): centroids from the moment pass, mean
+    * point-to-centroid Euclidean distance via a second distributed pass
+    * against the broadcast centroid table, O(k²) finish on the driver.
+    * Degenerate clusterings return 999 like the reference (metrics.py:86-90). */
+  def daviesBouldin(df: DataFrame, vecCol: String, labelCol: String): Double = {
+    val ms = collectMoments(df, vecCol, labelCol)
+    val labels = ms.map(_.label).distinct.sorted
+    val dims = ms.map(_.i).distinct.sorted
+    val k = labels.size
+    if (k <= 1) return 999.0
+    val centroid: Map[(String, Int), Double] =
+      ms.map(m => (m.label, m.i) -> m.sx / m.n).toMap
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      centroid.toSeq.map { case ((l, i), mu) => (l, i, mu) }.toDF("label", "i", "mu"))
+
+    // pid must be assigned BEFORE the explode — one id per point, not per
+    // (point, dimension) row (it only scopes the per-point distance groupBy;
+    // its actual values never reach the result).
+    val tall = df.withColumn("pid", monotonically_increasing_id())
+      .select(col(labelCol).cast("string").as("label"), col("pid"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val s = tall.join(centDf, Seq("label", "i"))
+      .groupBy("label", "pid")
+      .agg(sqrt(sum(pow(col("x") - col("mu"), 2))).as("dist"))
+      .groupBy("label").agg(avg("dist").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    def centDist(a: String, bl: String): Double =
+      math.sqrt(dims.map(d => {
+        val diff = centroid(a, d) - centroid(bl, d); diff * diff
+      }).sum)
+
+    val rs = labels.map { l =>
+      labels.filter(_ != l).map(j => (s(l) + s(j)) / centDist(l, j)).max
+    }
+    rs.sum / k
+  }
+
+  /** Adjusted Rand index (M17) between two label columns: distributed
+    * contingency groupBy, closed-form pair counting on the driver. */
+  def adjustedRand(df: DataFrame, labelA: String, labelB: String): Double = {
+    val cont = df.groupBy(col(labelA).cast("string").as("a"),
+        col(labelB).cast("string").as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val as = cont.map(_._1).distinct.sorted
+    val bs = cont.map(_._2).distinct.sorted
+    val m = Array.ofDim[Long](as.length, bs.length)
+    val ai = as.zipWithIndex.toMap
+    val bi = bs.zipWithIndex.toMap
+    cont.foreach { case (a, b, n) => m(ai(a))(bi(b)) = n }
+    graft.stats.ContingencyMath.adjustedRandIndex(m)
+  }
+}

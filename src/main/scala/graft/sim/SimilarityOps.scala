@@ -1,0 +1,111 @@
+package graft.sim
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column.
+  *
+  * Two paths, as a production ANN stack would have:
+  *   - brute-force cosine top-k: exact baseline. The query side is tiny and
+  *     broadcast, so the big side streams through map-only (no shuffle of
+  *     the corpus); cost is |Q|·N dot products.
+  *   - LSH-bucketed (random hyperplane signatures): corpus is bucketed by
+  *     signature; each query only scans its own bucket — the 100 TB path,
+  *     where the bucket id doubles as the partition key.
+  */
+object SimilarityOps {
+
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+
+  /** Exact cosine top-k: `queries` joined (broadcast) against the corpus. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("v"), col("qv"), _ * _), lit(0.0), (a, x) => a + x)
+          / (col("norm") * col("qnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (murmur3-derived, no
+    * RNG state — reproducible across runs and engines). */
+  private[sim] def hyperplane(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((plane, i))
+      (h % 1000003).toDouble / 1000003.0
+    }
+
+  /** Sign-bit LSH signature (nBits hyperplanes) as a column expression:
+    * bit p = 1 iff v · plane_p > 0. Planes are inlined as literal arrays —
+    * fully codegen'd, no UDF. */
+  def lshSignature(vecCol: String, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
+    val v = col(vecCol).cast("array<double>")
+    (0 until nBits).map { p =>
+      val plane = hyperplane(p, dim)
+      val dot = aggregate(zip_with(v, lit(plane), _ * _), lit(0.0), (a, x) => a + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: per-query top-k within the query's own bucket.
+    * Recall < 1 by construction; the exact [[bruteForceTopK]] is the oracle. */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int, k: Int, queryFilter: org.apache.spark.sql.Column): DataFrame = {
+    val sig = corpus.withColumn("bucket", lshSignature(vecCol, dim, nBits))
+    val c = withNorm(sig, idCol, vecCol)
+      .withColumn("bucket", sig("bucket"))
+    val q = c.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("v"), col("qv"), _ * _), lit(0.0), (a, x) => a + x)
+          / (col("norm") * col("qnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  // -- registered queries -------------------------------------------------
+
+  private val sTopK = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+            q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+            scored AS (SELECT qid, v.vec_id AS id,
+                list_dot_product(v.e, q.qe)
+                  / (SQRT(list_dot_product(v.e, v.e))
+                     * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+              FROM v, q WHERE v.vec_id <> q.qid),
+            r AS (SELECT qid, id, cosine, row_number() OVER
+                    (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+                  FROM scored)
+            SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
+            FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  private val sAnn = Q(
+    (s, d) => annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      64, 8, 3, col("id") < 5).orderBy("qid", "rank"))
+
+  val queries: Map[String, Q] = Map(
+    "q_s_cosine_topk" -> sTopK,
+    "q_s_ann_lsh" -> sAnn)
+}

@@ -1,0 +1,373 @@
+package graft.stats
+
+import graft.{Q, Tables}
+import graft.inference.{ChiSquaredInference, CrosstabJob}
+import graft.metrics.ClusterQuality
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical operators (SURVEY.md §2.8) exposed as oracle-checked queries
+  * over the TPC-H-ish tables: the χ² inference chain (M20-M23), ARI (M17),
+  * Cochran's Q (M24), Davies-Bouldin / Calinski-Harabasz (M14/M15), the
+  * population-modes table (M33) and the business metrics that are pure
+  * relational algebra (M27-M30).
+  *
+  * Pattern: the DISTRIBUTED part of each statistic is a single aggregate
+  * (tall crosstab / moment table / contingency), the driver finishes the
+  * ≤k×c matrix math, and the oracle recomputes the same closed form in SQL.
+  */
+object StatsQueries {
+
+  private def rnd(x: Double, n: Int): Double =
+    BigDecimal.valueOf(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** lineitem with a derived bucket — two categorical variables vs the
+    * l_returnflag "cluster", the reference's (variable × cluster) shape. */
+  private def liBucketed(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).withColumn("qty_bucket",
+      when(col("l_quantity") <= 25, "low").otherwise("high"))
+
+  private def crosstabs(s: SparkSession, d: String): Seq[CrosstabJob.Crosstab] =
+    CrosstabJob.collectCrosstabs(CrosstabJob.tallCounts(
+      liBucketed(s, d), Seq("l_linestatus", "qty_bucket"), "l_returnflag"))
+
+  private val tallSql =
+    """tall AS (
+         SELECT 'l_linestatus' AS variable, l_linestatus AS category,
+                l_returnflag AS cluster FROM lineitem
+         UNION ALL
+         SELECT 'qty_bucket', CASE WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
+                l_returnflag FROM lineitem),
+       ct AS (SELECT variable, category, cluster, CAST(COUNT(*) AS DOUBLE) AS n
+              FROM tall GROUP BY 1,2,3),
+       rm AS (SELECT variable, category, SUM(n) AS rn FROM ct GROUP BY 1,2),
+       cm AS (SELECT variable, cluster, SUM(n) AS cn FROM ct GROUP BY 1,2),
+       tot AS (SELECT variable, SUM(n) AS t FROM ct GROUP BY 1),
+       cells AS (SELECT rm.variable, rm.category, cm.cluster,
+                        COALESCE(ct.n, 0) AS n, rm.rn * cm.cn / tot.t AS e,
+                        rm.rn, cm.cn, tot.t
+                 FROM rm
+                 JOIN cm ON rm.variable = cm.variable
+                 JOIN tot ON rm.variable = tot.variable
+                 LEFT JOIN ct ON ct.variable = rm.variable
+                   AND ct.category = rm.category AND ct.cluster = cm.cluster)"""
+
+  /** M20: Pearson χ² statistic + dof per variable (crosstab vs cluster). */
+  private val m20 = Q(
+    (s, d) => {
+      import s.implicits._
+      crosstabs(s, d).map { t =>
+        val r = ContingencyMath.chiSquare(t.obs, yates = false)
+        (t.variable, rnd(r.stat, 6), r.dof.toLong,
+          t.obs.map(_.sum).sum.toLong)
+      }.toDF("variable", "stat", "dof", "n_obs").orderBy("variable")
+    },
+    Some(s"""WITH $tallSql
+            SELECT variable, ROUND(SUM((n-e)*(n-e)/e), 6) AS stat,
+                   CAST((COUNT(DISTINCT category)-1)*(COUNT(DISTINCT cluster)-1) AS BIGINT) AS dof,
+                   CAST(SUM(n) AS BIGINT) AS n_obs
+            FROM cells GROUP BY variable ORDER BY variable"""))
+
+  /** M21: expected-frequency table under independence. */
+  private val m21 = Q(
+    (s, d) => {
+      import s.implicits._
+      (for {
+        t <- crosstabs(s, d)
+        exp = ContingencyMath.expectedFreq(t.obs)
+        i <- t.categories.indices; j <- t.clusters.indices
+      } yield (t.variable, t.categories(i), t.clusters(j), rnd(exp(i)(j), 4)))
+        .toDF("variable", "category", "cluster", "expected")
+        .orderBy("variable", "category", "cluster")
+    },
+    Some(s"""WITH $tallSql
+            SELECT variable, category, cluster, ROUND(e, 4) AS expected
+            FROM cells ORDER BY variable, category, cluster"""))
+
+  /** M22+M23: adjusted residuals with Bonferroni post-hoc direction.
+    * The SQL inlines the exact two-sided z critical value for the 2×3
+    * tables' adjusted alpha (computed from the same NormalDistribution the
+    * Scala side uses), since DuckDB has no normal quantile function. */
+  private val m23 = {
+    val zCrit = math.max(1.96, ContingencyMath.bonferroniZCrit(2, 3))
+    Q(
+      (s, d) => {
+        import s.implicits._
+        (for {
+          t <- crosstabs(s, d)
+          z = ContingencyMath.adjustedResiduals(t.obs)
+          dir = ContingencyMath.posthocDirections(t.obs)
+          i <- t.categories.indices; j <- t.clusters.indices
+        } yield (t.variable, t.categories(i), t.clusters(j),
+          rnd(z(i)(j), 4), dir(i)(j)))
+          .toDF("variable", "category", "cluster", "z", "direction")
+          .orderBy("variable", "category", "cluster")
+      },
+      Some(f"""WITH $tallSql%s,
+              zt AS (SELECT variable, category, cluster,
+                            (n - e) / SQRT(e * (1 - rn/t) * (1 - cn/t)) AS z
+                     FROM cells)
+              SELECT variable, category, cluster, ROUND(z, 4) AS z,
+                     CASE WHEN z >= $zCrit%.12f THEN 'pos'
+                          WHEN z <= -$zCrit%.12f THEN 'neg'
+                          ELSE 'neu' END AS direction
+              FROM zt ORDER BY variable, category, cluster"""))
+  }
+
+  /** Deliver-stats frame (entry point C end-to-end) — rows-only check here;
+    * exact semantics are pinned by ScalaTest goldens. The synthetic tables
+    * are statistically independent, so a planted dependent variable
+    * guarantees significant rows to deliver. */
+  private val deliver = Q(
+    (s, d) => ChiSquaredInference.deliverStats(
+      s,
+      liBucketed(s, d).withColumn("planted",
+        when(col("l_returnflag") === "R", "ret")
+          .otherwise(when(col("l_quantity") <= 25, "low").otherwise("high"))),
+      Seq("l_linestatus", "qty_bucket", "planted"), "l_returnflag"))
+
+  /** M17: adjusted Rand index between the embeddings labels and a synthetic
+    * second labeling (vec_id mod 4) — pair-counting closed form. */
+  private val m17 = Q(
+    (s, d) => {
+      import s.implicits._
+      val df = Tables.embeddings(s, d).withColumn("lb", pmod(col("vec_id"), lit(4)))
+      Seq(Tuple1(rnd(ClusterQuality.adjustedRand(df, "label", "lb"), 6)))
+        .toDF("ari")
+    },
+    Some("""WITH c AS (SELECT label AS la, CAST(vec_id % 4 AS INT) AS lb,
+                       CAST(COUNT(*) AS DOUBLE) AS n
+                FROM embeddings GROUP BY 1,2),
+            a AS (SELECT la, SUM(n) AS s FROM c GROUP BY 1),
+            b AS (SELECT lb, SUM(n) AS s FROM c GROUP BY 1),
+            x AS (SELECT (SELECT SUM(n*(n-1)/2) FROM c) AS sij,
+                         (SELECT SUM(s*(s-1)/2) FROM a) AS sa,
+                         (SELECT SUM(s*(s-1)/2) FROM b) AS sb,
+                         (SELECT SUM(n) FROM c) AS n)
+            SELECT ROUND((sij - sa*sb/(n*(n-1)/2))
+                   / ((sa+sb)/2 - sa*sb/(n*(n-1)/2)), 6) AS ari FROM x"""))
+
+  /** M24: Cochran's Q over three binary text-feature "treatments". */
+  private val m24 = Q(
+    (s, d) => {
+      import s.implicits._
+      val b = Tables.documents(s, d).select(
+        col("text").contains("spark").cast("int").as("t1"),
+        col("text").contains("data").cast("int").as("t2"),
+        col("text").contains("query").cast("int").as("t3"))
+      val agg = b.agg(
+        sum("t1").cast("double"), sum("t2").cast("double"),
+        sum("t3").cast("double"),
+        sum(pow(col("t1") + col("t2") + col("t3"), 2))).head()
+      val (q, dof, i2) = ContingencyMath.cochransQ(
+        Array(agg.getDouble(0), agg.getDouble(1), agg.getDouble(2)),
+        agg.getDouble(3))
+      Seq((rnd(q, 6), dof.toLong, rnd(i2, 4))).toDF("q_stat", "dof", "i2")
+    },
+    Some("""WITH b AS (SELECT CAST(contains(text,'spark') AS INT) AS t1,
+                              CAST(contains(text,'data') AS INT) AS t2,
+                              CAST(contains(text,'query') AS INT) AS t3
+                       FROM documents),
+            agg AS (SELECT CAST(SUM(t1) AS DOUBLE) AS c1,
+                           CAST(SUM(t2) AS DOUBLE) AS c2,
+                           CAST(SUM(t3) AS DOUBLE) AS c3,
+                           CAST(SUM(POW(t1+t2+t3, 2)) AS DOUBLE) AS rss
+                    FROM b)
+            SELECT ROUND(2 * (3*(c1*c1 + c2*c2 + c3*c3) - POW(c1+c2+c3, 2))
+                         / (3*(c1+c2+c3) - rss), 6) AS q_stat,
+                   CAST(2 AS BIGINT) AS dof,
+                   ROUND((2 * (3*(c1*c1 + c2*c2 + c3*c3) - POW(c1+c2+c3, 2))
+                          / (3*(c1+c2+c3) - rss) - 2)
+                         / (2 * (3*(c1*c1 + c2*c2 + c3*c3) - POW(c1+c2+c3, 2))
+                            / (3*(c1+c2+c3) - rss)) * 100, 4) AS i2
+            FROM agg"""))
+
+  private val embTallSql =
+    """t AS (SELECT vec_id, label, CAST(r.range AS INT) AS i,
+                    CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS x
+             FROM embeddings, range(64) r)"""
+
+  /** M15: Calinski-Harabasz over the 64-dim embeddings with their labels. */
+  private val m15 = Q(
+    (s, d) => {
+      import s.implicits._
+      Seq(Tuple1(rnd(ClusterQuality.calinskiHarabasz(
+        Tables.embeddings(s, d), "embedding", "label"), 4))).toDF("ch_index")
+    },
+    Some(s"""WITH $embTallSql,
+            m AS (SELECT label, i, COUNT(*) AS nl, SUM(x) AS sx, SUM(x*x) AS sxx
+                  FROM t GROUP BY 1,2),
+            g AS (SELECT i, SUM(sx)/SUM(nl) AS gmu, SUM(nl) AS n FROM m GROUP BY 1),
+            wb AS (SELECT SUM(sxx - nl*(sx/nl)*(sx/nl)) AS w,
+                          SUM(nl*((sx/nl)-gmu)*((sx/nl)-gmu)) AS b,
+                          MAX(g.n) AS n, COUNT(DISTINCT m.label) AS k
+                   FROM m JOIN g ON m.i = g.i)
+            SELECT ROUND((b/(k-1)) / (w/(n-k)), 4) AS ch_index FROM wb"""))
+
+  /** M14: Davies-Bouldin over the embeddings. */
+  private val m14 = Q(
+    (s, d) => {
+      import s.implicits._
+      Seq(Tuple1(rnd(ClusterQuality.daviesBouldin(
+        Tables.embeddings(s, d), "embedding", "label"), 4))).toDF("db_index")
+    },
+    Some(s"""WITH $embTallSql,
+            cent AS (SELECT label, i, AVG(x) AS mu FROM t GROUP BY 1,2),
+            pd AS (SELECT t.label, t.vec_id, SQRT(SUM((x-mu)*(x-mu))) AS dist
+                   FROM t JOIN cent ON t.label = cent.label AND t.i = cent.i
+                   GROUP BY 1,2),
+            s AS (SELECT label, AVG(dist) AS s FROM pd GROUP BY 1),
+            cd AS (SELECT a.label AS la, b.label AS lb,
+                          SQRT(SUM((a.mu-b.mu)*(a.mu-b.mu))) AS m
+                   FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+                   GROUP BY 1,2),
+            r AS (SELECT la, MAX((sa.s + sb.s) / m) AS rmax FROM cd
+                  JOIN s sa ON sa.label = cd.la
+                  JOIN s sb ON sb.label = cd.lb GROUP BY 1)
+            SELECT ROUND(AVG(rmax), 4) AS db_index FROM r"""))
+
+  /** M33: population modes — weighted & unweighted modal nation per segment
+    * with the weighted-mode share. Fully distributed (windows over the
+    * aggregated frame). */
+  private val m33 = Q(
+    (s, d) => {
+      val wc = Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(greatest(col("c_acctbal"), lit(0.0))), 4).as("ws"))
+      val byN = Window.partitionBy("c_mktsegment").orderBy(col("n").desc, col("c_nationkey"))
+      val byW = Window.partitionBy("c_mktsegment").orderBy(col("ws").desc, col("c_nationkey"))
+      wc.withColumn("rn", row_number().over(byN))
+        .withColumn("wrn", row_number().over(byW))
+        .withColumn("tws", sum("ws").over(Window.partitionBy("c_mktsegment")))
+        .groupBy("c_mktsegment")
+        .agg(
+          max(when(col("rn") === 1, col("c_nationkey"))).as("mode_nation"),
+          max(when(col("wrn") === 1, col("c_nationkey"))).as("wmode_nation"),
+          round(max(when(col("wrn") === 1, col("ws"))) / max("tws"), 6).as("wmode_share"))
+        .withColumnRenamed("c_mktsegment", "cluster")
+        .orderBy("cluster")
+    },
+    Some("""WITH wc AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+                               ROUND(SUM(GREATEST(c_acctbal, 0)), 4) AS ws
+                        FROM customer GROUP BY 1,2),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY c_mktsegment
+                      ORDER BY n DESC, c_nationkey) AS rn,
+                    row_number() OVER (PARTITION BY c_mktsegment
+                      ORDER BY ws DESC, c_nationkey) AS wrn,
+                    SUM(ws) OVER (PARTITION BY c_mktsegment) AS tws
+                  FROM wc)
+            SELECT c_mktsegment AS cluster,
+                   MAX(CASE WHEN rn = 1 THEN c_nationkey END) AS mode_nation,
+                   MAX(CASE WHEN wrn = 1 THEN c_nationkey END) AS wmode_nation,
+                   ROUND(MAX(CASE WHEN wrn = 1 THEN ws END) / MAX(tws), 6) AS wmode_share
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
+  // -- business metrics on the orders "segmentation" ---------------------
+  // cluster := o_orderstatus; "significant variable" := a priority whose
+  // count within the cluster exceeds the cluster's average priority count.
+
+  private def sigPairs(s: SparkSession, d: String): DataFrame = {
+    val ct = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+      .agg(count(lit(1)).as("n"))
+    ct.withColumn("a", avg("n").over(Window.partitionBy("st")))
+      .filter(col("n") > col("a")).select("st", "pr")
+  }
+
+  private val sigSql =
+    """ct AS (SELECT o_orderstatus AS st, o_orderpriority AS pr, COUNT(*) AS n
+              FROM orders GROUP BY 1,2),
+       sig AS (SELECT st, pr FROM
+                 (SELECT st, pr, n, AVG(n) OVER (PARTITION BY st) AS a FROM ct)
+               WHERE n > a)"""
+
+  /** M27: uniqueness — 1 − share of a cluster's significant variables that
+    * also appear in any other cluster (self-join pair match,
+    * metrics.py:311-337). */
+  private val m27 = Q(
+    (s, d) => {
+      val sig = sigPairs(s, d)
+      val others = sig.select(col("pr").as("pr2"), col("st").as("st2")).distinct()
+      sig.join(others, col("pr") === col("pr2") && col("st") =!= col("st2"), "left")
+        .groupBy("st", "pr")
+        .agg(max(when(col("st2").isNotNull, 1).otherwise(0)).as("shared"))
+        .groupBy(col("st").as("cluster"))
+        .agg(round(lit(1.0) - avg("shared"), 6).as("uniqueness"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH $sigSql,
+            ov AS (SELECT s1.st, s1.pr,
+                     CASE WHEN EXISTS (SELECT 1 FROM sig s2
+                       WHERE s2.pr = s1.pr AND s2.st <> s1.st) THEN 1 ELSE 0 END AS shared
+                   FROM sig s1)
+            SELECT st AS cluster, ROUND(1.0 - AVG(shared), 6) AS uniqueness
+            FROM ov GROUP BY 1 ORDER BY 1"""))
+
+  /** M28: communicability — distinct significant variables matching a name
+    * pattern per cluster (regex filter + grouped distinct count). */
+  private val m28 = Q(
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("cluster"))
+      .agg(countDistinct(when(col("o_orderpriority").rlike("^(1|2)-"),
+        col("o_orderpriority"))).as("n_comm"))
+      .orderBy("cluster"),
+    Some("""SELECT o_orderstatus AS cluster,
+            COUNT(DISTINCT CASE WHEN regexp_matches(o_orderpriority, '^(1|2)-')
+                  THEN o_orderpriority END) AS n_comm
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** M29: significant-variable spread — per-prefix share of a cluster's rows
+    * (prefix extraction + ratio, metrics.py:177-231). */
+  private val m29 = Q(
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("cluster"),
+        split_part(col("o_orderpriority"), lit("-"), lit(1)).as("prefix"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prop",
+        round(col("n") / sum("n").over(Window.partitionBy("cluster")), 6))
+      .orderBy("cluster", "prefix"),
+    Some("""SELECT o_orderstatus AS cluster,
+                   split_part(o_orderpriority, '-', 1) AS prefix, COUNT(*) AS n,
+                   ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus), 6)
+                     AS prop
+            FROM orders GROUP BY 1,2 ORDER BY 1,2"""))
+
+  /** M30: magnitude — (cluster's row share) × (cluster's share of all
+    * significant variables) (metrics.py:636-687). */
+  private val m30 = Q(
+    (s, d) => {
+      val rows = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("nr"))
+      val sigs = sigPairs(s, d).groupBy("st").agg(count(lit(1)).as("ns"))
+      rows.join(sigs, Seq("st"), "left").na.fill(Map("ns" -> 0L))
+        .withColumn("magnitude",
+          round((col("nr") / sum("nr").over()) * (col("ns") / sum("ns").over()), 6))
+        .select(col("st").as("cluster"), col("magnitude"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH $sigSql,
+            rs AS (SELECT o_orderstatus AS st, COUNT(*) AS nr FROM orders GROUP BY 1),
+            ss AS (SELECT st, COUNT(*) AS ns FROM sig GROUP BY 1)
+            SELECT rs.st AS cluster,
+                   ROUND((nr / SUM(nr) OVER ()) *
+                         (COALESCE(ns, 0) / SUM(COALESCE(ns, 0)) OVER ()), 6) AS magnitude
+            FROM rs LEFT JOIN ss ON rs.st = ss.st ORDER BY 1"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_m20_chi2" -> m20,
+    "q_m21_expected" -> m21,
+    "q_m23_residuals" -> m23,
+    "q_inf_deliver" -> deliver,
+    "q_m17_ari" -> m17,
+    "q_m24_cochran_q" -> m24,
+    "q_m15_calinski" -> m15,
+    "q_m14_davies_bouldin" -> m14,
+    "q_m33_popmodes" -> m33,
+    "q_m27_uniqueness" -> m27,
+    "q_m28_communicability" -> m28,
+    "q_m29_spread" -> m29,
+    "q_m30_magnitude" -> m30)
+}

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import graft.functions.SimHash64
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 1
+    (3L, "The Quick Brown Fox jumps over the lazy dog!!", "en"), // exact after normalize
+    (4L, "completely different content about spark shuffles", "en"),
+    (5L, "short", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups case/punct-normalized duplicates") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text").collect()
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 2)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keep") === 1L) // min id kept
+    assert(out.map(_.getAs[Long]("dup_count")).sum === 5)
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      k = 3, threshold = 0.3).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(ids.contains((1L, 3L))) // same text normalized
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("short docs (< k tokens) produce no shingles and no errors") {
+    val sh = DedupOps.shingles(docs, "doc_id", "text", "lang")
+    assert(sh.filter($"id" === 5L).count() === 0)
+  }
+
+  test("simhash: identical token sets -> identical signature; near-dup -> small hamming") {
+    val sig = DedupOps.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) >
+      java.lang.Long.bitCount(sig(1L) ^ sig(2L)))
+    // deterministic across evaluations
+    val sig2 = DedupOps.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig === sig2)
+  }
+
+  test("minhash LSH candidates include the true near-dup pair") {
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text",
+      numHashTables = 8, maxJaccardDist = 0.6).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(ids.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup on real testdata agrees with a hand dot product") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val pairs = DedupOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      "label", 0.9)
+    // no self-pairs, ida < idb
+    assert(pairs.filter($"ida" >= $"idb").count() === 0)
+  }
+}
