@@ -17,7 +17,8 @@ object SparkEntry {
   def registry: Map[String, Q] =
     etl.Relational.queries ++ stats.StatsQueries.queries ++
       text.TextOps.queries ++ dedup.DedupOps.queries ++
-      sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries
+      sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
+      cluster.MlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style pricing summary: scan → filter → groupBy → agg, fully

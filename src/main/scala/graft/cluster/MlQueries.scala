@@ -1,0 +1,220 @@
+package graft.cluster
+
+import graft.{Q, Tables}
+import graft.metrics.{ClusterQuality, ModelMetrics}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML-operator queries (SURVEY.md §2.8 M1-M26). Deterministic-math stages
+  * (label encoding, standardization, rules-based) carry DuckDB oracles;
+  * iterative fits (KMeans/KModes/GMM/LCA/RF) are rows-only checked here and
+  * pinned by ScalaTest invariants instead.
+  */
+object MlQueries {
+
+  /** M1: StringIndexer(alphabetAsc) ≡ dense_rank over sorted labels − 1. */
+  private val m1 = Q(
+    (s, d) => {
+      val enc = FeaturePipeline.labelEncode(Tables.customer(s, d), Seq("c_mktsegment"))
+      enc.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_mktsegment_enc").as("seg_enc"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+            CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS DOUBLE) AS seg_enc
+            FROM customer ORDER BY c_custkey"""))
+
+  /** M2: StandardScaler(withMean) ≡ (x − μ) / σ_sample. */
+  private val m2 = Q(
+    (s, d) => {
+      val scaled = FeaturePipeline.standardize(
+        Tables.customer(s, d), Seq("c_acctbal"), "z")
+      scaled.select(col("c_custkey"),
+          round(vector_to_array(col("z")).getItem(0), 6).as("z_acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+            ROUND((c_acctbal - AVG(c_acctbal) OVER ())
+                  / STDDEV_SAMP(c_acctbal) OVER (), 6) AS z_acctbal
+            FROM customer ORDER BY c_custkey"""))
+
+  /** M3: PCA component choice at cumulative explained variance ≥ 0.5. */
+  private val m3 = Q(
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val (_, n) = FeaturePipeline.pcaAtVariance(emb, "features", "pca", 0.5)
+      Seq(Tuple1(n.toLong)).toDF("n_components")
+    })
+
+  /** M4+M7+M8+M13: KMeans grid search with elbow + rank-sum + balance;
+    * emits the chosen (k, seed) and per-cluster sizes. */
+  private val m4 = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val sel = KMeansSearch.search(emb, "features", ks = 2 until 6,
+        seeds = KMeansSearch.Seeds.take(2))
+      sel.labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .withColumn("chosen_k", lit(sel.k)).withColumn("seed", lit(sel.seed))
+        .orderBy("cluster")
+    })
+
+  /** M5: KModes on categorical projections of customer. */
+  private val m5 = Q(
+    (s, d) => {
+      val cats = Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        concat(lit("n"), pmod(col("c_nationkey"), lit(5))).as("nat_bucket"),
+        when(col("c_acctbal") >= 0, "pos").otherwise("neg").as("bal_sign"))
+      val (model, labeled) = KModes.fit(cats,
+        Seq("c_mktsegment", "nat_bucket", "bal_sign"), k = 4)
+      labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .withColumn("cost", lit(model.cost))
+        .withColumn("iterations", lit(model.iterations))
+        .orderBy("cluster")
+    })
+
+  /** M6: KPrototypes on mixed orders columns. */
+  private val m6 = Q(
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val scaled = FeaturePipeline.standardize(o, Seq("o_totalprice"), "zv")
+        .withColumn("z_price", vector_to_array(col("zv")).getItem(0)).drop("zv")
+      val (model, labeled) = KPrototypes.fit(scaled, Seq("z_price"),
+        Seq("o_orderpriority", "o_orderstatus"), k = 3)
+      labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .withColumn("iterations", lit(model.iterations))
+        .orderBy("cluster")
+    })
+
+  /** M9: GaussianMixture (after PCA to 8 dims) with BIC/AIC + share guard. */
+  private val m9 = Q(
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("f64", array_to_vector(col("embedding")))
+      val (pca, _) = FeaturePipeline.pcaAtVariance(emb, "f64", "features", 0.99, maxK = 8)
+      val fit = GmmSearch.fitOne(pca, "features", k = 3, seed = 42L)
+      fit.labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .withColumn("accepted", lit(fit.accepted))
+        .orderBy("cluster")
+    })
+
+  /** M10: Latent-class EM on categorical customer projections; BIC-selected
+    * k would loop [[LatentClassEM.selectK]] — single k here for runtime. */
+  private val m10 = Q(
+    (s, d) => {
+      val cats = Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        concat(lit("n"), pmod(col("c_nationkey"), lit(5))).as("nat_bucket"),
+        when(col("c_acctbal") >= 0, "pos").otherwise("neg").as("bal_sign"))
+      val (model, labeled) = LatentClassEM.fit(cats,
+        Seq("c_mktsegment", "nat_bucket", "bal_sign"), "c_custkey", k = 3,
+        maxIter = 10)
+      labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .withColumn("bic", round(lit(model.bic), 2))
+        .orderBy("cluster")
+    })
+
+  /** M11: rules-based segmentation ≡ alphabetAsc dense_rank — full oracle. */
+  private val m11 = Q(
+    (s, d) => RulesBased.segment(Tables.orders(s, d), "o_orderpriority")
+      .labeled.select(col("o_orderkey"), col("cluster")).orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+            CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS cluster
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** M12: hierarchical segmentation — KMeans(k=2) nested inside mktsegment;
+    * labels globally offset, small groups → -99. */
+  private val m12 = Q(
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("features", array_to_vector(array(col("c_acctbal"))))
+      Hierarchical.nestedSegment(cust, "c_mktsegment", minRows = 50,
+        part => {
+          val (_, labeled, _) = KMeansSearch.fitOne(part, "features", 2, 42L)
+          labeled
+        })
+        .groupBy("c_mktsegment", "cluster").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment", "cluster")
+    })
+
+  /** M16: random-baseline silhouette ratio. */
+  private val m16 = Q(
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding")))
+        .withColumn("cluster", col("label").cast("int"))
+      val k = emb.select(countDistinct("cluster")).head().getLong(0).toInt
+      val m = ModelMetrics.randomBaseline(emb, "features", k)
+      Seq((m("silhouette"), m("random_silhouette"), m("silhouette_ratio")))
+        .toDF("silhouette", "random_silhouette", "ratio")
+    })
+
+  /** M18/M19: refit consistency (ARI of 90%-refit labels vs original). */
+  private val m18 = Q(
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val (_, labeled, _) = KMeansSearch.fitOne(emb, "features", 4, 42L)
+      val ari = ModelMetrics.modelConsistency(labeled, "vec_id", "features", 4, 42L)
+      Seq(Tuple1(math.rint(ari * 1e6) / 1e6)).toDF("consistency_ari")
+    })
+
+  /** M25: RF signal — predict the embedding label from the vector. */
+  private val m25 = Q(
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val m = ModelMetrics.rfSignal(emb, "features", "label")
+      Seq((m("accuracy"), m("f1"), m("precision"), m("recall")))
+        .toDF("accuracy", "f1", "precision", "recall")
+    })
+
+  /** M26: χ²-signal slicer over categorical orders projections. */
+  private val m26 = Q(
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderstatus"),
+        when(col("o_totalprice") > 100000, "big").otherwise("small").as("size_bucket"))
+      val (kept, retention) = ModelMetrics.chiSqSlicer(o,
+        Seq("o_orderpriority", "o_orderstatus", "size_bucket"), minVars = 2)
+      kept.map { case (v, mode) => (v, mode, math.rint(retention * 1e6) / 1e6) }
+        .toDF("variable", "mode", "final_retention").orderBy("variable")
+    })
+
+  /** M31: social presence — share of docs mentioning a platform per lang. */
+  private val m31 = Q(
+    (s, d) => ModelMetrics.socialPresence(
+      Tables.documents(s, d), "lang", "text", "spark").orderBy("cluster"),
+    Some("""SELECT lang AS cluster,
+            ROUND(AVG(CASE WHEN contains(lower(text), 'spark')
+                  THEN 1.0 ELSE 0.0 END), 6) AS presence
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_m1_label_encode" -> m1,
+    "q_m2_standardize" -> m2,
+    "q_m3_pca_components" -> m3,
+    "q_m4_kmeans_search" -> m4,
+    "q_m5_kmodes" -> m5,
+    "q_m6_kprototypes" -> m6,
+    "q_m9_gmm" -> m9,
+    "q_m10_lca" -> m10,
+    "q_m11_rules_based" -> m11,
+    "q_m12_hierarchical" -> m12,
+    "q_m16_random_baseline" -> m16,
+    "q_m18_consistency" -> m18,
+    "q_m25_rf_signal" -> m25,
+    "q_m26_slicer" -> m26,
+    "q_m31_social_presence" -> m31)
+}

@@ -1,0 +1,130 @@
+package graft.cluster
+
+import graft.SparkSpecBase
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("elbow picks the knee of a known curve") {
+    // costs: steep drop until k=4, then flat — elbow must be 4
+    val costs = Seq(2 -> 100.0, 3 -> 60.0, 4 -> 30.0, 5 -> 28.0, 6 -> 27.0)
+    assert(KMeansSearch.elbowK(costs) === 4)
+  }
+
+  test("average rank matches pandas semantics on ties") {
+    // values 10, 20, 20, 30 -> ranks 1, 2.5, 2.5, 4
+    assert(KMeansSearch.averageRank(Seq(10.0, 20.0, 20.0, 30.0), ascending = true)
+      === Seq(1.0, 2.5, 2.5, 4.0))
+    // descending: 30->1, 20,20 -> 2.5, 10->4
+    assert(KMeansSearch.averageRank(Seq(10.0, 20.0, 20.0, 30.0), ascending = false)
+      === Seq(4.0, 2.5, 2.5, 1.0))
+  }
+
+  test("balance filter rejects dominant clusters") {
+    val skewed = ((1 to 98).map(i => (i, 0)) ++ Seq((99, 1), (100, 2)))
+      .toDF("id", "cluster")
+    assert(!KMeansSearch.isBalanced(skewed)._1)
+    val even = (1 to 99).map(i => (i, i % 3)).toDF("id", "cluster")
+    assert(KMeansSearch.isBalanced(even)._1)
+  }
+
+  private lazy val plantedCats = {
+    // 3 planted categorical segments, 100 rows each, near-pure patterns
+    val rows = (0 until 300).map { i =>
+      val seg = i / 100
+      val noise = i % 17 == 0
+      val a = if (noise) "x" else Seq("a0", "a1", "a2")(seg)
+      val b = if (noise) "y" else Seq("b0", "b1", "b2")(seg)
+      val c = Seq("c0", "c1")(i % 2) // uninformative
+      (i.toLong, a, b, c)
+    }
+    rows.toDF("id", "qa", "qb", "qc")
+  }
+
+  test("KModes recovers planted categorical segments") {
+    val (model, labeled) = KModes.fit(plantedCats, Seq("qa", "qb", "qc"), k = 3)
+    assert(model.centroids.length === 3)
+    // purity: each planted segment maps to a single dominant cluster
+    val purity = labeled.withColumn("seg", (col("id") / 100).cast("int"))
+      .groupBy("seg", "cluster").count()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seg")
+          .orderBy(col("count").desc)))
+      .filter(col("rn") === 1).agg(sum("count")).head().getLong(0)
+    assert(purity >= 270, s"purity $purity/300 too low")
+    // deterministic: same input -> same centroids
+    val (model2, _) = KModes.fit(plantedCats, Seq("qa", "qb", "qc"), k = 3)
+    assert(model.centroids.map(_.toSeq).toSeq === model2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("KPrototypes separates mixed numeric+categorical structure") {
+    val rows = (0 until 200).map { i =>
+      val seg = i / 100
+      (i.toLong, if (seg == 0) -5.0 + (i % 10) * 0.1 else 5.0 + (i % 10) * 0.1,
+        Seq("p0", "p1")(seg))
+    }
+    val df = rows.toDF("id", "num", "cat")
+    val (model, labeled) = KPrototypes.fit(df, Seq("num"), Seq("cat"), k = 2)
+    val purity = labeled.withColumn("seg", (col("id") / 100).cast("int"))
+      .groupBy("seg", "cluster").count()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seg")
+          .orderBy(col("count").desc)))
+      .filter(col("rn") === 1).agg(sum("count")).head().getLong(0)
+    assert(purity >= 190)
+  }
+
+  test("LatentClassEM: log-likelihood improves and planted classes recovered") {
+    val (model, labeled) = LatentClassEM.fit(plantedCats, Seq("qa", "qb"),
+      "id", k = 3, maxIter = 15)
+    assert(model.logLik < 0 && !model.logLik.isNaN)
+    assert(model.bic > 0)
+    val purity = labeled.withColumn("seg", (col("id") / 100).cast("int"))
+      .groupBy("seg", "cluster").count()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seg")
+          .orderBy(col("count").desc)))
+      .filter(col("rn") === 1).agg(sum("count")).head().getLong(0)
+    assert(purity >= 270, s"LCA purity $purity/300")
+  }
+
+  test("rules-based segmentation encodes alphabetically and drops siblings") {
+    val df = Seq((1L, "beta", "x"), (2L, "alpha", "y"), (3L, "beta", "z"))
+      .toDF("id", "tech_q1_rb", "tech_q1_other")
+    val seg = RulesBased.segment(df, "tech_q1_rb")
+    assert(seg.labelMapping === Map("alpha" -> 0, "beta" -> 1))
+    assert(seg.droppedCols === Seq("tech_q1_other"))
+    assert(!seg.labeled.columns.contains("tech_q1_other"))
+  }
+
+  test("hierarchical: globally unique labels, small groups get -99") {
+    val df = (0 until 120).map { i =>
+      val g = if (i < 10) "small" else if (i < 65) "g1" else "g2"
+      (i.toLong, g, i.toDouble)
+    }.toDF("id", "grp", "v")
+      .withColumn("features", array_to_vector(array(col("v"))))
+    val out = Hierarchical.nestedSegment(df, "grp", minRows = 20, part => {
+      val (_, labeled, _) = KMeansSearch.fitOne(part, "features", 2, 1L)
+      labeled
+    })
+    val byGroup = out.groupBy("grp").agg(collect_set("cluster").as("cs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSet).toMap
+    assert(byGroup("small") === Set(Hierarchical.IgnoredLabel))
+    assert(byGroup("g1").intersect(byGroup("g2")).isEmpty, "labels must not collide")
+    assert((byGroup("g1") ++ byGroup("g2")).size === 4)
+  }
+
+  test("FeaturePipeline.pcaAtVariance picks minimal n reaching the threshold") {
+    val df = Tables_embeddings
+    val (_, n) = FeaturePipeline.pcaAtVariance(df, "features", "p", 0.5, maxK = 16)
+    assert(n >= 1 && n <= 16)
+    val (_, nAll) = FeaturePipeline.pcaAtVariance(df, "features", "p", 0.999, maxK = 16)
+    assert(nAll >= n)
+  }
+
+  private lazy val Tables_embeddings =
+    graft.Tables.embeddings(spark, sf)
+      .withColumn("features", array_to_vector(col("embedding")))
+}
