@@ -41,5 +41,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (name, Q(_, Some(sql), _)) => name -> sql }
+    registry.collect { case (name, Q(_, Some(sql))) => name -> sql }
 }

@@ -13,9 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
-    sql: Option[String] = None,
-    /** headline benchmark query (run by [[Bench]] at sf0.1) */
-    bench: Boolean = false)
+    sql: Option[String] = None)
 
 /** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md). */
 object Tables {
