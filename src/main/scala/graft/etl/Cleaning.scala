@@ -106,6 +106,23 @@ object Cleaning {
   def cleanResponses(df: DataFrame): DataFrame =
     fillSentinels(stripNumericTags(addTgtTags(lowercaseHeaders(removeTimeCols(df)))))
 
+  /** P7: drop duplicate column names keeping the first occurrence
+    * (clustering.py:412,641 — duplicates arise from column-set concat /
+    * self-joins). Renames positionally to unique temps, selects the kept
+    * positions, restores names — pure driver-side schema work. */
+  def dedupColumns(df: DataFrame): DataFrame = {
+    val names = df.columns
+    if (names.distinct.length == names.length) df
+    else {
+      val tmp = names.indices.map(i => s"__c$i")
+      val keep = names.zipWithIndex.groupBy(_._1).values
+        .map(_.head._2).toSeq.sorted
+      df.toDF(tmp: _*)
+        .select(keep.map(i => col(s"__c$i")): _*)
+        .toDF(keep.map(names): _*)
+    }
+  }
+
   /** Columns excluded from inference: cint ids, weights, segmentation
     * outputs (chisquared_tester.py:155-190). */
   def inferenceVariables(df: DataFrame, clusterCol: String): Seq[String] =

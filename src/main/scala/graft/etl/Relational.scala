@@ -508,6 +508,29 @@ object Relational {
             FROM lineitem WHERE l_orderkey % 50 = 0
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** F12-F14: array functions — remove sentinel, membership, sorted-distinct
+    * access (the reference's list scrubbing, helper_functions.py:15-30). */
+  private val fArrays = Q(
+    (s, d) => {
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(array_remove(toks, "the")).cast("long").as("n_no_the"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(array_sort(array_distinct(toks)), 1).as("first_tok"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(list_filter(toks, x -> x <> 'the')) AS BIGINT) AS n_no_the,
+              list_contains(toks, 'spark') AS has_spark,
+              list_sort(list_distinct(toks))[1] AS first_tok,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+            FROM t ORDER BY doc_id"""))
+
   /** F15: JSON extraction from a string column. */
   private val fJson = Q(
     (s, d) => Tables.events(s, d)
@@ -594,6 +617,7 @@ object Relational {
     "q_u3_explode_wordcount" -> u3,
     "q_f_strings" -> fStrings,
     "q_f_math" -> fMath,
+    "q_f_arrays" -> fArrays,
     "q_f_json" -> fJson,
     "q_e_window_agg" -> eWindow,
     "q_e_sessionize" -> eSession)

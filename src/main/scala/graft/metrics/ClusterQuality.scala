@@ -94,6 +94,33 @@ object ClusterQuality {
     rs.sum / k
   }
 
+  /** Gower distance pairs (M35, low-priority per SURVEY §2.8): mixed-type
+    * row dissimilarity = mean of per-feature terms — numerics |x−y|/range,
+    * categoricals 0/1 mismatch. Ranges come from one aggregate; pairs from a
+    * (blockable) self-join. Survey-scale operator — the full pair matrix is
+    * quadratic by definition, so callers block or sample first. */
+  def gowerPairs(df: DataFrame, idCol: String, numCols: Seq[String],
+      catCols: Seq[String]): DataFrame = {
+    val rangeRow = if (numCols.isEmpty) null
+      else df.agg(
+        numCols.map(c => (max(col(c)) - min(col(c))).as(c)).head,
+        numCols.map(c => (max(col(c)) - min(col(c))).as(c)).tail: _*).head()
+    val ranges = numCols.zipWithIndex.map { case (c, i) =>
+      c -> math.max(rangeRow.getDouble(i), 1e-12)
+    }.toMap
+    val cols = col(idCol).as("id") +:
+      (numCols.map(c => col(c).cast("double").as(c)) ++ catCols.map(col))
+    val a = df.select(cols: _*)
+    val b = a.columns.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"${c}__b"))
+    val nFeat = (numCols.size + catCols.size).toDouble
+    val terms =
+      numCols.map(c => abs(col(c) - col(s"${c}__b")) / lit(ranges(c))) ++
+      catCols.map(c => when(col(c) <=> col(s"${c}__b"), 0.0).otherwise(1.0))
+    a.join(b, col("id") < col("id__b"))
+      .withColumn("gower", terms.reduce(_ + _) / lit(nFeat))
+      .select(col("id").as("ida"), col("id__b").as("idb"), col("gower"))
+  }
+
   /** Adjusted Rand index (M17) between two label columns: distributed
     * contingency groupBy, closed-form pair counting on the driver. */
   def adjustedRand(df: DataFrame, labelA: String, labelB: String): Double = {

@@ -1,0 +1,72 @@
+// Plan audit: run with
+//   sbt 'runMain graft.tools.ExplainAudit'   (file is linked into src via tools package)
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for representative queries and asserts
+  * the plan properties the engine is designed around: predicate pushdown,
+  * column pruning (ReadSchema), broadcast joins for small dims, and
+  * whole-stage codegen coverage. Exits nonzero if an expectation fails. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // audit-only: AQE's unexecuted formatted plans omit codegen ids;
+      // production sessions (Verify/Bench) keep AQE on
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+
+    var failures = List.empty[String]
+    def audit(name: String, expects: (String, String => Boolean)*): Unit = {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== $name ===")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      expects.foreach { case (desc, check) =>
+        val ok = check(plan)
+        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+        if (!ok) failures ::= s"$name: $desc"
+      }
+    }
+
+    audit("q_p4_filter",
+      "filter pushed to parquet scan" ->
+        (_.contains("PushedFilters: [IsNotNull(l_quantity)")),
+      "only 3 columns read" ->
+        (p => p.contains("ReadSchema") &&
+          p.linesIterator.exists(l => l.contains("ReadSchema") &&
+            !l.contains("l_extendedprice"))))
+    audit("q_j1_left_broadcast",
+      "broadcast hash join chosen" -> (_.contains("BroadcastHashJoin")),
+      "fact side has no shuffle before join" ->
+        (p => !p.contains("Exchange hashpartitioning(l_suppkey")))
+    audit("q_a2_crosstab",
+      "single-pass partial aggregation" -> (_.contains("HashAggregate")),
+      "whole-stage codegen active" -> (_.contains("codegen id")))
+    audit("q_w4_topk_group",
+      "window partitioned (no single-partition warning path)" ->
+        (_.contains("Window")),
+      "parquet scan prunes to 3 columns" ->
+        (p => p.linesIterator.exists(l => l.contains("ReadSchema") &&
+          !l.contains("p_name"))))
+    audit("q_w3_sort_limit",
+      "TakeOrderedAndProject (per-partition top-k, no global sort)" ->
+        (_.contains("TakeOrderedAndProject")))
+    audit("q_u3_explode_wordcount",
+      "generate before partial aggregate" -> (_.contains("Generate")),
+      "partial aggregation before shuffle" -> (_.contains("HashAggregate")))
+
+    if (failures.nonEmpty) {
+      System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
+      sys.exit(1)
+    }
+    println("\nPLAN AUDIT OK")
+    spark.stop()
+  }
+}

@@ -42,6 +42,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(2).getString(1) === "other") // unmapped passes through
   }
 
+  test("dedupColumns keeps the first occurrence of duplicated names") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq((1, "y")).toDF("id", "w")
+    val joined = a.join(b, a("id") === b("id")) // two 'id' columns
+    assert(joined.columns.count(_ == "id") === 2)
+    val deduped = Cleaning.dedupColumns(joined)
+    assert(deduped.columns.toSeq === Seq("id", "v", "w"))
+    assert(deduped.head().getInt(0) === 1)
+  }
+
+  test("gower distance: zero for identical rows, bounded by 1") {
+    val df = Seq(
+      (1L, 10.0, "a"), (2L, 10.0, "a"), (3L, 20.0, "b")
+    ).toDF("id", "num", "cat")
+    val pairs = graft.metrics.ClusterQuality.gowerPairs(df, "id", Seq("num"), Seq("cat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 0.0)
+    assert(pairs((1L, 3L)) === 1.0) // max num distance + cat mismatch
+    assert(pairs.values.forall(v => v >= 0 && v <= 1))
+  }
+
   test("coerceNumerics converts all-numeric string cols only") {
     val df = Seq(("1.5", "abc"), ("2", "3")).toDF("nums", "mixed")
     val out = Cleaning.coerceNumerics(df)
