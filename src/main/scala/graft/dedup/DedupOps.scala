@@ -124,16 +124,13 @@ object DedupOps {
     * norms precomputed once, dot products only for within-block pairs. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
     val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
-    val a = v.toDF("ida", "block", "va", "na")
-    val b = v.toDF("idb", "block", "vb", "nb")
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.toDF("ida", "block", "va")
+    val b = v.toDF("idb", "block", "vb")
     a.join(b, Seq("block")).filter(col("ida") < col("idb"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .withColumn("cosine", cosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
   }

@@ -17,21 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+  import graft.functions.CosineSimilarity.cosineSim
 
-  /** Exact cosine top-k: `queries` joined (broadcast) against the corpus. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+
+  /** Exact cosine top-k: `queries` joined (broadcast) against the corpus.
+    * The similarity is the codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — one fused loop per pair inside WholeStageCodegen. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = withNorm(corpus, idCol, vecCol)
-    val q = withNorm(queries, idCol, vecCol)
-      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val c = prep(corpus, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("v"), col("qv"), _ * _), lit(0.0), (a, x) => a + x)
-          / (col("norm") * col("qnorm")))
+      .withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
@@ -62,17 +62,14 @@ object SimilarityOps {
     * Recall < 1 by construction; the exact [[bruteForceTopK]] is the oracle. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int, k: Int, queryFilter: org.apache.spark.sql.Column): DataFrame = {
-    val sig = corpus.withColumn("bucket", lshSignature(vecCol, dim, nBits))
-    val c = withNorm(sig, idCol, vecCol)
-      .withColumn("bucket", sig("bucket"))
+    val c = corpus.withColumn("bucket", lshSignature(vecCol, dim, nBits))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+        col("bucket"))
     val q = c.filter(queryFilter)
-      .select(col("id").as("qid"), col("v").as("qv"),
-        col("norm").as("qnorm"), col("bucket"))
+      .select(col("id").as("qid"), col("v").as("qv"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("v"), col("qv"), _ * _), lit(0.0), (a, x) => a + x)
-          / (col("norm") * col("qnorm")))
+      .withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
