@@ -164,8 +164,10 @@ object MlQueries {
       val emb = Tables.embeddings(s, d)
         .withColumn("features", array_to_vector(col("embedding")))
       val (_, labeled, _) = KMeansSearch.fitOne(emb, "features", 4, 42L)
-      val ari = ModelMetrics.modelConsistency(labeled, "vec_id", "features", 4, 42L)
-      Seq(Tuple1(math.rint(ari * 1e6) / 1e6)).toDF("consistency_ari")
+      val m18 = ModelMetrics.modelConsistency(labeled, "vec_id", "features", 4, 42L)
+      val m19 = ModelMetrics.labelConsistency(labeled, "vec_id", "features", 4, 42L)
+      Seq((math.rint(m18 * 1e6) / 1e6, math.rint(m19 * 1e6) / 1e6))
+        .toDF("model_consistency_ari", "label_consistency_ari")
     })
 
   /** M25: RF signal — predict the embedding label from the vector. */

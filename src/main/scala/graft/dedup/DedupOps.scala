@@ -70,7 +70,7 @@ object DedupOps {
     * join degenerates to all-pairs (measured 968 s at sf0.1 vs ~3 s with
     * shingles); k-gram shingles keep the candidate set near-linear. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashTables: Int = 4, maxJaccardDist: Double = 0.5,
+      numHashTables: Int = 3, maxJaccardDist: Double = 0.5,
       shingleK: Int = 3): DataFrame = {
     val toks = TextOps.tokens(lower(col(textCol)))
     val sh = df.select(col(idCol).as("id"),

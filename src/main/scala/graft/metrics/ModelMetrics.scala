@@ -48,6 +48,19 @@ object ModelMetrics {
     ClusterQuality.adjustedRand(relabeled, "cluster", "cluster2")
   }
 
+  /** M19: label consistency — refit on a deterministic 90% split and score
+    * ARI between refit labels and the ORIGINAL labels on the training rows
+    * only (the reference's StratifiedShuffleSplit train-side comparison,
+    * metrics.py:273-308; M18 scores the full frame instead). */
+  def labelConsistency(df: DataFrame, idCol: String, featuresCol: String,
+      k: Int, seed: Long): Double = {
+    val withBucket = df.withColumn("__b", pmod(hash(col(idCol)), lit(10)))
+    val train = withBucket.filter(col("__b") =!= 0)
+    val refit = new org.apache.spark.ml.clustering.KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol(featuresCol).setPredictionCol("cluster2").fit(train)
+    ClusterQuality.adjustedRand(refit.transform(train), "cluster", "cluster2")
+  }
+
   /** M25: RandomForest signal loss — train RF to predict the cluster from
     * feature columns; report accuracy/F1/weighted precision/recall
     * (metrics.py:714-811). Under/over-sampling via `sampleBy` hooks. */

@@ -1,0 +1,45 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SimilarityOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf)
+
+  test("brute-force top-k: self excluded, k rows per query, cosine descending") {
+    val out = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 5).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length === 5)
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.sameElements(cos.sorted.reverse), "descending by rank")
+      assert(!rows.exists(r => r.getAs[Long]("neighbor") == r.getAs[Long]("qid")))
+    }
+  }
+
+  test("ANN recall vs exact baseline is substantial within buckets") {
+    val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 20),
+        "vec_id", "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val ann = SimilarityOps.annTopK(emb, "vec_id", "embedding",
+        dim = 64, nBits = 6, nTables = 12, k = 3, col("id") < 20).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    // OR-amplified candidates should recover a substantial share of the
+    // exact top-3 on clustered embeddings
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(ann.nonEmpty)
+    assert(recall > 0.3, f"ANN recall $recall%.2f suspiciously low")
+  }
+
+  test("deterministic hyperplanes: same signature across invocations") {
+    val s1 = emb.withColumn("b", SimilarityOps.lshSignature("embedding", 64, 8))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = emb.withColumn("b", SimilarityOps.lshSignature("embedding", 64, 8))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+  }
+}
