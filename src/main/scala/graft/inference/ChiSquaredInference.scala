@@ -25,7 +25,8 @@ object ChiSquaredInference {
     StructField("yates", BooleanType),
     StructField("mode_category", StringType),
     StructField("sig_more_category", ArrayType(StringType)),
-    StructField("category_percentages", ArrayType(DoubleType))))
+    StructField("category_percentages", ArrayType(DoubleType)),
+    StructField("weighted_category_percentages", ArrayType(DoubleType))))
 
   /** Full inference pass. `alpha` gates both the table-level test (p > α →
     * variable skipped for that cluster, the reference's "lazy" path,
@@ -46,6 +47,7 @@ object ChiSquaredInference {
       if res.p <= alpha
       dirs = ContingencyMath.posthocDirections(t.obs, alpha)
       colTot = t.colTotals
+      wColTot = t.wobs.transpose.map(_.sum)
       (cluster, j) <- t.clusters.zipWithIndex
       sig = t.categories.indices
         .filter(i => dirs(i)(j) == "pos" && t.categories(i) != "not selected")
@@ -55,7 +57,10 @@ object ChiSquaredInference {
       cluster, t.variable, res.stat, res.p, res.dof.toLong, yates,
       t.categories(modeIdx),
       sig.map(t.categories(_)),
-      sig.map(i => math.rint(t.obs(i)(j) / colTot(j) * 10000) / 100.0))
+      sig.map(i => math.rint(t.obs(i)(j) / colTot(j) * 10000) / 100.0),
+      // weighted variant (chisquared_tester.py:1533-1564): same categories,
+      // shares of the cluster's weight mass instead of its row count
+      sig.map(i => math.rint(t.wobs(i)(j) / wColTot(j) * 10000) / 100.0))
 
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), deliverSchema)

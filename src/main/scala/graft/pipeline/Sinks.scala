@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** S4: object-existence probe for conditional pipeline branches (the
+    * reference probes S3 before recomputing population modes,
+    * chisquared_tester.py:782-786) — Hadoop FS API on the driver, works for
+    * any configured filesystem (local, s3a, ...). */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Early-exit caching guard: compute and write only when absent
+    * (reference's skip-if-output-exists pattern). Returns true if written. */
+  def writeParquetIfAbsent(df: => DataFrame, path: String): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (exists(spark, path)) false
+    else { df.write.mode(SaveMode.ErrorIfExists).parquet(path); true }
+  }
+
   /** S5: metrics CSV per segmentation type (coalesced — metric tables are
     * tiny; a 100 TB pipeline still writes KB here). */
   def metricsCsv(df: DataFrame, path: String): Unit =

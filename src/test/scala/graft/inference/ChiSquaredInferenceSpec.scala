@@ -52,6 +52,13 @@ class ChiSquaredInferenceSpec extends SparkSpecBase {
     assert(s0.exists(_.getAs[Seq[String]]("sig_more_category").contains("agree")))
     // 'not selected' never appears in sig lists (scrubbed after the test)
     assert(out.forall(!_.getAs[Seq[String]]("sig_more_category").contains("not selected")))
+    // weighted percentages align 1:1 with sig categories and stay in (0,100]
+    out.foreach { r =>
+      val sig = r.getAs[scala.collection.Seq[String]]("sig_more_category")
+      val wp = r.getAs[scala.collection.Seq[Double]]("weighted_category_percentages")
+      assert(wp.length === sig.length)
+      assert(wp.forall(p => p > 0 && p <= 100))
+    }
   }
 
   test("deliverStats is sorted by ascending p") {

@@ -91,6 +91,17 @@ class PipelineSpec extends SparkSpecBase {
     assert(empty.isEmpty)
   }
 
+  test("existence probe + write-if-absent caching guard (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("probe").toString
+    val df = Seq((1, "a")).toDF("id", "v")
+    assert(!Sinks.exists(spark, s"$dir/out"))
+    assert(Sinks.writeParquetIfAbsent(df, s"$dir/out"))
+    assert(Sinks.exists(spark, s"$dir/out"))
+    // second call: skipped, no error, data unchanged
+    assert(!Sinks.writeParquetIfAbsent(df.union(df), s"$dir/out"))
+    assert(spark.read.parquet(s"$dir/out").count() === 1)
+  }
+
   test("end-to-end segmentation battery on a planted survey") {
     val rows = (0 until 240).map { i =>
       val seg = i % 3
