@@ -26,7 +26,7 @@ object Bench {
     "q_e_sessionize",
     "q_m20_chi2",
     "q_d_exact",
-    "q_d_minhash_lsh",
+    "q_d_minhash_banded",
     "q_s_cosine_topk",
     "q_t_quality")
 

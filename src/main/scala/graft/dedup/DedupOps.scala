@@ -93,6 +93,55 @@ object DedupOps {
       .filter(col("ida") < col("idb"))
   }
 
+  /** Banded MinHash entirely in DataFrame ops — the scale path without
+    * MLlib's per-candidate sparse-vector distance evaluation:
+    *
+    *  1. distinct (id, shingle) tall frame;
+    *  2. numBands·rowsPerBand minhashes per doc in ONE aggregation
+    *     (min of xxhash64(seed_i, shingle));
+    *  3. band key = hash of the band's row minhashes; candidates = equi-join
+    *     on (band, key) — the band key is the shuffle key;
+    *  4. true Jaccard verified ONLY for candidates via shared-shingle
+    *     counting (shingle-join restricted by a candidate semi-join).
+    *
+    * Output matches [[minhashPairs]]'s shape: (ida, idb, jaccard_dist). */
+  def minhashPairsBanded(df: DataFrame, idCol: String, textCol: String,
+      numBands: Int = 4, rowsPerBand: Int = 2, maxJaccardDist: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val sh = shingles(
+      df.withColumn("__blk", lit(1)), idCol, textCol, "__blk", shingleK)
+      .select(col("id"), col("shingle")).distinct().cache()
+    val nHashes = numBands * rowsPerBand
+    val minhashes = sh.groupBy("id").agg(
+      min(xxhash64(lit(0), col("shingle"))).as("h0"),
+      (1 until nHashes).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+    val banded = minhashes.select(col("id"), explode(array(
+      (0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          hash((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+    val cands = banded.toDF("ida", "bk")
+      .join(banded.toDF("idb", "bk"), Seq("bk"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // second join keys on (idb, shingle) so each pair only meets its
+    // INTERSECTION rows — joining on idb alone would cross the shingle sets
+    val shared = cands
+      .join(sh.toDF("ida", "shingle"), Seq("ida"))
+      .join(sh.toDF("idb", "shingle"), Seq("idb", "shingle"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    cands.join(shared, Seq("ida", "idb"), "left").na.fill(Map("shared" -> 0L))
+      .join(sizes.toDF("ida", "sza"), "ida")
+      .join(sizes.toDF("idb", "szb"), "idb")
+      .withColumn("jaccard_dist", round(lit(1.0) -
+        col("shared") / (col("sza") + col("szb") - col("shared")), 6))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+      .select("ida", "idb", "jaccard_dist")
+  }
+
   /** SimHash signatures (custom Catalyst expression) + near-dup pairs by
     * Hamming distance within 4-band buckets (a signature within distance d
     * matches on ≥1 of d+1 bands — standard banding bound). */
@@ -172,6 +221,10 @@ object DedupOps {
     (s, d) => minhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("ida", "idb"))
 
+  private val dMinhashBanded = Q(
+    (s, d) => minhashPairsBanded(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("ida", "idb"))
+
   private val dSimhash = Q(
     (s, d) => simhashSignatures(Tables.documents(s, d), "doc_id", "text")
       .orderBy("id"))
@@ -199,6 +252,7 @@ object DedupOps {
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
     "q_d_minhash_lsh" -> dMinhash,
+    "q_d_minhash_banded" -> dMinhashBanded,
     "q_d_simhash" -> dSimhash,
     "q_d_simhash_pairs" -> dSimhashPairs,
     "q_d_embed_neardup" -> dEmbed)

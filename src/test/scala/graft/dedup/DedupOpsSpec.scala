@@ -56,6 +56,19 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(ids.contains((1L, 2L)))
   }
 
+  test("banded minhash finds the near-dup pair with exact verified jaccard") {
+    val pairs = DedupOps.minhashPairsBanded(docs, "doc_id", "text",
+      numBands = 8, rowsPerBand = 1, maxJaccardDist = 0.6).collect()
+    val byPair = pairs.map(r =>
+      (r.getAs[Long]("ida"), r.getAs[Long]("idb")) -> r.getAs[Double]("jaccard_dist")).toMap
+    assert(byPair.contains((1L, 2L)))
+    // docs 1/2 share 6 of 8 distinct shingles -> dist = 1 - 6/10? compute:
+    // both have 7 shingles, differ in last token -> 6 shared, union 8
+    assert(math.abs(byPair((1L, 2L)) - (1.0 - 6.0 / 8.0)) < 1e-6)
+    // verified jaccard means no false positives above the threshold
+    assert(byPair.values.forall(_ <= 0.6))
+  }
+
   test("embedding near-dup on real testdata agrees with a hand dot product") {
     val emb = graft.Tables.embeddings(spark, sf)
     val pairs = DedupOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
