@@ -119,13 +119,19 @@ object StatsQueries {
     * exact semantics are pinned by ScalaTest goldens. The synthetic tables
     * are statistically independent, so a planted dependent variable
     * guarantees significant rows to deliver. */
-  private val deliver = Q(
-    (s, d) => ChiSquaredInference.deliverStats(
+  private def deliverFrame(s: SparkSession, d: String) =
+    ChiSquaredInference.deliverStats(
       s,
       liBucketed(s, d).withColumn("planted",
         when(col("l_returnflag") === "R", "ret")
           .otherwise(when(col("l_quantity") <= 25, "low").otherwise("high"))),
-      Seq("l_linestatus", "qty_bucket", "planted"), "l_returnflag"))
+      Seq("l_linestatus", "qty_bucket", "planted"), "l_returnflag")
+
+  private val deliver = Q((s, d) => deliverFrame(s, d))
+
+  /** Discover view (W4 over deliver stats): top-k per cluster by p. */
+  private val discover = Q(
+    (s, d) => ChiSquaredInference.discoverTopK(deliverFrame(s, d), k = 10))
 
   /** M17: adjusted Rand index between the embeddings labels and a synthetic
     * second labeling (vec_id mod 4) — pair-counting closed form. */
@@ -361,6 +367,7 @@ object StatsQueries {
     "q_m21_expected" -> m21,
     "q_m23_residuals" -> m23,
     "q_inf_deliver" -> deliver,
+    "q_inf_discover" -> discover,
     "q_m17_ari" -> m17,
     "q_m24_cochran_q" -> m24,
     "q_m15_calinski" -> m15,
