@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token count ignores empty tokens from repeated whitespace") {
+    val df = Seq((1L, "a  b   c"), (2L, ""), (3L, "   ")).toDF("id", "text")
+    val out = df.select($"id", TextOps.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("quality columns: ratios bounded, empty text safe (no division by zero)") {
+    val df = Seq((1L, "The quick, brown fox!"), (2L, "")).toDF("id", "text")
+    val rows = df.select($"id" +: TextOps.qualityColumns($"text"): _*).collect()
+    rows.foreach { r =>
+      Seq("punct_ratio", "stopword_ratio", "upper_ratio").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+    }
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Double]("punct_ratio") > 0) // ',' and '!'
+    assert(r1.getAs[Double]("upper_ratio") > 0) // 'T'
+    assert(r1.getAs[Double]("stopword_ratio") === 0.25) // 'the' of 4 tokens
+  }
+
+  test("language-ID: clear profiles win, tie-break order is deterministic") {
+    val df = Seq(
+      (1L, "select join query table scan"),
+      (2L, "spark shuffle partition executor batch"),
+      (3L, "the and of fast slow"),
+      (4L, "zzz yyy xxx")). // no profile hits -> all zero -> tie-break 'en'
+      toDF("id", "text")
+    val out = df.select($"id" +: TextOps.langIdColumns($"text"): _*)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(out === Map(1L -> "sql", 2L -> "spark", 3L -> "en", 4L -> "en"))
+  }
+
+  test("fingerprint is invariant to case, token order, and duplication") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "GAMMA alpha BETA beta"),
+      (3L, "alpha beta delta")).toDF("id", "text")
+    val fp = df.select($"id", TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}
