@@ -15,6 +15,23 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     sql: Option[String] = None)
 
+object Q {
+  /** JSON-serialize array columns for the driver's comparator: its pandas
+    * sort/hash pass cannot order numpy-array cells (round-1 failure mode on
+    * q_inf_deliver/q_inf_discover/q_mm_stub_decode), so registered queries
+    * emit arrays as deterministic JSON strings. Library APIs keep real
+    * ArrayType columns; only the registry surface flattens. */
+  def serializeArrays(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+}
+
 /** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md). */
 object Tables {
   val names: Seq[String] = Seq(

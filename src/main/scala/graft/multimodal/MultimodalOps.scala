@@ -89,9 +89,9 @@ object MultimodalOps {
   /** Stub decode through the real mapPartitions pipeline — rows-only check
     * (the stub features are engine-internal). */
   private val mmDecode = Q(
-    (s, d) => decodeFeatures(
+    (s, d) => graft.Q.serializeArrays(decodeFeatures(
       Tables.documents(s, d).withColumn("blob", col("text").cast("binary")),
-      "doc_id", "blob").orderBy("media_id"))
+      "doc_id", "blob").orderBy("media_id")))
 
   val queries: Map[String, Q] = Map(
     "q_mm_binary_meta" -> mmBinary,

@@ -31,22 +31,26 @@ object ContingencyMath {
     rowTot.map(r => colTot.map(c => r * c / n))
   }
 
-  /** Pearson χ² on an r×c observed-counts matrix. `yates` applies the
-    * continuity correction (reference applies it when any observed cell ≤ 5 —
-    * chisquared_tester.py:251-256, 331-379); errors/degenerate tables return
-    * (stat=0, p=1) like the reference's error fallback. */
+  /** Pearson χ² on an r×c observed-counts matrix. `yates` requests the
+    * continuity correction (reference requests it when any observed cell ≤ 5 —
+    * chisquared_tester.py:251-256, 331-379), but the correction is only
+    * APPLIED when dof == 1, matching scipy.stats.chi2_contingency
+    * (correction=True corrects solely 2×2 tables); the flag is still
+    * reported as metadata. Errors/degenerate tables return (stat=0, p=1)
+    * like the reference's error fallback. */
   def chiSquare(obs: Array[Array[Double]], yates: Boolean): ChiSqResult = {
     val exp = expectedFreq(obs)
     val dof = (obs.length - 1) * (obs.head.length - 1)
     if (dof <= 0 || exp.exists(_.exists(_ == 0.0)))
       return ChiSqResult(0.0, 1.0, math.max(dof, 0), exp, yates)
+    val applyYates = yates && dof == 1
     var stat = 0.0
     var i = 0
     while (i < obs.length) {
       var j = 0
       while (j < obs(i).length) {
         val d0 = math.abs(obs(i)(j) - exp(i)(j))
-        val d = if (yates) math.max(0.0, d0 - 0.5) else d0
+        val d = if (applyYates) math.max(0.0, d0 - 0.5) else d0
         stat += d * d / exp(i)(j)
         j += 1
       }
@@ -75,13 +79,20 @@ object ContingencyMath {
 
   /** Post-hoc per-cell test with Bonferroni correction
     * (chisquared_tester.py:475-564): per-cell p from z² ~ χ²₁, significant
-    * iff |z| ≥ 1.96 AND p ≤ α/(r·c); direction 'pos'/'neg'/'neu'. */
+    * iff |z| ≥ 1.96 AND p ≤ α/(r·c); direction 'pos'/'neg'/'neu'.
+    * The residual is rounded to 3 decimals BEFORE squaring and comparing,
+    * as the reference does (adjusted_residual returns round(z, 3); Python's
+    * round is half-even on the binary value → BigDecimal HALF_EVEN here). */
   def posthocDirections(obs: Array[Array[Double]], alpha: Double = 0.05)
       : Array[Array[String]] = {
     val z = adjustedResiduals(obs)
     val cells = obs.length * obs.head.length
     val alphaAdj = alpha / cells
-    z.map(_.map { zij =>
+    z.map(_.map { zij0 =>
+      // exact-binary constructor (not valueOf): Python rounds the true
+      // binary value, not its shortest decimal representation
+      val zij = new java.math.BigDecimal(zij0)
+        .setScale(3, java.math.RoundingMode.HALF_EVEN).doubleValue()
       val p = chiSqP(zij * zij, 1)
       if (math.abs(zij) >= 1.96 && p <= alphaAdj) (if (zij > 0) "pos" else "neg")
       else "neu"

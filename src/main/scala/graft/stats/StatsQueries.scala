@@ -109,8 +109,8 @@ object StatsQueries {
                             (n - e) / SQRT(e * (1 - rn/t) * (1 - cn/t)) AS z
                      FROM cells)
               SELECT variable, category, cluster, ROUND(z, 4) AS z,
-                     CASE WHEN z >= $zCrit%.12f THEN 'pos'
-                          WHEN z <= -$zCrit%.12f THEN 'neg'
+                     CASE WHEN ROUND(z, 3) >= $zCrit%.12f THEN 'pos'
+                          WHEN ROUND(z, 3) <= -$zCrit%.12f THEN 'neg'
                           ELSE 'neu' END AS direction
               FROM zt ORDER BY variable, category, cluster"""))
   }
@@ -127,11 +127,12 @@ object StatsQueries {
           .otherwise(when(col("l_quantity") <= 25, "low").otherwise("high"))),
       Seq("l_linestatus", "qty_bucket", "planted"), "l_returnflag")
 
-  private val deliver = Q((s, d) => deliverFrame(s, d))
+  private val deliver = Q((s, d) => Q.serializeArrays(deliverFrame(s, d)))
 
   /** Discover view (W4 over deliver stats): top-k per cluster by p. */
   private val discover = Q(
-    (s, d) => ChiSquaredInference.discoverTopK(deliverFrame(s, d), k = 10))
+    (s, d) => Q.serializeArrays(
+      ChiSquaredInference.discoverTopK(deliverFrame(s, d), k = 10)))
 
   /** M17: adjusted Rand index between the embeddings labels and a synthetic
     * second labeling (vec_id mod 4) — pair-counting closed form. */

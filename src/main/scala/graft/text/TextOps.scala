@@ -79,7 +79,8 @@ object TextOps {
             SELECT doc_id,
               CAST(length(text) AS BIGINT) AS n_chars,
               CAST(len(toks) AS BIGINT) AS n_tokens,
-              ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              ROUND(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS DOUBLE)
                 / GREATEST(len(toks), 1), 6) AS avg_token_len,
               ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
                 / GREATEST(length(text), 1), 6) AS punct_ratio,

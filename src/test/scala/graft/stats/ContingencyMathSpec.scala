@@ -42,6 +42,19 @@ class ContingencyMathSpec extends AnyFunSuite {
     assert(r.dof === 1)
   }
 
+  test("Yates requested but dof > 1: statistic stays UNcorrected (scipy parity)") {
+    // scipy.stats.chi2_contingency(correction=True) only corrects 2x2 tables;
+    // for this 2x3 small-cell table it returns the plain Pearson statistic.
+    val obs3 = Array(Array(3.0, 12.0, 5.0), Array(14.0, 7.0, 2.0))
+    assert(ContingencyMath.needsYates(obs3))
+    val r = ContingencyMath.chiSquare(obs3, yates = true)
+    assert(r.dof === 2)
+    assert(r.yatesApplied) // requested flag still reported as metadata
+    assert(math.abs(r.stat - 9.556364055919852) < 1e-12) // uncorrected Pearson
+    // and NOT the would-be corrected value
+    assert(math.abs(r.stat - 6.981029700209604) > 1.0)
+  }
+
   test("adjusted residuals match golden and are antisymmetric for 2 rows") {
     val z = ContingencyMath.adjustedResiduals(obs)
     assert(math.abs(z(0)(0) - (-0.2510940971310061)) < 1e-12)
