@@ -28,16 +28,24 @@ object DedupOps {
       .groupBy("h")
       .agg(min(idCol).as("keep"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word-k-gram shingles per document (+ a blocking column). */
+  /** Distinct word-k-gram shingles per document (+ a blocking column).
+    *
+    * The token array is materialized in its OWN projection before the
+    * shingle transform: referencing the tokenizer expression directly
+    * inside the `transform` lambda re-splits the whole text once per
+    * shingle index (O(tokens²) per doc — measured 9.6 s of a 10.8 s query
+    * at sf0.1). As a multi-referenced non-cheap expression it survives
+    * CollapseProject, so each text is tokenized exactly once. */
   def shingles(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       k: Int = 3): DataFrame = {
-    val toks = TextOps.tokens(lower(col(textCol)))
+    val t = col("__toks")
     df.select(col(idCol).as("id"), col(blockCol).as("block"),
-        when(size(toks) >= k,
-          array_distinct(transform(sequence(lit(0), size(toks) - k),
-            i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-          .otherwise(array().cast("array<string>")).as("sh"))
-      .select(col("id"), col("block"), explode(col("sh")).as("shingle"))
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), col("block"),
+        explode(when(size(t) >= k,
+          array_distinct(transform(sequence(lit(0), size(t) - k),
+            i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
   }
 
   /** N-gram Jaccard near-dup pairs: candidates from a shared-shingle
@@ -69,15 +77,24 @@ object DedupOps {
     * a small vocabulary make nearly all pairs collide in some band and the
     * join degenerates to all-pairs (measured 968 s at sf0.1 vs ~3 s with
     * shingles); k-gram shingles keep the candidate set near-linear. */
+  /** (id, sh: array<string>) of distinct k-gram shingles — tokenized once
+    * per doc in a separate projection (see [[shingles]]'s scale note). */
+  private def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val t = col("__toks")
+    df.select(col(idCol).as("id"),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"),
+        when(size(t) >= k,
+          array_distinct(transform(sequence(lit(0), size(t) - k),
+            i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+  }
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashTables: Int = 3, maxJaccardDist: Double = 0.5,
       shingleK: Int = 3): DataFrame = {
-    val toks = TextOps.tokens(lower(col(textCol)))
-    val sh = df.select(col(idCol).as("id"),
-        when(size(toks) >= shingleK,
-          array_distinct(transform(sequence(lit(0), size(toks) - shingleK),
-            i => concat_ws(" ", slice(toks, i + 1, lit(shingleK))))))
-          .otherwise(array().cast("array<string>")).as("sh"))
+    val sh = shingleArrays(df, idCol, textCol, shingleK)
       .filter(size(col("sh")) > 0)
     // HashingTF, not CountVectorizer: identical binary set-vectors for LSH
     // purposes but with NO vocabulary fit pass — at scale the vocabulary
@@ -108,14 +125,20 @@ object DedupOps {
   def minhashPairsBanded(df: DataFrame, idCol: String, textCol: String,
       numBands: Int = 4, rowsPerBand: Int = 2, maxJaccardDist: Double = 0.5,
       shingleK: Int = 3): DataFrame = {
+    // (id, shingle) is already distinct — shingles() explodes the
+    // array_distinct'd per-doc set — so no extra distinct shuffle here
     val sh = shingles(
       df.withColumn("__blk", lit(1)), idCol, textCol, "__blk", shingleK)
-      .select(col("id"), col("shingle")).distinct().cache()
+      .select(col("id"), col("shingle")).cache()
     val nHashes = numBands * rowsPerBand
+    // ONE aggregation produces every minhash AND the set size (the size is
+    // reused for the exact-Jaccard finish — a separate groupBy would be a
+    // second full shuffle of the shingle frame)
     val minhashes = sh.groupBy("id").agg(
-      min(xxhash64(lit(0), col("shingle"))).as("h0"),
-      (1 until nHashes).map(i =>
+      count(lit(1)).as("sz"),
+      (0 until nHashes).map(i =>
         min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+      .cache() // one row per doc; feeds both the band explode and the sizes
     val banded = minhashes.select(col("id"), explode(array(
       (0 until numBands).map { b =>
         struct(lit(b).as("band"),
@@ -126,14 +149,16 @@ object DedupOps {
       .join(banded.toDF("idb", "bk"), Seq("bk"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = minhashes.select(col("id"), col("sz"))
     // second join keys on (idb, shingle) so each pair only meets its
-    // INTERSECTION rows — joining on idb alone would cross the shingle sets
+    // INTERSECTION rows — joining on idb alone would cross the shingle sets.
+    // Inner join suffices: a band collision implies a shared shingle (equal
+    // minima), and a zero-intersection pair would fail the distance filter.
     val shared = cands
       .join(sh.toDF("ida", "shingle"), Seq("ida"))
       .join(sh.toDF("idb", "shingle"), Seq("idb", "shingle"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-    cands.join(shared, Seq("ida", "idb"), "left").na.fill(Map("shared" -> 0L))
+    shared
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
       .withColumn("jaccard_dist", round(lit(1.0) -
