@@ -242,13 +242,45 @@ object DedupOps {
             WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.05
             ORDER BY ida, idb"""))
 
+  /** Exact all-pairs Jaccard oracle for the MinHash variants. Valid because
+    * (a) both variants VERIFY candidates with the exact Jaccard (no
+    * approximate distances in the output), and (b) every duplicate pair in
+    * the testdata sits at distance ≤ 0.1 where the banding miss-probability
+    * is under 2 percent per pair — and the hash seeds are fixed, so the candidate set
+    * is deterministic on the fixed testdata. A fresh dataset with pairs near
+    * the 0.5 cutoff would need the weaker rows-only check again. */
+  private val minhashOracle =
+    """WITH toks AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(GREATEST(len(t) - 2, 0)),
+              i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                   || ' ' || t[CAST(i AS INT)+3])) AS shingle
+          FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1,2)
+        SELECT ida, idb,
+               ROUND(1.0 - CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
+                 AS jaccard_dist
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = ida
+        JOIN sizes sb ON sb.doc_id = idb
+        WHERE 1.0 - CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) <= 0.5
+        ORDER BY ida, idb"""
+
   private val dMinhash = Q(
     (s, d) => minhashPairs(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("ida", "idb"))
+      .orderBy("ida", "idb"),
+    Some(minhashOracle))
 
   private val dMinhashBanded = Q(
     (s, d) => minhashPairsBanded(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("ida", "idb"))
+      .orderBy("ida", "idb"),
+    Some(minhashOracle))
 
   private val dSimhash = Q(
     (s, d) => simhashSignatures(Tables.documents(s, d), "doc_id", "text")

@@ -115,8 +115,7 @@ object StatsQueries {
               FROM zt ORDER BY variable, category, cluster"""))
   }
 
-  /** Deliver-stats frame (entry point C end-to-end) — rows-only check here;
-    * exact semantics are pinned by ScalaTest goldens. The synthetic tables
+  /** Deliver-stats frame (entry point C end-to-end). The synthetic tables
     * are statistically independent, so a planted dependent variable
     * guarantees significant rows to deliver. */
   private def deliverFrame(s: SparkSession, d: String) =
@@ -127,12 +126,107 @@ object StatsQueries {
           .otherwise(when(col("l_quantity") <= 25, "low").otherwise("high"))),
       Seq("l_linestatus", "qty_bucket", "planted"), "l_returnflag")
 
-  private val deliver = Q((s, d) => Q.serializeArrays(deliverFrame(s, d)))
+  /** Registry surface of the deliver frame: arrays JSON-serialized for the
+    * driver comparator, floats rounded for cross-engine hash parity. */
+  private def deliverChecked(df: DataFrame): DataFrame =
+    Q.serializeArrays(df)
+      .withColumn("chi2_stat", round(col("chi2_stat"), 4))
+      .withColumn("p_value", round(col("p_value"), 9))
+
+  /** Full-oracle SQL for the deliver kernel. χ² survival at even dof has the
+    * closed form exp(−x/2)·Σ_{k<m}(x/2)^k/k! (dof = 2m) — our 3-cluster
+    * design keeps dof = 2·(ncat−1) even, so the whole test chain (Pearson
+    * stat, p, Bonferroni post-hoc on 3-dp-rounded adjusted residuals,
+    * significant-category lists, modal category, in-cluster percentages) is
+    * exactly SQL-expressible. zCrit values are the same commons-math3
+    * normal quantiles the Scala side thresholds against. */
+  private val deliverSqlBody: String = {
+    def zc(ncat: Int): Double =
+      math.max(1.96, ContingencyMath.bonferroniZCrit(ncat, 3))
+    f"""tall AS (
+         SELECT 'l_linestatus' AS variable, l_linestatus AS category,
+                l_returnflag AS cluster FROM lineitem
+         UNION ALL
+         SELECT 'qty_bucket', CASE WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
+                l_returnflag FROM lineitem
+         UNION ALL
+         SELECT 'planted', CASE WHEN l_returnflag = 'R' THEN 'ret'
+                                WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
+                l_returnflag FROM lineitem),
+       ct AS (SELECT variable, category, cluster, CAST(COUNT(*) AS DOUBLE) AS n
+              FROM tall GROUP BY 1,2,3),
+       rm AS (SELECT variable, category, SUM(n) AS rn FROM ct GROUP BY 1,2),
+       cm AS (SELECT variable, cluster, SUM(n) AS cn FROM ct GROUP BY 1,2),
+       tot AS (SELECT variable, SUM(n) AS t FROM ct GROUP BY 1),
+       cells AS (SELECT rm.variable, rm.category, cm.cluster, COALESCE(ct.n, 0) AS n,
+                        rm.rn * cm.cn / tot.t AS e, rm.rn, cm.cn, tot.t
+                 FROM rm
+                 JOIN cm ON rm.variable = cm.variable
+                 JOIN tot ON rm.variable = tot.variable
+                 LEFT JOIN ct ON ct.variable = rm.variable
+                   AND ct.category = rm.category AND ct.cluster = cm.cluster),
+       tests AS (SELECT variable, SUM((n-e)*(n-e)/e) AS stat,
+                        CAST((COUNT(DISTINCT category)-1)*(COUNT(DISTINCT cluster)-1)
+                          AS BIGINT) AS dof,
+                        MAX(CASE WHEN n <= 5 THEN 1 ELSE 0 END) = 1 AS yates,
+                        COUNT(DISTINCT category) AS ncat
+                 FROM cells GROUP BY 1),
+       pv AS (SELECT variable, stat, dof, yates,
+                     CASE dof WHEN 2 THEN EXP(-stat/2)
+                              WHEN 4 THEN EXP(-stat/2)*(1+stat/2)
+                              WHEN 6 THEN EXP(-stat/2)*(1+stat/2+stat*stat/8)
+                              WHEN 8 THEN EXP(-stat/2)*(1+stat/2+stat*stat/8+stat*stat*stat/48)
+                              ELSE NULL END AS p,
+                     CASE ncat WHEN 2 THEN ${zc(2)}%.12f WHEN 3 THEN ${zc(3)}%.12f
+                               WHEN 4 THEN ${zc(4)}%.12f ELSE ${zc(5)}%.12f END AS zcrit
+              FROM tests),
+       z AS (SELECT c.*, pv.zcrit,
+                    round_even((n - e) / SQRT(e * (1 - rn/t) * (1 - cn/t)), 3) AS z3
+             FROM cells c JOIN pv ON c.variable = pv.variable),
+       sg AS (SELECT variable, cluster,
+                     to_json(list(category ORDER BY category)
+                       FILTER (WHERE z3 >= zcrit AND category <> 'not selected'))::VARCHAR
+                       AS sig_json,
+                     to_json(list(round_even(n / cn * 100, 2) ORDER BY category)
+                       FILTER (WHERE z3 >= zcrit AND category <> 'not selected'))::VARCHAR
+                       AS pct_json,
+                     COUNT(*) FILTER (WHERE z3 >= zcrit AND category <> 'not selected')
+                       AS nsig
+              FROM z GROUP BY 1, 2),
+       md AS (SELECT variable, cluster, category AS mode_category,
+                     row_number() OVER (PARTITION BY variable, cluster
+                       ORDER BY n DESC, category DESC) AS rnk
+              FROM cells),
+       deliver AS (
+         SELECT sg.cluster AS cluster, sg.variable AS variable,
+                ROUND(pv.stat, 4) AS chi2_stat, ROUND(pv.p, 9) AS p_value,
+                pv.dof AS dof, pv.yates AS yates, md.mode_category,
+                sg.sig_json AS sig_more_category,
+                sg.pct_json AS category_percentages,
+                sg.pct_json AS weighted_category_percentages
+         FROM sg
+         JOIN pv ON pv.variable = sg.variable
+         JOIN md ON md.variable = sg.variable AND md.cluster = sg.cluster
+           AND md.rnk = 1
+         WHERE pv.p <= 0.05 AND sg.nsig > 0)"""
+  }
+
+  private val deliver = Q(
+    (s, d) => deliverChecked(deliverFrame(s, d)),
+    Some(s"""WITH $deliverSqlBody
+            SELECT * FROM deliver ORDER BY p_value, cluster, variable"""))
 
   /** Discover view (W4 over deliver stats): top-k per cluster by p. */
   private val discover = Q(
-    (s, d) => Q.serializeArrays(
-      ChiSquaredInference.discoverTopK(deliverFrame(s, d), k = 10)))
+    (s, d) => deliverChecked(
+      ChiSquaredInference.discoverTopK(deliverFrame(s, d), k = 10)),
+    Some(s"""WITH $deliverSqlBody,
+            rnk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                      ORDER BY p_value, variable) AS rn FROM deliver)
+            SELECT cluster, variable, chi2_stat, p_value, dof, yates,
+                   mode_category, sig_more_category, category_percentages,
+                   weighted_category_percentages
+            FROM rnk WHERE rn <= 10 ORDER BY cluster, p_value, variable"""))
 
   /** M17: adjusted Rand index between the embeddings labels and a synthetic
     * second labeling (vec_id mod 4) — pair-counting closed form. */
