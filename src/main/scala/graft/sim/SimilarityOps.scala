@@ -84,6 +84,57 @@ object SimilarityOps {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** ANN via IVF (inverted-file index), the other standard scale path:
+    *
+    *  1. a seeded MLlib KMeans learns `nList` coarse centroids (the
+    *     quantizer) — training can run on a sample at scale;
+    *  2. every corpus vector is assigned to its nearest centroid; the list
+    *     id is THE partition key — at 100 TB the corpus is repartitioned or
+    *     bucketed by it once, and each executor owns whole lists;
+    *  3. a query probes the `nProbe` nearest centroids (centroid table is
+    *     tiny and driver-side) and scans only those lists — an equi-join on
+    *     list id — with exact cosine inside.
+    *
+    * Recall is governed by nProbe/nList; candidates are exact-scored, so
+    * returned cosines always match the brute-force values. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, nProbe: Int, k: Int,
+      queryFilter: org.apache.spark.sql.Column, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = prep(corpus, idCol, vecCol)
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(c)
+    val assigned = model.transform(c).drop("fv")
+
+    // per-query probe set: distances to the nList centroids, smallest nProbe
+    // (centroids are a driver-side array — inlined as literals, no join)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeLists = {
+      val dists = array(centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(
+          aggregate(zip_with(col("qv"), lit(ctr), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"),
+          lit(i).as("list"))
+      }: _*)
+      transform(slice(array_sort(dists), 1, nProbe), s => s.getField("list"))
+    }
+    val q = assigned.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("qv"))
+      .withColumn("list", explode(probeLists))
+
+    val candidates = assigned.join(broadcast(q), Seq("list"))
+      .filter(col("id") =!= col("qid"))
+      .dropDuplicates("qid", "id")
+    val scored = candidates.withColumn("cosine", cosineSim(col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val sTopK = Q(
@@ -116,7 +167,16 @@ object SimilarityOps {
       dim = 64, nBits = 6, nTables = 12, k = 3, col("id") < 5)
       .orderBy("qid", "rank"))
 
+  /** IVF over the 64-dim embeddings: 16 lists, probe 4 — rows-only check
+    * (the KMeans quantizer is not SQL-expressible); exactness of returned
+    * cosines + recall vs brute force are pinned in SimilarityOpsSpec. */
+  private val sIvf = Q(
+    (s, d) => ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 3, col("id") < 5)
+      .orderBy("qid", "rank"))
+
   val queries: Map[String, Q] = Map(
     "q_s_cosine_topk" -> sTopK,
-    "q_s_ann_lsh" -> sAnn)
+    "q_s_ann_lsh" -> sAnn,
+    "q_s_ann_ivf" -> sIvf)
 }

@@ -35,6 +35,37 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(recall > 0.3, f"ANN recall $recall%.2f suspiciously low")
   }
 
+  test("IVF top-k: substantial recall, and returned cosines are exact") {
+    val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 20),
+        "vec_id", "embedding", 3).collect()
+    val exactPairs = exact
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val exactCos = exact
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor")) ->
+        r.getAs[Double]("cosine")).toMap
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 3, col("id") < 20).collect()
+    val ivfPairs = ivf
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val recall = (ivfPairs intersect exactPairs).size.toDouble / exactPairs.size
+    assert(ivf.nonEmpty)
+    assert(recall > 0.5, f"IVF recall $recall%.2f suspiciously low")
+    // candidates are exact-scored: any overlapping pair carries the same cosine
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))
+      exactCos.get(key).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
+  test("IVF is deterministic under a fixed seed") {
+    def run() = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      nList = 8, nProbe = 2, k = 3, col("id") < 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor"))).toSet
+    assert(run() === run())
+  }
+
   test("deterministic hyperplanes: same signature across invocations") {
     val s1 = emb.withColumn("b", SimilarityOps.lshSignature("embedding", 64, 8))
       .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
