@@ -94,6 +94,38 @@ object ClusterQuality {
     rs.sum / k
   }
 
+  /** Exact silhouette score (M13, sklearn Euclidean semantics;
+    * metrics.py:74-84): a(i) = mean distance to own cluster (n_l − 1
+    * denominator), b(i) = min over other clusters of the mean distance,
+    * s(i) = (b − a)/max(a, b); singleton clusters score 0.
+    *
+    * Scale note: exact silhouette is quadratic BY DEFINITION (all pairwise
+    * Euclidean distances — no moment shortcut exists for unsquared
+    * distances), so callers sample or block first, as the reference's
+    * survey-scale usage implies; the linear-time alternative is MLlib's
+    * squared-Euclidean ClusteringEvaluator used in KMeansSearch. The pair
+    * join here computes each distance in ONE fused zip_with/aggregate loop
+    * per pair (codegen'd, no dimension explode). */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): Double = {
+    val v = df.select(col(idCol).as("id"),
+      col(labelCol).cast("string").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val b = v.select(col("id").as("idb"), col("label").as("labelb"),
+      col("v").as("vb"))
+    val pd = v.join(b, col("id") =!= col("idb"))
+      .select(col("id"), col("label"), col("labelb"),
+        sqrt(aggregate(zip_with(col("v"), col("vb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)).as("d"))
+    val perCluster = pd.groupBy("id", "label", "labelb").agg(avg("d").as("md"))
+    val scores = perCluster.groupBy("id", "label").agg(
+      max(when(col("labelb") === col("label"), col("md"))).as("a"),
+      min(when(col("labelb") =!= col("label"), col("md"))).as("b"))
+      .withColumn("s", when(col("a").isNull, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    scores.agg(avg("s")).head().getDouble(0)
+  }
+
   /** Gower distance pairs (M35, low-priority per SURVEY §2.8): mixed-type
     * row dissimilarity = mean of per-feature terms — numerics |x−y|/range,
     * categoricals 0/1 mismatch. Ranges come from one aggregate; pairs from a

@@ -328,6 +328,59 @@ object StatsQueries {
                   JOIN s sb ON sb.label = cd.lb GROUP BY 1)
             SELECT ROUND(AVG(rmax), 4) AS db_index FROM r"""))
 
+  /** M13: exact Euclidean silhouette over the embeddings with their labels —
+    * the quadratic definition, oracle'd by the same pairwise computation in
+    * SQL. (The linear-time squared-Euclidean variant lives in KMeansSearch
+    * via MLlib's ClusteringEvaluator.) */
+  private val m13 = Q(
+    (s, d) => {
+      import s.implicits._
+      Seq(Tuple1(rnd(ClusterQuality.silhouette(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label"), 6)))
+        .toDF("silhouette")
+    },
+    Some(s"""WITH $embTallSql,
+            pd AS (SELECT a.vec_id AS id, a.label AS la, b.label AS lb,
+                          b.vec_id AS idb, SQRT(SUM((a.x-b.x)*(a.x-b.x))) AS d
+                   FROM t a JOIN t b ON a.i = b.i AND a.vec_id <> b.vec_id
+                   GROUP BY 1,2,3,4),
+            mc AS (SELECT id, la, lb, AVG(d) AS md FROM pd GROUP BY 1,2,3),
+            sc AS (SELECT id, la,
+                          MAX(CASE WHEN lb = la THEN md END) AS a,
+                          MIN(CASE WHEN lb <> la THEN md END) AS b
+                   FROM mc GROUP BY 1,2)
+            SELECT ROUND(AVG(CASE WHEN a IS NULL THEN 0.0
+                               ELSE (b - a) / GREATEST(a, b) END), 6) AS silhouette
+            FROM sc"""))
+
+  /** M32: message reach = social presence × signal per cluster, through the
+    * real [[graft.metrics.ModelMetrics.messageReach]] map API (the signal
+    * here is the cluster's row share — the RF-signal variant is not
+    * SQL-expressible). */
+  private val m32 = Q(
+    (s, d) => {
+      import s.implicits._
+      import graft.metrics.ModelMetrics
+      val docs = Tables.documents(s, d)
+      val presence = ModelMetrics.socialPresence(docs, "lang", "text", "spark")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val total = docs.count().toDouble
+      val signal = docs.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1) / total).toMap
+      ModelMetrics.messageReach(presence, signal).toSeq
+        .map { case (c, r) => (c, rnd(r, 6)) }
+        .toDF("cluster", "reach").orderBy("cluster")
+    },
+    Some("""WITH p AS (SELECT lang AS cluster,
+                   AVG(CASE WHEN contains(lower(text), 'spark')
+                       THEN 1.0 ELSE 0.0 END) AS presence,
+                   COUNT(*) AS n
+                 FROM documents GROUP BY 1)
+            SELECT cluster,
+                   ROUND(ROUND(presence, 6) * (n / (SELECT SUM(n) FROM p)), 6)
+                     AS reach
+            FROM p ORDER BY cluster"""))
+
   /** M33: population modes — weighted & unweighted modal nation per segment
     * with the weighted-mode share. Fully distributed (windows over the
     * aggregated frame). */
@@ -467,6 +520,8 @@ object StatsQueries {
     "q_m24_cochran_q" -> m24,
     "q_m15_calinski" -> m15,
     "q_m14_davies_bouldin" -> m14,
+    "q_m13_silhouette" -> m13,
+    "q_m32_reach" -> m32,
     "q_m33_popmodes" -> m33,
     "q_m27_uniqueness" -> m27,
     "q_m28_communicability" -> m28,

@@ -63,6 +63,17 @@ class PipelineSpec extends SparkSpecBase {
     assert(pairs.values.forall(v => v >= 0 && v <= 1))
   }
 
+  test("exact silhouette matches the sklearn-style golden (incl. singleton = 0)") {
+    // numpy golden: points [[0,0],[0,1],[1,0],[5,5],[5,6],[9,0]],
+    // labels [0,0,0,1,1,2] -> mean silhouette 0.70237518778043
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), 0), (2L, Seq(0.0, 1.0), 0), (3L, Seq(1.0, 0.0), 0),
+      (4L, Seq(5.0, 5.0), 1), (5L, Seq(5.0, 6.0), 1), (6L, Seq(9.0, 0.0), 2)
+    ).toDF("id", "v", "label")
+    val s = graft.metrics.ClusterQuality.silhouette(df, "id", "v", "label")
+    assert(math.abs(s - 0.70237518778043) < 1e-10)
+  }
+
   test("coerceNumerics converts all-numeric string cols only") {
     val df = Seq(("1.5", "abc"), ("2", "3")).toDF("nums", "mixed")
     val out = Cleaning.coerceNumerics(df)
