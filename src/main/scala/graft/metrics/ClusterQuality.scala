@@ -104,10 +104,13 @@ object ClusterQuality {
     * distances), so callers sample or block first, as the reference's
     * survey-scale usage implies; the linear-time alternative is MLlib's
     * squared-Euclidean ClusteringEvaluator used in KMeansSearch. The pair
-    * join here computes each distance in ONE fused zip_with/aggregate loop
-    * per pair (codegen'd, no dimension explode). */
+    * join computes each distance with the codegen'd allocation-free
+    * [[graft.functions.EuclideanDistance]] loop (the composed
+    * zip_with/aggregate form allocates a zipped array per pair — measured
+    * 53 s vs 6 s on the sf0.1 pairwise scan). */
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): Double = {
+    import graft.functions.EuclideanDistance.euclideanDist
     val v = df.select(col(idCol).as("id"),
       col(labelCol).cast("string").as("label"),
       col(vecCol).cast("array<double>").as("v"))
@@ -115,8 +118,7 @@ object ClusterQuality {
       col("v").as("vb"))
     val pd = v.join(b, col("id") =!= col("idb"))
       .select(col("id"), col("label"), col("labelb"),
-        sqrt(aggregate(zip_with(col("v"), col("vb"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)).as("d"))
+        euclideanDist(col("v"), col("vb")).as("d"))
     val perCluster = pd.groupBy("id", "label", "labelb").agg(avg("d").as("md"))
     val scores = perCluster.groupBy("id", "label").agg(
       max(when(col("labelb") === col("label"), col("md"))).as("a"),
