@@ -42,7 +42,13 @@ object GmmSearch {
   def search(df: DataFrame, featuresCol: String, ks: Range = 3 until 9,
       seeds: Seq[Long] = KMeansSearch.Seeds.take(3)): GmmFit = {
     val cached = df.cache()
-    val fits = for (k <- ks; s <- seeds) yield fitOne(cached, featuresCol, k, s)
+    cached.count() // materialize before the concurrent fits
+    // concurrent independent fits (graft.Par) — the reference's nested
+    // joblib fan-out over n_classes × seeds (clustering.py:968-1001),
+    // bounded instead of oversubscribed
+    val fits = graft.Par.grid(for (k <- ks; s <- seeds) yield (k, s)) {
+      case (k, s) => fitOne(cached, featuresCol, k, s)
+    }
     val accepted = fits.filter(_.accepted)
     (if (accepted.nonEmpty) accepted else fits).minBy(f => (f.bic, f.k, f.seed))
   }

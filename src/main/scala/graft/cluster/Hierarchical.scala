@@ -24,13 +24,23 @@ object Hierarchical {
     val groups = df.groupBy(parentCol).count().collect()
       .map(r => (Option(r.get(0)).map(_.toString).orNull, r.getLong(1)))
       .sortBy(_._1)
-    var offset = 0
-    val parts = groups.map { case (gv, cnt) =>
+    // heavy per-group fits run as concurrent Spark jobs (graft.Par, the
+    // reference's per-group joblib loop, clustering.py:620-624); the
+    // label-offset arithmetic is order-dependent, so it stays sequential
+    // over the order-preserved results
+    val fitted = graft.Par.grid(groups.toSeq) { case (gv, cnt) =>
       val part = df.filter(col(parentCol) <=> lit(gv))
-      if (cnt < minRows) part.withColumn("cluster", lit(IgnoredLabel))
+      if (cnt < minRows) (part.withColumn("cluster", lit(IgnoredLabel)), 0)
       else {
         val labeled = clusterFn(part)
         val k = labeled.agg(max("cluster")).head().getInt(0) + 1
+        (labeled, k)
+      }
+    }
+    var offset = 0
+    val parts = fitted.map { case (labeled, k) =>
+      if (k == 0) labeled
+      else {
         val shifted = labeled.withColumn("cluster", col("cluster") + lit(offset))
         offset += k
         shifted

@@ -76,13 +76,18 @@ object KMeansSearch {
   def search(df: DataFrame, featuresCol: String, ks: Range = 3 until 9,
       seeds: Seq[Long] = Seeds.take(3), elbowBonus: Double = 1.0): Selection = {
     val cached = df.cache()
-    val evaluator = new ClusteringEvaluator().setFeaturesCol(featuresCol)
-      .setPredictionCol("cluster").setMetricName("silhouette")
-    val fits = for (k <- ks; seed <- seeds) yield {
-      val (model, labeled, cost) = fitOne(cached, featuresCol, k, seed)
-      val (ok, shares) = isBalanced(labeled)
-      val sil = if (ok) evaluator.evaluate(labeled) else -1.0
-      (Candidate(k, seed, cost, sil, ok, shares), model, labeled)
+    cached.count() // materialize once before the concurrent fits race to it
+    // concurrent independent Spark jobs (graft.Par) — the reference's
+    // joblib per-seed fan-out (clustering.py:744-746); order-preserving,
+    // so the rank-sum selection below is unchanged
+    val fits = graft.Par.grid(for (k <- ks; seed <- seeds) yield (k, seed)) {
+      case (k, seed) =>
+        val (model, labeled, cost) = fitOne(cached, featuresCol, k, seed)
+        val (ok, shares) = isBalanced(labeled)
+        val sil = if (ok) new ClusteringEvaluator().setFeaturesCol(featuresCol)
+          .setPredictionCol("cluster").setMetricName("silhouette")
+          .evaluate(labeled) else -1.0
+        (Candidate(k, seed, cost, sil, ok, shares), model, labeled)
     }
     val candidates = fits.map(_._1)
     val pool0 = fits.filter(_._1.balanced)

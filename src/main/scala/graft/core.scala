@@ -32,6 +32,26 @@ object Q {
   }
 }
 
+/** Bounded concurrent launcher for independent Spark jobs (grid searches,
+  * per-group fits). The reference fans these out with joblib process pools
+  * sized cpu_count (SURVEY §4.2, clustering.py:114); the Spark equivalent is
+  * submitting the independent jobs concurrently from driver threads and
+  * letting the scheduler interleave their stages. Unlike the reference's
+  * nested pools, parallelism is explicitly bounded — results keep the input
+  * order, so seeded selections stay deterministic. */
+object Par {
+  def grid[A, B](items: Seq[A], parallelism: Int = 8)(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+}
+
 /** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md). */
 object Tables {
   val names: Seq[String] = Seq(
