@@ -121,8 +121,11 @@ object LatentClassEM {
       df.withColumn(idCol, col(idCol).cast("long")).join(labeled, idCol))
   }
 
-  /** k-selection by min BIC over a range (lca.R:41-52 semantics). */
+  /** k-selection by min BIC over a range (lca.R:41-52 semantics). The
+    * per-k EM runs are independent — concurrent Spark jobs (graft.Par),
+    * matching the R side's doParallel fork over k (lca.R:10-16). */
   def selectK(df: DataFrame, cols: Seq[String], idCol: String,
       ks: Range = 3 until 8, maxIter: Int = 20): (LcaModel, DataFrame) =
-    ks.map(k => fit(df, cols, idCol, k, maxIter)).minBy(_._1.bic)
+    graft.Par.grid(ks.toSeq)(k => fit(df, cols, idCol, k, maxIter))
+      .minBy(_._1.bic)
 }

@@ -58,6 +58,18 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF with nProbe == nList degenerates to exact brute force") {
+    val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
+      "vec_id", "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor"), r.getAs[Double]("cosine"))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      nList = 8, nProbe = 8, k = 3, col("id") < 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor"), r.getAs[Double]("cosine"))).toSet
+    assert(ivf === exact)
+  }
+
   test("IVF is deterministic under a fixed seed") {
     def run() = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
       nList = 8, nProbe = 2, k = 3, col("id") < 5).collect()
