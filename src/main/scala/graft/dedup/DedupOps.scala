@@ -282,13 +282,49 @@ object DedupOps {
       .orderBy("ida", "idb"),
     Some(minhashOracle))
 
+  /** DuckDB replica of the SimHash64 expression: per token, sha256's first
+    * 8 bytes (big-endian) vote ±1 per bit; signature bit i set iff the vote
+    * sum is positive. Bit i lives in hex char 16−i/4 of the sha256 string,
+    * at nibble position i%4; the signed BIGINT is rebuilt with an explicit
+    * −2⁶³ term for bit 63. Validated bit-for-bit against the expression. */
+  private val simhashSigSql =
+    """WITH toks AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+        h AS (SELECT doc_id, sha256(tk) AS hx FROM tok),
+        bits AS (SELECT doc_id, i,
+            SUM(CASE WHEN ((strpos('0123456789abcdef',
+                             substr(hx, CAST(16 - i//4 AS INT), 1)) - 1)
+                      >> CAST(i % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(0,64)) AS i) b GROUP BY 1, 2),
+        rawsig AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN
+                CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << CAST(i AS INT) AS HUGEINT) END
+                ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1),
+        sig AS (SELECT d.doc_id AS id, COALESCE(s.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN rawsig s ON d.doc_id = s.doc_id)"""
+
   private val dSimhash = Q(
     (s, d) => simhashSignatures(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("id"))
+      .orderBy("id"),
+    Some(simhashSigSql + "\n SELECT id, simhash FROM sig ORDER BY id"))
 
   private val dSimhashPairs = Q(
     (s, d) => simhashPairs(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("ida", "idb"))
+      .orderBy("ida", "idb"),
+    Some(simhashSigSql + """
+        SELECT a.id AS ida, b.id AS idb,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+          AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+            OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+            OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+            OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)
+        ORDER BY ida, idb"""))
 
   private val dEmbed = Q(
     (s, d) => embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",

@@ -59,12 +59,24 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 object SimHash64 {
-  /** Deterministic 64-bit token hash (two murmur3-32 lanes). */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** Deterministic 64-bit token hash: first 8 bytes of SHA-256 of the
+    * token's UTF-8 bytes, big-endian. SHA-256 (rather than murmur) makes
+    * the signature portable across engines — any SQL engine with a sha256
+    * function reproduces it bit-for-bit, which is what the DuckDB oracles
+    * for q_d_simhash / q_d_simhash_pairs do. */
   private[graft] def hash64(s: UTF8String): Long = {
-    val str = s.toString
-    val lo = scala.util.hashing.MurmurHash3.stringHash(str, 0x9747b28c).toLong & 0xffffffffL
-    val hi = scala.util.hashing.MurmurHash3.stringHash(str, 0x85ebca6b).toLong & 0xffffffffL
-    (hi << 32) | lo
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+      ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+      ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
   }
 
   def simhash64(tokens: Column): Column = {

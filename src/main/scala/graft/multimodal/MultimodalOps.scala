@@ -93,7 +93,27 @@ object MultimodalOps {
       Tables.documents(s, d).withColumn("blob", col("text").cast("binary")),
       "doc_id", "blob").orderBy("media_id")))
 
+  /** The decode pipeline's integer byte math (n_bytes, width, height) is
+    * SQL-expressible on ASCII text, so this variant runs the REAL
+    * mapPartitions decoder and hash-checks everything except the float
+    * feature vector against a DuckDB byte-sum oracle. */
+  private val mmDecodeDims = Q(
+    (s, d) => decodeFeatures(
+      Tables.documents(s, d).withColumn("blob", col("text").cast("binary")),
+      "doc_id", "blob")
+      .select("media_id", "n_bytes", "format", "width", "height")
+      .orderBy("media_id"),
+    Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   'stub' AS format,
+                   CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                        i -> ascii(substr(text, i, 1)))), 0) % 640 AS INTEGER) AS width,
+                   CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                        i -> ascii(substr(text, i, 1)))), 0) % 480 AS INTEGER) AS height
+            FROM documents ORDER BY media_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_mm_binary_meta" -> mmBinary,
-    "q_mm_stub_decode" -> mmDecode)
+    "q_mm_stub_decode" -> mmDecode,
+    "q_mm_decode_dims" -> mmDecodeDims)
 }
