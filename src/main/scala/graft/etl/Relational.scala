@@ -579,6 +579,33 @@ object Relational {
               AS n_sessions
             FROM g GROUP BY 1 ORDER BY 1"""))
 
+  /** Backward as-of join (see [[AsOfJoin]]): each purchase matched to the
+    * user's most recent prior view. Oracle is DuckDB's native ASOF JOIN. */
+  private val eAsof = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.backward(purchases, views, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("prior_event_id"),
+          unix_micros(col("prior_ts")).as("prior_ts_us"),
+          col("prior_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT l.event_id AS event_id, l.user_id AS user_id,
+                   epoch_us(l.ts) AS ts_us, r.event_id AS prior_event_id,
+                   epoch_us(r.ts) AS prior_ts_us, r.value AS prior_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY event_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_p1_project" -> p1,
     "q_p2_name_predicate" -> p2,
@@ -620,5 +647,6 @@ object Relational {
     "q_f_arrays" -> fArrays,
     "q_f_json" -> fJson,
     "q_e_window_agg" -> eWindow,
-    "q_e_sessionize" -> eSession)
+    "q_e_sessionize" -> eSession,
+    "q_e_asof" -> eAsof)
 }
