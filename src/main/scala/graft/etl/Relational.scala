@@ -606,6 +606,28 @@ object Relational {
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY event_id"""))
 
+  /** Keyless time-proximity range join (see [[RangeJoin]]): purchases within
+    * ±60 s of each error event, counted. Oracle is DuckDB's BETWEEN range
+    * join (IEJoin); the Spark side uses the banded equi-join encoding. */
+  private val eRange = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase").select("ts")
+      RangeJoin.countNearby(errors, purchases, "ts", 60000000L, "event_id")
+        .select("event_id", "n_nearby")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events
+                       WHERE event_type = 'error'),
+                 p AS (SELECT epoch_us(ts) AS us FROM events
+                       WHERE event_type = 'purchase')
+            SELECT e.event_id AS event_id, CAST(COUNT(p.us) AS BIGINT) AS n_nearby
+            FROM e LEFT JOIN p
+              ON p.us BETWEEN e.us - 60000000 AND e.us + 60000000
+            GROUP BY 1 ORDER BY 1"""))
+
   val queries: Map[String, Q] = Map(
     "q_p1_project" -> p1,
     "q_p2_name_predicate" -> p2,
@@ -648,5 +670,6 @@ object Relational {
     "q_f_json" -> fJson,
     "q_e_window_agg" -> eWindow,
     "q_e_sessionize" -> eSession,
-    "q_e_asof" -> eAsof)
+    "q_e_asof" -> eAsof,
+    "q_e_range_join" -> eRange)
 }

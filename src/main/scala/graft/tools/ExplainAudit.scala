@@ -61,6 +61,14 @@ object ExplainAudit {
     audit("q_u3_explode_wordcount",
       "generate before partial aggregate" -> (_.contains("Generate")),
       "partial aggregation before shuffle" -> (_.contains("HashAggregate")))
+    audit("q_e_asof",
+      "as-of composes to sort+window, not an inequality join" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct") && p.contains("Window")))
+    audit("q_e_range_join",
+      "banded range join is an equi-join (no nested-loop/cartesian)" ->
+        (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
