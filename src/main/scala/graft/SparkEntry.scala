@@ -18,7 +18,7 @@ object SparkEntry {
     etl.Relational.queries ++ stats.StatsQueries.queries ++
       text.TextOps.queries ++ dedup.DedupOps.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
-      cluster.MlQueries.queries
+      cluster.MlQueries.queries ++ sketch.HeavyHitters.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style pricing summary: scan → filter → groupBy → agg, fully

@@ -354,6 +354,24 @@ object Relational {
             SELECT c_nationkey, c_custkey, c_acctbal FROM r WHERE rn <= 2
             ORDER BY c_nationkey, c_custkey"""))
 
+  /** A11: exact interpolated quantiles per group — Spark `percentile` and
+    * DuckDB `quantile_cont` share the (n−1)·p linear-interpolation
+    * definition, so values hash-match. 2-dp inputs at quartile fractions
+    * have ≤4 true decimals, so round(4) is exact on both engines. */
+  private val a11 = Q(
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+            ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+            ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   // -- W: windows / ranking / sort / top-k -------------------------------
 
   /** W1: pandas average-rank with ties (metrics.py:133-141 rank semantics):
@@ -657,6 +675,7 @@ object Relational {
     "q_a8_nonnull_rate" -> a8,
     "q_a9_proportions" -> a9,
     "q_a10_grouped_topn" -> a10,
+    "q_a11_quantiles" -> a11,
     "q_w1_avg_rank" -> w1,
     "q_w2_argmax" -> w2,
     "q_w3_sort_limit" -> w3,

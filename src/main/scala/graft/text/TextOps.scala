@@ -17,6 +17,15 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-ish pre-tokenizer count — the GPT-2-family pre-tok regex shape
+    * (letter runs / digit runs / punctuation runs, each with an optional
+    * leading space). The pattern avoids lookahead so the SAME string runs
+    * on java.util.regex (Spark) and RE2 (DuckDB oracle). */
+  val bpePattern: String = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpePattern), lit(0))).cast("long")
+
   /** Quality features: chars, tokens, avg token length, punctuation ratio,
     * stopword ratio, uppercase ratio (compare reference-style length/punct
     * heuristics; all single-pass scalar expressions). */
@@ -61,11 +70,15 @@ object TextOps {
   private val tTokens = Q(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
               AS n_tokens,
+            CAST(len(regexp_extract_all(text,
+              ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+              AS n_bpe_tokens,
             CAST(length(text) AS BIGINT) AS n_chars
             FROM documents ORDER BY doc_id"""))
 
