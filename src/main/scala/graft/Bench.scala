@@ -28,7 +28,11 @@ object Bench {
     "q_d_exact",
     "q_d_minhash_banded",
     "q_s_cosine_topk",
-    "q_t_quality")
+    "q_t_quality",
+    // round-2 operators: event-time joins + sketch path
+    "q_e_asof",
+    "q_e_range_join",
+    "q_sk_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
