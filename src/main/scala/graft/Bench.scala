@@ -59,6 +59,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+        // release per-query caches so one query's shingle/minhash frames
+        // don't occupy storage (or skew timings) for the queries after it
+        finally spark.catalog.clearCache()
       // a failed query reports -1, not its partial elapsed time — a broken
       // query must not produce a plausible-looking number
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)

@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query caches (dedup shingle/minhash frames etc.) after
+      // the terminal action — queries are independent, so nothing useful
+      // is evicted and storage cannot grow across the 90+-query run
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

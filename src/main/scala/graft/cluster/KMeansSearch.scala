@@ -80,15 +80,20 @@ object KMeansSearch {
     // concurrent independent Spark jobs (graft.Par) — the reference's
     // joblib per-seed fan-out (clustering.py:744-746); order-preserving,
     // so the rank-sum selection below is unchanged
-    val fits = graft.Par.grid(for (k <- ks; seed <- seeds) yield (k, seed)) {
-      case (k, seed) =>
-        val (model, labeled, cost) = fitOne(cached, featuresCol, k, seed)
-        val (ok, shares) = isBalanced(labeled)
-        val sil = if (ok) new ClusteringEvaluator().setFeaturesCol(featuresCol)
-          .setPredictionCol("cluster").setMetricName("silhouette")
-          .evaluate(labeled) else -1.0
-        (Candidate(k, seed, cost, sil, ok, shares), model, labeled)
-    }
+    val fits = try {
+      graft.Par.grid(for (k <- ks; seed <- seeds) yield (k, seed)) {
+        case (k, seed) =>
+          val (model, labeled, cost) = fitOne(cached, featuresCol, k, seed)
+          val (ok, shares) = isBalanced(labeled)
+          val sil = if (ok) new ClusteringEvaluator().setFeaturesCol(featuresCol)
+            .setPredictionCol("cluster").setMetricName("silhouette")
+            .evaluate(labeled) else -1.0
+          (Candidate(k, seed, cost, sil, ok, shares), model, labeled)
+      }
+    } finally cached.unpersist(blocking = false)
+    // every fit/metric action above has run; the grid cache is released and
+    // the returned labeling is rebuilt over the CALLER's frame (a cheap
+    // model.transform map) so no storage outlives the search
     val candidates = fits.map(_._1)
     val pool0 = fits.filter(_._1.balanced)
     val pool = if (pool0.nonEmpty) pool0 else fits
@@ -101,7 +106,7 @@ object KMeansSearch {
       -(silRank(i) + costRank(i)) + (if (pool(i)._1.k == elbow) elbowBonus else 0.0)
     }
     val bestIdx = pool.indices.maxBy(i => (scores(i), -pool(i)._1.k, -pool(i)._1.seed))
-    val (best, model, labeled) = pool(bestIdx)
-    Selection(best.k, best.seed, model, labeled, candidates)
+    val (best, model, _) = pool(bestIdx)
+    Selection(best.k, best.seed, model, model.transform(df), candidates)
   }
 }

@@ -41,6 +41,16 @@ object LatentClassEM {
   def fit(df: DataFrame, cols: Seq[String], idCol: String, k: Int,
       maxIter: Int = 20, seed: Int = 42, smoothing: Double = 0.01)
       : (LcaModel, DataFrame) = {
+    val (m, l, _) = fitReleasable(df, cols, idCol, k, maxIter, seed, smoothing)
+    (m, l)
+  }
+
+  /** [[fit]] plus a release handle that unpersists the responsibility cache
+    * backing the returned labeled frame — call it once the labeling has been
+    * consumed (or discarded, as [[selectK]] does for non-winning k). */
+  def fitReleasable(df: DataFrame, cols: Seq[String], idCol: String, k: Int,
+      maxIter: Int = 20, seed: Int = 42, smoothing: Double = 0.01)
+      : (LcaModel, DataFrame, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -112,20 +122,29 @@ object LatentClassEM {
 
     val nParams = (k - 1) + k * levels.map(_._2.size - 1).sum
     val bic = -2.0 * logLik + nParams * math.log(n.toDouble)
+    // the tall frame only feeds the EM loop — release it before returning;
+    // the final responsibilities stay cached (the labeled frame reads them)
+    // until the caller invokes the release handle
+    tall.unpersist(blocking = false)
     val labeled = resp
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("r").desc, col("class"))))
       .filter(col("rn") === 1)
       .select(col("id").as(idCol), col("class").as("cluster"))
+    val respHandle = resp
     (LcaModel(k, priors, theta, logLik, bic, nParams, n),
-      df.withColumn(idCol, col(idCol).cast("long")).join(labeled, idCol))
+      df.withColumn(idCol, col(idCol).cast("long")).join(labeled, idCol),
+      () => respHandle.unpersist(blocking = false))
   }
 
   /** k-selection by min BIC over a range (lca.R:41-52 semantics). The
     * per-k EM runs are independent — concurrent Spark jobs (graft.Par),
     * matching the R side's doParallel fork over k (lca.R:10-16). */
   def selectK(df: DataFrame, cols: Seq[String], idCol: String,
-      ks: Range = 3 until 8, maxIter: Int = 20): (LcaModel, DataFrame) =
-    graft.Par.grid(ks.toSeq)(k => fit(df, cols, idCol, k, maxIter))
-      .minBy(_._1.bic)
+      ks: Range = 3 until 8, maxIter: Int = 20): (LcaModel, DataFrame) = {
+    val fits = graft.Par.grid(ks.toSeq)(k => fitReleasable(df, cols, idCol, k, maxIter))
+    val best = fits.minBy(_._1.bic)
+    fits.filter(_._1.k != best._1.k).foreach(_._3()) // drop losers' resp caches
+    (best._1, best._2)
+  }
 }

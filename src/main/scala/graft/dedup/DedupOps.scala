@@ -194,16 +194,30 @@ object DedupOps {
       .select("ida", "idb", "hamming")
   }
 
-  /** Embedding-cosine near-dup pairs within a blocking column (here: label),
-    * norms precomputed once, dot products only for within-block pairs. */
+  /** Embedding-cosine near-dup pairs with LSH-banded candidate generation:
+    * candidates are pairs sharing ANY of `nTables` sign-bit LSH buckets
+    * (the [[graft.sim.SimilarityOps.lshSignature]] machinery — sha256-derived
+    * hyperplanes, so the candidate set is cross-engine replicable), verified
+    * with the exact codegen'd cosine.
+    *
+    * Scale: the (table, bucket) pair is the equi-join/shuffle key — never an
+    * all-pairs or per-block cartesian. Bucket occupancy is controlled by
+    * `nBits`, which should grow ~log(corpus) to keep per-bucket candidate
+    * counts bounded; recall at the threshold is governed by the standard
+    * OR-amplification bound 1−(1−p^nBits)^nTables, p = 1−θ/π. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      dim: Int, threshold: Double, nBits: Int = 6, nTables: Int = 12): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      col(vecCol).cast("array<double>").as("v"))
-    val a = v.toDF("ida", "block", "va")
-    val b = v.toDF("idb", "block", "vb")
-    a.join(b, Seq("block")).filter(col("ida") < col("idb"))
+    import graft.sim.SimilarityOps.lshSignature
+    val buckets = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        lshSignature(vecCol, dim, nBits, t * nBits).as("bucket"))): _*))
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), buckets.as("bk"))
+    val a = v.toDF("ida", "va", "bk")
+    val b = v.toDF("idb", "vb", "bk")
+    a.join(b, Seq("bk")).filter(col("ida") < col("idb"))
+      .dropDuplicates("ida", "idb")
       .withColumn("cosine", cosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
@@ -326,19 +340,45 @@ object DedupOps {
             OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)
         ORDER BY ida, idb"""))
 
+  /** Threshold 0.45 sits inside the testdata's cosine distribution (the
+    * sf0.01 max pairwise cosine is 0.513, with 14 pairs ≥ 0.45) so the
+    * query returns ROWS — a near-dup test green on the empty set proves
+    * nothing. The oracle replays the exact sha256 hyperplane construction,
+    * signature computation, and any-shared-bucket candidate join. */
   private val dEmbed = Q(
     (s, d) => embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
-      "embedding", "label", 0.9).orderBy("ida", "idb"),
-    Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-              FROM embeddings)
-            SELECT a.vec_id AS ida, b.vec_id AS idb,
-                   ROUND(list_dot_product(a.e, b.e)
-                     / (SQRT(list_dot_product(a.e, a.e))
-                        * SQRT(list_dot_product(b.e, b.e))), 6) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_dot_product(a.e, b.e)
+      "embedding", dim = 64, threshold = 0.45).orderBy("ida", "idb"),
+    Some("""WITH pl AS (SELECT plane, i,
+              ((  (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 1, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 2, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 3, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 4, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 5, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 6, 1)) - 1)
+               ) / 16777215.0) * 2.0 - 1.0 AS comp
+              FROM (SELECT unnest(range(0, 72)) AS plane) p,
+                   (SELECT unnest(range(0, 64)) AS i) ii),
+            planes AS (SELECT plane, list(comp ORDER BY i) AS comps
+              FROM pl GROUP BY plane),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            dots AS (SELECT vec_id, plane, list_dot_product(e, comps) AS dot
+              FROM v CROSS JOIN planes),
+            sig AS (SELECT vec_id, CAST(plane // 6 AS INT) AS tbl,
+                SUM(CASE WHEN dot > 0
+                    THEN CAST(1 AS BIGINT) << CAST(plane % 6 AS INT)
+                    ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+              FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+              WHERE a.vec_id < b.vec_id),
+            scored AS (SELECT ida, idb,
+                list_dot_product(a.e, b.e)
                   / (SQRT(list_dot_product(a.e, a.e))
-                     * SQRT(list_dot_product(b.e, b.e))) >= 0.9
+                     * SQRT(list_dot_product(b.e, b.e))) AS cosine
+              FROM cand JOIN v a ON a.vec_id = ida
+                        JOIN v b ON b.vec_id = idb)
+            SELECT ida, idb, ROUND(cosine, 6) AS cosine
+            FROM scored WHERE cosine >= 0.45
             ORDER BY ida, idb"""))
 
   val queries: Map[String, Q] = Map(

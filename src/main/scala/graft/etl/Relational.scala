@@ -227,16 +227,20 @@ object Relational {
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey"""))
 
-  /** Left-anti join (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS). The probe side is pre-filtered (customers
+    * with no URGENT order) so the result is non-empty at every SF — an
+    * anti join whose oracle agrees on the empty set proves nothing. */
   private val j6 = Q(
     (s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey")
     },
     Some("""SELECT c_custkey FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
   // -- A: aggregations ---------------------------------------------------

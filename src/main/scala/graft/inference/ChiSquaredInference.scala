@@ -33,26 +33,33 @@ object ChiSquaredInference {
     * chisquared_tester.py:1496-1497) and the Bonferroni post-hoc.
     * `'not selected'` sentinel categories are scrubbed from the significant
     * lists AFTER the test, as the reference does
-    * (helper_functions.py:24-30; order matters — SURVEY §7.4). */
+    * (helper_functions.py:24-30; order matters — SURVEY §7.4).
+    *
+    * `weighted = true` is the reference's weighted test mode
+    * (chisquared_tester.py:871,964,1051-1064): the χ² statistic, Yates
+    * trigger, post-hoc directions, and modal category are all computed on
+    * the WEIGHT-summed crosstab instead of the row-count crosstab; both
+    * percentage arrays are still delivered. */
   def deliverStats(spark: SparkSession, df: DataFrame, variables: Seq[String],
       clusterCol: String, weightCol: Option[String] = None,
-      alpha: Double = 0.05): DataFrame = {
+      alpha: Double = 0.05, weighted: Boolean = false): DataFrame = {
     val tall = CrosstabJob.tallCounts(df, variables, clusterCol, weightCol)
     val tables = CrosstabJob.collectCrosstabs(tall)
 
     val rows = for {
       t <- tables
-      yates = ContingencyMath.needsYates(t.obs)
-      res = ContingencyMath.chiSquare(t.obs, yates)
+      m = if (weighted) t.wobs else t.obs
+      yates = ContingencyMath.needsYates(m)
+      res = ContingencyMath.chiSquare(m, yates)
       if res.p <= alpha
-      dirs = ContingencyMath.posthocDirections(t.obs, alpha)
+      dirs = ContingencyMath.posthocDirections(m, alpha)
       colTot = t.colTotals
       wColTot = t.wobs.transpose.map(_.sum)
       (cluster, j) <- t.clusters.zipWithIndex
       sig = t.categories.indices
         .filter(i => dirs(i)(j) == "pos" && t.categories(i) != "not selected")
       if sig.nonEmpty
-      modeIdx = t.categories.indices.maxBy(i => (t.obs(i)(j), t.categories(i)))
+      modeIdx = t.categories.indices.maxBy(i => (m(i)(j), t.categories(i)))
     } yield Row(
       cluster, t.variable, res.stat, res.p, res.dof.toLong, yates,
       t.categories(modeIdx),

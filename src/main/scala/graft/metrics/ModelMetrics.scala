@@ -63,11 +63,34 @@ object ModelMetrics {
 
   /** M25: RandomForest signal loss — train RF to predict the cluster from
     * feature columns; report accuracy/F1/weighted precision/recall
-    * (metrics.py:714-811). Under/over-sampling via `sampleBy` hooks. */
+    * (metrics.py:714-811). `sampler` selects the reference's resampling
+    * battery member applied to the TRAIN split:
+    * none / under (stratified sampleBy) / over (with-replacement) /
+    * smote (kNN-interpolated synthesis, [[smote]]). */
   def rfSignal(labeled: DataFrame, featuresCol: String,
-      labelCol: String = "cluster", seed: Long = 42L): Map[String, Double] = {
+      labelCol: String = "cluster", seed: Long = 42L,
+      sampler: String = "none"): Map[String, Double] = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val data = labeled.withColumn("label", col(labelCol).cast("double"))
-    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed)
+    val Array(train0, test) = data.randomSplit(Array(0.8, 0.2), seed)
+    val train = sampler match {
+      case "none" => train0
+      case "under" => undersample(train0, "label", seed)
+      case "over" => oversample(train0, "label", seed)
+      case "smote" =>
+        // content-derived id: deterministic under any partitioning (an
+        // exact-duplicate row collapses onto the same id, which only drops
+        // self-pairs the kNN excludes anyway)
+        val arr = train0
+          .withColumn("__arr", vector_to_array(col(featuresCol)))
+          .withColumn("__id",
+            xxhash64(concat_ws(",", col("__arr").cast("array<string>"))))
+        smote(arr, "__id", "label", "__arr", seed = seed)
+          .withColumn(featuresCol, array_to_vector(col("__arr")))
+          .select(col(featuresCol), col("label"))
+      case other => throw new IllegalArgumentException(
+        s"sampler must be one of none/under/over/smote, got '$other'")
+    }
     val rf = new RandomForestClassifier().setFeaturesCol(featuresCol)
       .setLabelCol("label").setNumTrees(50).setSeed(seed).fit(train)
     val pred = rf.transform(test)
@@ -78,9 +101,94 @@ object ModelMetrics {
       "precision" -> m("weightedPrecision"), "recall" -> m("weightedRecall"))
   }
 
+  /** Winner-count sampler selection (metrics.py:792-809): run the full
+    * battery, count per-metric wins, return the sampler winning the most
+    * metrics (ties resolved by battery order, the reference's iteration
+    * order) together with every sampler's metric map. */
+  def selectSampler(labeled: DataFrame, featuresCol: String,
+      labelCol: String = "cluster", seed: Long = 42L)
+      : (String, Map[String, Map[String, Double]]) = {
+    val samplers = Seq("none", "under", "over", "smote")
+    val metricNames = Seq("accuracy", "f1", "precision", "recall")
+    val results = samplers.map(s =>
+      s -> rfSignal(labeled, featuresCol, labelCol, seed, sampler = s)).toMap
+    val wins = samplers.map { s =>
+      s -> metricNames.count { mn =>
+        results(s)(mn) >= samplers.map(results(_)(mn)).max - 1e-12
+      }
+    }.toMap
+    val winner = samplers.maxBy(s => (wins(s), -samplers.indexOf(s)))
+    (winner, results)
+  }
+
+  /** SMOTE (metrics.py:714-811): balance every minority class up to the
+    * majority size with synthetic points x + u·(nn − x), u ∈ [0,1), nn one
+    * of the point's k nearest same-class neighbors.
+    *
+    * Scale design: kNN candidates come from an equi-join on a per-class
+    * KMeans list id (the IVF trick — at 100 TB the quantizer trains on a
+    * sample and the list id is the shuffle key); neighbor choice and u are
+    * hash-derived from (id, replica, seed) — no RNG state, reproducible
+    * under any partitioning. The exact-count trim of the final replica runs
+    * a single-partition window over at most one replica of one class.
+    *
+    * `vecCol` must be array<double>; returns (idCol, labelCol, vecCol) for
+    * original AND synthetic rows (synthetic ids are negative). */
+  def smote(df: DataFrame, idCol: String, labelCol: String, vecCol: String,
+      k: Int = 5, seed: Long = 42L, nList: Int = 8): DataFrame = {
+    import graft.functions.EuclideanDistance.euclideanDist
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("lbl"), col(vecCol).cast("array<double>").as("v"))
+    val counts = base.groupBy("lbl").count().collect()
+      .map(r => r.get(0) -> r.getLong(1))
+    val maxN = counts.map(_._2).max
+    val synthFrames = counts.filter(_._2 < maxN).map { case (cls, n) =>
+      val need = maxN - n
+      val reps = math.ceil(need.toDouble / n).toInt
+      val part = base.filter(col("lbl") === lit(cls)).select("id", "v")
+      val lists = math.max(1, math.min(nList, (n / math.max(2, k + 1)).toInt))
+      val assigned =
+        if (lists <= 1) part.withColumn("list", lit(0))
+        else {
+          val w = part.withColumn("fv", array_to_vector(col("v")))
+          val km = new org.apache.spark.ml.clustering.KMeans().setK(lists)
+            .setSeed(seed).setFeaturesCol("fv").setPredictionCol("list").fit(w)
+          km.transform(w).drop("fv")
+        }
+      val a = assigned.toDF("ida", "va", "list")
+      val b = assigned.toDF("idb", "vb", "list")
+      val wRank = Window.partitionBy("ida").orderBy(col("d"), col("idb"))
+      val knn = a.join(b, Seq("list")).filter(col("ida") =!= col("idb"))
+        .withColumn("d", euclideanDist(col("va"), col("vb")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("ida")))
+      val chosen = knn
+        .withColumn("rep", explode(array((0 until reps).map(lit(_)): _*)))
+        .filter(col("rank") ===
+          pmod(hash(col("ida"), lit(seed), col("rep")), col("nn")) + 1)
+        .withColumn("u",
+          pmod(hash(col("ida"), lit(seed), col("rep"), lit(17)), lit(1000000))
+            .cast("double") / 1000000.0)
+        .withColumn("sv",
+          zip_with(col("va"), col("vb"), (x, y) => x + col("u") * (y - x)))
+      val lastNeed = need - (reps - 1).toLong * n
+      val trimmed = chosen.filter(col("rep") < reps - 1).unionByName(
+        chosen.filter(col("rep") === reps - 1)
+          .withColumn("rn", row_number().over(Window.orderBy("ida")))
+          .filter(col("rn") <= lastNeed).drop("rn"))
+      trimmed.select(
+        (col("ida") * lit(-1000003L) - col("rep") - 1).as("id"),
+        lit(cls).as("lbl"), col("sv").as("v"))
+    }
+    synthFrames.foldLeft(base)(_ unionByName _)
+      .select(col("id").as(idCol), col("lbl").as(labelCol), col("v").as(vecCol))
+  }
+
   /** Stratified under-sampling to the minority class size via sampleBy
-    * (the reference's under-sampler; SMOTE is approximated by seeded
-    * with-replacement over-sampling of minority classes — documented). */
+    * (the reference's under-sampler). */
   def undersample(df: DataFrame, labelCol: String, seed: Long = 42L): DataFrame = {
     val counts = df.groupBy(labelCol).count().collect()
       .map(r => r.get(0) -> r.getLong(1))
@@ -113,20 +221,23 @@ object ModelMetrics {
     var remaining = variables
     var continue = true
     while (continue && remaining.nonEmpty) {
-      // mode of each remaining variable on the current slice — one tall agg
+      // ONE tall agg per iteration: it yields every remaining variable's
+      // mode AND the mode's row count (= rows kept by that candidate
+      // filter), so no per-variable count jobs are needed — the iteration
+      // is a single Spark job regardless of |variables|
       val tall = current
         .select(remaining.map(c => col(c).cast("string").as(c)): _*)
         .unpivot(Array.empty[org.apache.spark.sql.Column],
           remaining.map(col).toArray, "var", "value")
         .groupBy("var", "value").agg(count(lit(1)).as("n")).collect()
       val modes = tall.groupBy(_.getString(0)).map { case (v, rs) =>
-        v -> rs.maxBy(r => (r.getLong(2), r.getString(1)))(
-          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse)).getString(1)
+        val best = rs.maxBy(r => (r.getLong(2), r.getString(1)))(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+        v -> (best.getString(1), best.getLong(2))
       }
       // the candidate keeping the most rows (greedy, deterministic tie-break)
       val scored = remaining.map { v =>
-        val mode = modes(v)
-        val n = current.filter(col(v).cast("string") === mode).count()
+        val (mode, n) = modes(v)
         (v, mode, n)
       }.sortBy(t => (-t._3, t._1))
       val (v, mode, n) = scored.head

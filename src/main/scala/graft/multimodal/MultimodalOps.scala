@@ -40,10 +40,19 @@ object MultimodalOps {
       blobs.map { case (id, bytes) =>
         val n = bytes.length
         val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+        // feature i = mean contribution of bytes at positions ≡ i (mod 8):
+        // exact integer sum → one double division → float32 quantization.
+        // This arithmetic shape is cross-engine replicable (the oracle does
+        // the identical int-sum / double-divide / float-cast), unlike a
+        // float-accumulated sum whose rounding is order-dependent.
         val feats = Array.tabulate(8) { i =>
           if (n == 0) 0f
-          else bytes.iterator.zipWithIndex.filter(_._2 % 8 == i)
-            .map(x => (x._1 & 0xff).toFloat).sum / n
+          else {
+            var s = 0L
+            var j = i
+            while (j < n) { s += bytes(j) & 0xff; j += 8 }
+            (s.toDouble / n).toFloat
+          }
         }
         id -> MediaFeatures(n.toLong, "stub",
           width = (sum % 640).toInt, height = (sum % 480).toInt, feats)
@@ -86,12 +95,41 @@ object MultimodalOps {
                    sha256(text) AS sha
             FROM documents ORDER BY doc_id"""))
 
-  /** Stub decode through the real mapPartitions pipeline — rows-only check
-    * (the stub features are engine-internal). */
+  /** Stub decode through the real mapPartitions pipeline, fully
+    * hash-checked: the 8 feature values are emitted as per-feature DOUBLE
+    * columns (exact widening of the stored float32 — no float-JSON
+    * formatting ambiguity) and the oracle replays the same
+    * int-sum/double-divide/float-cast per byte-residue class. */
   private val mmDecode = Q(
-    (s, d) => graft.Q.serializeArrays(decodeFeatures(
-      Tables.documents(s, d).withColumn("blob", col("text").cast("binary")),
-      "doc_id", "blob").orderBy("media_id")))
+    (s, d) => {
+      val decoded = decodeFeatures(
+        Tables.documents(s, d).withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob")
+      decoded.select(
+        Seq(col("media_id"), col("n_bytes"), col("format"),
+          col("width"), col("height")) ++
+        (0 until 8).map(i =>
+          element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
+        .orderBy("media_id")
+    },
+    Some {
+      val feat = (0 until 8).map { i =>
+        s"""CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(CAST(CAST(COALESCE(list_sum(list_transform(
+                  list_filter(range(1, length(text) + 1), p -> (p - 1) % 8 = $i),
+                  p -> ascii(substr(text, CAST(p AS INT), 1)))), 0) AS DOUBLE)
+                / length(text) AS REAL) AS DOUBLE) END AS f$i"""
+      }.mkString(",\n                   ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   'stub' AS format,
+                   CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                        i -> ascii(substr(text, i, 1)))), 0) % 640 AS INTEGER) AS width,
+                   CAST(COALESCE(list_sum(list_transform(range(1, length(text)+1),
+                        i -> ascii(substr(text, i, 1)))), 0) % 480 AS INTEGER) AS height,
+                   $feat
+            FROM documents ORDER BY media_id"""
+    })
 
   /** The decode pipeline's integer byte math (n_bytes, width, height) is
     * SQL-expressible on ASCII text, so this variant runs the REAL

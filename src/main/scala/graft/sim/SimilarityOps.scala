@@ -38,13 +38,19 @@ object SimilarityOps {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (murmur3-derived, no
-    * RNG state — reproducible across runs and engines). */
-  private[sim] def hyperplane(plane: Int, dim: Int): Array[Double] =
+  /** Deterministic pseudo-random hyperplanes in [-1, 1]: component i of
+    * plane p = first 24 bits of sha256("lshp:p:i") scaled. sha256 (not
+    * murmur3) is load-bearing for verifiability: the oracle SQL rebuilds the
+    * exact planes with DuckDB's sha256, so the FULL candidate set is
+    * cross-engine replicable (same trick as [[graft.functions.SimHash64]]). */
+  private[sim] def hyperplane(plane: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
     Array.tabulate(dim) { i =>
-      val h = scala.util.hashing.MurmurHash3.productHash((plane, i))
-      (h % 1000003).toDouble / 1000003.0
+      val hx = md.digest(s"lshp:$plane:$i".getBytes("UTF-8"))
+      val h = ((hx(0) & 0xff) << 16) | ((hx(1) & 0xff) << 8) | (hx(2) & 0xff)
+      h / 16777215.0 * 2.0 - 1.0
     }
+  }
 
   /** Sign-bit LSH signature (nBits hyperplanes starting at `planeOffset`)
     * as a column expression: bit p = 1 iff v · plane_p > 0. Planes are
@@ -165,7 +171,44 @@ object SimilarityOps {
   private val sAnn = Q(
     (s, d) => annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       dim = 64, nBits = 6, nTables = 12, k = 3, col("id") < 5)
-      .orderBy("qid", "rank"))
+      .orderBy("qid", "rank"),
+    // Full candidate-set replica: DuckDB rebuilds the 72 sha256-derived
+    // hyperplanes (6 hex chars -> 24-bit int -> [-1,1]), recomputes every
+    // signature, and runs the same any-shared-bucket -> exact-cosine top-k.
+    Some("""WITH pl AS (SELECT plane, i,
+              ((  (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 1, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 2, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 3, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 4, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 5, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 6, 1)) - 1)
+               ) / 16777215.0) * 2.0 - 1.0 AS comp
+              FROM (SELECT unnest(range(0, 72)) AS plane) p,
+                   (SELECT unnest(range(0, 64)) AS i) ii),
+            planes AS (SELECT plane, list(comp ORDER BY i) AS comps
+              FROM pl GROUP BY plane),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            dots AS (SELECT vec_id, plane, list_dot_product(e, comps) AS dot
+              FROM v CROSS JOIN planes),
+            sig AS (SELECT vec_id, CAST(plane // 6 AS INT) AS tbl,
+                SUM(CASE WHEN dot > 0
+                    THEN CAST(1 AS BIGINT) << CAST(plane % 6 AS INT)
+                    ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+              FROM sig c JOIN sig q ON c.tbl = q.tbl AND c.bucket = q.bucket
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+            scored AS (SELECT cand.qid, cand.id,
+                list_dot_product(a.e, b.e)
+                  / (SQRT(list_dot_product(a.e, a.e))
+                     * SQRT(list_dot_product(b.e, b.e))) AS cosine
+              FROM cand JOIN v a ON a.vec_id = cand.id
+                        JOIN v b ON b.vec_id = cand.qid),
+            r AS (SELECT qid, id, cosine, row_number() OVER
+                    (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+                  FROM scored)
+            SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
+            FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
   /** IVF over the 64-dim embeddings: 16 lists, probe 4 — rows-only check
     * (the KMeans quantizer is not SQL-expressible); exactness of returned

@@ -139,21 +139,28 @@ object StatsQueries {
     * stat, p, Bonferroni post-hoc on 3-dp-rounded adjusted residuals,
     * significant-category lists, modal category, in-cluster percentages) is
     * exactly SQL-expressible. zCrit values are the same commons-math3
-    * normal quantiles the Scala side thresholds against. */
-  private val deliverSqlBody: String = {
+    * normal quantiles the Scala side thresholds against.
+    *
+    * `weighted = true` replays the weighted test mode: every count becomes
+    * SUM(l_quantity) — integer-valued, so exact in DOUBLE on both engines —
+    * and the whole chain (stat, p, Yates trigger, post-hoc, mode,
+    * percentages) runs on the weighted crosstab. */
+  private def deliverBody(weighted: Boolean): String = {
     def zc(ncat: Int): Double =
       math.max(1.96, ContingencyMath.bonferroniZCrit(ncat, 3))
+    val wsel = if (weighted) ", l_quantity AS w" else ""
+    val nexpr = if (weighted) "CAST(SUM(w) AS DOUBLE)" else "CAST(COUNT(*) AS DOUBLE)"
     f"""tall AS (
          SELECT 'l_linestatus' AS variable, l_linestatus AS category,
-                l_returnflag AS cluster FROM lineitem
+                l_returnflag AS cluster$wsel%s FROM lineitem
          UNION ALL
          SELECT 'qty_bucket', CASE WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
-                l_returnflag FROM lineitem
+                l_returnflag$wsel%s FROM lineitem
          UNION ALL
          SELECT 'planted', CASE WHEN l_returnflag = 'R' THEN 'ret'
                                 WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
-                l_returnflag FROM lineitem),
-       ct AS (SELECT variable, category, cluster, CAST(COUNT(*) AS DOUBLE) AS n
+                l_returnflag$wsel%s FROM lineitem),
+       ct AS (SELECT variable, category, cluster, $nexpr%s AS n
               FROM tall GROUP BY 1,2,3),
        rm AS (SELECT variable, category, SUM(n) AS rn FROM ct GROUP BY 1,2),
        cm AS (SELECT variable, cluster, SUM(n) AS cn FROM ct GROUP BY 1,2),
@@ -202,7 +209,8 @@ object StatsQueries {
                 ROUND(pv.stat, 4) AS chi2_stat, ROUND(pv.p, 9) AS p_value,
                 pv.dof AS dof, pv.yates AS yates, md.mode_category,
                 sg.sig_json AS sig_more_category,
-                sg.pct_json AS category_percentages,
+                ${if (weighted) ""
+                  else "sg.pct_json AS category_percentages,"}
                 sg.pct_json AS weighted_category_percentages
          FROM sg
          JOIN pv ON pv.variable = sg.variable
@@ -211,9 +219,29 @@ object StatsQueries {
          WHERE pv.p <= 0.05 AND sg.nsig > 0)"""
   }
 
+  private val deliverSqlBody: String = deliverBody(weighted = false)
+
   private val deliver = Q(
     (s, d) => deliverChecked(deliverFrame(s, d)),
     Some(s"""WITH $deliverSqlBody
+            SELECT * FROM deliver ORDER BY p_value, cluster, variable"""))
+
+  /** Weighted deliver kernel (chisquared_tester.py weighted mode,
+    * :871,964,1051-1064): l_quantity as the survey weight; the χ² chain runs
+    * on the weight-summed crosstab. The unweighted percentage column is
+    * dropped from the registry surface (the weighted run's own share array
+    * is the deliverable, as in the reference's weighted API payload). */
+  private val deliverWeighted = Q(
+    (s, d) => deliverChecked(
+      ChiSquaredInference.deliverStats(
+        s,
+        liBucketed(s, d).withColumn("planted",
+          when(col("l_returnflag") === "R", "ret")
+            .otherwise(when(col("l_quantity") <= 25, "low").otherwise("high"))),
+        Seq("l_linestatus", "qty_bucket", "planted"), "l_returnflag",
+        weightCol = Some("l_quantity"), weighted = true))
+      .drop("category_percentages"),
+    Some(s"""WITH ${deliverBody(weighted = true)}
             SELECT * FROM deliver ORDER BY p_value, cluster, variable"""))
 
   /** Discover view (W4 over deliver stats): top-k per cluster by p. */
@@ -515,6 +543,7 @@ object StatsQueries {
     "q_m21_expected" -> m21,
     "q_m23_residuals" -> m23,
     "q_inf_deliver" -> deliver,
+    "q_inf_deliver_weighted" -> deliverWeighted,
     "q_inf_discover" -> discover,
     "q_m17_ari" -> m17,
     "q_m24_cochran_q" -> m24,

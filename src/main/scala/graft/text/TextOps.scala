@@ -28,9 +28,11 @@ object TextOps {
 
   /** Quality features: chars, tokens, avg token length, punctuation ratio,
     * stopword ratio, uppercase ratio (compare reference-style length/punct
-    * heuristics; all single-pass scalar expressions). */
-  def qualityColumns(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+    * heuristics; all single-pass scalar expressions). `toks` must be the
+    * MATERIALIZED token-array column (own projection, see [[qualityFeatures]]):
+    * passing `tokens(text)` directly re-splits the text once per referencing
+    * output column — the [[graft.dedup.DedupOps.shingles]] pathology. */
+  def qualityColumns(text: Column, toks: Column): Seq[Column] = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     Seq(
       length(text).cast("long").as("n_chars"),
@@ -45,19 +47,39 @@ object TextOps {
         greatest(length(text), lit(1)).cast("double"), 6).as("upper_ratio"))
   }
 
+  /** Quality features over a document frame, tokenizing each text exactly
+    * once: the token array is materialized in its own projection, which
+    * survives CollapseProject as a multi-referenced non-cheap alias. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: qualityColumns(col("__text"), col("__toks")): _*)
+
   /** Language-ID by profile-token hits with a fixed tie-break order —
-    * the n-gram/stopword heuristic family; argmax over per-language scores. */
-  def langIdColumns(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+    * the n-gram/stopword heuristic family; argmax over per-language scores.
+    * `toks` must be a materialized token-array column (see [[langId]]). */
+  def langIdScoreColumns(toks: Column): Seq[Column] = {
     def score(words: Seq[String]): Column =
       size(filter(toks, t => lower(t).isin(words: _*))).cast("long")
-    val sEn = score(Seq("the", "and", "of", "fast", "slow"))
-    val sSpark = score(Seq("spark", "shuffle", "partition", "executor", "batch"))
-    val sSql = score(Seq("select", "join", "query", "table", "scan"))
-    Seq(sEn.as("s_en"), sSpark.as("s_spark"), sSql.as("s_sql"),
-      when(sEn >= sSpark && sEn >= sSql, "en")
-        .when(sSpark >= sSql, "spark").otherwise("sql").as("lang_pred"))
+    Seq(score(Seq("the", "and", "of", "fast", "slow")).as("s_en"),
+      score(Seq("spark", "shuffle", "partition", "executor", "batch")).as("s_spark"),
+      score(Seq("select", "join", "query", "table", "scan")).as("s_sql"))
   }
+
+  /** Argmax over already-computed score columns (attributes, so referencing
+    * each score twice here costs nothing). */
+  def langPredColumn(sEn: Column, sSpark: Column, sSql: Column): Column =
+    when(sEn >= sSpark && sEn >= sSql, "en")
+      .when(sSpark >= sSql, "spark").otherwise("sql").as("lang_pred")
+
+  /** Language-ID over a document frame: tokenize once, score once, then
+    * argmax over the score ATTRIBUTES — three stacked projections so neither
+    * the token split nor the score filters are re-evaluated per reference. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: langIdScoreColumns(col("__toks")): _*)
+      .select(col(idCol), col("s_en"), col("s_spark"), col("s_sql"),
+        langPredColumn(col("s_en"), col("s_spark"), col("s_sql")))
 
   /** Canonical fingerprint: md5 over the sorted distinct token set — the
     * classic near-dup "fingerprint" normalization (case/order/dup-insensitive). */
@@ -83,8 +105,7 @@ object TextOps {
             FROM documents ORDER BY doc_id"""))
 
   private val tQuality = Q(
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id") +: qualityColumns(col("text")): _*)
+    (s, d) => qualityFeatures(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id, text,
               list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -105,8 +126,7 @@ object TextOps {
             FROM t ORDER BY doc_id"""))
 
   private val tLangId = Q(
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id") +: langIdColumns(col("text")): _*)
+    (s, d) => langId(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id,
               list_filter(string_split(text, ' '), x -> x <> '') AS toks

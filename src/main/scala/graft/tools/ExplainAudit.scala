@@ -69,6 +69,13 @@ object ExplainAudit {
       "banded range join is an equi-join (no nested-loop/cartesian)" ->
         (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_d_embed_neardup",
+      "LSH-banded candidates: equi-join on bucket, no per-block cartesian" ->
+        (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_t_quality",
+      "text tokenized once: a single split() in the physical plan" ->
+        (p => "split\\(".r.findAllIn(p).size <= 1))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

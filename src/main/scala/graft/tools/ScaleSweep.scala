@@ -32,7 +32,7 @@ object ScaleSweep {
         case e: Throwable =>
           bad ::= name
           println(s"FAIL  $name: ${Option(e.getMessage).getOrElse(e.toString).take(150)}")
-      }
+      } finally spark.catalog.clearCache() // queries are independent
     }
     println(if (bad.isEmpty) "SCALE SWEEP OK" else s"SCALE SWEEP FAILURES: $bad")
     spark.stop()

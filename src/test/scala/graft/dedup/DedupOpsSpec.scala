@@ -69,11 +69,26 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(byPair.values.forall(_ <= 0.6))
   }
 
-  test("embedding near-dup on real testdata agrees with a hand dot product") {
+  test("embedding near-dup finds real near pairs and every cosine is exact") {
     val emb = graft.Tables.embeddings(spark, sf)
+    // threshold chosen INSIDE the testdata's cosine range (sf0.001 has 6
+    // pairs >= 0.454) so an empty result would be a recall failure, not a
+    // vacuous green
     val pairs = DedupOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
-      "label", 0.9)
-    // no self-pairs, ida < idb
-    assert(pairs.filter($"ida" >= $"idb").count() === 0)
+      dim = 64, threshold = 0.45).collect()
+    assert(pairs.nonEmpty, "LSH recall failure: no pair >= 0.45 found")
+    assert(pairs.forall(r => r.getAs[Long]("ida") < r.getAs[Long]("idb")))
+    // candidates are exact-scored: recompute each returned cosine by hand
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toArray).toMap
+    pairs.foreach { r =>
+      val (a, b) = (vecs(r.getAs[Long]("ida")), vecs(r.getAs[Long]("idb")))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val exact = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      assert(exact >= 0.45)
+      assert(math.abs(r.getAs[Double]("cosine") - exact) < 1e-5)
+    }
   }
 }

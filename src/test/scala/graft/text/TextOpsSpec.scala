@@ -15,7 +15,7 @@ class TextOpsSpec extends SparkSpecBase {
 
   test("quality columns: ratios bounded, empty text safe (no division by zero)") {
     val df = Seq((1L, "The quick, brown fox!"), (2L, "")).toDF("id", "text")
-    val rows = df.select($"id" +: TextOps.qualityColumns($"text"): _*).collect()
+    val rows = TextOps.qualityFeatures(df, "id", "text").collect()
     rows.foreach { r =>
       Seq("punct_ratio", "stopword_ratio", "upper_ratio").foreach { c =>
         val v = r.getAs[Double](c)
@@ -35,7 +35,7 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, "the and of fast slow"),
       (4L, "zzz yyy xxx")). // no profile hits -> all zero -> tie-break 'en'
       toDF("id", "text")
-    val out = df.select($"id" +: TextOps.langIdColumns($"text"): _*)
+    val out = TextOps.langId(df, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
     assert(out === Map(1L -> "sql", 2L -> "spark", 3L -> "en", 4L -> "en"))
   }
