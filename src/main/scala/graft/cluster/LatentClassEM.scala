@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *  - all parameter tables are k × Σ|levels| rows — broadcast-size at any
   *    data scale; each iteration is two shuffles of the tall frame.
   *
+  * Mixed-type models (the reference's depmixS4 path, lca.R:54-101): numeric
+  * columns get per-class gaussian components — the E-step adds their
+  * log-densities to the joint, the M-step refits (μ, σ) from
+  * responsibility-weighted moments in the same aggregation pattern.
+  *
   * Deterministic: θ initialized from a murmur3 hash of (var, value, class,
   * seed) — no RNG state, reproducible across runs and partitionings.
   */
@@ -22,7 +27,8 @@ object LatentClassEM {
 
   final case class LcaModel(k: Int, priors: Array[Double],
       theta: Map[(String, String, Int), Double], logLik: Double, bic: Double,
-      nParams: Int, n: Long)
+      nParams: Int, n: Long,
+      gauss: Map[(String, Int), (Double, Double)] = Map.empty)
 
   private def initTheta(vars: Seq[(String, Seq[String])], k: Int, seed: Int)
       : Map[(String, String, Int), Double] =
@@ -39,31 +45,57 @@ object LatentClassEM {
 
   /** Fit one k. `idCol` must uniquely key rows (e.g. alchemer_id). */
   def fit(df: DataFrame, cols: Seq[String], idCol: String, k: Int,
-      maxIter: Int = 20, seed: Int = 42, smoothing: Double = 0.01)
-      : (LcaModel, DataFrame) = {
-    val (m, l, _) = fitReleasable(df, cols, idCol, k, maxIter, seed, smoothing)
+      maxIter: Int = 20, seed: Int = 42, smoothing: Double = 0.01,
+      numCols: Seq[String] = Nil): (LcaModel, DataFrame) = {
+    val (m, l, _) = fitReleasable(df, cols, idCol, k, maxIter, seed, smoothing,
+      numCols)
     (m, l)
   }
 
   /** [[fit]] plus a release handle that unpersists the responsibility cache
     * backing the returned labeled frame — call it once the labeling has been
-    * consumed (or discarded, as [[selectK]] does for non-winning k). */
+    * consumed (or discarded, as [[selectK]] does for non-winning k).
+    *
+    * `numCols` adds gaussian components (the depmixS4 mixed path,
+    * lca.R:54-101): per (variable, class) a (μ, σ) refit each M-step from
+    * responsibility-weighted moments; their log-densities join the E-step
+    * joint through the same broadcast-parameter-table pattern. */
   def fitReleasable(df: DataFrame, cols: Seq[String], idCol: String, k: Int,
-      maxIter: Int = 20, seed: Int = 42, smoothing: Double = 0.01)
-      : (LcaModel, DataFrame, () => Unit) = {
+      maxIter: Int = 20, seed: Int = 42, smoothing: Double = 0.01,
+      numCols: Seq[String] = Nil): (LcaModel, DataFrame, () => Unit) = {
+    require(cols.nonEmpty || numCols.nonEmpty, "no model columns given")
     val spark = df.sparkSession
     import spark.implicits._
 
-    val tall = df
+    val tall = if (cols.isEmpty) None else Some(df
       .select(col(idCol).cast("long").as("id") +:
         cols.map(c => col(c).cast("string").as(c)): _*)
       .unpivot(Array(col("id")), cols.map(col).toArray, "var", "value")
-      .cache()
+      .cache())
+    val tallNum = if (numCols.isEmpty) None else Some(df
+      .select(col(idCol).cast("long").as("id") +:
+        numCols.map(c => col(c).cast("double").as(c)): _*)
+      .unpivot(Array(col("id")), numCols.map(col).toArray, "var", "x")
+      .cache())
     val n = df.count()
-    val levels: Seq[(String, Seq[String])] = tall.groupBy("var", "value").count()
+    val levels: Seq[(String, Seq[String])] = tall.map(_
+      .groupBy("var", "value").count()
       .collect().map(r => (r.getString(0), r.getString(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toSeq
-      .sortBy(_._1).map(t => (t._1, t._2))
+      .sortBy(_._1).map(t => (t._1, t._2))).getOrElse(Seq.empty)
+    // numeric init: per-variable global moments, class means spread
+    // deterministically within ±1 sd (murmur3, like initTheta)
+    val numStats: Map[String, (Double, Double)] = tallNum.map(_
+      .groupBy("var").agg(avg("x").as("mu"), stddev_pop("x").as("sd"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), math.max(r.getDouble(2), 1e-3))).toMap)
+      .getOrElse(Map.empty)
+    var gauss: Map[(String, Int), (Double, Double)] = numStats.flatMap {
+      case (v, (mu, sd)) => (0 until k).map { c =>
+        val h = scala.util.hashing.MurmurHash3.productHash((v, c, seed))
+        (v, c) -> (mu + ((math.abs(h) % 1000) / 1000.0 - 0.5) * 2.0 * sd, sd)
+      }
+    }
 
     var theta = initTheta(levels, k, seed)
     var priors = Array.fill(k)(1.0 / k)
@@ -72,14 +104,24 @@ object LatentClassEM {
     def thetaDf = spark.createDataFrame(theta.toSeq.map { case ((v, l, c), p) =>
       (v, l, c, math.log(p))
     }).toDF("var", "value", "class", "logp")
+    def gaussDf = spark.createDataFrame(gauss.toSeq.map { case ((v, c), (mu, sd)) =>
+      (v, c, mu, sd)
+    }).toDF("var", "class", "mu", "sd")
 
     var resp: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // E-step: per (id, class) joint log-prob, then normalized responsibility.
-      val joint = tall.join(broadcast(thetaDf), Seq("var", "value"))
-        .groupBy("id", "class").agg(sum("logp").as("ll"))
+      val catLp = tall.map(_.join(broadcast(thetaDf), Seq("var", "value"))
+        .select(col("id"), col("class"), col("logp").as("lp")))
+      val numLp = tallNum.map(_.join(broadcast(gaussDf), Seq("var"))
+        .select(col("id"), col("class"),
+          (lit(-0.5 * math.log(2.0 * math.Pi)) - log(col("sd")) -
+            (col("x") - col("mu")) * (col("x") - col("mu")) /
+              (lit(2.0) * col("sd") * col("sd"))).as("lp")))
+      val joint = (catLp.toSeq ++ numLp.toSeq).reduce(_ unionByName _)
+        .groupBy("id", "class").agg(sum("lp").as("ll"))
         .withColumn("ll", col("ll") + {
           val priorArr = array(priors.map(p => lit(math.log(p))): _*)
           element_at(priorArr, col("class") + 1)
@@ -99,20 +141,36 @@ object LatentClassEM {
       // M-step: priors and θ from responsibility-weighted counts.
       priors = r.groupBy("class").agg(sum("r").as("s")).collect()
         .sortBy(_.getInt(0)).map(_.getDouble(1) / n)
-      val counts = tall.join(r.select("id", "class", "r"), Seq("id"))
-        .groupBy("var", "value", "class").agg(sum("r").as("w"))
-        .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2)) -> x.getDouble(3))
-        .toMap
-      val levelCount = levels.toMap
-      theta = levels.flatMap { case (v, ls) =>
-        (0 until k).flatMap { c =>
-          val tot = ls.map(l => counts.getOrElse((v, l, c), 0.0)).sum
-          ls.map { l =>
-            (v, l, c) -> (counts.getOrElse((v, l, c), 0.0) + smoothing) /
-              (tot + smoothing * ls.size)
+      tall.foreach { t =>
+        val counts = t.join(r.select("id", "class", "r"), Seq("id"))
+          .groupBy("var", "value", "class").agg(sum("r").as("w"))
+          .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2)) -> x.getDouble(3))
+          .toMap
+        theta = levels.flatMap { case (v, ls) =>
+          (0 until k).flatMap { c =>
+            val tot = ls.map(l => counts.getOrElse((v, l, c), 0.0)).sum
+            ls.map { l =>
+              (v, l, c) -> (counts.getOrElse((v, l, c), 0.0) + smoothing) /
+                (tot + smoothing * ls.size)
+            }
           }
-        }
-      }.toMap
+        }.toMap
+      }
+      // gaussian M-step: (μ, σ) from responsibility-weighted moments in one
+      // aggregation; σ floored to keep densities finite on degenerate classes
+      tallNum.foreach { t =>
+        gauss = t.join(r.select("id", "class", "r"), Seq("id"))
+          .groupBy("var", "class").agg(sum("r").as("w"),
+            sum(col("r") * col("x")).as("sx"),
+            sum(col("r") * col("x") * col("x")).as("sxx"))
+          .collect().map { row =>
+            val (v, c) = (row.getString(0), row.getInt(1))
+            val w = math.max(row.getDouble(2), 1e-12)
+            val mu = row.getDouble(3) / w
+            val sd = math.sqrt(math.max(row.getDouble(4) / w - mu * mu, 1e-6))
+            (v, c) -> (mu, sd)
+          }.toMap
+      }
       converged = math.abs(ll - logLik) < 1e-6 * math.max(1.0, math.abs(ll))
       logLik = ll
       if (resp != null) resp.unpersist()
@@ -120,19 +178,21 @@ object LatentClassEM {
       iter += 1
     }
 
-    val nParams = (k - 1) + k * levels.map(_._2.size - 1).sum
+    val nParams = (k - 1) + k * levels.map(_._2.size - 1).sum +
+      2 * k * numCols.size
     val bic = -2.0 * logLik + nParams * math.log(n.toDouble)
-    // the tall frame only feeds the EM loop — release it before returning;
+    // the tall frames only feed the EM loop — release them before returning;
     // the final responsibilities stay cached (the labeled frame reads them)
     // until the caller invokes the release handle
-    tall.unpersist(blocking = false)
+    tall.foreach(_.unpersist(blocking = false))
+    tallNum.foreach(_.unpersist(blocking = false))
     val labeled = resp
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("r").desc, col("class"))))
       .filter(col("rn") === 1)
       .select(col("id").as(idCol), col("class").as("cluster"))
     val respHandle = resp
-    (LcaModel(k, priors, theta, logLik, bic, nParams, n),
+    (LcaModel(k, priors, theta, logLik, bic, nParams, n, gauss),
       df.withColumn(idCol, col(idCol).cast("long")).join(labeled, idCol),
       () => respHandle.unpersist(blocking = false))
   }
@@ -141,10 +201,56 @@ object LatentClassEM {
     * per-k EM runs are independent — concurrent Spark jobs (graft.Par),
     * matching the R side's doParallel fork over k (lca.R:10-16). */
   def selectK(df: DataFrame, cols: Seq[String], idCol: String,
-      ks: Range = 3 until 8, maxIter: Int = 20): (LcaModel, DataFrame) = {
-    val fits = graft.Par.grid(ks.toSeq)(k => fitReleasable(df, cols, idCol, k, maxIter))
+      ks: Range = 3 until 8, maxIter: Int = 20,
+      numCols: Seq[String] = Nil): (LcaModel, DataFrame) = {
+    val fits = graft.Par.grid(ks.toSeq)(k =>
+      fitReleasable(df, cols, idCol, k, maxIter, numCols = numCols))
     val best = fits.minBy(_._1.bic)
     fits.filter(_._1.k != best._1.k).foreach(_._3()) // drop losers' resp caches
     (best._1, best._2)
+  }
+
+  /** The reference's >100-column guard (lca.R:31-40): past 100 model
+    * columns, fit on a seeded random subsample of max(70, 30%) of them. */
+  def subsampleCols(cols: Seq[String], seed: Long = 99L): Seq[String] =
+    if (cols.size <= 100) cols
+    else {
+      val m = math.max(70, (cols.size * 0.3).toInt)
+      val keep = new scala.util.Random(seed).shuffle(cols.toVector).take(m).toSet
+      cols.filter(keep) // original column order, like R's data[, sample(...)]
+    }
+
+  /** The reference's runtime guard (clustering.py:880-904: some mixed
+    * models run for hours on ill-suited data, so LCA is wrapped in a
+    * 3000 s timer). Runs [[selectK]] under a job group; on timeout the
+    * group's Spark jobs are cancelled and None is returned — the caller's
+    * "lca timed out" path. Column subsampling ([[subsampleCols]]) is
+    * applied first, as the reference does. */
+  def selectKGuarded(df: DataFrame, cols: Seq[String], idCol: String,
+      ks: Range = 3 until 8, maxIter: Int = 20, numCols: Seq[String] = Nil,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(3000, "s"))
+      : Option[(LcaModel, DataFrame)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+    val sc = df.sparkSession.sparkContext
+    val group = s"lca-guard-${java.util.UUID.randomUUID()}"
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val keepCat = subsampleCols(cols)
+    val keepNum = subsampleCols(numCols)
+    val f = Future {
+      // job-group properties are inheritable-thread-local: Par.grid's
+      // worker threads (created below this set) inherit them, so cancel
+      // reaches every per-k fit
+      sc.setJobGroup(group, "LCA k-selection", interruptOnCancel = true)
+      try selectK(df, keepCat, idCol, ks, maxIter, keepNum)
+      finally sc.clearJobGroup()
+    }
+    try Some(Await.result(f, timeout))
+    catch {
+      case _: TimeoutException =>
+        sc.cancelJobGroup(group)
+        None
+    } finally pool.shutdown()
   }
 }

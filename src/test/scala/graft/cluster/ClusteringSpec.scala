@@ -90,6 +90,48 @@ class ClusteringSpec extends SparkSpecBase {
     assert(purity >= 270, s"LCA purity $purity/300")
   }
 
+  test("mixed-type LCA: planted gaussian+multinomial clusters, k by BIC") {
+    // 3 planted segments, each with a dominant categorical level AND a
+    // well-separated numeric mean — the depmixS4 mixed-path shape
+    val rows = (0 until 180).map { i =>
+      val seg = i / 60
+      val cat = if (i % 10 < 8) s"dom$seg" else s"dom${(seg + 1) % 3}"
+      val x = Seq(-6.0, 0.0, 6.0)(seg) + (i % 7) * 0.1
+      (i.toLong, cat, x)
+    }
+    val df = rows.toDF("id", "qa", "x")
+    val (model, labeled) = LatentClassEM.selectK(df, Seq("qa"), "id",
+      ks = 2 until 5, maxIter = 12, numCols = Seq("x"))
+    assert(model.k === 3, s"BIC selected k=${model.k}, expected 3")
+    assert(model.gauss.size === 3) // one (mu, sd) per class for 'x'
+    // recovered class means should cover the three planted means
+    val mus = model.gauss.values.map(_._1).toSeq.sorted
+    assert(math.abs(mus.head - (-5.7)) < 1.5 && math.abs(mus.last - 6.3) < 1.5)
+    val purity = labeled.withColumn("seg", (col("id") / 60).cast("int"))
+      .groupBy("seg", "cluster").count()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seg")
+          .orderBy(col("count").desc)))
+      .filter(col("rn") === 1).agg(sum("count")).head().getLong(0)
+    assert(purity >= 160, s"mixed LCA purity $purity/180")
+  }
+
+  test("LCA guards: >100-col subsample rule and the timeout wrapper") {
+    val many = (0 until 150).map(i => s"v$i")
+    val kept = LatentClassEM.subsampleCols(many)
+    assert(kept.size === math.max(70, (150 * 0.3).toInt))
+    assert(kept.toSet.subsetOf(many.toSet))
+    assert(LatentClassEM.subsampleCols(many) === kept) // seeded: stable
+    assert(LatentClassEM.subsampleCols(many.take(100)) === many.take(100))
+    // reference tests use a 2 s timer (lca(test_wait_time=True)); an
+    // immediate deadline must yield the timed-out branch, not hang
+    val tiny = (0 until 30).map(i => (i.toLong, s"c${i % 2}")).toDF("id", "qa")
+    val out = LatentClassEM.selectKGuarded(tiny, Seq("qa"), "id",
+      ks = 2 until 3, maxIter = 2,
+      timeout = scala.concurrent.duration.Duration(1, "ms"))
+    assert(out.isEmpty)
+  }
+
   test("rules-based segmentation encodes alphabetically and drops siblings") {
     val df = Seq((1L, "beta", "x"), (2L, "alpha", "y"), (3L, "beta", "z"))
       .toDF("id", "tech_q1_rb", "tech_q1_other")

@@ -131,10 +131,43 @@ class PipelineSpec extends SparkSpecBase {
         ks = 3 until 4,
         rulesCol = Some("tech_q1_rb")))
     assert(results.keySet === Set("kmeans", "kmodes", "rules_based", "lca"))
+    // the COMPLETE get_all_metrics field family (metrics.py:814-911) must be
+    // present for every algorithm — NaN where the reference emits np.nan
+    val family = Set(
+      "n_seed", "n_clusters", "silhouette", "davies_bouldin",
+      "calinski_harabasz", "silhouette_random_ratio",
+      "davies_bouldin_random_ratio", "calinski_harabasz_random_ratio",
+      "fb_presence", "model_consistency", "label_consistency", "uniqueness",
+      "communicability_average", "significant_variables",
+      "significant_tgt_variables", "spread_of_significant_variables",
+      "spread_of_significant_tgt_variables", "magnitude", "variability",
+      "ml_signal", "chi2_signal", "message_reach_ml_signal",
+      "massage_reach_chi2_signal", "chi2_signal_core_columns",
+      "message_reach_optimal_signal", "core_columns",
+      "percent_retained_for_core_cols")
     results.foreach { case (name, r) =>
       assert(r.metrics("n_clusters") >= 2, s"$name cluster count")
       assert(r.labeled.columns.contains("cluster"))
+      val missing = family -- r.metrics.keySet
+      assert(missing.isEmpty, s"$name metrics missing: $missing")
+      // per-cluster flattened proportions cover every cluster
+      assert(r.metrics.keys.count(_.startsWith("cluster_proportion_")) ===
+        r.metrics("n_clusters").toInt, s"$name proportions")
     }
+    // the kmeans path can refit, so its consistency pair is real (not NaN)
+    assert(!results("kmeans").metrics("model_consistency").isNaN)
+    assert(!results("kmeans").metrics("label_consistency").isNaN)
+    assert(!results("kmeans").metrics("silhouette").isNaN)
+    // psy_q3_tgt exists -> the tgt-gated family is computed on the kmeans
+    // path (features available): ml + chi2 signal and variability are real
+    assert(!results("kmeans").metrics("ml_signal").isNaN)
+    assert(!results("kmeans").metrics("chi2_signal").isNaN)
+    assert(!results("kmeans").metrics("variability").isNaN)
+    // kmodes has no feature vectors -> geometry + ml_signal NaN, per the
+    // reference's conditional; the chi2 branch still runs
+    assert(results("kmodes").metrics("ml_signal").isNaN)
+    assert(results("kmodes").metrics("silhouette").isNaN)
+    assert(!results("kmodes").metrics("chi2_signal").isNaN)
     // planted psy variable must be flagged significant for at least one algo
     assert(results.values.exists(_.deliver.count() > 0))
     // metrics csv sink round-trip
