@@ -212,12 +212,19 @@ object DedupOps {
     val buckets = explode(array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"),
         lshSignature(vecCol, dim, nBits, t * nBits).as("bucket"))): _*))
-    val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"), buckets.as("bk"))
-    val a = v.toDF("ida", "va", "bk")
-    val b = v.toDF("idb", "vb", "bk")
-    a.join(b, Seq("bk")).filter(col("ida") < col("idb"))
-      .dropDuplicates("ida", "idb")
+    // candidate generation moves ONLY (id, bucket) through the self-join and
+    // the pair dedup; the dim-sized vectors join back afterwards — one
+    // vector copy per surviving PAIR SIDE instead of one per (pair × table)
+    val keyed = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bucketed = df.select(col(idCol).as("id"), buckets.as("bk"))
+    val cands = bucketed.toDF("ida", "bk")
+      .join(bucketed.toDF("idb", "bk"), Seq("bk"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    cands
+      .join(keyed.toDF("ida", "va"), Seq("ida"))
+      .join(keyed.toDF("idb", "vb"), Seq("idb"))
       .withColumn("cosine", cosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))

@@ -1,0 +1,50 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row index over a total order — the scalable encoding
+  * of pandas positional alignment (reference utils.py `df['col'] = series`
+  * semantics), replacing the single-partition `row_number() OVER (ORDER BY
+  * …)` that dies at scale.
+  *
+  * Two-pass scheme (the classic zipWithIndex shape, in DataFrame ops):
+  *
+  *  1. range-repartition on the order columns, so partition i holds keys
+  *     strictly below partition i+1;
+  *  2. one tiny job collects per-partition row counts → cumulative offsets
+  *     (≤ one row per partition — driver-size at any scale);
+  *  3. global index = row_number over a PARTITION-LOCAL window (partitioned
+  *     by spark_partition_id — no single-partition exchange) + the
+  *     partition's offset.
+  *
+  * The range-partitioned frame is cached so the count pass and the final
+  * plan see identical partition boundaries (RangePartitioner samples);
+  * release it via the session's cache clearing once the result is consumed.
+  *
+  * `order` must be a TOTAL order (unique keys): ties that straddle range
+  * boundaries would make the index non-deterministic, exactly as they do
+  * for a global row_number.
+  */
+object GlobalIndex {
+
+  def withGlobalIndex(df: DataFrame, order: Seq[Column],
+      indexCol: String = "rn", numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*).cache()
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
+    val offExpr = counts.map(_._1).zip(offsets)
+      .foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+        when(col("__pid") === pid, lit(off)).otherwise(acc)
+      }
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    withPid
+      .withColumn(indexCol, row_number().over(w).cast("long") + offExpr)
+      .drop("__pid")
+  }
+}

@@ -178,15 +178,16 @@ object Relational {
 
   /** J3: positional (index-aligned) join — pandas `df['c'] = labels`
     * semantics. Spark has no row order, so the alignment key is made
-    * explicit with row_number over a total order. NOTE single-partition
-    * window: at 100 TB this is exactly why labels are kept as columns from
-    * the start (SURVEY §7.4) — this operator exists for parity only. */
+    * explicit with a DISTRIBUTED global index ([[GlobalIndex]]): range
+    * repartition + per-partition row_number + cumulative offsets — no
+    * single-partition window, so the encoding survives 100 TB (labels are
+    * still best kept as columns from the start, SURVEY §7.4). */
   private val j3 = Q(
     (s, d) => {
-      val a = Tables.orders(s, d).select("o_orderkey")
-        .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
-      val b = Tables.customer(s, d).select("c_custkey")
-        .withColumn("rn", row_number().over(Window.orderBy("c_custkey")))
+      val a = GlobalIndex.withGlobalIndex(
+        Tables.orders(s, d).select("o_orderkey"), Seq(col("o_orderkey")))
+      val b = GlobalIndex.withGlobalIndex(
+        Tables.customer(s, d).select("c_custkey"), Seq(col("c_custkey")))
       a.join(b, Seq("rn"), "inner").select("rn", "o_orderkey", "c_custkey")
         .orderBy("rn")
     },

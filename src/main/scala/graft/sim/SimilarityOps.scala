@@ -76,13 +76,18 @@ object SimilarityOps {
     val buckets = explode(array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"),
         lshSignature(vecCol, dim, nBits, t * nBits).as("bucket"))): _*))
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"), buckets.as("bk"))
-    val q = c.filter(queryFilter)
-      .select(col("id").as("qid"), col("v").as("qv"), col("bk"))
-    val candidates = c.join(broadcast(q), Seq("bk"))
+    // the bucket join and the candidate dedup move only (id, bucket); the
+    // dim-sized vectors join back per surviving pair, not per (pair × table)
+    val keyed = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bucketed = corpus.select(col(idCol).as("id"), buckets.as("bk"))
+    val q = bucketed.filter(queryFilter).select(col("id").as("qid"), col("bk"))
+    val candidates = bucketed.join(broadcast(q), Seq("bk"))
       .filter(col("id") =!= col("qid"))
-      .dropDuplicates("qid", "id")
+      .select("qid", "id").distinct()
+      .join(keyed, Seq("id"))
+      .join(broadcast(keyed.toDF("qid", "qv")
+        .join(q.select("qid").distinct(), Seq("qid"))), Seq("qid"))
     val scored = candidates.withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -135,6 +140,40 @@ object SimilarityOps {
       .filter(col("id") =!= col("qid"))
       .dropDuplicates("qid", "id")
     val scored = candidates.withColumn("cosine", cosineSim(col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF with a SEEDED coarse quantizer (no Lloyd iterations): centroids
+    * are the vectors of `nList` deterministically-chosen corpus points.
+    * Quantizer quality is below the KMeans variant ([[ivfTopK]]) but every
+    * step — assignment argmin, probe argmin, list equi-join, exact cosine —
+    * is cross-engine replicable, so the query hash-checks end to end.
+    * The same argmin-over-broadcast-centroids shape IS the 100 TB
+    * assignment plan; only the centroid fitting differs. */
+  def ivfSeededTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, nProbe: Int, k: Int,
+      queryFilter: org.apache.spark.sql.Column): DataFrame = {
+    val v = prep(corpus, idCol, vecCol)
+    val cent = v.filter(col("id") < nList)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    def d2 = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    def argmin(df: DataFrame, upTo: Int): DataFrame = {
+      val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
+      df.join(broadcast(cent)).withColumn("d2", d2)
+        .withColumn("r", row_number().over(w)).filter(col("r") <= upTo)
+    }
+    val assigned = argmin(v, 1)
+      .select(col("id"), col("v"), col("cid").as("list"))
+    val probes = argmin(v.filter(queryFilter), nProbe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cid").as("list"))
+    val scored = assigned.join(broadcast(probes), Seq("list"))
+      .filter(col("id") =!= col("qid"))
+      .dropDuplicates("qid", "id")
+      .withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
@@ -218,8 +257,45 @@ object SimilarityOps {
       nList = 16, nProbe = 4, k = 3, col("id") < 5)
       .orderBy("qid", "rank"))
 
+  /** Seeded-quantizer IVF, fully oracle-checked: DuckDB replays centroid
+    * choice, both argmins (same (d2, cid) tie-break), the list equi-join,
+    * and the exact-cosine top-k. */
+  private val sIvfSeeded = Q(
+    (s, d) => ivfSeededTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 3, col("id") < 5)
+      .orderBy("qid", "rank"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+            dist AS (SELECT v.vec_id AS id, cent.cid,
+                COALESCE(list_sum(list_transform(range(0, 64),
+                  i -> (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1])
+                     * (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1]))), 0)
+                  AS d2
+              FROM v CROSS JOIN cent),
+            ar AS (SELECT id, cid, row_number() OVER
+                     (PARTITION BY id ORDER BY d2, cid) AS r FROM dist),
+            assigned AS (SELECT id, cid AS list FROM ar WHERE r = 1),
+            probes AS (SELECT id AS qid, cid AS list FROM ar
+                       WHERE r <= 4 AND id < 5),
+            cand AS (SELECT DISTINCT qid, a.id
+              FROM assigned a JOIN probes p ON a.list = p.list
+              WHERE a.id <> p.qid),
+            scored AS (SELECT cand.qid, cand.id,
+                list_dot_product(a.e, b.e)
+                  / (SQRT(list_dot_product(a.e, a.e))
+                     * SQRT(list_dot_product(b.e, b.e))) AS cosine
+              FROM cand JOIN v a ON a.vec_id = cand.id
+                        JOIN v b ON b.vec_id = cand.qid),
+            r AS (SELECT qid, id, cosine, row_number() OVER
+                    (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+                  FROM scored)
+            SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
+            FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   val queries: Map[String, Q] = Map(
     "q_s_cosine_topk" -> sTopK,
     "q_s_ann_lsh" -> sAnn,
-    "q_s_ann_ivf" -> sIvf)
+    "q_s_ann_ivf" -> sIvf,
+    "q_s_ann_ivf_seeded" -> sIvfSeeded)
 }

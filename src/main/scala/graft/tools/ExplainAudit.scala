@@ -76,6 +76,10 @@ object ExplainAudit {
     audit("q_t_quality",
       "text tokenized once: a single split() in the physical plan" ->
         (p => "split\\(".r.findAllIn(p).size <= 1))
+    audit("q_j3_positional",
+      "distributed global index: no single-partition exchange" ->
+        (p => !p.contains("Exchange SinglePartition") &&
+          p.contains("rangepartitioning")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

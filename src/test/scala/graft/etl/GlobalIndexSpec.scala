@@ -1,0 +1,28 @@
+package graft.etl
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class GlobalIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("global index is 1..n, contiguous, and follows the total order") {
+    // enough rows to span several range partitions, inserted out of order
+    val df = (0 until 5000).map(i => (i * 7919 % 5000).toLong).toDF("k")
+    val out = GlobalIndex.withGlobalIndex(df, Seq(col("k")), numPartitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 5000)
+    val byIndex = out.sortBy(_._2)
+    assert(byIndex.map(_._2).toSeq === (1L to 5000L)) // contiguous, no gaps
+    assert(byIndex.map(_._1).toSeq === byIndex.map(_._1).sorted.toSeq) // order-aligned
+    spark.catalog.clearCache()
+  }
+
+  test("global index matches a single-partition row_number exactly") {
+    val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("k")
+    val dist = GlobalIndex.withGlobalIndex(df, Seq(col("k")), numPartitions = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === Map(10L -> 1L, 20L -> 2L, 30L -> 3L, 40L -> 4L, 50L -> 5L))
+    spark.catalog.clearCache()
+  }
+}
