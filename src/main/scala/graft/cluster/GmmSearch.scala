@@ -8,37 +8,69 @@ import org.apache.spark.sql.functions._
 /** Gaussian-mixture segmentation (SURVEY.md M9). The reference fits a
   * Dirichlet-process BayesianGaussianMixture (clustering.py:906-984); MLlib's
   * GaussianMixture is plain EM without the Dirichlet prior — documented
-  * approximation (SURVEY §7.4): same labels-from-argmax-posterior surface,
-  * BIC/AIC computed from the summary log-likelihood, and the reference's
-  * "reject clusters under 1% of rows" guard (clustering.py:944).
+  * approximation (SURVEY §7.4) — but the reference's SELECTION semantics are
+  * mirrored exactly:
+  *
+  *  - free-parameter count uses EFFECTIVE components (distinct predicted
+  *    labels), not requested k (get_n_parameters, clustering.py:923-937);
+  *  - a degenerate fit (NaN/∞ log-likelihood — sklearn's ValueError) is
+  *    retried once on covariance-regularized input (the reg_covar=1e-5
+  *    retry, clustering.py:911-917): a tiny hash-derived jitter that keeps
+  *    per-component covariances nonsingular, deterministically;
+  *  - fits whose smallest cluster holds <1% of rows are rejected
+  *    (clustering.py:944-945);
+  *  - the winner maximizes the rank SUM over silhouette / Davies-Bouldin /
+  *    Calinski-Harabasz / BIC / AIC with BIC rank weighted 1.3
+  *    (rank_cluster_metrics, metrics.py:128-147), not BIC alone.
   */
 object GmmSearch {
 
   final case class GmmFit(k: Int, seed: Long, logLik: Double, bic: Double,
-      aic: Double, minShare: Double, accepted: Boolean, labeled: DataFrame)
+      aic: Double, minShare: Double, accepted: Boolean, labeled: DataFrame,
+      effectiveK: Int = 0, retried: Boolean = false)
+
+  private def fitModel(df: DataFrame, featuresCol: String, k: Int, seed: Long) =
+    new GaussianMixture().setK(k).setSeed(seed)
+      .setFeaturesCol(featuresCol).setPredictionCol("cluster").fit(df)
 
   def fitOne(df: DataFrame, featuresCol: String, k: Int, seed: Long,
       minClusterShare: Double = 0.01): GmmFit = {
-    val model = new GaussianMixture().setK(k).setSeed(seed)
-      .setFeaturesCol(featuresCol).setPredictionCol("cluster").fit(df)
-    val labeled = model.transform(df)
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    var retried = false
+    var model = fitModel(df, featuresCol, k, seed)
+    var fitted = df
+    if (model.summary.logLikelihood.isNaN || model.summary.logLikelihood.isInfinite) {
+      // reg_covar analog: deterministic 1e-5-scale jitter per coordinate
+      // keeps sample covariances nonsingular; hash-derived, so reproducible
+      retried = true
+      fitted = df.withColumn(featuresCol, array_to_vector(
+        zip_with(vector_to_array(col(featuresCol)),
+          transform(vector_to_array(col(featuresCol)),
+            x => pmod(hash(x, lit(seed)), lit(1000)).cast("double") / 1e8),
+          (x, j) => x + j)))
+      model = fitModel(fitted, featuresCol, k, seed)
+    }
+    val labeled = model.transform(fitted)
     val n = df.count()
     val shares = labeled.groupBy("cluster").count().collect()
       .map(_.getLong(1).toDouble / n)
     val minShare = if (shares.isEmpty) 0.0 else shares.min
     val d = df.select(featuresCol).head().getAs[Vector](0).size
-    // free params: k-1 weights + k*d means + k*d(d+1)/2 full covariances
-    val p = (k - 1) + k * d + k * d * (d + 1) / 2
+    // free params from EFFECTIVE components (clusters actually predicted):
+    // eff·d(d+1)/2 full covariances + eff·d means + eff−1 weights
+    val eff = shares.length
+    val p = (eff - 1) + eff * d + eff * d * (d + 1) / 2
     val ll = model.summary.logLikelihood
     GmmFit(k, seed, ll,
       bic = -2 * ll + p * math.log(n.toDouble),
       aic = -2 * ll + 2 * p,
       minShare = minShare,
       accepted = shares.length == k && minShare >= minClusterShare,
-      labeled = labeled)
+      labeled = labeled, effectiveK = eff, retried = retried)
   }
 
-  /** Grid over k × seeds; best accepted fit by BIC (ascending). */
+  /** Grid over k × seeds; winner by the reference's weighted rank sum
+    * (silhouette ↑, DB ↓, CH ↑, BIC ↓ ×1.3, AIC ↓) over accepted fits. */
   def search(df: DataFrame, featuresCol: String, ks: Range = 3 until 9,
       seeds: Seq[Long] = KMeansSearch.Seeds.take(3)): GmmFit = {
     val cached = df.cache()
@@ -46,10 +78,39 @@ object GmmSearch {
     // concurrent independent fits (graft.Par) — the reference's nested
     // joblib fan-out over n_classes × seeds (clustering.py:968-1001),
     // bounded instead of oversubscribed
-    val fits = graft.Par.grid(for (k <- ks; s <- seeds) yield (k, s)) {
-      case (k, s) => fitOne(cached, featuresCol, k, s)
-    }
+    val fits = try {
+      graft.Par.grid(for (k <- ks; s <- seeds) yield (k, s)) {
+        case (k, s) => fitOne(cached, featuresCol, k, s)
+      }
+    } finally () // cache released after metric scoring below
     val accepted = fits.filter(_.accepted)
-    (if (accepted.nonEmpty) accepted else fits).minBy(f => (f.bic, f.k, f.seed))
+    val pool = if (accepted.nonEmpty) accepted else fits
+    val sel =
+      if (pool.size == 1) pool.head
+      else {
+        val evaluator = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+          .setFeaturesCol(featuresCol).setPredictionCol("cluster")
+          .setMetricName("silhouette")
+        val withArr = (f: GmmFit) => f.labeled.withColumn("__arr",
+          org.apache.spark.ml.functions.vector_to_array(col(featuresCol)))
+        val scored = pool.map { f =>
+          import graft.metrics.ClusterQuality
+          (f, evaluator.evaluate(f.labeled),
+            ClusterQuality.daviesBouldin(withArr(f), "__arr", "cluster"),
+            ClusterQuality.calinskiHarabasz(withArr(f), "__arr", "cluster"))
+        }
+        import KMeansSearch.averageRank
+        val silR = averageRank(scored.map(_._2), ascending = true)
+        val dbR = averageRank(scored.map(_._3), ascending = false)
+        val chR = averageRank(scored.map(_._4), ascending = true)
+        val bicR = averageRank(pool.map(_.bic), ascending = false).map(_ * 1.3)
+        val aicR = averageRank(pool.map(_.aic), ascending = false)
+        val sums = pool.indices.map(i =>
+          silR(i) + dbR(i) + chR(i) + bicR(i) + aicR(i))
+        // reference: rank_sum idxmax, first on ties (pandas idxmax)
+        pool(pool.indices.maxBy(i => (sums(i), -i)))
+      }
+    cached.unpersist(blocking = false)
+    sel
   }
 }

@@ -65,6 +65,22 @@ object Streams {
       }
   }
 
+  /** Streaming twin of [[graft.dedup.DedupOps.exactDedup]]: keep the FIRST
+    * document per normalized content hash. A training-data ingest pipeline
+    * runs this at the stream edge so duplicates never reach storage. State
+    * is keyed by the 16-byte hash only and bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): duplicates arriving inside the
+    * horizon are dropped, older state evicts — at 100 TB/day the state is
+    * (docs-per-horizon × 16 B), not unbounded. */
+  def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__h", md5(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+        .cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

@@ -45,6 +45,31 @@ class StreamsSpec extends SparkSpecBase {
     assert(out.exists(u => u.sessionId == 1 && u.nEvents == 1 && !u.closed))
   }
 
+  test("streaming exact dedup drops same-content docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.streamingExactDedup(docs, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "Hello, World", ts(0)),
+      (2L, "hello world!", ts(1)),  // same normalized content as 1
+      (3L, "another doc", ts(2)))
+    q.processAllAvailable()
+    input.addData(
+      (4L, "HELLO world", ts(3)),   // still a duplicate, later batch
+      (5L, "fresh content", ts(4)))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(out.contains(3L) && out.contains(5L))
+    // exactly ONE of the three hello-world variants survived
+    assert(out.intersect(Set(1L, 2L, 4L)).size === 1)
+    assert(out.size === 3)
+  }
+
   test("AvailableNow ingestion drains files once and checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("ingest").toString
     val events = graft.Tables.events(spark, sf)
