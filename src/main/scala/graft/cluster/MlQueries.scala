@@ -144,18 +144,65 @@ object MlQueries {
         .orderBy("c_mktsegment", "cluster")
     })
 
-  /** M16: random-baseline silhouette ratio. */
-  private val m16 = Q(
-    (s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding")))
-        .withColumn("cluster", col("label").cast("int"))
-      val k = emb.select(countDistinct("cluster")).head().getLong(0).toInt
-      val m = ModelMetrics.randomBaseline(emb, "features", k)
-      Seq((m("silhouette"), m("random_silhouette"), m("silhouette_ratio")))
-        .toDF("silhouette", "random_silhouette", "ratio")
-    })
+  /** M16: random-baseline silhouette ratio (metrics.py:149-174), fully
+    * oracle-checked: the squared-Euclidean silhouette closed form
+    * ([[graft.metrics.ClusterQuality.silhouetteSquaredEuclid]]) is plain
+    * arithmetic on moment aggregates, and the three "random" labelings are
+    * SQL-replicable affine hashes (vec_id·7919 + run mod 10) — so real
+    * silhouette, mean random silhouette, and their |ratio| all replay in
+    * DuckDB. */
+  private val m16 = {
+    def silSql(tag: String, labelExpr: String): String =
+      s"""t_$tag AS (SELECT vec_id, $labelExpr AS label, CAST(r.range AS INT) AS i,
+                CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS x
+              FROM embeddings, range(64) r),
+          m_$tag AS (SELECT label, i, COUNT(*) AS nl, SUM(x) AS sx,
+                SUM(x*x) AS sxx FROM t_$tag GROUP BY 1, 2),
+          cs_$tag AS (SELECT label, MAX(nl) AS n, SUM(sxx) AS ss
+              FROM m_$tag GROUP BY 1),
+          dots_$tag AS (SELECT t.vec_id, t.label AS plabel, m.label AS clabel,
+                SUM(t.x * m.sx) AS dot
+              FROM t_$tag t JOIN m_$tag m ON t.i = m.i GROUP BY 1, 2, 3),
+          sq_$tag AS (SELECT vec_id, SUM(x*x) AS sqn FROM t_$tag GROUP BY 1),
+          d_$tag AS (SELECT dots.vec_id, plabel, clabel,
+                (sq.sqn * cs.n + cs.ss - 2 * dot) / cs.n AS dist, cs.n
+              FROM dots_$tag dots
+              JOIN sq_$tag sq ON sq.vec_id = dots.vec_id
+              JOIN cs_$tag cs ON cs.label = dots.clabel),
+          ab_$tag AS (SELECT vec_id,
+                MAX(CASE WHEN clabel = plabel THEN
+                    CASE WHEN n = 1 THEN NULL ELSE dist * n / (n - 1.0) END
+                  END) AS a,
+                MIN(CASE WHEN clabel <> plabel THEN dist END) AS b
+              FROM d_$tag GROUP BY 1),
+          sil_$tag AS (SELECT AVG(CASE WHEN a IS NULL THEN 0.0
+                ELSE (b - a) / GREATEST(a, b) END) AS s FROM ab_$tag)"""
+    Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.metrics.ClusterQuality.silhouetteSquaredEuclid
+        val emb = Tables.embeddings(s, d)
+        val real = silhouetteSquaredEuclid(emb, "embedding", "label")
+        val rands = (1 to 3).map { r =>
+          silhouetteSquaredEuclid(
+            emb.withColumn("rl", pmod(col("vec_id") * 7919 + r, lit(10))),
+            "embedding", "rl")
+        }
+        val rmean = rands.sum / 3
+        def rnd(x: Double) = BigDecimal.valueOf(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq((rnd(real), rnd(rmean), rnd(math.abs(real / rmean))))
+          .toDF("silhouette", "random_silhouette", "ratio")
+      },
+      Some(s"""WITH ${silSql("real", "label")},
+          ${silSql("r1", "CAST((vec_id * 7919 + 1) % 10 AS INT)")},
+          ${silSql("r2", "CAST((vec_id * 7919 + 2) % 10 AS INT)")},
+          ${silSql("r3", "CAST((vec_id * 7919 + 3) % 10 AS INT)")}
+          SELECT ROUND(sr.s, 6) AS silhouette,
+                 ROUND((s1.s + s2.s + s3.s) / 3, 6) AS random_silhouette,
+                 ROUND(ABS(sr.s / ((s1.s + s2.s + s3.s) / 3)), 6) AS ratio
+          FROM sil_real sr, sil_r1 s1, sil_r2 s2, sil_r3 s3"""))
+  }
 
   /** M18/M19: refit consistency (ARI of 90%-refit labels vs original). */
   private val m18 = Q(

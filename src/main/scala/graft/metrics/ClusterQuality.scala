@@ -128,6 +128,55 @@ object ClusterQuality {
     scores.agg(avg("s")).head().getDouble(0)
   }
 
+  /** Squared-Euclidean silhouette in ONE linear pass — the closed form
+    * MLlib's ClusteringEvaluator uses (and sklearn approximates only
+    * quadratically): with per-cluster stats N_c, Y_c = Σ x_j,
+    * Ψ_c = Σ ‖x_j‖², the mean squared distance from point x to cluster c is
+    * (N_c·‖x‖² + Ψ_c − 2·x·Y_c)/N_c; own-cluster a(i) removes self via the
+    * N/(N−1) factor; singletons score 0.
+    *
+    * Unlike the exact Euclidean [[silhouette]] (quadratic by definition),
+    * this is the 100 TB path: one moment aggregation + one map-only pass
+    * with the k cluster stats inlined as literals. Every step is plain
+    * arithmetic on exact aggregates, so the whole computation is
+    * SQL-replicable (q_m16's oracle replays it). */
+  def silhouetteSquaredEuclid(df: DataFrame, vecCol: String,
+      labelCol: String): Double = {
+    val ms = collectMoments(df, vecCol, labelCol)
+    val labels = ms.map(_.label).distinct.sorted
+    if (labels.size <= 1) return 0.0
+    val dims = ms.map(_.i).distinct.sorted
+    val byKey = ms.map(m => (m.label, m.i) -> m).toMap
+    val nC = labels.map(l => l -> byKey(l, dims.head).n).toMap
+    val fsC = labels.map(l => l -> dims.map(d => byKey(l, d).sx).toArray).toMap
+    val ssC = labels.map(l => l -> dims.map(d => byKey(l, d).sxx).sum).toMap
+
+    val v = df.select(col(labelCol).cast("string").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sqNorm = aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (a, x) => a + x)
+    val withSq = v.withColumn("__sq", sqNorm)
+    val withD = withSq.select(
+      col("label") +: labels.map { l =>
+        val dot = aggregate(zip_with(col("v"), lit(fsC(l)), (a, b) => a * b),
+          lit(0.0), (a, x) => a + x)
+        ((col("__sq") * nC(l) + ssC(l) - lit(2.0) * dot) / nC(l)).as(s"__d_$l")
+      }: _*)
+    val aCol = labels.foldLeft(lit(Double.NaN)) { (acc, l) =>
+      when(col("label") === l,
+        if (nC(l) == 1) lit(Double.NaN)
+        else col(s"__d_$l") * (nC(l).toDouble / (nC(l) - 1))).otherwise(acc)
+    }
+    val bCol = labels.map(l =>
+      when(col("label") === l, lit(Double.MaxValue)).otherwise(col(s"__d_$l")))
+      .reduce(least(_, _))
+    withD.withColumn("__a", aCol).withColumn("__b", bCol)
+      .select(when(isnan(col("__a")), lit(0.0))
+        .otherwise((col("__b") - col("__a")) /
+          greatest(col("__a"), col("__b"))).as("s"))
+      .agg(avg("s")).head().getDouble(0)
+  }
+
   /** Gower distance pairs (M35, low-priority per SURVEY §2.8): mixed-type
     * row dissimilarity = mean of per-feature terms — numerics |x−y|/range,
     * categoricals 0/1 mismatch. Ranges come from one aggregate; pairs from a

@@ -158,6 +158,18 @@ class ClusteringSpec extends SparkSpecBase {
     assert((byGroup("g1") ++ byGroup("g2")).size === 4)
   }
 
+  test("closed-form squared-euclid silhouette matches MLlib's evaluator") {
+    val emb = Tables_embeddings
+    val closed = graft.metrics.ClusterQuality.silhouetteSquaredEuclid(
+      emb, "embedding", "label")
+    val mllib = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+      .setFeaturesCol("features").setPredictionCol("label")
+      .setMetricName("silhouette")
+      .evaluate(emb.withColumn("label", col("label").cast("int")))
+    assert(math.abs(closed - mllib) < 1e-9,
+      s"closed=$closed mllib=$mllib")
+  }
+
   test("FeaturePipeline.pcaAtVariance picks minimal n reaching the threshold") {
     val df = Tables_embeddings
     val (_, n) = FeaturePipeline.pcaAtVariance(df, "features", "p", 0.5, maxK = 16)
