@@ -32,7 +32,11 @@ object Bench {
     // round-2 operators: event-time joins + sketch path
     "q_e_asof",
     "q_e_range_join",
-    "q_sk_heavy_hitters")
+    "q_sk_heavy_hitters",
+    // round-3 operators: LSH-banded embedding near-dup + the distributed
+    // global-index positional join (previously a single-partition window)
+    "q_d_embed_neardup",
+    "q_j3_positional")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -228,18 +228,80 @@ object MlQueries {
         .toDF("accuracy", "f1", "precision", "recall")
     })
 
-  /** M26: χ²-signal slicer over categorical orders projections. */
-  private val m26 = Q(
-    (s, d) => {
-      import s.implicits._
-      val o = Tables.orders(s, d).select(
-        col("o_orderpriority"), col("o_orderstatus"),
-        when(col("o_totalprice") > 100000, "big").otherwise("small").as("size_bucket"))
-      val (kept, retention) = ModelMetrics.chiSqSlicer(o,
-        Seq("o_orderpriority", "o_orderstatus", "size_bucket"), minVars = 2)
-      kept.map { case (v, mode) => (v, mode, math.rint(retention * 1e6) / 1e6) }
-        .toDF("variable", "mode", "final_retention").orderBy("variable")
-    })
+  /** M26: χ²-signal slicer over categorical orders projections. The oracle
+    * UNROLLS the greedy loop for this exact parameterization (3 variables,
+    * minVars = 2, startFloor 0.25, decay 0.01): two unconditional keep
+    * iterations, then a third gated on modeCount/total ≥ the twice-decayed
+    * floor — inlined as the exact DOUBLE the Scala subtraction produces
+    * (0.25−0.01−0.01 ≠ 0.23 in binary), so the gate agrees bit-for-bit. */
+  private val m26 = {
+    val floor3 = math.max(0.15, math.max(0.15, 0.25 - 0.01) - 0.01)
+    Q(
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select(
+          col("o_orderpriority"), col("o_orderstatus"),
+          when(col("o_totalprice") > 100000, "big").otherwise("small").as("size_bucket"))
+        val (kept, retention) = ModelMetrics.chiSqSlicer(o,
+          Seq("o_orderpriority", "o_orderstatus", "size_bucket"), minVars = 2)
+        kept.map { case (v, mode) => (v, mode, math.rint(retention * 1e6) / 1e6) }
+          .toDF("variable", "mode", "final_retention").orderBy("variable")
+      },
+      Some(s"""WITH base AS (SELECT o_orderpriority AS v1, o_orderstatus AS v2,
+                CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS v3
+              FROM orders),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+            t1 AS (SELECT 'o_orderpriority' AS var, v1 AS val, COUNT(*) AS n
+                     FROM base GROUP BY 2
+                   UNION ALL SELECT 'o_orderstatus', v2, COUNT(*) FROM base GROUP BY 2
+                   UNION ALL SELECT 'size_bucket', v3, COUNT(*) FROM base GROUP BY 2),
+            p1 AS (SELECT var, val, n FROM
+                     (SELECT var, val, n, row_number() OVER
+                        (PARTITION BY var ORDER BY n DESC, val) AS r FROM t1)
+                   WHERE r = 1 ORDER BY n DESC, var LIMIT 1),
+            b1 AS (SELECT base.* FROM base, p1 WHERE
+                     CASE p1.var WHEN 'o_orderpriority' THEN v1
+                                 WHEN 'o_orderstatus' THEN v2 ELSE v3 END = p1.val),
+            t2 AS (SELECT * FROM (
+                     SELECT 'o_orderpriority' AS var, v1 AS val, COUNT(*) AS n
+                       FROM b1 GROUP BY 2
+                     UNION ALL SELECT 'o_orderstatus', v2, COUNT(*) FROM b1 GROUP BY 2
+                     UNION ALL SELECT 'size_bucket', v3, COUNT(*) FROM b1 GROUP BY 2)
+                   WHERE var <> (SELECT var FROM p1)),
+            p2 AS (SELECT var, val, n FROM
+                     (SELECT var, val, n, row_number() OVER
+                        (PARTITION BY var ORDER BY n DESC, val) AS r FROM t2)
+                   WHERE r = 1 ORDER BY n DESC, var LIMIT 1),
+            b2 AS (SELECT b1.* FROM b1, p2 WHERE
+                     CASE p2.var WHEN 'o_orderpriority' THEN v1
+                                 WHEN 'o_orderstatus' THEN v2 ELSE v3 END = p2.val),
+            t3 AS (SELECT * FROM (
+                     SELECT 'o_orderpriority' AS var, v1 AS val, COUNT(*) AS n
+                       FROM b2 GROUP BY 2
+                     UNION ALL SELECT 'o_orderstatus', v2, COUNT(*) FROM b2 GROUP BY 2
+                     UNION ALL SELECT 'size_bucket', v3, COUNT(*) FROM b2 GROUP BY 2)
+                   WHERE var NOT IN (SELECT var FROM p1)
+                     AND var NOT IN (SELECT var FROM p2)),
+            p3 AS (SELECT var, val, n FROM
+                     (SELECT var, val, n, row_number() OVER
+                        (PARTITION BY var ORDER BY n DESC, val) AS r FROM t3)
+                   WHERE r = 1 ORDER BY n DESC, var LIMIT 1),
+            applied3 AS (SELECT (SELECT CAST(n AS DOUBLE) FROM p3) / (SELECT n FROM tot)
+                           >= $floor3 AS yes),
+            b3 AS (SELECT b2.* FROM b2, p3 WHERE
+                     CASE p3.var WHEN 'o_orderpriority' THEN v1
+                                 WHEN 'o_orderstatus' THEN v2 ELSE v3 END = p3.val),
+            ret AS (SELECT CASE WHEN (SELECT yes FROM applied3)
+                      THEN (SELECT COUNT(*) FROM b3)
+                      ELSE (SELECT COUNT(*) FROM b2) END / (SELECT n FROM tot) AS r),
+            picks AS (SELECT var, val FROM p1
+                      UNION ALL SELECT var, val FROM p2
+                      UNION ALL SELECT var, val FROM p3
+                        WHERE (SELECT yes FROM applied3))
+            SELECT var AS variable, val AS mode,
+                   round_even((SELECT r FROM ret), 6) AS final_retention
+            FROM picks ORDER BY variable"""))
+  }
 
   /** M31: social presence — share of docs mentioning a platform per lang. */
   private val m31 = Q(
