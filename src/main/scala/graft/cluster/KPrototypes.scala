@@ -39,8 +39,17 @@ object KPrototypes {
       .withColumn("__mind", array_min(col("__d")))
   }
 
+  /** `numInitOpt` seeds the numeric centroids explicitly and
+    * `roundCentroids` rounds each updated numeric mean to that many decimals
+    * (HALF_UP) — the seeded-deterministic-replay knobs that let a DuckDB
+    * oracle unroll the fit exactly ([[LloydOracleSql.kprototypes]]): seeded
+    * means are plain literals in both engines, and rounding absorbs the
+    * engines' float-summation-order difference in AVG. Defaults keep the
+    * original behavior (quantile-spread init, unrounded means). */
   def fit(df: DataFrame, numCols: Seq[String], catCols: Seq[String], k: Int,
-      maxIter: Int = 10, gammaOpt: Option[Double] = None)
+      maxIter: Int = 10, gammaOpt: Option[Double] = None,
+      numInitOpt: Option[Array[Array[Double]]] = None,
+      roundCentroids: Option[Int] = None)
       : (KProtoModel, DataFrame) = {
     val data = df.select(
       numCols.map(c => col(c).cast("double").as(c)) ++
@@ -64,6 +73,7 @@ object KPrototypes {
       else Array.fill(k)(Array.empty[String])
     val numInit: Array[Array[Double]] =
       if (numCols.isEmpty) Array.fill(k)(Array.empty[Double])
+      else if (numInitOpt.isDefined) numInitOpt.get
       else {
         val qs = (1 to k).map(i => i.toDouble / (k + 1))
         val quantiles = data.stat.approxQuantile(numCols.toArray, qs.toArray, 0.001)
@@ -84,7 +94,12 @@ object KPrototypes {
               numCols.map(c => avg(col(c)).as(c)).tail: _*)
             .collect().map(r => r.getInt(0) ->
               numCols.indices.map(i => r.getDouble(i + 1)).toArray).toMap
-          Array.tabulate(k)(c => rows.getOrElse(c, model.numCentroids(c)))
+          val raw = Array.tabulate(k)(c => rows.getOrElse(c, model.numCentroids(c)))
+          roundCentroids match {
+            case Some(s) => raw.map(_.map(x => java.math.BigDecimal.valueOf(x)
+              .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()))
+            case None => raw
+          }
         }
       // categorical modes per cluster — one tall aggregation
       val catNext: Array[Array[String]] =

@@ -30,13 +30,19 @@ object LatentClassEM {
       nParams: Int, n: Long,
       gauss: Map[(String, Int), (Double, Double)] = Map.empty)
 
-  private def initTheta(vars: Seq[(String, Seq[String])], k: Int, seed: Int)
-      : Map[(String, String, Int), Double] =
+  /** `initLow` sets the floor of the unnormalized level weights, i.e. the
+    * diversity of the random start: the default 1.0 keeps weights in [1, 2)
+    * (mild tilts — a stable, reproducible single fit), while poLCA's
+    * restarts draw unconstrained uniforms whose ratios are unbounded —
+    * [[selectK]] passes a small floor so its restart grid genuinely explores
+    * distinct EM basins instead of 100 near-identical starts. */
+  private def initTheta(vars: Seq[(String, Seq[String])], k: Int, seed: Int,
+      initLow: Double = 1.0): Map[(String, String, Int), Double] =
     vars.flatMap { case (v, levels) =>
       (0 until k).flatMap { c =>
         val raw = levels.map { l =>
           val h = scala.util.hashing.MurmurHash3.productHash((v, l, c, seed))
-          1.0 + (math.abs(h) % 1000) / 1000.0 // in [1, 2)
+          initLow + (math.abs(h) % 1000) / 1000.0 // in [initLow, initLow + 1)
         }
         val z = raw.sum
         levels.zip(raw).map { case (l, r) => (v, l, c) -> r / z }
@@ -62,7 +68,8 @@ object LatentClassEM {
     * joint through the same broadcast-parameter-table pattern. */
   def fitReleasable(df: DataFrame, cols: Seq[String], idCol: String, k: Int,
       maxIter: Int = 20, seed: Int = 42, smoothing: Double = 0.01,
-      numCols: Seq[String] = Nil): (LcaModel, DataFrame, () => Unit) = {
+      numCols: Seq[String] = Nil, initLow: Double = 1.0)
+      : (LcaModel, DataFrame, () => Unit) = {
     require(cols.nonEmpty || numCols.nonEmpty, "no model columns given")
     val spark = df.sparkSession
     import spark.implicits._
@@ -97,7 +104,7 @@ object LatentClassEM {
       }
     }
 
-    var theta = initTheta(levels, k, seed)
+    var theta = initTheta(levels, k, seed, initLow)
     var priors = Array.fill(k)(1.0 / k)
     var logLik = Double.NegativeInfinity
 
@@ -197,16 +204,38 @@ object LatentClassEM {
       () => respHandle.unpersist(blocking = false))
   }
 
-  /** k-selection by min BIC over a range (lca.R:41-52 semantics). The
-    * per-k EM runs are independent — concurrent Spark jobs (graft.Par),
-    * matching the R side's doParallel fork over k (lca.R:10-16). */
+  /** k-selection by min BIC over a range with poLCA's multi-restart
+    * (lca.R:41-52: `nrep` EM restarts per k, keep the max-loglik fit, THEN
+    * compare BICs across k — a single bad init would otherwise hand BIC
+    * selection a local optimum). The (k, restart) grid runs as concurrent
+    * Spark jobs (graft.Par), matching the R side's doParallel fork over k
+    * (lca.R:10-16). Restart r fits with seed `baseSeed + r`, so the grid is
+    * fully deterministic; ties on loglik keep the earliest restart, like
+    * R's which.max.
+    *
+    * The reference passes nrep=100 to poLCA; each restart here is a full
+    * distributed EM rather than an in-process R fit, so the default is a
+    * lighter grid — callers wanting strict reference parity pass
+    * `nrep = 100`. */
   def selectK(df: DataFrame, cols: Seq[String], idCol: String,
       ks: Range = 3 until 8, maxIter: Int = 20,
-      numCols: Seq[String] = Nil): (LcaModel, DataFrame) = {
-    val fits = graft.Par.grid(ks.toSeq)(k =>
-      fitReleasable(df, cols, idCol, k, maxIter, numCols = numCols))
-    val best = fits.minBy(_._1.bic)
-    fits.filter(_._1.k != best._1.k).foreach(_._3()) // drop losers' resp caches
+      numCols: Seq[String] = Nil, nrep: Int = 10, baseSeed: Int = 42)
+      : (LcaModel, DataFrame) = {
+    require(nrep >= 1, "nrep must be >= 1")
+    val grid = for { k <- ks.toSeq; r <- 0 until nrep } yield (k, r)
+    val fits = graft.Par.grid(grid) { case (k, r) =>
+      fitReleasable(df, cols, idCol, k, maxIter, seed = baseSeed + r,
+        numCols = numCols, initLow = 0.05)
+    }
+    // Par.grid keeps input order, so fits come back k-major: per-k slices
+    // of nrep restarts. Keep each k's max-loglik fit, release the rest.
+    val winners = fits.grouped(nrep).toSeq.map { fs =>
+      val w = fs.reduceLeft((a, b) => if (b._1.logLik > a._1.logLik) b else a)
+      fs.foreach(f => if (!(f eq w)) f._3()) // drop losing restarts' caches
+      w
+    }
+    val best = winners.minBy(_._1.bic)
+    winners.foreach(f => if (!(f eq best)) f._3()) // drop losing ks' caches
     (best._1, best._2)
   }
 
@@ -229,7 +258,7 @@ object LatentClassEM {
   def selectKGuarded(df: DataFrame, cols: Seq[String], idCol: String,
       ks: Range = 3 until 8, maxIter: Int = 20, numCols: Seq[String] = Nil,
       timeout: scala.concurrent.duration.Duration =
-        scala.concurrent.duration.Duration(3000, "s"))
+        scala.concurrent.duration.Duration(3000, "s"), nrep: Int = 10)
       : Option[(LcaModel, DataFrame)] = {
     import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     val sc = df.sparkSession.sparkContext
@@ -243,7 +272,7 @@ object LatentClassEM {
       // worker threads (created below this set) inherit them, so cancel
       // reaches every per-k fit
       sc.setJobGroup(group, "LCA k-selection", interruptOnCancel = true)
-      try selectK(df, keepCat, idCol, ks, maxIter, keepNum)
+      try selectK(df, keepCat, idCol, ks, maxIter, keepNum, nrep)
       finally sc.clearJobGroup()
     }
     try Some(Await.result(f, timeout))

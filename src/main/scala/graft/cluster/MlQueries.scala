@@ -62,7 +62,12 @@ object MlQueries {
         .orderBy("cluster")
     })
 
-  /** M5: KModes on categorical projections of customer. */
+  /** M5: KModes on categorical projections of customer, at the maxIter = 2
+    * parameterization whose full fit — Cao density init, two Lloyd
+    * iterations, convergence flag — unrolls into the DuckDB oracle
+    * ([[LloydOracleSql.kmodes]]; 5×5×2 = 50 distinct patterns, well under
+    * caoInit's 256-pattern cap, and every stage is exact integer/ratio
+    * arithmetic, so the replay is bit-exact). */
   private val m5 = Q(
     (s, d) => {
       val cats = Tables.customer(s, d).select(
@@ -71,25 +76,44 @@ object MlQueries {
         concat(lit("n"), pmod(col("c_nationkey"), lit(5))).as("nat_bucket"),
         when(col("c_acctbal") >= 0, "pos").otherwise("neg").as("bal_sign"))
       val (model, labeled) = KModes.fit(cats,
-        Seq("c_mktsegment", "nat_bucket", "bal_sign"), k = 4)
+        Seq("c_mktsegment", "nat_bucket", "bal_sign"), k = 4, maxIter = 2)
       labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
         .withColumn("cost", lit(model.cost))
         .withColumn("iterations", lit(model.iterations))
         .orderBy("cluster")
-    })
+    },
+    Some(LloydOracleSql.kmodes(
+      """SELECT c_mktsegment AS v1,
+                'n' || CAST(c_nationkey % 5 AS VARCHAR) AS v2,
+                CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS v3
+         FROM customer""", m = 3, k = 4)))
 
-  /** M6: KPrototypes on mixed orders columns. */
+  /** M6: KPrototypes on mixed orders columns — seeded-deterministic
+    * parameterization (maxIter = 2, explicit gamma, literal numeric seed
+    * means, 6-dp-rounded inputs and centroid means) so the whole fit
+    * replays in DuckDB ([[LloydOracleSql.kprototypes]]). */
   private val m6 = Q(
     (s, d) => {
       val o = Tables.orders(s, d)
       val scaled = FeaturePipeline.standardize(o, Seq("o_totalprice"), "zv")
-        .withColumn("z_price", vector_to_array(col("zv")).getItem(0)).drop("zv")
+        .withColumn("z_price", round(vector_to_array(col("zv")).getItem(0), 6))
+        .drop("zv")
       val (model, labeled) = KPrototypes.fit(scaled, Seq("z_price"),
-        Seq("o_orderpriority", "o_orderstatus"), k = 3)
+        Seq("o_orderpriority", "o_orderstatus"), k = 3, maxIter = 2,
+        gammaOpt = Some(0.5),
+        numInitOpt = Some(Array(Array(-0.6745), Array(0.0), Array(0.6745))),
+        roundCentroids = Some(6))
       labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
         .withColumn("iterations", lit(model.iterations))
         .orderBy("cluster")
-    })
+    },
+    Some(LloydOracleSql.kprototypes(
+      """SELECT o_orderkey AS id,
+                ROUND((o_totalprice - AVG(o_totalprice) OVER ())
+                      / STDDEV_SAMP(o_totalprice) OVER (), 6) AS z,
+                o_orderpriority AS v1, o_orderstatus AS v2
+         FROM orders""", m = 2, k = 3, gamma = "0.5",
+      numInit = Seq(-0.6745, 0.0, 0.6745))))
 
   /** M9: GaussianMixture (after PCA to 8 dims) with BIC/AIC + share guard. */
   private val m9 = Q(

@@ -31,20 +31,25 @@ object GlobalIndex {
 
   def withGlobalIndex(df: DataFrame, order: Seq[Column],
       indexCol: String = "rn", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, order: _*).cache()
     val withPid = ranged.withColumn("__pid", spark_partition_id())
     val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
-    val offExpr = counts.map(_._1).zip(offsets)
-      .foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-        when(col("__pid") === pid, lit(off)).otherwise(acc)
-      }
+    // offsets attach via a broadcast join on the partition id: the (pid,
+    // offset) frame is ≤ one row per partition, and a join keeps the plan
+    // O(1) in expression depth — a when-chain over 10k+ partitions (what a
+    // 100 TB sort implies) blows up codegen into a 10k-deep case expression.
+    val offDf = counts.map(_._1).zip(offsets).toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy("__pid").orderBy(order: _*)
     withPid
-      .withColumn(indexCol, row_number().over(w).cast("long") + offExpr)
-      .drop("__pid")
+      .join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn(indexCol,
+        row_number().over(w).cast("long") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__off")
   }
 }

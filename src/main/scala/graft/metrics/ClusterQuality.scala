@@ -107,10 +107,18 @@ object ClusterQuality {
     * join computes each distance with the codegen'd allocation-free
     * [[graft.functions.EuclideanDistance]] loop (the composed
     * zip_with/aggregate form allocates a zipped array per pair — measured
-    * 53 s vs 6 s on the sf0.1 pairwise scan). */
+    * 53 s vs 6 s on the sf0.1 pairwise scan).
+    *
+    * `maxExactRows` guards the quadratic path: above it the call routes to
+    * the linear [[silhouetteSquaredEuclid]] closed form (squared-Euclidean
+    * semantics — MLlib's ClusteringEvaluator definition) instead of
+    * materializing an n² pair join. The default keeps exact sklearn parity
+    * for survey-scale inputs and makes 100 TB calls structurally safe. */
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String): Double = {
+      labelCol: String, maxExactRows: Long = 100000L): Double = {
     import graft.functions.EuclideanDistance.euclideanDist
+    if (df.count() > maxExactRows)
+      return silhouetteSquaredEuclid(df, vecCol, labelCol)
     val v = df.select(col(idCol).as("id"),
       col(labelCol).cast("string").as("label"),
       col(vecCol).cast("array<double>").as("v"))

@@ -129,8 +129,9 @@ object ModelMetrics {
     * KMeans list id (the IVF trick — at 100 TB the quantizer trains on a
     * sample and the list id is the shuffle key); neighbor choice and u are
     * hash-derived from (id, replica, seed) — no RNG state, reproducible
-    * under any partitioning. The exact-count trim of the final replica runs
-    * a single-partition window over at most one replica of one class.
+    * under any partitioning. The exact-count trim of the final replica uses
+    * the distributed [[graft.etl.GlobalIndex]] (range repartition +
+    * broadcast offsets) — no single-partition exchange anywhere.
     *
     * `vecCol` must be array<double>; returns (idCol, labelCol, vecCol) for
     * original AND synthetic rows (synthetic ids are negative). */
@@ -175,10 +176,14 @@ object ModelMetrics {
         .withColumn("sv",
           zip_with(col("va"), col("vb"), (x, y) => x + col("u") * (y - x)))
       val lastNeed = need - (reps - 1).toLong * n
+      // exact-count trim of the final replica via the distributed global
+      // index (range repartition + broadcast offsets) — same row selection
+      // as a global row_number over ida, without its single-partition
+      // exchange (the last replica can be an entire minority class).
       val trimmed = chosen.filter(col("rep") < reps - 1).unionByName(
-        chosen.filter(col("rep") === reps - 1)
-          .withColumn("rn", row_number().over(Window.orderBy("ida")))
-          .filter(col("rn") <= lastNeed).drop("rn"))
+        graft.etl.GlobalIndex.withGlobalIndex(
+            chosen.filter(col("rep") === reps - 1), Seq(col("ida")), "__rn")
+          .filter(col("__rn") <= lastNeed).drop("__rn"))
       trimmed.select(
         (col("ida") * lit(-1000003L) - col("rep") - 1).as("id"),
         lit(cls).as("lbl"), col("sv").as("v"))

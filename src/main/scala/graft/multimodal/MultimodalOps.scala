@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed by a pluggable per-partition
   * decoder.
   *
-  * The Spark-side shape is the real deliverable here — schema, partition
-  * batching, decoder signature — while the actual media decode is STUBBED
-  * (this container has no image/audio libraries): [[StubDecoder]] produces
-  * deterministic fake features from the raw bytes. Swapping in a real
-  * decoder (JNI/ffmpeg/ImageIO) changes only the [[MediaDecoder]] instance,
-  * not the pipeline.
+  * The Spark-side shape is the deliverable — schema, partition batching,
+  * decoder signature — with two [[MediaDecoder]] instances behind it:
+  * [[ImageIoDecoder]], a REAL pure-JVM image decode (javax.imageio — PNG
+  * and friends, true pixel dims + channel moments), and [[StubDecoder]],
+  * a deterministic byte-statistics fake whose arithmetic is SQL-replicable
+  * and therefore carries the DuckDB oracle (media decoding itself has no
+  * cross-engine oracle). Audio/video codecs aren't in this container —
+  * swapping in ffmpeg/JNI changes only the decoder instance, not the
+  * pipeline.
   */
 object MultimodalOps {
 
@@ -57,6 +60,69 @@ object MultimodalOps {
         id -> MediaFeatures(n.toLong, "stub",
           width = (sum % 640).toInt, height = (sum % 480).toInt, feats)
       }
+  }
+
+  /** REAL pure-JVM image decoder over javax.imageio (PNG/GIF/BMP/JPEG —
+    * whatever ImageIO service providers the JRE ships). Per blob:
+    * container format name, true pixel dimensions, and an 8-dim feature
+    * vector of exact-integer channel moments (mean A/R/G/B, mean luma,
+    * luma second moment, width, height) — the same
+    * int-sum → double-divide → float-cast arithmetic shape as
+    * [[StubDecoder]], so features are deterministic and replicable.
+    * Undecodable blobs map to format "unknown" with -1 dims rather than
+    * failing the partition (a 100 TB scrape always contains garbage).
+    * ImageIO's reader registry is JVM-static, so per-partition amortization
+    * needs no extra state. */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decodePartition(blobs: Iterator[(Long, Array[Byte])])
+        : Iterator[(Long, MediaFeatures)] =
+      blobs.map { case (id, bytes) => id -> decodeOne(bytes) }
+
+    private def decodeOne(bytes: Array[Byte]): MediaFeatures = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          return MediaFeatures(bytes.length.toLong, "unknown", -1, -1,
+            Array.fill(8)(0f))
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sa, sr, sg, sb, sl, sll = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y) // ARGB, color-model-converted
+              val a = (p >>> 24) & 0xff
+              val r = (p >>> 16) & 0xff
+              val g = (p >>> 8) & 0xff
+              val b = p & 0xff
+              // integer-weighted luma (ITU-R 601 in 1/1000ths) keeps the
+              // sums exact, so the float features are order-independent
+              val l = 299L * r + 587L * g + 114L * b
+              sa += a; sr += r; sg += g; sb += b; sl += l; sll += l * l / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          def m(s: Long) = if (n == 0) 0f else (s.toDouble / n).toFloat
+          MediaFeatures(bytes.length.toLong, fmt, w, h,
+            Array(m(sa), m(sr), m(sg), m(sb), m(sl / 1000L), m(sll / 1000L),
+              w.toFloat, h.toFloat))
+        } finally reader.dispose()
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          MediaFeatures(bytes.length.toLong, "unknown", -1, -1,
+            Array.fill(8)(0f))
+      } finally iis.close()
+    }
   }
 
   val mediaSchema: StructType = StructType(Seq(

@@ -101,7 +101,7 @@ class ClusteringSpec extends SparkSpecBase {
     }
     val df = rows.toDF("id", "qa", "x")
     val (model, labeled) = LatentClassEM.selectK(df, Seq("qa"), "id",
-      ks = 2 until 5, maxIter = 12, numCols = Seq("x"))
+      ks = 2 until 5, maxIter = 12, numCols = Seq("x"), nrep = 2)
     assert(model.k === 3, s"BIC selected k=${model.k}, expected 3")
     assert(model.gauss.size === 3) // one (mu, sd) per class for 'x'
     // recovered class means should cover the three planted means
@@ -114,6 +114,35 @@ class ClusteringSpec extends SparkSpecBase {
           .orderBy(col("count").desc)))
       .filter(col("rn") === 1).agg(sum("count")).head().getLong(0)
     assert(purity >= 160, s"mixed LCA purity $purity/180")
+  }
+
+  test("poLCA-style multi-restart escapes a bad single-seed EM basin") {
+    // two conflicting partitions, each supported by a GROUP of 3 binary
+    // variables: rows 0-59 vs 60-119 on qa1-3 (90% adherence), even vs odd
+    // on qb1-3 (85%) — a six-variable surface with two genuine EM basins.
+    // Probed: seed 43 (initLow 0.05) lands in the qb basin (logLik ≈ -471.9),
+    // seed 44 in the qa basin (≈ -445.4) — a ~26-unit gap.
+    def flip(v: String, yes: Boolean, a: String, b: String) =
+      if (yes) (if (v == a) b else a) else v
+    val rows = (0 until 120).map { i =>
+      val qa = (1 to 3).map { j =>
+        flip(if (i < 60) "a0" else "a1", (i * 7 + j * 13) % 10 == 9, "a0", "a1")
+      }
+      val qb = (1 to 3).map { j =>
+        flip(if (i % 2 == 0) "b0" else "b1", (i * 11 + j * 17) % 7 == 6, "b0", "b1")
+      }
+      (i.toLong, qa(0), qa(1), qa(2), qb(0), qb(1), qb(2))
+    }
+    val df = rows.toDF("id", "qa1", "qa2", "qa3", "qb1", "qb2", "qb3")
+    val cols = Seq("qa1", "qa2", "qa3", "qb1", "qb2", "qb3")
+    val (single, _, rel) = LatentClassEM.fitReleasable(df, cols, "id", k = 2,
+      maxIter = 40, seed = 43, initLow = 0.05)
+    rel()
+    // restart grid covering seeds 43..45 must escape seed 43's basin
+    val (multi, _) = LatentClassEM.selectK(df, cols, "id", ks = 2 until 3,
+      maxIter = 40, nrep = 3, baseSeed = 43)
+    assert(multi.logLik > single.logLik + 10.0,
+      s"restarts must escape the bad basin: single=${single.logLik} multi=${multi.logLik}")
   }
 
   test("LCA guards: >100-col subsample rule and the timeout wrapper") {
@@ -168,6 +197,16 @@ class ClusteringSpec extends SparkSpecBase {
       .evaluate(emb.withColumn("label", col("label").cast("int")))
     assert(math.abs(closed - mllib) < 1e-9,
       s"closed=$closed mllib=$mllib")
+  }
+
+  test("exact silhouette routes to the linear closed form above maxExactRows") {
+    val emb = Tables_embeddings
+    val routed = graft.metrics.ClusterQuality.silhouette(
+      emb, "vec_id", "embedding", "label", maxExactRows = 5)
+    val linear = graft.metrics.ClusterQuality.silhouetteSquaredEuclid(
+      emb, "embedding", "label")
+    assert(routed === linear,
+      "guarded call must return the squared-Euclid closed form, not the pair join")
   }
 
   test("FeaturePipeline.pcaAtVariance picks minimal n reaching the threshold") {

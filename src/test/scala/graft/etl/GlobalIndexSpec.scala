@@ -18,6 +18,22 @@ class GlobalIndexSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("offsets attach via broadcast join and stay correct at 1000+ partitions") {
+    val df = (0 until 6000).map(i => (i * 104729 % 6000).toLong).toDF("k")
+    val out = GlobalIndex.withGlobalIndex(df, Seq(col("k")), numPartitions = 1200)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "offset attachment must be a broadcast join, not a when-chain")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "no single-partition exchange anywhere in the index plan")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 6000)
+    val byIndex = rows.sortBy(_._2)
+    assert(byIndex.map(_._2).toSeq === (1L to 6000L))
+    assert(byIndex.map(_._1).toSeq === byIndex.map(_._1).sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("global index matches a single-partition row_number exactly") {
     val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("k")
     val dist = GlobalIndex.withGlobalIndex(df, Seq(col("k")), numPartitions = 3)

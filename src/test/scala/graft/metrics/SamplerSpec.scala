@@ -48,6 +48,14 @@ class SamplerSpec extends SparkSpecBase {
     }
   }
 
+  test("smote plan has no single-partition exchange (trim is distributed)") {
+    val out = ModelMetrics.smote(blobs, "id", "cluster", "arr", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "final-replica trim must use the distributed global index")
+    spark.catalog.clearCache()
+  }
+
   test("smote is deterministic across invocations") {
     def run() = ModelMetrics.smote(blobs, "id", "cluster", "arr", k = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1),
