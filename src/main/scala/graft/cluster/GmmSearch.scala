@@ -1,24 +1,25 @@
 package graft.cluster
 
-import org.apache.spark.ml.clustering.GaussianMixture
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Gaussian-mixture segmentation (SURVEY.md M9). The reference fits a
-  * Dirichlet-process BayesianGaussianMixture (clustering.py:906-984); MLlib's
-  * GaussianMixture is plain EM without the Dirichlet prior — documented
-  * approximation (SURVEY §7.4) — but the reference's SELECTION semantics are
-  * mirrored exactly:
+  * Dirichlet-process BayesianGaussianMixture (clustering.py:906-984); since
+  * round 5 the fit IS the variational DP mixture ([[BayesianGmm]]: stick-
+  * breaking weight-concentration prior, Gaussian-Wishart posteriors), and
+  * the reference's surrounding semantics are mirrored exactly:
   *
   *  - free-parameter count uses EFFECTIVE components (distinct predicted
-  *    labels), not requested k (get_n_parameters, clustering.py:923-937);
-  *  - a degenerate fit (NaN/∞ log-likelihood — sklearn's ValueError) is
-  *    retried once on covariance-regularized input (the reg_covar=1e-5
-  *    retry, clustering.py:911-917): a tiny hash-derived jitter that keeps
-  *    per-component covariances nonsingular, deterministically;
-  *  - fits whose smallest cluster holds <1% of rows are rejected
-  *    (clustering.py:944-945);
+  *    labels), not requested k (get_n_parameters, clustering.py:923-937) —
+  *    under the DP prior an over-specified k shrinks, so eff < k is the
+  *    expected regime, not an edge case;
+  *  - a degenerate fit (singular covariance / NaN bound — sklearn's
+  *    ValueError) is retried once with reg_covar = 1e-5
+  *    (clustering.py:911-917), the reference's exact retry;
+  *  - fits whose smallest PREDICTED cluster holds <1% of rows are rejected
+  *    (clustering.py:944-945 — pandas value_counts only ranges over labels
+  *    that occur, so DP-pruned empty components do NOT reject a fit);
   *  - the winner maximizes the rank SUM over silhouette / Davies-Bouldin /
   *    Calinski-Harabasz / BIC / AIC with BIC rank weighted 1.3
   *    (rank_cluster_metrics, metrics.py:128-147), not BIC alone.
@@ -29,28 +30,18 @@ object GmmSearch {
       aic: Double, minShare: Double, accepted: Boolean, labeled: DataFrame,
       effectiveK: Int = 0, retried: Boolean = false)
 
-  private def fitModel(df: DataFrame, featuresCol: String, k: Int, seed: Long) =
-    new GaussianMixture().setK(k).setSeed(seed)
-      .setFeaturesCol(featuresCol).setPredictionCol("cluster").fit(df)
-
   def fitOne(df: DataFrame, featuresCol: String, k: Int, seed: Long,
       minClusterShare: Double = 0.01): GmmFit = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     var retried = false
-    var model = fitModel(df, featuresCol, k, seed)
-    var fitted = df
-    if (model.summary.logLikelihood.isNaN || model.summary.logLikelihood.isInfinite) {
-      // reg_covar analog: deterministic 1e-5-scale jitter per coordinate
-      // keeps sample covariances nonsingular; hash-derived, so reproducible
+    var res =
+      try Some(BayesianGmm.fit(df, featuresCol, k, seed))
+      catch { case _: IllegalArgumentException => None }
+    if (res.isEmpty || res.get._1.logLik.isNaN || res.get._1.logLik.isInfinite) {
+      // sklearn's except-ValueError path: one retry at reg_covar = 1e-5
       retried = true
-      fitted = df.withColumn(featuresCol, array_to_vector(
-        zip_with(vector_to_array(col(featuresCol)),
-          transform(vector_to_array(col(featuresCol)),
-            x => pmod(hash(x, lit(seed)), lit(1000)).cast("double") / 1e8),
-          (x, j) => x + j)))
-      model = fitModel(fitted, featuresCol, k, seed)
+      res = Some(BayesianGmm.fit(df, featuresCol, k, seed, regCovar = 1e-5))
     }
-    val labeled = model.transform(fitted)
+    val (model, labeled) = res.get
     val n = df.count()
     val shares = labeled.groupBy("cluster").count().collect()
       .map(_.getLong(1).toDouble / n)
@@ -60,12 +51,12 @@ object GmmSearch {
     // eff·d(d+1)/2 full covariances + eff·d means + eff−1 weights
     val eff = shares.length
     val p = (eff - 1) + eff * d + eff * d * (d + 1) / 2
-    val ll = model.summary.logLikelihood
+    val ll = model.logLik
     GmmFit(k, seed, ll,
       bic = -2 * ll + p * math.log(n.toDouble),
       aic = -2 * ll + 2 * p,
       minShare = minShare,
-      accepted = shares.length == k && minShare >= minClusterShare,
+      accepted = minShare >= minClusterShare,
       labeled = labeled, effectiveK = eff, retried = retried)
   }
 

@@ -222,17 +222,21 @@ object LatentClassEM {
       numCols: Seq[String] = Nil, nrep: Int = 10, baseSeed: Int = 42)
       : (LcaModel, DataFrame) = {
     require(nrep >= 1, "nrep must be >= 1")
-    val grid = for { k <- ks.toSeq; r <- 0 until nrep } yield (k, r)
-    val fits = graft.Par.grid(grid) { case (k, r) =>
-      fitReleasable(df, cols, idCol, k, maxIter, seed = baseSeed + r,
-        numCols = numCols, initLow = 0.05)
-    }
-    // Par.grid keeps input order, so fits come back k-major: per-k slices
-    // of nrep restarts. Keep each k's max-loglik fit, release the rest.
-    val winners = fits.grouped(nrep).toSeq.map { fs =>
-      val w = fs.reduceLeft((a, b) => if (b._1.logLik > a._1.logLik) b else a)
-      fs.foreach(f => if (!(f eq w)) f._3()) // drop losing restarts' caches
-      w
+    // One Par.grid task per k; restarts run sequentially INSIDE the task and
+    // each losing restart's responsibility cache is released the moment it
+    // loses — at most one live cache per k at any instant (was |ks|·nrep
+    // until the whole grid barrier completed). Restart order is preserved
+    // (seed = baseSeed + r ascending), so ties on loglik still keep the
+    // earliest restart, like R's which.max.
+    val winners = graft.Par.grid(ks.toSeq) { k =>
+      (0 until nrep).foldLeft(
+          null: (LcaModel, DataFrame, () => Unit)) { (best, r) =>
+        val f = fitReleasable(df, cols, idCol, k, maxIter, seed = baseSeed + r,
+          numCols = numCols, initLow = 0.05)
+        if (best == null) f
+        else if (f._1.logLik > best._1.logLik) { best._3(); f }
+        else { f._3(); best }
+      }
     }
     val best = winners.minBy(_._1.bic)
     winners.foreach(f => if (!(f eq best)) f._3()) // drop losing ks' caches
@@ -254,12 +258,19 @@ object LatentClassEM {
     * 3000 s timer). Runs [[selectK]] under a job group; on timeout the
     * group's Spark jobs are cancelled and None is returned — the caller's
     * "lca timed out" path. Column subsampling ([[subsampleCols]]) is
-    * applied first, as the reference does. */
+    * applied first, as the reference does.
+    *
+    * The default timeout scales with the restart count (300 s · nrep, i.e.
+    * the reference's 3000 s at the nrep = 10 default): each restart is a
+    * full distributed EM, so a caller raising nrep to poLCA's 100 would
+    * otherwise newly time out under the fixed budget. Pass `timeout`
+    * explicitly for the reference's flat 3000 s regardless of nrep. */
   def selectKGuarded(df: DataFrame, cols: Seq[String], idCol: String,
       ks: Range = 3 until 8, maxIter: Int = 20, numCols: Seq[String] = Nil,
-      timeout: scala.concurrent.duration.Duration =
-        scala.concurrent.duration.Duration(3000, "s"), nrep: Int = 10)
+      timeout: scala.concurrent.duration.Duration = null, nrep: Int = 10)
       : Option[(LcaModel, DataFrame)] = {
+    val budget = if (timeout != null) timeout
+      else scala.concurrent.duration.Duration(300L * nrep, "s")
     import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     val sc = df.sparkSession.sparkContext
     val group = s"lca-guard-${java.util.UUID.randomUUID()}"
@@ -275,7 +286,7 @@ object LatentClassEM {
       try selectK(df, keepCat, idCol, ks, maxIter, keepNum, nrep)
       finally sc.clearJobGroup()
     }
-    try Some(Await.result(f, timeout))
+    try Some(Await.result(f, budget))
     catch {
       case _: TimeoutException =>
         sc.cancelJobGroup(group)

@@ -205,4 +205,142 @@ object LloydOracleSql {
                CASE WHEN (SELECT ch FROM chg1) THEN 2 ELSE 1 END AS iterations
         FROM af GROUP BY 1 ORDER BY 1""")
   }
+
+  /** One seeded numeric-Lloyd grid cell (suffix `_k$k`): replays
+    * [[KMeansLloyd.fit]] at maxIter = 2 over `base(id, z)` where z is an
+    * EXACT NON-NEGATIVE integer (micro-units/cents as BIGINT). Unlike the
+    * kprototypes cell there is no float anywhere in the loop: distances are
+    * integer squares (≤ ~3.6e15 per term — inside BIGINT; DuckDB errors,
+    * not wraps, on overflow), sums promote to HUGEINT, and the mean update
+    * is the half-up integer division (2·Σz + n) // (2·n) — floor ≡ truncate
+    * for the non-negative inputs, matching Scala Long division bit-for-bit.
+    * Emits `agg_k$k(cid, n)`, `centf_k$k(cid, mu)`, `cost_k$k(c DOUBLE)`
+    * (exact HUGEINT total cast once to double, the same single rounding as
+    * Scala's BigInt.toDouble). */
+  private def kmeansCell(k: Int, init: Seq[Long], base: String = "base",
+      suffix: String = null): String = {
+    require(init.size == k)
+    val sfx = if (suffix != null) suffix else s"_k$k"
+    val cent0 = init.zipWithIndex.map { case (mu, i) =>
+      s"SELECT $i AS cid, CAST($mu AS BIGINT) AS mu"
+    }.mkString("\n                 UNION ALL ")
+    def iteration(t: Int, prev: String): String =
+      s"""d$t$sfx AS (SELECT b.id, b.z, c.cid,
+                     (b.z - c.mu) * (b.z - c.mu) AS dist
+                 FROM $base b CROSS JOIN $prev c),
+          a$t$sfx AS (SELECT * FROM (SELECT *, row_number() OVER
+                     (PARTITION BY id ORDER BY dist, cid) AS rn FROM d$t$sfx)
+                  WHERE rn = 1),
+          nmu$t$sfx AS (SELECT cid, (2 * SUM(z) + COUNT(*)) // (2 * COUNT(*)) AS mu
+                 FROM a$t$sfx GROUP BY 1),
+          cent$t$sfx AS (SELECT p.cid, CAST(COALESCE(n.mu, p.mu) AS BIGINT) AS mu
+                 FROM $prev p LEFT JOIN nmu$t$sfx n ON n.cid = p.cid),
+          chg$t$sfx AS (SELECT EXISTS (SELECT 1 FROM cent$t$sfx a JOIN $prev b
+                      ON a.cid = b.cid WHERE a.mu <> b.mu) AS ch)"""
+    s"""cent0$sfx AS ($cent0),
+          ${iteration(1, s"cent0$sfx")},
+          ${iteration(2, s"cent1$sfx")},
+          centf$sfx AS (SELECT * FROM cent2$sfx WHERE (SELECT ch FROM chg1$sfx)
+                    UNION ALL SELECT * FROM cent1$sfx WHERE NOT (SELECT ch FROM chg1$sfx)),
+          df$sfx AS (SELECT b.id, c.cid, (b.z - c.mu) * (b.z - c.mu) AS dist
+                 FROM $base b CROSS JOIN centf$sfx c),
+          af$sfx AS (SELECT * FROM (SELECT *, row_number() OVER
+                    (PARTITION BY id ORDER BY dist, cid) AS rn FROM df$sfx)
+                 WHERE rn = 1),
+          agg$sfx AS (SELECT cid, COUNT(*) AS n FROM af$sfx GROUP BY 1),
+          cost$sfx AS (SELECT CAST(SUM(dist) AS DOUBLE) AS c FROM af$sfx)"""
+  }
+
+  /** Replays `KMeansLloyd.gridSearch(df, zCol, inits, maxIter = 2)`: one
+    * Lloyd cell per k plus the elbow selection over the exact per-k costs —
+    * the perpendicular-distance argmax written in EXACTLY the association
+    * order of [[KMeansLloyd.elbowSqrt]] (parenthesized numerator, sqrt — not
+    * hypot — denominator), so both engines evaluate the identical IEEE
+    * expression on identical doubles; ties break to the lowest k on both
+    * sides. Output: (cluster, n, mu, chosen_k) of the elbow-chosen fit,
+    * ordered by cluster. */
+  def kmeansGrid(baseSql: String, inits: Seq[(Int, Seq[Long])]): String = {
+    require(inits.size >= 2)
+    val ks = inits.map(_._1)
+    require(ks == ks.sorted && ks.distinct == ks)
+    val cells = inits.map { case (k, init) => kmeansCell(k, init) }
+      .mkString(",\n          ")
+    val costs = ks.map(k => s"SELECT $k AS k, (SELECT c FROM cost_k$k) AS c")
+      .mkString("\n                 UNION ALL ")
+    val (x1, x2) = (ks.head, ks.last)
+    val outs = ks.map { k =>
+      s"""SELECT g.cid AS cluster, g.n, cf.mu, $k AS k
+             FROM agg_k$k g JOIN centf_k$k cf ON cf.cid = g.cid
+             WHERE $k = (SELECT k FROM elbow)"""
+    }.mkString("\n               UNION ALL ")
+    materialize(s"""WITH base AS ($baseSql),
+          $cells,
+          costs AS ($costs),
+          ends AS (SELECT (SELECT c FROM costs WHERE k = $x1) AS y1,
+                          (SELECT c FROM costs WHERE k = $x2) AS y2),
+          elbow AS (SELECT k FROM costs, ends
+                    ORDER BY ABS(((y2 - y1) * k - ($x2.0 - $x1.0) * c)
+                                 + ($x2.0 * y1 - y2 * $x1.0))
+                             / SQRT(($x2.0 - $x1.0) * ($x2.0 - $x1.0)
+                                    + (y2 - y1) * (y2 - y1)) DESC, k
+                    LIMIT 1)
+        SELECT CAST(o.cluster AS INT) AS cluster, CAST(o.n AS BIGINT) AS n,
+               CAST(o.mu AS BIGINT) AS mu,
+               CAST((SELECT k FROM elbow) AS INT) AS chosen_k
+        FROM ($outs) o ORDER BY cluster""")
+  }
+
+  /** Replays `Hierarchical.nestedSegment(df, grpCol, minRows, part =>
+    * KMeansLloyd.fit(part, zCol, init, 2).labeled)` over a STATIC group
+    * list: one seeded-Lloyd cell per group (same literal seed centers —
+    * the nested fits are independent, clustering.py:119-155), then the
+    * stitching arithmetic in plain SQL:
+    *
+    *  - groups sorted by their string value (Scala's sortBy(_._1) ≡
+    *    ORDER BY g — the values are ASCII, so UTF-16 and binary-UTF-8
+    *    orders agree);
+    *  - per-group k = MAX(local cluster) + 1 of the fit, 0 when the group
+    *    holds < minRows rows (it is then not fit at all);
+    *  - global label = local label + running offset (window cumulative sum
+    *    of preceding groups' k, Hierarchical.nestedSegment's loop);
+    *  - < minRows groups emit one (-99, count) row (IgnoredLabel);
+    *    empty groups emit nothing (they do not exist in the data).
+    *
+    * `baseSql` yields (id, g, z) with z the exact non-negative integer
+    * feature ([[kmeansCell]]'s contract); `groups` must be pre-sorted and
+    * cover every value `g` can take. Output: (grp, cluster, n) ordered. */
+  def hierarchicalKmeans(baseSql: String, groups: Seq[String],
+      init: Seq[Long], minRows: Long): String = {
+    require(groups == groups.sorted && groups.distinct == groups)
+    val idx = groups.indices
+    val cells = idx.map { i =>
+      s"""gbase$i AS (SELECT id, z FROM base WHERE g = '${groups(i)}'),
+          cnt$i AS (SELECT COUNT(*) AS c FROM gbase$i),
+          ${kmeansCell(init.size, init, base = s"gbase$i", suffix = s"_g$i")},
+          lab$i AS (SELECT '${groups(i)}' AS grp, cid AS cluster, COUNT(*) AS n
+                 FROM af_g$i GROUP BY 1, 2)"""
+    }.mkString(",\n          ")
+    val kk = idx.map { i =>
+      s"""SELECT '${groups(i)}' AS g,
+             CASE WHEN (SELECT c FROM cnt$i) >= $minRows
+                  THEN (SELECT MAX(cluster) + 1 FROM lab$i) ELSE 0 END AS k"""
+    }.mkString("\n                 UNION ALL ")
+    val outs = idx.map { i =>
+      s"""SELECT l.grp, l.cluster + o.o AS cluster, l.n
+             FROM lab$i l JOIN off o ON o.g = l.grp
+             WHERE (SELECT c FROM cnt$i) >= $minRows
+           UNION ALL
+           SELECT '${groups(i)}', -99, (SELECT c FROM cnt$i)
+             WHERE (SELECT c FROM cnt$i) > 0
+               AND (SELECT c FROM cnt$i) < $minRows"""
+    }.mkString("\n               UNION ALL ")
+    materialize(s"""WITH base AS ($baseSql),
+          $cells,
+          kk AS ($kk),
+          off AS (SELECT g, COALESCE(SUM(k) OVER (ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+                  FROM kk)
+        SELECT o.grp, CAST(o.cluster AS INT) AS cluster, CAST(o.n AS BIGINT) AS n
+        FROM ($outs) o ORDER BY grp, cluster""")
+  }
 }

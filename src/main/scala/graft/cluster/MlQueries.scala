@@ -39,28 +39,96 @@ object MlQueries {
                   / STDDEV_SAMP(c_acctbal) OVER (), 6) AS z_acctbal
             FROM customer ORDER BY c_custkey"""))
 
-  /** M3: PCA component choice at cumulative explained variance ≥ 0.5. */
+  /** M3: PCA component choice at cumulative explained variance ≥ 0.5, at
+    * the closed-form parameterization the oracle can replay: PCA of the
+    * 3×3 CORRELATION matrix of (l_quantity, l_extendedprice, l_discount),
+    * whose eigenvalues have an exact trigonometric solution evaluated
+    * identically by both engines ([[CorrelationPca]]). The distributed part
+    * is the one corr() aggregation pass (rounded 6 dp on both sides); the
+    * eigensolve and the cumsum-threshold count are deterministic scalar
+    * arithmetic. The general d-dim MLlib PCA ladder stays
+    * [[FeaturePipeline.pcaAtVariance]] (q_m9's 8-dim reduction + spec). */
   private val m3 = Q(
     (s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding")))
-      val (_, n) = FeaturePipeline.pcaAtVariance(emb, "features", "pca", 0.5)
-      Seq(Tuple1(n.toLong)).toDF("n_components")
-    })
+      val row = Tables.lineitem(s, d).agg(
+        corr("l_quantity", "l_extendedprice").as("c12"),
+        corr("l_quantity", "l_discount").as("c13"),
+        corr("l_extendedprice", "l_discount").as("c23")).head()
+      def r6(x: Double) = BigDecimal.valueOf(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val eigs = CorrelationPca.eigenvalues3(
+        r6(row.getDouble(0)), r6(row.getDouble(1)), r6(row.getDouble(2)))
+      val n = CorrelationPca.componentsAtVariance(eigs, 0.5)
+      val cums = Seq(eigs(0) / 3.0, (eigs(0) + eigs(1)) / 3.0,
+        ((eigs(0) + eigs(1)) + eigs(2)) / 3.0)
+      (1 to 3).map(i => (i, r6(eigs(i - 1)), r6(cums(i - 1)), n))
+        .toDF("component", "eigenvalue", "cum_ratio", "n_components")
+    },
+    Some("""WITH c AS (SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS c12,
+                   ROUND(corr(l_quantity, l_discount), 6) AS c13,
+                   ROUND(corr(l_extendedprice, l_discount), 6) AS c23
+                 FROM lineitem),
+            p AS (SELECT c12, c13, c23,
+                   SQRT(2.0 * (c12 * c12 + c13 * c13 + c23 * c23) / 6.0) AS p
+                  FROM c),
+            e AS (SELECT CASE WHEN p = 0 THEN 1.0 ELSE
+                    1.0 + 2.0 * p * COS(ACOS(LEAST(1.0, GREATEST(-1.0,
+                      (c12 / p) * (c13 / p) * (c23 / p)))) / 3.0) END AS e1,
+                   CASE WHEN p = 0 THEN 1.0 ELSE
+                    1.0 + 2.0 * p * COS(ACOS(LEAST(1.0, GREATEST(-1.0,
+                      (c12 / p) * (c13 / p) * (c23 / p)))) / 3.0
+                      + 2.0943951023931953) END AS e3
+                  FROM p),
+            ee AS (SELECT e1, 3.0 - e1 - e3 AS e2, e3 FROM e),
+            nc AS (SELECT CASE WHEN e1 / 3.0 >= 0.5 THEN 1
+                               WHEN (e1 + e2) / 3.0 >= 0.5 THEN 2
+                               ELSE 3 END AS n FROM ee)
+            SELECT u.component, ROUND(u.eigenvalue, 6) AS eigenvalue,
+                   ROUND(u.cum_ratio, 6) AS cum_ratio,
+                   CAST((SELECT n FROM nc) AS INT) AS n_components
+            FROM (SELECT 1 AS component, e1 AS eigenvalue, e1 / 3.0 AS cum_ratio FROM ee
+                  UNION ALL
+                  SELECT 2, e2, (e1 + e2) / 3.0 FROM ee
+                  UNION ALL
+                  SELECT 3, e3, ((e1 + e2) + e3) / 3.0 FROM ee) u
+            ORDER BY component"""))
 
-  /** M4+M7+M8+M13: KMeans grid search with elbow + rank-sum + balance;
-    * emits the chosen (k, seed) and per-cluster sizes. */
+  /** M4+M7: KMeans k-grid with elbow selection, at the exact-integer
+    * seeded-Lloyd parameterization whose ENTIRE grid — four maxIter = 2
+    * fits on order totals in cents plus the perpendicular-distance elbow —
+    * replays bit-for-bit in DuckDB ([[LloydOracleSql.kmeansGrid]]): no
+    * float exists anywhere in the fits (integer distances, HUGEINT/decimal
+    * cost sums, half-up integer-division mean updates), and the one
+    * double-valued stage (the elbow argmax) evaluates the identical IEEE
+    * expression on identical inputs in both engines. The general MLlib
+    * seed/k grid with silhouette rank-sum + balance filter (M8, M13) stays
+    * [[KMeansSearch]], spec-pinned in ClusteringSpec and exercised by
+    * q_m12/q_m18. */
+  private val m4Inits: Seq[(Int, Seq[Long])] = Seq(
+    2 -> Seq(5000000L, 30000000L),
+    3 -> Seq(3000000L, 15000000L, 40000000L),
+    4 -> Seq(2000000L, 10000000L, 25000000L, 45000000L),
+    5 -> Seq(2000000L, 8000000L, 18000000L, 32000000L, 48000000L))
+
   private val m4 = Q(
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding")))
-      val sel = KMeansSearch.search(emb, "features", ks = 2 until 6,
-        seeds = KMeansSearch.Seeds.take(2))
-      sel.labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
-        .withColumn("chosen_k", lit(sel.k)).withColumn("seed", lit(sel.seed))
+      import s.implicits._
+      val cents = Tables.orders(s, d).select(col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val (chosenK, fits) = KMeansLloyd.gridSearch(cents, "cents", m4Inits)
+      val best = fits.toMap.apply(chosenK)
+      val centDf = best.centers.zipWithIndex
+        .map { case (mu, c) => (c, mu) }.toDF("cluster", "mu")
+      best.labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .join(broadcast(centDf), "cluster")
+        .withColumn("chosen_k", lit(chosenK))
         .orderBy("cluster")
-    })
+    },
+    Some(LloydOracleSql.kmeansGrid(
+      """SELECT o_orderkey AS id,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS z FROM orders""",
+      m4Inits)))
 
   /** M5: KModes on categorical projections of customer, at the maxIter = 2
     * parameterization whose full fit — Cao density init, two Lloyd
@@ -153,20 +221,39 @@ object MlQueries {
             CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS cluster
             FROM orders ORDER BY o_orderkey"""))
 
-  /** M12: hierarchical segmentation — KMeans(k=2) nested inside mktsegment;
-    * labels globally offset, small groups → -99. */
+  /** M12: hierarchical segmentation — seeded Lloyd (k = 2) nested inside a
+    * parent grouping; labels globally offset, small groups → -99. The
+    * parent column plants a deterministic rare group (custkey % 1000 == 0,
+    * lowercase so it sorts after the uppercase segments) so the < minRows
+    * → IgnoredLabel branch is exercised and oracle-checked, and the inner
+    * fit is the exact-integer [[KMeansLloyd]] on account balance in cents
+    * (shifted +100000 to stay non-negative — a translation, so the
+    * clustering is unchanged), which lets the WHOLE operator — per-group
+    * fits, k extraction, offset stitching, the -99 rule — replay in DuckDB
+    * ([[LloydOracleSql.hierarchicalKmeans]]). The MLlib-fit variant stays
+    * spec-pinned in ClusteringSpec (globally-unique-labels test). */
+  private val m12Groups = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY", "rare")
+
   private val m12 = Q(
     (s, d) => {
-      val cust = Tables.customer(s, d)
-        .withColumn("features", array_to_vector(array(col("c_acctbal"))))
-      Hierarchical.nestedSegment(cust, "c_mktsegment", minRows = 50,
-        part => {
-          val (_, labeled, _) = KMeansSearch.fitOne(part, "features", 2, 42L)
-          labeled
-        })
-        .groupBy("c_mktsegment", "cluster").agg(count(lit(1)).as("n"))
-        .orderBy("c_mktsegment", "cluster")
-    })
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        when(pmod(col("c_custkey"), lit(1000)) === 0, "rare")
+          .otherwise(col("c_mktsegment")).as("grp"),
+        (round(col("c_acctbal") * 100).cast("long") + 100000L).as("z"))
+      Hierarchical.nestedSegment(cust, "grp", minRows = 50,
+        part => KMeansLloyd.fit(part, "z", Seq(300000L, 800000L),
+          maxIter = 2).labeled)
+        .groupBy("grp", "cluster").agg(count(lit(1)).as("n"))
+        .orderBy("grp", "cluster")
+    },
+    Some(LloydOracleSql.hierarchicalKmeans(
+      """SELECT c_custkey AS id,
+                CASE WHEN c_custkey % 1000 = 0 THEN 'rare' ELSE c_mktsegment END AS g,
+                CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS z
+         FROM customer""",
+      m12Groups, init = Seq(300000L, 800000L), minRows = 50)))
 
   /** M16: random-baseline silhouette ratio (metrics.py:149-174), fully
     * oracle-checked: the squared-Euclidean silhouette closed form

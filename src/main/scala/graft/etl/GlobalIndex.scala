@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object GlobalIndex {
 
-  def withGlobalIndex(df: DataFrame, order: Seq[Column],
-      indexCol: String = "rn", numPartitions: Int = 0): DataFrame = {
+  /** [[withGlobalIndex]] plus an explicit release handle for the internal
+    * range-partitioned cache (the fitReleasable pattern): callers invoke the
+    * handle once the indexed output is materialized. Releasing BEFORE
+    * materialization is unsafe — a re-evaluation would resample the range
+    * boundaries and shift the index. */
+  def withGlobalIndexReleasable(df: DataFrame, order: Seq[Column],
+      indexCol: String = "rn", numPartitions: Int = 0)
+      : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
@@ -46,10 +52,15 @@ object GlobalIndex {
     // 100 TB sort implies) blows up codegen into a 10k-deep case expression.
     val offDf = counts.map(_._1).zip(offsets).toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy("__pid").orderBy(order: _*)
-    withPid
+    val indexed = withPid
       .join(broadcast(offDf), Seq("__pid"), "left")
       .withColumn(indexCol,
         row_number().over(w).cast("long") + coalesce(col("__off"), lit(0L)))
       .drop("__pid", "__off")
+    (indexed, () => { ranged.unpersist(blocking = false); () })
   }
+
+  def withGlobalIndex(df: DataFrame, order: Seq[Column],
+      indexCol: String = "rn", numPartitions: Int = 0): DataFrame =
+    withGlobalIndexReleasable(df, order, indexCol, numPartitions)._1
 }

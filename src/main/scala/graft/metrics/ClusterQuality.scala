@@ -113,11 +113,19 @@ object ClusterQuality {
     * the linear [[silhouetteSquaredEuclid]] closed form (squared-Euclidean
     * semantics — MLlib's ClusteringEvaluator definition) instead of
     * materializing an n² pair join. The default keeps exact sklearn parity
-    * for survey-scale inputs and makes 100 TB calls structurally safe. */
+    * for survey-scale inputs and makes 100 TB calls structurally safe.
+    * Because the fallback is a DIFFERENT metric definition, callers whose
+    * consumers pin the exact Euclidean semantics (the m13 oracle) pass
+    * `maxExactRows = Long.MaxValue`: the sentinel skips the guard's count()
+    * pass entirely and always takes the exact path. Callers in fit loops
+    * that already know the cardinality pass `rowCount` to skip the count()
+    * action too. */
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, maxExactRows: Long = 100000L): Double = {
+      labelCol: String, maxExactRows: Long = 100000L,
+      rowCount: Option[Long] = None): Double = {
     import graft.functions.EuclideanDistance.euclideanDist
-    if (df.count() > maxExactRows)
+    if (maxExactRows != Long.MaxValue &&
+        rowCount.getOrElse(df.count()) > maxExactRows)
       return silhouetteSquaredEuclid(df, vecCol, labelCol)
     val v = df.select(col(idCol).as("id"),
       col(labelCol).cast("string").as("label"),

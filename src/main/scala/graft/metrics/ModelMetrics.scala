@@ -179,11 +179,17 @@ object ModelMetrics {
       // exact-count trim of the final replica via the distributed global
       // index (range repartition + broadcast offsets) — same row selection
       // as a global row_number over ida, without its single-partition
-      // exchange (the last replica can be an entire minority class).
-      val trimmed = chosen.filter(col("rep") < reps - 1).unionByName(
-        graft.etl.GlobalIndex.withGlobalIndex(
-            chosen.filter(col("rep") === reps - 1), Seq(col("ida")), "__rn")
-          .filter(col("__rn") <= lastNeed).drop("__rn"))
+      // exchange (the last replica can be an entire minority class). The
+      // trimmed slice (≤ lastNeed rows, bounded by the class size) is
+      // materialized eagerly so the index's internal range cache can be
+      // released immediately instead of leaking per class — releasing an
+      // unmaterialized index would resample the range boundaries.
+      val (indexed, release) = graft.etl.GlobalIndex.withGlobalIndexReleasable(
+        chosen.filter(col("rep") === reps - 1), Seq(col("ida")), "__rn")
+      val lastSlice = indexed.filter(col("__rn") <= lastNeed).drop("__rn")
+        .localCheckpoint(true)
+      release()
+      val trimmed = chosen.filter(col("rep") < reps - 1).unionByName(lastSlice)
       trimmed.select(
         (col("ida") * lit(-1000003L) - col("rep") - 1).as("id"),
         lit(cls).as("lbl"), col("sv").as("v"))

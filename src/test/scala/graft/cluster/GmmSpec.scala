@@ -4,9 +4,11 @@ import graft.SparkSpecBase
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
 
-/** BGMM-approximation semantics (reference clustering.py:906-984):
-  * effective-component parameter counting, the <1% cluster rejection, and
-  * weighted rank-sum selection. */
+/** Variational DP-BGMM semantics (reference clustering.py:906-984, sklearn
+  * BayesianGaussianMixture defaults): the Dirichlet-process
+  * weight-concentration prior's component shrinkage, effective-component
+  * parameter counting, the <1% cluster rejection, and weighted rank-sum
+  * selection. */
 class GmmSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -36,5 +38,34 @@ class GmmSpec extends SparkSpecBase {
       .filter($"rn" === 1).agg(sum("count")).head().getLong(0)
     assert(purity >= 110, s"GMM purity $purity/120")
     spark.catalog.clearCache()
+  }
+
+  test("DP prior shrinks an over-specified truncation level") {
+    // 3 well-separated planted blobs, truncation k = 8: the
+    // weight-concentration update must starve the 5 unsupported
+    // components — expected weights collapse and predicted labels use
+    // only ~3 components (sklearn's signature DP behavior, absent from
+    // the round-4 plain-EM approximation).
+    val rng = new scala.util.Random(7)
+    val blobs3 = (0 until 300).map { i =>
+      val seg = i % 3
+      (i.toLong, Array(
+        Seq(-12.0, 0.0, 12.0)(seg) + rng.nextGaussian() * 0.8,
+        Seq(5.0, -8.0, 9.0)(seg) + rng.nextGaussian() * 0.8))
+    }.toDF("id", "arr").withColumn("features", array_to_vector($"arr"))
+    val (model, labeled) = BayesianGmm.fit(blobs3, "features", k = 8, seed = 42L)
+    val used = labeled.select("cluster").distinct().count()
+    assert(used <= 4, s"DP shrinkage: expected <=4 used components, got $used")
+    // weight mass concentrates on the supported components
+    val top3 = model.weights.sorted.reverse.take(3).sum
+    assert(top3 > 0.9, s"top-3 weight mass $top3 should exceed 0.9")
+    // soft counts of pruned components are near zero
+    val pruned = model.nk.sorted.take(model.k - 3)
+    assert(pruned.forall(_ < 300 * 0.02),
+      s"pruned components keep soft mass: ${pruned.mkString(",")}")
+    // determinism: same seed, same labeling
+    val (_, labeled2) = BayesianGmm.fit(blobs3, "features", k = 8, seed = 42L)
+    assert(labeled.select("id", "cluster").except(
+      labeled2.select("id", "cluster")).count() === 0)
   }
 }
