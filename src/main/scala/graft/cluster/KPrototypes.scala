@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object KPrototypes {
 
+  /** `fragileRounding` is set when any rounded numeric mean landed within
+    * ~1 ulp of a half-way decimal boundary (|frac(x·10^s) − 0.5| < 1e-6):
+    * at that point Spark's HALF_UP-on-decimal-repr and DuckDB's
+    * round-on-binary-value can disagree, flip a centroid, and cascade into
+    * different assignments — callers relying on the SQL replay
+    * ([[LloydOracleSql.kprototypes]]) should treat such a fit as
+    * not-oracle-safe for that dataset rather than trust luck. */
   final case class KProtoModel(numCols: Seq[String], catCols: Seq[String],
       numCentroids: Array[Array[Double]], catCentroids: Array[Array[String]],
-      gamma: Double, cost: Double, iterations: Int)
+      gamma: Double, cost: Double, iterations: Int,
+      fragileRounding: Boolean = false)
 
   private def distTo(numCols: Seq[String], catCols: Seq[String],
       nc: Array[Double], cc: Array[String], gamma: Double): Column = {
@@ -83,6 +91,7 @@ object KPrototypes {
     var model = KProtoModel(numCols, catCols, numInit, catInit, gamma, 0.0, 0)
     var iter = 0
     var changed = true
+    var fragile = false
     while (iter < maxIter && changed) {
       val assigned = assign(data, model)
       // numeric means per cluster — one aggregation
@@ -96,8 +105,14 @@ object KPrototypes {
               numCols.indices.map(i => r.getDouble(i + 1)).toArray).toMap
           val raw = Array.tabulate(k)(c => rows.getOrElse(c, model.numCentroids(c)))
           roundCentroids match {
-            case Some(s) => raw.map(_.map(x => java.math.BigDecimal.valueOf(x)
-              .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()))
+            case Some(s) =>
+              val scale = math.pow(10, s)
+              raw.foreach(_.foreach { x =>
+                val f = x * scale - math.floor(x * scale)
+                if (math.abs(f - 0.5) < 1e-6) fragile = true
+              })
+              raw.map(_.map(x => java.math.BigDecimal.valueOf(x)
+                .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()))
             case None => raw
           }
         }
@@ -125,7 +140,7 @@ object KPrototypes {
     }
     val finalAssigned = assign(data, model)
     val cost = finalAssigned.agg(sum("__mind")).head().getDouble(0)
-    (model.copy(cost = cost, iterations = iter),
+    (model.copy(cost = cost, iterations = iter, fragileRounding = fragile),
       finalAssigned.drop("__d", "__mind"))
   }
 }

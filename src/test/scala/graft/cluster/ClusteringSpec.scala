@@ -217,6 +217,62 @@ class ClusteringSpec extends SparkSpecBase {
     assert(nAll >= n)
   }
 
+  test("q_m5 registry parameterization: maxIter=2 is not a truncation artifact") {
+    // the oracle rows certify the maxIter=2 fit (LloydOracleSql contract);
+    // continuing Lloyd to the maxIter=10 default must never worsen cost
+    // (monotone descent), and a fit that converged inside the oracle window
+    // must have the identical centroids — so the green row reflects the
+    // converged behavior, not an artificially frozen one.
+    val cats = graft.Tables.customer(spark, sf).select(
+      col("c_custkey"), col("c_mktsegment"),
+      concat(lit("n"), pmod(col("c_nationkey"), lit(5))).as("nat_bucket"),
+      when(col("c_acctbal") >= 0, "pos").otherwise("neg").as("bal_sign"))
+    val cols = Seq("c_mktsegment", "nat_bucket", "bal_sign")
+    val (m2, _) = KModes.fit(cats, cols, k = 4, maxIter = 2)
+    val (m10, _) = KModes.fit(cats, cols, k = 4, maxIter = 10)
+    assert(m10.cost <= m2.cost + 1e-9,
+      s"longer Lloyd worsened cost: ${m10.cost} vs ${m2.cost}")
+    if (m10.iterations <= 2)
+      assert(m10.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("q_m6 registry parameterization: maxIter=2 vs default, fragile-rounding guard") {
+    import org.apache.spark.ml.functions.vector_to_array
+    val o = graft.Tables.orders(spark, sf)
+    val scaled = FeaturePipeline.standardize(o, Seq("o_totalprice"), "zv")
+      .withColumn("z_price", round(vector_to_array(col("zv")).getItem(0), 6))
+      .drop("zv")
+    def fitAt(mi: Int) = KPrototypes.fit(scaled, Seq("z_price"),
+      Seq("o_orderpriority", "o_orderstatus"), k = 3, maxIter = mi,
+      gammaOpt = Some(0.5),
+      numInitOpt = Some(Array(Array(-0.6745), Array(0.0), Array(0.6745))),
+      roundCentroids = Some(6))
+    val (m2, _) = fitAt(2)
+    val (m10, _) = fitAt(10)
+    assert(m10.cost <= m2.cost + 1e-9)
+    if (m10.iterations <= 2)
+      assert(m10.numCentroids.map(_.toSeq).toSeq === m2.numCentroids.map(_.toSeq).toSeq)
+    // the registered bench fit must not sit on a rounding half-boundary —
+    // otherwise the DuckDB replay is luck, not determinism (ADVICE round 4)
+    assert(!m2.fragileRounding, "q_m6 oracle fit rounds on a half-boundary")
+  }
+
+  test("fragile-rounding detector flags a mean on a half-boundary") {
+    // two points averaging to exactly 1.5e-6: ROUND(x, 6) sits on the
+    // half-way boundary where the two engines may disagree
+    val df = Seq((1L, 1.0e-6), (2L, 2.0e-6)).toDF("id", "x")
+    val (m, _) = KPrototypes.fit(df, Seq("x"), Nil, k = 1, maxIter = 2,
+      gammaOpt = Some(1.0), numInitOpt = Some(Array(Array(0.0))),
+      roundCentroids = Some(6))
+    assert(m.fragileRounding)
+    // far from any boundary: not flagged
+    val df2 = Seq((1L, 0.1), (2L, 0.3)).toDF("id", "x")
+    val (m2, _) = KPrototypes.fit(df2, Seq("x"), Nil, k = 1, maxIter = 2,
+      gammaOpt = Some(1.0), numInitOpt = Some(Array(Array(0.0))),
+      roundCentroids = Some(6))
+    assert(!m2.fragileRounding)
+  }
+
   private lazy val Tables_embeddings =
     graft.Tables.embeddings(spark, sf)
       .withColumn("features", array_to_vector(col("embedding")))
