@@ -290,6 +290,51 @@ object LloydOracleSql {
         FROM ($outs) o ORDER BY cluster""")
   }
 
+  /** ARI of a contingency CTE `cont(a, b, nij)` as a scalar double —
+    * integer pair counts (HUGEINT-exact) cast once to double, the identical
+    * association order as ContingencyMath.adjustedRandIndex (whose double
+    * sums are exact integers below 2⁵³, so cross-engine equality is exact
+    * up to the single a2·b2 product rounding, performed identically). */
+  private def ariSql(cont: String): String =
+    s"""(SELECT CASE WHEN (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)) / 2.0
+                      = (CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)) / CAST(c2n AS DOUBLE)
+                 THEN 1.0
+                 ELSE (CAST(sij AS DOUBLE)
+                       - (CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)) / CAST(c2n AS DOUBLE))
+                      / ((CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)) / 2.0
+                       - (CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)) / CAST(c2n AS DOUBLE))
+                 END
+        FROM (SELECT
+          (SELECT SUM((nij * (nij - 1)) // 2) FROM $cont) AS sij,
+          (SELECT SUM((ai * (ai - 1)) // 2)
+             FROM (SELECT SUM(nij) AS ai FROM $cont GROUP BY a)) AS a2,
+          (SELECT SUM((bj * (bj - 1)) // 2)
+             FROM (SELECT SUM(nij) AS bj FROM $cont GROUP BY b)) AS b2,
+          (SELECT (SUM(nij) * (SUM(nij) - 1)) // 2 FROM $cont) AS c2n))"""
+
+  /** Replays `ModelMetrics.consistencyLloyd(df, idCol, zCol, init, 2)`:
+    * full-data seeded Lloyd vs a 90% (id % 10 ≠ 0) refit, both unrolled via
+    * [[kmeansCell]]; all rows relabeled against the refit centers; M18 =
+    * ARI over every row, M19 = ARI over the train rows. Output one row
+    * (model_consistency_ari, label_consistency_ari), both ROUND 6. */
+  def consistency(baseSql: String, init: Seq[Long]): String =
+    materialize(s"""WITH base AS ($baseSql),
+          ${kmeansCell(init.size, init, base = "base", suffix = "_f")},
+          train AS (SELECT id, z FROM base WHERE id % 10 <> 0),
+          ${kmeansCell(init.size, init, base = "train", suffix = "_t")},
+          dall AS (SELECT b.id, c.cid, (b.z - c.mu) * (b.z - c.mu) AS dist
+                 FROM base b CROSS JOIN centf_t c),
+          aall AS (SELECT * FROM (SELECT *, row_number() OVER
+                    (PARTITION BY id ORDER BY dist, cid) AS rn FROM dall)
+                 WHERE rn = 1),
+          pair AS (SELECT f.cid AS a, g.cid AS b, f.id
+                 FROM af_f f JOIN aall g ON g.id = f.id),
+          cont18 AS (SELECT a, b, COUNT(*) AS nij FROM pair GROUP BY 1, 2),
+          cont19 AS (SELECT a, b, COUNT(*) AS nij FROM pair
+                 WHERE id % 10 <> 0 GROUP BY 1, 2)
+        SELECT ROUND(${ariSql("cont18")}, 6) AS model_consistency_ari,
+               ROUND(${ariSql("cont19")}, 6) AS label_consistency_ari""")
+
   /** Replays `Hierarchical.nestedSegment(df, grpCol, minRows, part =>
     * KMeansLloyd.fit(part, zCol, init, 2).labeled)` over a STATIC group
     * list: one seeded-Lloyd cell per group (same literal seed centers —

@@ -315,18 +315,31 @@ object MlQueries {
           FROM sil_real sr, sil_r1 s1, sil_r2 s2, sil_r3 s3"""))
   }
 
-  /** M18/M19: refit consistency (ARI of 90%-refit labels vs original). */
+  /** M18/M19: refit consistency (ARI of 90%-refit labels vs original), at
+    * the exact-replay parameterization: seeded Lloyd on order cents, mod-10
+    * id split, exact-integer contingency → ARI closed form — the whole
+    * operator replays in DuckDB ([[LloydOracleSql.consistency]]). The MLlib
+    * KMeans + Murmur3-bucket variants (ModelMetrics.modelConsistency /
+    * labelConsistency) remain the general API, exercised by
+    * SegmentationPipeline and PipelineSpec. */
+  private val m18Init = Seq(3000000L, 15000000L, 40000000L)
+
   private val m18 = Q(
     (s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding")))
-      val (_, labeled, _) = KMeansSearch.fitOne(emb, "features", 4, 42L)
-      val m18 = ModelMetrics.modelConsistency(labeled, "vec_id", "features", 4, 42L)
-      val m19 = ModelMetrics.labelConsistency(labeled, "vec_id", "features", 4, 42L)
-      Seq((math.rint(m18 * 1e6) / 1e6, math.rint(m19 * 1e6) / 1e6))
+      val cents = Tables.orders(s, d).select(col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val (m18v, m19v) = ModelMetrics.consistencyLloyd(
+        cents, "id", "cents", m18Init)
+      def r6(x: Double) = BigDecimal.valueOf(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r6(m18v), r6(m19v)))
         .toDF("model_consistency_ari", "label_consistency_ari")
-    })
+    },
+    Some(LloydOracleSql.consistency(
+      """SELECT o_orderkey AS id,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS z FROM orders""",
+      m18Init)))
 
   /** M25: RF signal — predict the embedding label from the vector. */
   private val m25 = Q(

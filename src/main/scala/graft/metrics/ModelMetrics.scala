@@ -48,6 +48,36 @@ object ModelMetrics {
     ClusterQuality.adjustedRand(relabeled, "cluster", "cluster2")
   }
 
+  /** M18+M19 at the exact-replay parameterization ([[graft.cluster.KMeansLloyd]]
+    * on integer units, mod-10 id split instead of the Murmur3 hash bucket —
+    * SQL-expressible on both engines): full-data fit vs 90%-refit, ARI over
+    * all rows (M18) and over the train rows only (M19). Every count in the
+    * contingency is exact and the ARI closed form's intermediate sums are
+    * exact integers in double, so the DuckDB replay
+    * ([[graft.cluster.LloydOracleSql.consistency]]) is deterministic. The
+    * MLlib KMeans + hash-bucket variants above remain the general API. */
+  def consistencyLloyd(df: DataFrame, idCol: String, zCol: String,
+      init: Seq[Long], maxIter: Int = 2): (Double, Double) = {
+    import graft.cluster.KMeansLloyd
+    val base = df.select(col(idCol).cast("long").as("id"), col(zCol).as("z"))
+    val full = KMeansLloyd.fit(base, "z", init, maxIter)
+    val refit = KMeansLloyd.fit(base.filter(col("id") % 10 =!= 0), "z", init, maxIter)
+    val joined = full.labeled.select(col("id"), col("cluster").as("a"))
+      .join(KMeansLloyd.assign(base, "z", refit.centers)
+        .select(col("id"), col("cluster").as("b")), "id")
+    def ari(pairs: DataFrame): Double = {
+      val cont = pairs.groupBy("a", "b").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val as = cont.map(_._1).distinct.sorted
+      val bs = cont.map(_._2).distinct.sorted
+      val m = Array.ofDim[Long](as.length, bs.length)
+      cont.foreach { case (a, b, n) =>
+        m(as.indexOf(a))(bs.indexOf(b)) = n }
+      graft.stats.ContingencyMath.adjustedRandIndex(m)
+    }
+    (ari(joined), ari(joined.filter(col("id") % 10 =!= 0)))
+  }
+
   /** M19: label consistency — refit on a deterministic 90% split and score
     * ARI between refit labels and the ORIGINAL labels on the training rows
     * only (the reference's StratifiedShuffleSplit train-side comparison,
