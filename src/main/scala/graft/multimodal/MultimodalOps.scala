@@ -125,6 +125,107 @@ object MultimodalOps {
     }
   }
 
+  /** REAL pure-JVM AUDIO decoder for PCM WAV: manual RIFF chunk walk (no
+    * codec library needed for uncompressed PCM — the container format is a
+    * public spec): validates RIFF/WAVE, reads `fmt ` (must be audioFormat 1,
+    * 16-bit) and `data`, then computes exact-integer sample statistics. The
+    * media-schema mapping for audio: width := sample rate (Hz), height :=
+    * channels; features = [nSamples, durationMs, mean, rms, peakAbs,
+    * zeroCrossings, bits, channels] — all from exact integer sums with one
+    * double divide (and one correctly-rounded sqrt for rms) before the
+    * float32 cast, the same order-independent arithmetic contract as
+    * [[ImageIoDecoder]]. Non-RIFF / compressed / truncated blobs map to
+    * "unknown" rather than failing the partition. */
+  object WavDecoder extends MediaDecoder {
+    override def decodePartition(blobs: Iterator[(Long, Array[Byte])])
+        : Iterator[(Long, MediaFeatures)] =
+      blobs.map { case (id, bytes) => id -> decodeOne(bytes) }
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b.slice(o, o + 4), java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def unknown(n: Long) =
+      MediaFeatures(n, "unknown", -1, -1, Array.fill(8)(0f))
+
+    private def decodeOne(bytes: Array[Byte]): MediaFeatures = {
+      val nb = bytes.length.toLong
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+        return unknown(nb)
+      var off = 12
+      var rate = 0
+      var channels = 0
+      var bits = 0
+      var pcm = false
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val id = tag(bytes, off)
+        val size = le32(bytes, off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return unknown(nb)
+        if (id == "fmt " && size >= 16) {
+          pcm = le16(bytes, off + 8) == 1
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = size
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (!pcm || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0)
+        return unknown(nb)
+      val n = dataLen / 2
+      var sum = 0L
+      var sumSq = 0L
+      var peak = 0L
+      var zc = 0L
+      var prevNonNeg = true
+      var j = 0
+      while (j < n) {
+        val s = le16(bytes, dataOff + 2 * j).toShort.toLong
+        sum += s
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        val nonNeg = s >= 0
+        if (j > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        j += 1
+      }
+      def m(num: Long) = if (n == 0) 0f else (num.toDouble / n).toFloat
+      val frames = n / channels
+      MediaFeatures(nb, "wav", width = rate, height = channels,
+        Array(n.toFloat,
+          (frames * 1000.0 / rate).toFloat,
+          m(sum),
+          (if (n == 0) 0f else math.sqrt(sumSq.toDouble / n).toFloat),
+          peak.toFloat, zc.toFloat, bits.toFloat, channels.toFloat))
+    }
+  }
+
+  /** Serialize mono 16-bit PCM to a canonical 44-byte-header WAV blob —
+    * the ingest side of the audio path (and the deterministic generator the
+    * q_mm_wav oracle replays). */
+  def pcm16Wav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_bytes", LongType),
@@ -216,8 +317,64 @@ object MultimodalOps {
                         i -> ascii(substr(text, i, 1)))), 0) % 480 AS INTEGER) AS height
             FROM documents ORDER BY media_id"""))
 
+  /** REAL audio decode, fully hash-checked end-to-end: deterministic mono
+    * PCM WAV blobs are synthesized per doc (sample j = ((id·31 + j·17) mod
+    * 2001) − 1000, a public closed form), the [[WavDecoder]] parses the
+    * actual RIFF bytes back, and the oracle recomputes every decoded
+    * statistic from the same closed form — so a parser bug (wrong header
+    * offset, endianness, sign extension) breaks the hash match. Float32
+    * quantization points (`CAST AS REAL`) mirror the decoder's .toFloat
+    * casts exactly. */
+  private val mmWav = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val n = (160 + (id % 5) * 16).toInt
+        val samples = Array.tabulate(n)(j =>
+          (((id * 31 + j * 17) % 2001) - 1000).toShort)
+        Row(id, pcm16Wav(samples, 8000))
+      }
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      decodeFeatures(withBlob, "doc_id", "blob", WavDecoder)
+        .select(
+          col("media_id"), col("n_bytes"), col("format"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          element_at(col("features"), 1).cast("double").as("n_samples"),
+          element_at(col("features"), 2).cast("double").as("duration_ms"),
+          element_at(col("features"), 3).cast("double").as("mean_amp"),
+          element_at(col("features"), 4).cast("double").as("rms"),
+          element_at(col("features"), 5).cast("double").as("peak"),
+          element_at(col("features"), 6).cast("double").as("zero_crossings"))
+        .orderBy("media_id")
+    },
+    Some("""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   160 + (doc_id % 5) * 16 AS n FROM documents),
+            s AS (SELECT media_id, n,
+                   list_transform(range(n),
+                     j -> ((media_id * 31 + j * 17) % 2001) - 1000) AS smp
+                  FROM b)
+            SELECT media_id,
+                   CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+                   'wav' AS format,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(CAST(n AS REAL) AS DOUBLE) AS n_samples,
+                   CAST(CAST(n * 1000.0 / 8000 AS REAL) AS DOUBLE) AS duration_ms,
+                   CAST(CAST(CAST(list_sum(smp) AS DOUBLE) / n AS REAL) AS DOUBLE) AS mean_amp,
+                   CAST(CAST(SQRT(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n) AS REAL) AS DOUBLE) AS rms,
+                   CAST(CAST(list_max(list_transform(smp, x -> abs(x))) AS REAL) AS DOUBLE) AS peak,
+                   CAST(CAST(COALESCE(list_sum(list_transform(range(1, n), j ->
+                       CASE WHEN (((media_id * 31 + j * 17) % 2001) - 1000 >= 0)
+                            <> (((media_id * 31 + (j - 1) * 17) % 2001) - 1000 >= 0)
+                            THEN 1 ELSE 0 END)), 0) AS REAL) AS DOUBLE) AS zero_crossings
+            FROM s ORDER BY media_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_mm_binary_meta" -> mmBinary,
     "q_mm_stub_decode" -> mmDecode,
-    "q_mm_decode_dims" -> mmDecodeDims)
+    "q_mm_decode_dims" -> mmDecodeDims,
+    "q_mm_wav_decode" -> mmWav)
 }

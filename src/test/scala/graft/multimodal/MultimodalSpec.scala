@@ -49,4 +49,46 @@ class MultimodalSpec extends SparkSpecBase {
     assert(junk.getString(2) === "unknown")
     assert(junk.getInt(3) === -1 && junk.getInt(4) === -1)
   }
+
+  test("WavDecoder parses planted PCM WAV bytes back to exact statistics") {
+    // alternating ±1000 square wave: mean 0, rms 1000, a zero crossing at
+    // every step — every statistic is known in closed form
+    val samples = Array.tabulate(400)(j => (if (j % 2 == 0) 1000 else -1000).toShort)
+    val wav = MultimodalOps.pcm16Wav(samples, 16000)
+    val df = Seq(
+      (1L, wav),
+      (2L, "RIFFgarbage that is not a wave file at all....".getBytes("UTF-8")),
+      (3L, wav.take(30))) // truncated header
+      .toDF("media_id", "blob")
+    val rows = MultimodalOps.decodeFeatures(df, "media_id", "blob",
+        MultimodalOps.WavDecoder)
+      .orderBy("media_id").collect()
+
+    val ok = rows(0)
+    assert(ok.getString(2) === "wav")
+    assert(ok.getInt(3) === 16000 && ok.getInt(4) === 1) // rate, channels
+    assert(ok.getLong(1) === (44 + 800).toLong)
+    val f = ok.getAs[scala.collection.Seq[Float]](5)
+    assert(f(0) === 400f)                 // samples
+    assert(f(1) === 25f)                  // 400 frames @ 16 kHz = 25 ms
+    assert(f(2) === 0f)                   // mean of the square wave
+    assert(f(3) === 1000f)                // rms
+    assert(f(4) === 1000f && f(5) === 399f) // peak, zero crossings
+    assert(f(6) === 16f && f(7) === 1f)   // bits, channels
+
+    assert(rows(1).getString(2) === "unknown")
+    assert(rows(2).getString(2) === "unknown")
+  }
+
+  test("WavDecoder rejects non-PCM and non-16-bit variants, not the partition") {
+    // hand-flip the audioFormat field (offset 20) to 3 (IEEE float)
+    val wav = MultimodalOps.pcm16Wav(Array.tabulate(8)(_.toShort), 8000)
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    val eightBit = wav.clone(); eightBit(34) = 8 // bitsPerSample field
+    val df = Seq((1L, nonPcm), (2L, eightBit)).toDF("media_id", "blob")
+    val rows = MultimodalOps.decodeFeatures(df, "media_id", "blob",
+        MultimodalOps.WavDecoder)
+      .orderBy("media_id").collect()
+    assert(rows.forall(_.getString(2) == "unknown"))
+  }
 }
