@@ -380,15 +380,22 @@ object Relational {
   // -- W: windows / ranking / sort / top-k -------------------------------
 
   /** W1: pandas average-rank with ties (metrics.py:133-141 rank semantics):
-    * avg_rank = rank() + (tie_count - 1)/2. */
+    * avg_rank = rank() + (tie_count - 1)/2. Computed WITHOUT a global
+    * window (a bare `rank() OVER (ORDER BY …)` moves the whole table to one
+    * partition): the distributed [[GlobalIndex]] assigns row numbers over
+    * the total order (value, key), and avg(rn) within each tie group equals
+    * rank + (cnt − 1)/2 exactly — consecutive integers' mean, exact in
+    * double — so the oracle keeps the textbook window formulation while the
+    * engine side scales. */
   private val w1 = Q(
     (s, d) => {
-      val wOrd = Window.orderBy("s_acctbal")
-      val wTie = Window.partitionBy("s_acctbal")
-      Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_acctbal"))
+      val indexed = GlobalIndex.withGlobalIndex(
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal")),
+        Seq(col("s_acctbal"), col("s_suppkey")), "__rn")
+      indexed
         .withColumn("avg_rank",
-          rank().over(wOrd) + (count(lit(1)).over(wTie) - 1) / 2.0)
+          avg(col("__rn")).over(Window.partitionBy("s_acctbal")))
+        .drop("__rn")
         .orderBy("s_suppkey")
     },
     Some("""SELECT s_suppkey, s_acctbal,

@@ -80,6 +80,10 @@ object ExplainAudit {
       "distributed global index: no single-partition exchange" ->
         (p => !p.contains("Exchange SinglePartition") &&
           p.contains("rangepartitioning")))
+    audit("q_w1_avg_rank",
+      "global avg-rank via GlobalIndex: no single-partition exchange" ->
+        (p => !p.contains("Exchange SinglePartition") &&
+          p.contains("rangepartitioning")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
