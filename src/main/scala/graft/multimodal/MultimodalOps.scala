@@ -234,6 +234,102 @@ object MultimodalOps {
     StructField("height", IntegerType),
     StructField("features", ArrayType(FloatType))))
 
+  // -- video: frame container + stride sampling ---------------------------
+
+  /** Minimal length-prefixed frame container ("GFV1": magic + LE frame
+    * count + per-frame LE length + payload). Real video codecs aren't in
+    * this container image, but the VIDEO-SHAPED plumbing — container parse,
+    * stride frame sampling, per-frame decode through any [[MediaDecoder]],
+    * temporal feature aggregation — is the deliverable (the brief's
+    * "frame-sample" step), and the per-frame decode is real (ImageIO for
+    * PNG payloads). Swapping in an MP4 demuxer changes only [[videoFrames]]. */
+  def gfv1(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(4 + _.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GFV1".getBytes).putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Parse a GFV1 blob: (frameCount, frames) or None if malformed. */
+  def videoFrames(bytes: Array[Byte]): Option[(Int, Vector[Array[Byte]])] = {
+    if (bytes.length < 8 ||
+        new String(bytes.slice(0, 4), java.nio.charset.StandardCharsets.US_ASCII) != "GFV1")
+      return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(4)
+    val n = buf.getInt
+    if (n < 0) return None
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      if (buf.remaining() < 4) return None
+      val len = buf.getInt
+      if (len < 0 || buf.remaining() < len) return None
+      val f = new Array[Byte](len)
+      buf.get(f)
+      out += f
+      i += 1
+    }
+    Some((n, out.result()))
+  }
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("format", StringType),
+    StructField("n_frames", IntegerType),
+    StructField("n_sampled", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Stride frame sampling + per-frame decode + temporal mean pooling:
+    * sample every `stride`-th frame, decode each with `frameDecoder`, keep
+    * the first sampled frame's dims/format and the element-wise mean of the
+    * sampled frames' feature vectors (summed in frame order; for
+    * [[StubDecoder]] features the per-frame values are exact multiples of
+    * 2⁻⁶, so the sum — and therefore the q_mm_video oracle — is exact in
+    * any engine). Malformed containers or all-undecodable frames map to
+    * "unknown", never failing the partition. */
+  def decodeVideoFeatures(df: DataFrame, idCol: String, blobCol: String,
+      stride: Int = 2, frameDecoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(stride >= 1)
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          videoFrames(bytes) match {
+            case None =>
+              Row(id, bytes.length.toLong, "unknown", -1, -1, -1, -1,
+                Seq.fill(8)(0f))
+            case Some((nf, frames)) =>
+              val sampled = frames.zipWithIndex.filter(_._2 % stride == 0)
+              val decoded = frameDecoder.decodePartition(
+                sampled.iterator.map { case (f, i) => (i.toLong, f) }).toVector
+              if (decoded.isEmpty)
+                Row(id, bytes.length.toLong, "gfv1/empty", nf, 0, -1, -1,
+                  Seq.fill(8)(0f))
+              else {
+                val head = decoded.head._2
+                val acc = new Array[Double](8)
+                decoded.foreach { case (_, mf) =>
+                  var i = 0
+                  while (i < 8) { acc(i) += mf.features(i); i += 1 }
+                }
+                Row(id, bytes.length.toLong, s"gfv1/${head.format}", nf,
+                  decoded.size, head.width, head.height,
+                  acc.map(a => (a / decoded.size).toFloat).toSeq)
+              }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, videoSchema)
+  }
+
   /** Run a decoder over a (id, binary) frame. Partition-parallel; the blob
     * column never leaves the executor it was read on. */
   def decodeFeatures(df: DataFrame, idCol: String, blobCol: String,
@@ -372,9 +468,63 @@ object MultimodalOps {
                             THEN 1 ELSE 0 END)), 0) AS REAL) AS DOUBLE) AS zero_crossings
             FROM s ORDER BY media_id"""))
 
+  /** Video plumbing, fully hash-checked: deterministic GFV1 containers
+    * (3-5 closed-form 64-byte frames per doc) are built, stride-2 frame
+    * sampling + per-frame stub decode + temporal mean pooling run through
+    * the real mapPartitions path, and the oracle recomputes everything from
+    * the same closed form — container mis-parsing (wrong length prefix,
+    * wrong stride, off-by-one frame span) breaks the hash match. Per-frame
+    * stub features are exact multiples of 2⁻⁶, so the temporal mean is
+    * order-independent and engine-exact. */
+  private val mmVideo = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val nf = (3 + id % 3).toInt
+        val frames = (0 until nf).map(f => Array.tabulate(64)(j =>
+          (((id * 131 + f * 17 + j * 7) % 251) & 0xff).toByte))
+        Row(id, gfv1(frames))
+      }
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      decodeVideoFeatures(withBlob, "doc_id", "blob", stride = 2)
+        .select(
+          Seq(col("media_id"), col("n_bytes"), col("format"),
+            col("n_frames"), col("n_sampled"), col("width"), col("height")) ++
+          (0 until 8).map(i =>
+            element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
+        .orderBy("media_id")
+    },
+    Some {
+      def frameSum(f: String): String =
+        s"list_sum(list_transform(range(64), j -> (id * 131 + $f * 17 + j * 7) % 251))"
+      val feat = (0 until 8).map { i =>
+        s"""CAST(CAST(list_sum(list_transform(fs, f ->
+               CAST(CAST(list_sum(list_transform(range(8),
+                     t -> (id * 131 + f * 17 + (t * 8 + $i) * 7) % 251))
+                   AS DOUBLE) / 64 AS REAL))) / len(fs) AS REAL) AS DOUBLE) AS f$i"""
+      }.mkString(",\n                   ")
+      s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                   3 + (doc_id % 3) AS nf FROM documents),
+            sm AS (SELECT id, nf, list_filter(range(nf), f -> f % 2 = 0) AS fs
+                   FROM b)
+            SELECT id AS media_id,
+                   CAST(8 + nf * 68 AS BIGINT) AS n_bytes,
+                   'gfv1/stub' AS format,
+                   CAST(nf AS INTEGER) AS n_frames,
+                   CAST(len(fs) AS INTEGER) AS n_sampled,
+                   CAST(${frameSum("0")} % 640 AS INTEGER) AS width,
+                   CAST(${frameSum("0")} % 480 AS INTEGER) AS height,
+                   $feat
+            FROM sm ORDER BY media_id"""
+    })
+
   val queries: Map[String, Q] = Map(
     "q_mm_binary_meta" -> mmBinary,
     "q_mm_stub_decode" -> mmDecode,
     "q_mm_decode_dims" -> mmDecodeDims,
-    "q_mm_wav_decode" -> mmWav)
+    "q_mm_wav_decode" -> mmWav,
+    "q_mm_video_frames" -> mmVideo)
 }

@@ -80,6 +80,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(2).getString(2) === "unknown")
   }
 
+  test("video container: stride sampling + real per-frame PNG decode + pooling") {
+    // 5 PNG frames; stride 2 samples frames 0, 2, 4
+    val video = MultimodalOps.gfv1(Seq.fill(5)(pngBytes))
+    val df = Seq((1L, video), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("media_id", "blob")
+    val rows = MultimodalOps.decodeVideoFeatures(df, "media_id", "blob",
+        stride = 2, MultimodalOps.ImageIoDecoder)
+      .orderBy("media_id").collect()
+
+    val v = rows(0)
+    assert(v.getString(2) === "gfv1/png")
+    assert(v.getInt(3) === 5 && v.getInt(4) === 3) // frames, sampled
+    assert(v.getInt(5) === 3 && v.getInt(6) === 2) // first frame dims
+    assert(v.getLong(1) === (8 + 5 * (4 + pngBytes.length)).toLong)
+    // identical frames: pooled features equal one frame's features
+    val single = MultimodalOps.decodeFeatures(
+        Seq((1L, pngBytes)).toDF("media_id", "blob"), "media_id", "blob",
+        MultimodalOps.ImageIoDecoder)
+      .head().getAs[scala.collection.Seq[Float]](5)
+    val pooled = v.getAs[scala.collection.Seq[Float]](7)
+    assert(pooled === single)
+
+    assert(rows(1).getString(2) === "unknown")
+    assert(rows(1).getInt(3) === -1)
+  }
+
+  test("video container: truncated frame table degrades to unknown") {
+    val video = MultimodalOps.gfv1(Seq(pngBytes, pngBytes))
+    val truncated = video.take(video.length - 10)
+    val df = Seq((1L, truncated)).toDF("media_id", "blob")
+    val r = MultimodalOps.decodeVideoFeatures(df, "media_id", "blob",
+      stride = 1, MultimodalOps.ImageIoDecoder).head()
+    assert(r.getString(2) === "unknown")
+  }
+
   test("WavDecoder rejects non-PCM and non-16-bit variants, not the partition") {
     // hand-flip the audioFormat field (offset 20) to 3 (IEEE float)
     val wav = MultimodalOps.pcm16Wav(Array.tabulate(8)(_.toShort), 8000)
