@@ -344,6 +344,52 @@ object MultimodalOps {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Image resize (the brief's "resize" step): decode → Graphics2D
+    * bilinear scale to (w, h) → re-encode PNG, per partition. Pure JVM, no
+    * codec library. Output (media_id, blob, ok): undecodable inputs yield
+    * ok = false with an empty blob instead of failing the partition. The
+    * resized blob is a real PNG — [[ImageIoDecoder]] round-trips it, which
+    * is how the q_mm_resize oracle verifies the plumbing (re-decoded dims
+    * must equal the literal targets). */
+  def resizeImages(df: DataFrame, idCol: String, blobCol: String,
+      w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0)
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("ok", BooleanType)))
+    val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Row(id, Array.empty[Byte], false)
+            else {
+              val out = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Row(id, bos.toByteArray, true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Row(id, Array.empty[Byte], false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   // -- registered queries -------------------------------------------------
 
   /** Binary-column plumbing with an oracle on the SQL-expressible parts:
@@ -521,10 +567,43 @@ object MultimodalOps {
             FROM sm ORDER BY media_id"""
     })
 
+  /** Resize round-trip, oracle-checked on the decode-verifiable surface:
+    * per doc a deterministic 4×4 ARGB PNG is generated, resized to 8×6
+    * through the real partition pipeline, and the output is RE-DECODED with
+    * [[ImageIoDecoder]] — format and dims must come back as the literal
+    * targets (an encode/resize failure degrades to "unknown"/-1 and breaks
+    * the hash). Post-resize pixel values are interpolator-specific, so only
+    * the decode-verifiable surface is hashed. */
+  private val mmResize = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        for (y <- 0 until 4; x <- 0 until 4)
+          img.setRGB(x, y, 0xff000000 | (((id * 31 + y * 4 + x) % 0x1000000).toInt))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      val resized = resizeImages(withBlob, "doc_id", "blob", w = 8, h = 6)
+      decodeFeatures(resized, "media_id", "blob", ImageIoDecoder)
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format,
+                   CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height
+            FROM documents ORDER BY media_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_mm_binary_meta" -> mmBinary,
     "q_mm_stub_decode" -> mmDecode,
     "q_mm_decode_dims" -> mmDecodeDims,
     "q_mm_wav_decode" -> mmWav,
-    "q_mm_video_frames" -> mmVideo)
+    "q_mm_video_frames" -> mmVideo,
+    "q_mm_resize" -> mmResize)
 }

@@ -115,6 +115,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r.getString(2) === "unknown")
   }
 
+  test("resizeImages round-trips to the target dims; garbage degrades") {
+    val df = Seq((1L, pngBytes), (2L, "noise".getBytes("UTF-8")))
+      .toDF("media_id", "blob")
+    val resized = MultimodalOps.resizeImages(df, "media_id", "blob", w = 8, h = 6)
+      .orderBy("media_id").collect()
+    assert(resized(0).getBoolean(2))
+    assert(!resized(1).getBoolean(2) &&
+      resized(1).getAs[Array[Byte]](1).isEmpty)
+    val redecoded = MultimodalOps.decodeFeatures(
+      MultimodalOps.resizeImages(df.filter($"media_id" === 1L),
+        "media_id", "blob", 8, 6),
+      "media_id", "blob", MultimodalOps.ImageIoDecoder).head()
+    assert(redecoded.getString(2) === "png")
+    assert(redecoded.getInt(3) === 8 && redecoded.getInt(4) === 6)
+  }
+
   test("WavDecoder rejects non-PCM and non-16-bit variants, not the partition") {
     // hand-flip the audioFormat field (offset 20) to 3 (IEEE float)
     val wav = MultimodalOps.pcm16Wav(Array.tabulate(8)(_.toShort), 8000)
