@@ -17,6 +17,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     etl.Relational.queries ++ stats.StatsQueries.queries ++
       text.TextOps.queries ++ dedup.DedupOps.queries ++
+      dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries
 

@@ -308,7 +308,7 @@ object DedupOps {
     * sum is positive. Bit i lives in hex char 16−i/4 of the sha256 string,
     * at nibble position i%4; the signed BIGINT is rebuilt with an explicit
     * −2⁶³ term for bit 63. Validated bit-for-bit against the expression. */
-  private val simhashSigSql =
+  private[dedup] val simhashSigSql =
     """WITH toks AS (SELECT doc_id,
             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
           FROM documents),

@@ -1,0 +1,217 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution for training-data pipelines: the pair lists
+  * the [[DedupOps]] detectors emit are only candidates — a corpus dedup
+  * pass has to (1) close them into clusters (connected components), (2)
+  * pick ONE canonical document per cluster, and (3) optionally remove
+  * corpus-level duplicated text segments (the RefinedWeb/CCNet-style
+  * line-dedup step, arXiv:2306.01116 §3.3) from the survivors.
+  *
+  * Scale design: connected components run as iterative hash joins on the
+  * edge list — min-label propagation with POINTER JUMPING (label ← label of
+  * own label each round), so rounds grow with log(diameter), not diameter
+  * (the classic Shiloach-Vishkin / "hash-to-min" MapReduce CC bound). Every
+  * iteration is two shuffles on the node id: one to take the min over
+  * neighbour labels, one to chase the label's label. No step is ever
+  * quadratic in cluster size, and nothing about the loop assumes the graph
+  * fits on the driver — only the per-iteration change COUNT (one long) comes
+  * back, as the convergence test.
+  */
+object DupClusters {
+
+  /** Connected components of an undirected pair list (ida, idb) → one row
+    * per node appearing in any pair: (id, comp) with comp = the smallest
+    * node id reachable from `id`.
+    *
+    * Min-label propagation + pointer jumping; converges in O(log diameter)
+    * iterations, each two equi-join shuffles keyed on node id. `maxIter`
+    * is a safety bound — the loop exits on the first unchanged round. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("ida").cast("long").as("a"),
+      col("idb").cast("long").as("b"))
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    // localCheckpoint (not cache) each round: an iterative self-joining
+    // DataFrame otherwise DOUBLES its logical plan per iteration — caching
+    // short-circuits execution but the analyzer still walks the whole
+    // accumulated tree, which is the textbook driver OOM for DataFrame
+    // loops. Checkpointing truncates the lineage to the materialized RDD.
+    // On a real cluster this would be `checkpoint()` to reliable storage so
+    // executor loss cannot lose the only copy of the labels.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // label ← min(own label, neighbour labels)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("nbc")), "b")
+        .groupBy("a").agg(min("nbc").as("nc"))
+        .select(col("a").as("id"), col("nc"))
+      // checkpoint before the self-join so the jump reads the materialized
+      // propagation result instead of evaluating the join twice
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      // pointer jump: label ← label's own label (labels are node ids, so the
+      // lookup is a self-join; labels only decrease, so this contracts
+      // label chains geometrically)
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("jc")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("jc"), col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Cluster + canonicalize: every document gets its duplicate-cluster id
+    * and the cluster's canonical representative (longest text wins, ties to
+    * the smallest id — the "keep the best copy" policy). Documents in no
+    * pair are their own singleton cluster. Canonical selection is ONE
+    * aggregation — max over struct(len, −id) — not a window, so the only
+    * shuffles are the CC loop's and one groupBy on the (already small)
+    * component key. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        length(col(textCol)).cast("long").as("len"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+    val canon = base.groupBy("comp").agg(
+      max(struct(col("len"), (-col("id")).as("nid"))).as("m"),
+      count(lit(1)).as("cluster_size"))
+      .select(col("comp"), (-col("m.nid")).as("canonical_id"),
+        col("cluster_size"))
+    base.join(canon, "comp")
+      .select(col("id").as("doc_id"), col("canonical_id"), col("cluster_size"),
+        (col("id") === col("canonical_id")).cast("int").as("is_canonical"))
+  }
+
+  /** Corpus-level duplicated-segment removal (RefinedWeb §3.3 line dedup,
+    * adapted to unpunctuated text): split each document into non-overlapping
+    * `segWords`-token segments, drop every segment whose exact text occurs
+    * in ≥ `minDocs` DISTINCT documents, and reassemble the survivors in
+    * original order.
+    *
+    * Scale: the segment frame is one row per segment (linear in corpus
+    * tokens); duplicate detection is one groupBy on the segment text, the
+    * removal is a left-anti join on the same key, and reassembly is one
+    * groupBy on doc id with an in-memory per-doc sort (docs are bounded).
+    * Nothing is all-pairs; both shuffle keys (segment text, doc id) are the
+    * natural partition keys at 100 TB. */
+  def corpusSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 5, minDocs: Int = 2): DataFrame = {
+    val t = col("__toks")
+    val segs = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), posexplode(
+        when(size(t) > 0,
+          transform(
+            sequence(lit(0), ceil(size(t) / lit(segWords.toDouble)).cast("int") - 1),
+            i => concat_ws(" ", slice(t, i * segWords + 1, lit(segWords)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "seg")))
+      .cache() // feeds duplicate detection, the anti join, and the totals
+    val dup = segs.groupBy("seg")
+      .agg(countDistinct("id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("seg")
+    val kept = segs.join(dup, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("kept_segments"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg")), " ").as("clean_text"))
+    val totals = segs.groupBy("id").agg(count(lit(1)).as("total_segments"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        (col("total_segments") - coalesce(col("kept_segments"), lit(0L)))
+          .as("removed_segments"))
+  }
+
+  // -- registered queries -------------------------------------------------
+
+  /** Closure of the SimHash near-dup pairs (q_d_simhash_pairs' exact pair
+    * set) into canonical clusters. The oracle replays the signature + pair
+    * construction verbatim and closes it with a recursive CTE — transitive
+    * closure is the SQL-side specification of connected components. */
+  private val dClusters = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      canonicalize(docs, DedupOps.simhashPairs(docs, "doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id")
+    },
+    Some(DedupOps.simhashSigSql.replaceFirst("WITH toks", "WITH RECURSIVE toks") + """,
+        p AS (SELECT a.id AS ida, b.id AS idb
+          FROM sig a JOIN sig b ON a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+            AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+              OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+              OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+              OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)),
+        e AS (SELECT ida AS a, idb AS b FROM p
+              UNION SELECT idb AS a, ida AS b FROM p),
+        reach AS (SELECT a, b FROM e
+                  UNION
+                  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+                  WHERE e2.b <> r.a),
+        comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+        allc AS (SELECT d.doc_id AS id, COALESCE(c.comp, d.doc_id) AS comp,
+                        CAST(length(d.text) AS BIGINT) AS len
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        canon AS (SELECT comp, id AS canonical_id, cnt AS cluster_size FROM (
+            SELECT comp, id,
+                   row_number() OVER (PARTITION BY comp ORDER BY len DESC, id) AS rn,
+                   COUNT(*) OVER (PARTITION BY comp) AS cnt
+            FROM allc) WHERE rn = 1)
+        SELECT a.id AS doc_id, c.canonical_id, c.cluster_size,
+               CAST(a.id = c.canonical_id AS INT) AS is_canonical
+        FROM allc a JOIN canon c ON a.comp = c.comp
+        ORDER BY doc_id"""))
+
+  private val dLineDedup = Q(
+    (s, d) => corpusSegmentDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            seg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                array_to_string(t[CAST(i*5+1 AS INT):CAST(i*5+5 AS INT)], ' ') AS seg
+              FROM toks, LATERAL (SELECT unnest(range(0,
+                CAST(ceil(len(t)/5.0) AS BIGINT))) AS i) ii),
+            dup AS (SELECT seg FROM seg GROUP BY seg
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            kept AS (SELECT * FROM seg
+                     WHERE seg NOT IN (SELECT seg FROM dup)),
+            r AS (SELECT doc_id, COUNT(*) AS kept_segments,
+                         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+                  FROM kept GROUP BY 1),
+            tot AS (SELECT doc_id, COUNT(*) AS total_segments FROM seg GROUP BY 1)
+            SELECT t.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   COALESCE(r.kept_segments, 0) AS kept_segments,
+                   t.total_segments - COALESCE(r.kept_segments, 0) AS removed_segments
+            FROM tot t LEFT JOIN r ON t.doc_id = r.doc_id
+            ORDER BY t.doc_id"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_d_dup_clusters" -> dClusters,
+    "q_d_line_dedup" -> dLineDedup)
+}

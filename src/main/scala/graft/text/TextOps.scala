@@ -87,6 +87,58 @@ object TextOps {
     md5(concat_ws(" ",
       array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
 
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1): the fraction of characters covered by the
+    * most frequent word 2-gram, and by ALL word 3-grams that occur more
+    * than once. High values flag boilerplate / TEMPLATE text that quality
+    * filters should drop before training.
+    *
+    * Coverage is counted per OCCURRENCE (count × gram length over the
+    * space-normalized character total) — overlapping occurrences are not
+    * merged, which upper-bounds Gopher's merged-span definition and keeps
+    * the statistic a pure two-level aggregation.
+    *
+    * Scale: explode overlapping n-grams (linear in corpus tokens), count by
+    * (doc, gram) — the shuffle key — then reduce per doc; the per-doc
+    * argmax is a window partitioned by doc id. Nothing is cross-document. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("__toks")
+    def grams(n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"),
+        length(concat_ws(" ", t)).cast("long").as("char_total"),
+        grams(2).as("g2"), grams(3).as("g3"))
+      .cache() // feeds both n-gram branches
+    val c2 = base.select(col("id"), col("char_total"), explode(col("g2")).as("g"))
+      .groupBy("id", "char_total", "g").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cnt").desc, col("g"))
+    val top2 = c2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("g").as("top_bigram"),
+        round(col("cnt") * length(col("g")) /
+          greatest(col("char_total"), lit(1L)).cast("double"), 6)
+          .as("top_bigram_ratio"))
+    val dup3 = base.select(col("id"), col("char_total"), explode(col("g3")).as("g"))
+      .groupBy("id", "char_total", "g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy("id", "char_total")
+      .agg(sum(col("cnt") * length(col("g"))).as("dup_chars"))
+      .select(col("id"),
+        round(col("dup_chars") /
+          greatest(col("char_total"), lit(1L)).cast("double"), 6)
+          .as("dup_trigram_ratio"))
+    base.select("id").join(top2, Seq("id"), "left").join(dup3, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"),
+        coalesce(col("dup_trigram_ratio"), lit(0.0)).as("dup_trigram_ratio"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val tTokens = Q(
@@ -153,9 +205,51 @@ object TextOps {
               list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fp
             FROM documents ORDER BY doc_id"""))
 
+  private val tRepetition = Q(
+    (s, d) => repetitionFeatures(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+            base AS (SELECT doc_id,
+                CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS char_total,
+                toks FROM t),
+            g2 AS (SELECT doc_id, char_total,
+                unnest(list_transform(range(GREATEST(len(toks) - 1, 0)),
+                  i -> toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2])) AS g
+              FROM base),
+            c2 AS (SELECT doc_id, char_total, g, COUNT(*) AS cnt
+              FROM g2 GROUP BY 1,2,3),
+            top2 AS (SELECT doc_id, g AS top_bigram,
+                ROUND(cnt * length(g) / CAST(GREATEST(char_total, 1) AS DOUBLE), 6)
+                  AS top_bigram_ratio
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM c2)
+              WHERE rn = 1),
+            g3 AS (SELECT doc_id, char_total,
+                unnest(list_transform(range(GREATEST(len(toks) - 2, 0)),
+                  i -> toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]
+                       || ' ' || toks[CAST(i AS INT)+3])) AS g
+              FROM base),
+            c3 AS (SELECT doc_id, char_total, g, COUNT(*) AS cnt
+              FROM g3 GROUP BY 1,2,3),
+            dup3 AS (SELECT doc_id,
+                ROUND(SUM(cnt * length(g)) / CAST(GREATEST(char_total, 1) AS DOUBLE), 6)
+                  AS dup_trigram_ratio
+              FROM c3 WHERE cnt >= 2 GROUP BY doc_id, char_total)
+            SELECT b.doc_id,
+                   COALESCE(top_bigram, '') AS top_bigram,
+                   COALESCE(top_bigram_ratio, 0.0) AS top_bigram_ratio,
+                   COALESCE(dup_trigram_ratio, 0.0) AS dup_trigram_ratio
+            FROM base b
+            LEFT JOIN top2 ON b.doc_id = top2.doc_id
+            LEFT JOIN dup3 ON b.doc_id = dup3.doc_id
+            ORDER BY b.doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_token_count" -> tTokens,
     "q_t_quality" -> tQuality,
     "q_t_langid" -> tLangId,
-    "q_t_fingerprint" -> tFingerprint)
+    "q_t_fingerprint" -> tFingerprint,
+    "q_t_repetition" -> tRepetition)
 }

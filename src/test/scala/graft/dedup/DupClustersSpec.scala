@@ -1,0 +1,62 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DupClustersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("connected components: chain, triangle, and singletons resolve to min id") {
+    // chain 1-2-3-4 (diameter 3, exercises pointer jumping), triangle 10-11-12,
+    // isolated pair 20-21; node 30 appears in no pair and must NOT appear here
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("ida", "idb")
+    val comp = DupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path converges within the iteration bound") {
+    // a 64-node path has diameter 63; pointer jumping must close it well
+    // inside maxIter=25 (log-diameter rounds), where plain propagation
+    // would need 63
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val comp = DupClusters.connectedComponents(pairs).collect()
+    assert(comp.length == 64 && comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("canonicalize: longest text wins its cluster, ties to smallest id") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "x y z"),
+      (4L, "p q r s t"), (5L, "lonely")).toDF("doc_id", "text")
+    // cluster {1,2,3} (canon 1: longest), {4} and {5} singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb")
+    val out = DupClusters.canonicalize(docs, pairs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 1L, 3L, 0),
+      (4L, 4L, 1L, 1), (5L, 5L, 1L, 1)))
+  }
+
+  test("corpus segment dedup removes cross-doc duplicate segments in order") {
+    // segWords=2: doc 1 = [a b][c d], doc 2 = [a b][e f], doc 3 = [g h]
+    // segment "a b" occurs in 2 distinct docs → removed from both
+    val docs = Seq((1L, "a b c d"), (2L, "a b e f"), (3L, "g h"))
+      .toDF("doc_id", "text")
+    val out = DupClusters.corpusSegmentDedup(docs, "doc_id", "text",
+      segWords = 2, minDocs = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "c d", 1L, 1L), (2L, "e f", 1L, 1L),
+      (3L, "g h", 1L, 0L)))
+  }
+
+  test("segment dedup: within-doc repeats survive when below the doc threshold") {
+    // "a b" repeats inside doc 1 only — one distinct doc, kept both times,
+    // original order preserved through the pos sort
+    val docs = Seq((1L, "a b a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val out = DupClusters.corpusSegmentDedup(docs, "doc_id", "text",
+      segWords = 2, minDocs = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a b a b c d"), (2L, "x y")))
+  }
+}

@@ -50,4 +50,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("repetition: hand-computed gopher ratios on a templated doc") {
+    // doc 1 = "go go go stop": bigrams = [go go, go go, go stop] →
+    //   top bigram "go go" covers 2×5 chars of 13 → 0.769231
+    //   trigrams = [go go go, go go stop] — no repeats → dup ratio 0
+    // doc 2 = "a b a b a b": trigram "a b a" ×2 and "b a b" ×2 →
+    //   dup chars = 2×5 + 2×5 = 20 over 11 chars → ratio > 1 is allowed
+    //   (per-occurrence counting upper-bounds merged spans; documented)
+    val df = Seq((1L, "go go go stop"), (2L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionFeatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === (("go go", 0.769231, 0.0)))
+    assert(out(2L)._1 === "a b")
+    assert(out(2L)._3 === 1.818182) // round(20/11, 6)
+  }
+
+  test("repetition: short and empty docs fall back to empty bigram and zero ratios") {
+    val df = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.repetitionFeatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === (("", 0.0, 0.0)))
+    assert(out(2L) === (("", 0.0, 0.0)))
+  }
 }
