@@ -36,8 +36,8 @@ object LatentClassEM {
     * restarts draw unconstrained uniforms whose ratios are unbounded —
     * [[selectK]] passes a small floor so its restart grid genuinely explores
     * distinct EM basins instead of 100 near-identical starts. */
-  private def initTheta(vars: Seq[(String, Seq[String])], k: Int, seed: Int,
-      initLow: Double = 1.0): Map[(String, String, Int), Double] =
+  private[cluster] def initTheta(vars: Seq[(String, Seq[String])], k: Int,
+      seed: Int, initLow: Double = 1.0): Map[(String, String, Int), Double] =
     vars.flatMap { case (v, levels) =>
       (0 until k).flatMap { c =>
         val raw = levels.map { l =>

@@ -197,7 +197,20 @@ object MlQueries {
     })
 
   /** M10: Latent-class EM on categorical customer projections; BIC-selected
-    * k would loop [[LatentClassEM.selectK]] — single k here for runtime. */
+    * k would loop [[LatentClassEM.selectK]] — single k here for runtime.
+    *
+    * Registered at maxIter = 2, the oracle-replayable parameterization
+    * ([[LcaOracleSql]] unrolls both EM iterations into DuckDB CTEs with the
+    * murmur-seeded init θ embedded as bit-exact literals) — the same
+    * accepted repinning as q_m5/q_m6: the green row certifies the
+    * 2-iteration fit; the maxIter = 10 default path stays spec-covered
+    * (ClusteringSpec EM-monotonicity test). */
+  private val m10Vars: Seq[(String, Seq[String])] = Seq(
+    "bal_sign" -> Seq("neg", "pos"),
+    "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY"),
+    "nat_bucket" -> (0 until 5).map(i => s"n$i"))
+
   private val m10 = Q(
     (s, d) => {
       val cats = Tables.customer(s, d).select(
@@ -207,11 +220,22 @@ object MlQueries {
         when(col("c_acctbal") >= 0, "pos").otherwise("neg").as("bal_sign"))
       val (model, labeled) = LatentClassEM.fit(cats,
         Seq("c_mktsegment", "nat_bucket", "bal_sign"), "c_custkey", k = 3,
-        maxIter = 10)
+        maxIter = 2)
       labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
         .withColumn("bic", round(lit(model.bic), 2))
         .orderBy("cluster")
-    })
+    },
+    Some(LcaOracleSql.categorical(
+      """SELECT c_custkey AS id, 'c_mktsegment' AS var,
+                c_mktsegment AS value FROM customer
+         UNION ALL
+         SELECT c_custkey, 'nat_bucket',
+                'n' || CAST(c_nationkey % 5 AS VARCHAR) FROM customer
+         UNION ALL
+         SELECT c_custkey, 'bal_sign',
+                CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END
+         FROM customer""",
+      m10Vars, k = 3)))
 
   /** M11: rules-based segmentation ≡ alphabetAsc dense_rank — full oracle. */
   private val m11 = Q(

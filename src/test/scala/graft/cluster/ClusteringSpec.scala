@@ -145,6 +145,28 @@ class ClusteringSpec extends SparkSpecBase {
       s"restarts must escape the bad basin: single=${single.logLik} multi=${multi.logLik}")
   }
 
+  test("LCA maxIter=10 default never underperforms the maxIter=2 oracle pin") {
+    // q_m10 registers the maxIter=2 parameterization (the LcaOracleSql
+    // replay window); this pins the default-depth fit on the SAME bench
+    // projection: EM log-likelihood is non-decreasing in iterations, so the
+    // certified 2-step fit is a genuine prefix of the production fit (the
+    // tolerance absorbs the Laplace-smoothing perturbation of exact EM
+    // monotonicity)
+    val cats = graft.Tables.customer(spark, sf).select(
+      col("c_custkey"),
+      col("c_mktsegment"),
+      concat(lit("n"), pmod(col("c_nationkey"), lit(5))).as("nat_bucket"),
+      when(col("c_acctbal") >= 0, "pos").otherwise("neg").as("bal_sign"))
+    val cols = Seq("c_mktsegment", "nat_bucket", "bal_sign")
+    val (m2f, _, rel2) = LatentClassEM.fitReleasable(cats, cols, "c_custkey",
+      k = 3, maxIter = 2)
+    val (m10f, _, rel10) = LatentClassEM.fitReleasable(cats, cols, "c_custkey",
+      k = 3, maxIter = 10)
+    rel2(); rel10()
+    assert(m10f.logLik >= m2f.logLik - 1e-6,
+      s"more EM iterations worsened loglik: ${m10f.logLik} vs ${m2f.logLik}")
+  }
+
   test("LCA guards: >100-col subsample rule and the timeout wrapper") {
     val many = (0 until 150).map(i => s"v$i")
     val kept = LatentClassEM.subsampleCols(many)
