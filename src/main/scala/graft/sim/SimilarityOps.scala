@@ -293,9 +293,63 @@ object SimilarityOps {
             SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
             FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Chunk-to-document embedding pooling: mean of each group's vectors,
+    * L2-normalized — the aggregation step between chunk-level encoding and
+    * doc-level ANN in an embedding pipeline (long documents are encoded in
+    * chunks; retrieval wants one vector per doc).
+    *
+    * Scale: the vectors explode to a tall (group, dim-index, component)
+    * frame and reduce in ONE hash aggregation keyed on (group, index) —
+    * map-side partial aggregation applies, so the shuffle carries at most
+    * (#groups × dim) partial sums per map task, not the corpus. Reassembly
+    * sorts the dim-indexed struct array per group (dim-bounded, in-memory);
+    * the normalization is a scalar expression pass. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val tall = df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy("grp", "i").agg(sum("x").as("s"), count(lit(1)).as("c"))
+    val pooled = tall.groupBy("grp").agg(
+      max("c").as("n_chunks"), // every dim index counts the same rows
+      transform(array_sort(collect_list(struct(col("i"), (col("s") / col("c")).as("m")))),
+        e => e.getField("m")).as("mean"))
+    val nrm = sqrt(aggregate(col("mean"), lit(0.0), (acc, x) => acc + x * x))
+    pooled.select(col("grp"), col("n_chunks"),
+      transform(col("mean"), x => round(x / nrm, 6)).as("pooled"))
+  }
+
+  /** The registry surface serializes the pooled vector in MICRO-units
+    * (×10⁶, rounded to long): JSON float rendering differs across engines
+    * (Spark's Jackson prints 0.00013 as 1.3E-4, DuckDB as 0.00013), so the
+    * hashed column carries integers, which have one canonical rendering. */
+  private val sMeanPool = Q(
+    (s, d) => {
+      val pooledRaw = meanPool(Tables.embeddings(s, d), "label", "embedding")
+      graft.Q.serializeArrays(pooledRaw
+        .select(col("grp"), col("n_chunks"),
+          transform(col("pooled"), x => round(x * 1e6).cast("long"))
+            .as("pooled_micro"))
+        .orderBy("grp"))
+    },
+    Some("""WITH tall AS (SELECT label AS grp, i,
+              CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+            FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) ii),
+          agg AS (SELECT grp, i, SUM(x) AS s, COUNT(*) AS c
+                  FROM tall GROUP BY 1, 2),
+          pooled AS (SELECT grp, MAX(c) AS n_chunks,
+                            list(s / c ORDER BY i) AS mean
+                     FROM agg GROUP BY 1),
+          nrm AS (SELECT grp, n_chunks, mean,
+                         sqrt(list_sum(list_transform(mean, x -> x * x))) AS nv
+                  FROM pooled)
+          SELECT grp, n_chunks,
+                 to_json(list_transform(mean,
+                   x -> CAST(ROUND(ROUND(x / nv, 6) * 1000000) AS BIGINT))) AS pooled_micro
+          FROM nrm ORDER BY grp"""))
+
   val queries: Map[String, Q] = Map(
     "q_s_cosine_topk" -> sTopK,
     "q_s_ann_lsh" -> sAnn,
     "q_s_ann_ivf" -> sIvf,
-    "q_s_ann_ivf_seeded" -> sIvfSeeded)
+    "q_s_ann_ivf_seeded" -> sIvfSeeded,
+    "q_s_mean_pool" -> sMeanPool)
 }

@@ -84,6 +84,22 @@ object ExplainAudit {
       "global avg-rank via GlobalIndex: no single-partition exchange" ->
         (p => !p.contains("Exchange SinglePartition") &&
           p.contains("rangepartitioning")))
+    audit("q_d_line_dedup",
+      "duplicate segments removed by anti-join on the segment key" ->
+        (_.contains("LeftAnti")),
+      "no cartesian, no single-partition exchange" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("Exchange SinglePartition")))
+    audit("q_t_repetition",
+      "per-doc argmax window is partitioned (no global window)" ->
+        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")))
+    // the CC loop runs its convergence actions while the final plan is
+    // assembled — the audited plan is the label/canonical join stitch
+    audit("q_d_dup_clusters",
+      "component closure is equi-join propagation (no cartesian anywhere)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

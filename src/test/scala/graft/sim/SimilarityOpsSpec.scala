@@ -85,4 +85,21 @@ class SimilarityOpsSpec extends SparkSpecBase {
       .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s1 === s2)
   }
+
+  test("mean pool: hand-computed group means, unit norm, ordered dims") {
+    import spark.implicits._
+    // group 1: (1,0,0) and (0,1,0) → mean (0.5, 0.5, 0) → normalized
+    // (0.707107, 0.707107, 0); group 2: single chunk (0, 0, 2) → (0, 0, 1)
+    val df = Seq((1, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)),
+      (2, Array(0f, 0f, 2f))).toDF("grp", "vec")
+    val out = SimilarityOps.meanPool(df, "grp", "vec")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getSeq[Double](2).toList)).toMap
+    assert(out(1) === ((2L, List(0.707107, 0.707107, 0.0))))
+    assert(out(2) === ((1L, List(0.0, 0.0, 1.0))))
+    // pooled vectors are unit-length up to the 6dp rounding
+    out.values.foreach { case (_, v) =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    }
+  }
 }
