@@ -81,6 +81,65 @@ object Streams {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  final case class BandedSig(id: Long, sig: Long, bucket: Long)
+  final case class NearDupPair(ida: Long, idb: Long, hamming: Int)
+
+  /** Per-bucket signature memory for [[streamingSimhashPairs]]: parallel
+    * id/sig arrays (Catalyst-encodable), FIFO-capped. */
+  final case class BucketState(ids: Array[Long], sigs: Array[Long])
+
+  /** Streaming twin of [[graft.dedup.DedupOps.simhashPairs]]: a stateful
+    * near-duplicate candidate-PAIR generator. Each arriving document's
+    * 64-bit SimHash is banded into 4×16-bit bucket keys (the batch
+    * operator's exact banding); state per (band, key16) bucket remembers
+    * recent signatures, and an arrival emits a pair for every remembered
+    * in-bucket signature within `maxHamming`. Downstream consumes pairs
+    * exactly as it consumes the batch generator's output (dedup across
+    * bands, then cluster/canonicalize).
+    *
+    * State bound: `maxPerBucket` FIFO-caps each bucket at 16 B/signature —
+    * the streaming analog of the batch operator's banding guarantee, traded
+    * against recall beyond the cap horizon (the same trade
+    * [[streamingExactDedup]] makes with its watermark). A pair duplicated
+    * across bands is emitted once per shared band, exactly like the batch
+    * candidate join before its distinct. */
+  def streamingSimhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 12, maxPerBucket: Int = 64): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.SimHash64
+    val sig = docs.select(col(idCol).cast("long").as("id"),
+      SimHash64.simhash64(
+        filter(split(lower(col(textCol)), " "), t => t =!= "")).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        (lit(b.toLong * (1L << 16)) + shiftrightunsigned(col("sig"), b * 16)
+          .bitwiseAND(lit(0xffffL))).as(s"b$b")): _*)).as("bucket"))
+      .as[BandedSig]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BandedSig], state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(Array.empty, Array.empty))
+          val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+          rows.toSeq.sortBy(_.id).foreach { e =>
+            var i = 0
+            while (i < s.ids.length) {
+              val d = java.lang.Long.bitCount(s.sigs(i) ^ e.sig)
+              if (d <= maxHamming && s.ids(i) != e.id)
+                out += NearDupPair(math.min(s.ids(i), e.id),
+                  math.max(s.ids(i), e.id), d)
+              i += 1
+            }
+            val ids = s.ids :+ e.id
+            val sigs = s.sigs :+ e.sig
+            val from = math.max(0, ids.length - maxPerBucket)
+            s = BucketState(ids.drop(from), sigs.drop(from))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

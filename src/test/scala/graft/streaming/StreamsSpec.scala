@@ -70,6 +70,64 @@ class StreamsSpec extends SparkSpecBase {
     assert(out.size === 3)
   }
 
+  test("streaming simhash pairs: near-dups across batches, distant docs silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.streamingSimhashPairs(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("simdup_out")
+      .outputMode("append").start()
+    val base = "spark shuffle partition executor batch query scan filter " +
+      "join table column row group window sort merge"
+    // dropping the first token flips 4 signature bits spread over 2 bands
+    // (probed): within maxHamming AND banding-detectable — an edit that
+    // flips ≥1 bit in every band is invisible to 4-band blocking by design
+    val nearDup = base.split(" ").drop(1).mkString(" ")
+    input.addData((1L, base))
+    q.processAllAvailable()
+    // near-copy arrives in a LATER batch: state must remember doc 1;
+    // an unrelated doc must pair with nothing
+    input.addData(
+      (2L, nearDup),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+    q.processAllAvailable()
+    val out = spark.table("simdup_out").as[Streams.NearDupPair].collect()
+    q.stop()
+    assert(out.nonEmpty, "near-dup pair (1,2) not emitted")
+    assert(out.forall(p => p.ida == 1L && p.idb == 2L))
+    assert(out.forall(_.hamming <= 12))
+    // batch parity: the batch operator finds the same pair on the same docs
+    val batch = graft.dedup.DedupOps.simhashPairs(
+      Seq((1L, base), (2L, nearDup),
+        (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(batch === Set((1L, 2L)))
+  }
+
+  test("streaming simhash pairs: bucket cap evicts oldest signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.streamingSimhashPairs(docs, "doc_id", "text",
+      maxPerBucket = 1)
+      .writeStream.format("memory").queryName("simcap_out")
+      .outputMode("append").start()
+    val base = "spark shuffle partition executor batch query scan filter " +
+      "join table column row group window sort merge"
+    input.addData((1L, base))
+    q.processAllAvailable()
+    input.addData((2L, base)) // pairs with 1, then evicts it (cap 1)
+    q.processAllAvailable()
+    input.addData((3L, base)) // 1 evicted: pairs ONLY with 2
+    q.processAllAvailable()
+    val out = spark.table("simcap_out").as[Streams.NearDupPair].collect()
+    q.stop()
+    val pairs = out.map(p => (p.ida, p.idb)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)), "evicted signature still matching")
+  }
+
   test("AvailableNow ingestion drains files once and checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("ingest").toString
     val events = graft.Tables.events(spark, sf)
