@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** All registered queries (name → implementation + optional oracle). */
   def registry: Map[String, Q] =
-    etl.Relational.queries ++ stats.StatsQueries.queries ++
+    etl.Relational.queries ++ etl.DataMix.queries ++
+      stats.StatsQueries.queries ++
       text.TextOps.queries ++ dedup.DedupOps.queries ++
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
