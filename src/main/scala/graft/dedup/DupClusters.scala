@@ -52,9 +52,17 @@ object DupClusters {
     // executor loss cannot lose the only copy of the labels.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(eager = false)
-    var changed = 1L
+    // convergence detector: per-node labels are monotonically non-increasing,
+    // so Σcomp strictly decreases until the fixpoint — one narrow exact
+    // DECIMAL aggregation per round instead of a join-with-previous + count
+    // (decimal, not long: Σ of 64-bit ids overflows long at corpus scale)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0).stripTrailingZeros()
+    var prevSum = labelSum(labels)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       // label ← min(own label, neighbour labels)
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("comp").as("nbc")), "b")
@@ -74,9 +82,9 @@ object DupClusters {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("jc"), col("comp")).as("comp"))
         .localCheckpoint(eager = false)
-      changed = next
-        .join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels = next
       it += 1
     }
