@@ -26,6 +26,32 @@ class DupClustersSpec extends SparkSpecBase {
     assert(comp.length == 64 && comp.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components match a union-find reference on a random graph") {
+    // seeded sparse random graph (300 nodes, ~240 edges, with duplicate
+    // edges left in — the loop is documented duplicate-insensitive):
+    // many components of varied shape, independently closed by union-find
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(240)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .flatMap(e => Seq(e, e)) // planted duplicates
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = DupClusters.connectedComponents(
+      edges.toDF("ida", "idb")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === expected.keySet)
+    // same partition AND the same canonical min-id representative
+    assert(got === expected)
+  }
+
   test("canonicalize: longest text wins its cluster, ties to smallest id") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "x y z"),
       (4L, "p q r s t"), (5L, "lonely")).toDF("doc_id", "text")
