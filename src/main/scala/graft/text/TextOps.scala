@@ -139,6 +139,35 @@ object TextOps {
         coalesce(col("dup_trigram_ratio"), lit(0.0)).as("dup_trigram_ratio"))
   }
 
+  /** Overlapping fixed-size token chunking — the preprocessing step before
+    * chunk-level embedding (whose inverse, chunk→doc pooling, is
+    * [[graft.sim.SimilarityOps.meanPool]]): windows of `chunkTokens` tokens
+    * starting every `stride` tokens, so consecutive chunks overlap by
+    * `chunkTokens - stride`. The trailing window is kept iff it adds tokens
+    * (start < n), shorter than `chunkTokens` when the doc doesn't divide
+    * evenly. Map-only: one generator per doc, no shuffle. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 40, stride: Int = 30): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      "need 1 <= stride <= chunkTokens")
+    val t = col("__toks")
+    df.select(col(idCol).cast("long").as(idCol),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(
+        when(size(t) > 0,
+          // window starts at 0, stride, 2·stride, … while start < n
+          // ⇒ exactly ceil(n / stride) chunks, each non-empty
+          transform(
+            sequence(lit(0),
+              ceil(size(t).cast("double") / stride).cast("int") - 1),
+            i => slice(t, i * stride + 1, lit(chunkTokens))))
+          .otherwise(array().cast("array<array<string>>")))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).cast("long").as("n_tokens"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val tTokens = Q(
@@ -246,10 +275,26 @@ object TextOps {
             LEFT JOIN dup3 ON b.doc_id = dup3.doc_id
             ORDER BY b.doc_id"""))
 
+  private val tChunk = Q(
+    (s, d) => chunkDocs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                toks[CAST(i*30+1 AS INT):CAST(i*30+40 AS INT)] AS chunk
+              FROM t, LATERAL (SELECT unnest(range(0,
+                CAST(ceil(len(toks)/30.0) AS BIGINT))) AS i) ii)
+            SELECT doc_id, chunk_id,
+                   array_to_string(chunk, ' ') AS chunk_text,
+                   CAST(len(chunk) AS BIGINT) AS n_tokens
+            FROM c ORDER BY doc_id, chunk_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_token_count" -> tTokens,
     "q_t_quality" -> tQuality,
     "q_t_langid" -> tLangId,
     "q_t_fingerprint" -> tFingerprint,
-    "q_t_repetition" -> tRepetition)
+    "q_t_repetition" -> tRepetition,
+    "q_t_chunk" -> tChunk)
 }

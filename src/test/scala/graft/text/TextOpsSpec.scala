@@ -68,6 +68,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(2L)._3 === 1.818182) // round(20/11, 6)
   }
 
+  test("chunking: overlapping windows, ragged tail, degenerate docs") {
+    val doc = (1 to 7).map(i => s"w$i").mkString(" ") // 7 tokens
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(df, "doc_id", "text",
+      chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,3,6 → [w1..w4], [w4..w7] (overlap w4), tail [w7]
+    assert(out.toSeq === Seq(
+      (1L, 0L, "w1 w2 w3 w4", 4L),
+      (1L, 1L, "w4 w5 w6 w7", 4L),
+      (1L, 2L, "w7", 1L),
+      (2L, 0L, "a b", 2L)))
+  }
+
   test("repetition: short and empty docs fall back to empty bigram and zero ratios") {
     val df = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     val out = TextOps.repetitionFeatures(df, "doc_id", "text")
