@@ -152,10 +152,13 @@ object MultimodalOps {
     private def unknown(n: Long) =
       MediaFeatures(n, "unknown", -1, -1, Array.fill(8)(0f))
 
-    private def decodeOne(bytes: Array[Byte]): MediaFeatures = {
-      val nb = bytes.length.toLong
+    /** RIFF walk shared by the clip-level decode and the frame-level
+      * feature op: (sampleRate, channels, dataOffset, nSamples) for a valid
+      * 16-bit PCM mono/multi WAV, None otherwise. */
+    private[multimodal] def pcmInfo(bytes: Array[Byte])
+        : Option[(Int, Int, Int, Int)] = {
       if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
-        return unknown(nb)
+        return None
       var off = 12
       var rate = 0
       var channels = 0
@@ -166,7 +169,7 @@ object MultimodalOps {
       while (off + 8 <= bytes.length) {
         val id = tag(bytes, off)
         val size = le32(bytes, off + 4)
-        if (size < 0 || off + 8 + size > bytes.length) return unknown(nb)
+        if (size < 0 || off + 8 + size > bytes.length) return None
         if (id == "fmt " && size >= 16) {
           pcm = le16(bytes, off + 8) == 1
           channels = le16(bytes, off + 10)
@@ -178,9 +181,19 @@ object MultimodalOps {
         }
         off += 8 + size + (size & 1) // chunks are word-aligned
       }
-      if (!pcm || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0)
-        return unknown(nb)
-      val n = dataLen / 2
+      if (!pcm || bits != 16 || rate <= 0 || channels <= 0 || dataOff < 0) None
+      else Some((rate, channels, dataOff, dataLen / 2))
+    }
+
+    private[multimodal] def sampleAt(bytes: Array[Byte], dataOff: Int,
+        j: Int): Long = le16(bytes, dataOff + 2 * j).toShort.toLong
+
+    private def decodeOne(bytes: Array[Byte]): MediaFeatures = {
+      val nb = bytes.length.toLong
+      val info = pcmInfo(bytes)
+      if (info.isEmpty) return unknown(nb)
+      val (rate, channels, dataOff, n) = info.get
+      val bits = 16
       var sum = 0L
       var sumSq = 0L
       var peak = 0L
@@ -224,6 +237,62 @@ object MultimodalOps {
     buf.put("data".getBytes).putInt(dataLen)
     samples.foreach(buf.putShort)
     buf.array()
+  }
+
+  val wavFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("rms", FloatType),
+    StructField("peak", LongType),
+    StructField("zero_crossings", LongType)))
+
+  /** Frame-level audio features — what a real audio feature extractor
+    * emits (clip-level stats hide structure; VAD / energy gating / silence
+    * trimming all work on frames): non-overlapping `frameSamples`-sample
+    * windows over the decoded PCM, per frame the exact-integer RMS, peak,
+    * and zero-crossing count (crossings counted within the frame, so frames
+    * are independently recomputable). Ragged tail kept. Invalid blobs
+    * contribute no rows rather than failing the partition (the decoder
+    * contract).
+    *
+    * Scale: mapPartitions decode, one output row per frame — linear in
+    * audio duration, no shuffle; the frame rows carry only 6 scalars. */
+  def wavFrameFeatures(df: DataFrame, idCol: String, blobCol: String,
+      frameSamples: Int = 80): DataFrame = {
+    require(frameSamples >= 1, "frameSamples must be >= 1")
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(blobCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        WavDecoder.pcmInfo(bytes).iterator.flatMap { case (_, _, dataOff, n) =>
+          val nFrames = (n + frameSamples - 1) / frameSamples
+          (0 until nFrames).iterator.map { f =>
+            val from = f * frameSamples
+            val until = math.min(from + frameSamples, n)
+            var sumSq = 0L
+            var peak = 0L
+            var zc = 0L
+            var j = from
+            var prevNonNeg = true
+            while (j < until) {
+              val s = WavDecoder.sampleAt(bytes, dataOff, j)
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              val nonNeg = s >= 0
+              if (j > from && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              j += 1
+            }
+            val len = until - from
+            Row(id, f.toLong, len.toLong,
+              math.sqrt(sumSq.toDouble / len).toFloat, peak, zc)
+          }
+        }
+      })
+    spark.createDataFrame(rows, wavFrameSchema)
   }
 
   val mediaSchema: StructType = StructType(Seq(
@@ -514,6 +583,52 @@ object MultimodalOps {
                             THEN 1 ELSE 0 END)), 0) AS REAL) AS DOUBLE) AS zero_crossings
             FROM s ORDER BY media_id"""))
 
+  /** Frame-level audio features over the same deterministic PCM blobs as
+    * [[mmWav]], fully hash-checked: 80-sample frames, per-frame
+    * exact-integer RMS/peak/zero-crossings recomputed by the oracle from
+    * the closed-form samples — a frame-boundary bug (off-by-one window,
+    * cross-frame crossing count, ragged-tail loss) breaks the hash. */
+  private val mmWavFrames = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val n = (160 + (id % 5) * 16).toInt
+        val samples = Array.tabulate(n)(j =>
+          (((id * 31 + j * 17) % 2001) - 1000).toShort)
+        Row(id, pcm16Wav(samples, 8000))
+      }
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      wavFrameFeatures(withBlob, "doc_id", "blob", frameSamples = 80)
+        .select(col("media_id"), col("frame_id"), col("n_samples"),
+          col("rms").cast("double").as("rms"), col("peak"),
+          col("zero_crossings"))
+        .orderBy("media_id", "frame_id")
+    },
+    Some("""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   160 + (doc_id % 5) * 16 AS n FROM documents),
+            f AS (SELECT media_id, n, CAST(fr AS BIGINT) AS frame_id,
+                   CAST(fr * 80 AS INT) AS lo,
+                   CAST(LEAST((fr + 1) * 80, n) AS INT) AS hi
+                  FROM b, LATERAL (SELECT unnest(range(0,
+                    CAST(ceil(n / 80.0) AS BIGINT))) AS fr) ff),
+            s AS (SELECT media_id, frame_id, lo, hi, hi - lo AS len,
+                   list_transform(range(lo, hi),
+                     j -> ((media_id * 31 + j * 17) % 2001) - 1000) AS smp
+                  FROM f)
+            SELECT media_id, frame_id,
+                   CAST(len AS BIGINT) AS n_samples,
+                   CAST(CAST(sqrt(CAST(list_sum(list_transform(smp, x -> x * x))
+                       AS DOUBLE) / len) AS REAL) AS DOUBLE) AS rms,
+                   CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+                   CAST(COALESCE(list_sum(list_transform(range(lo + 1, hi), j ->
+                       CASE WHEN (((media_id * 31 + j * 17) % 2001) - 1000 >= 0)
+                            <> (((media_id * 31 + (j - 1) * 17) % 2001) - 1000 >= 0)
+                            THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+            FROM s ORDER BY media_id, frame_id"""))
+
   /** Video plumbing, fully hash-checked: deterministic GFV1 containers
     * (3-5 closed-form 64-byte frames per doc) are built, stride-2 frame
     * sampling + per-frame stub decode + temporal mean pooling run through
@@ -604,6 +719,7 @@ object MultimodalOps {
     "q_mm_stub_decode" -> mmDecode,
     "q_mm_decode_dims" -> mmDecodeDims,
     "q_mm_wav_decode" -> mmWav,
+    "q_mm_wav_frames" -> mmWavFrames,
     "q_mm_video_frames" -> mmVideo,
     "q_mm_resize" -> mmResize)
 }

@@ -131,6 +131,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(redecoded.getInt(3) === 8 && redecoded.getInt(4) === 6)
   }
 
+  test("wav frame features: hand-computed windows, ragged tail, garbage silent") {
+    // 5 samples, frame size 2 → frames [3,-4], [0,5], tail [-5]
+    val wav = MultimodalOps.pcm16Wav(Array[Short](3, -4, 0, 5, -5), 8000)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("media_id", "blob")
+    val out = MultimodalOps.wavFrameFeatures(df, "media_id", "blob",
+      frameSamples = 2).orderBy("media_id", "frame_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getFloat(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 2L, math.sqrt(25.0 / 2).toFloat, 4L, 1L), // 3,-4: one crossing
+      (1L, 1L, 2L, math.sqrt(25.0 / 2).toFloat, 5L, 0L), // 0,5: both non-neg
+      (1L, 2L, 1L, 5f, 5L, 0L)))                          // ragged tail, no pair
+    // garbage blob (media 2) contributed no rows and didn't fail the job
+    assert(!out.exists(_._1 == 2L))
+  }
+
   test("WavDecoder rejects non-PCM and non-16-bit variants, not the partition") {
     // hand-flip the audioFormat field (offset 20) to 3 (IEEE float)
     val wav = MultimodalOps.pcm16Wav(Array.tabulate(8)(_.toShort), 8000)
