@@ -168,6 +168,34 @@ object TextOps {
         size(col("chunk")).cast("long").as("n_tokens"))
   }
 
+  /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    * salient-term pass a curation pipeline runs for topic tagging.
+    * tf = term count in doc; idf = ln(N / df) with df = #docs containing
+    * the term (no smoothing — every scored term has df ≥ 1 by construction).
+    *
+    * Scale: two aggregations on natural keys — (doc, term) counts, then
+    * term → df — joined back on term (the df table is vocabulary-sized;
+    * at corpus scale this join stays a shuffle join on the term key, or a
+    * broadcast when the vocabulary is trimmed). The per-doc top-k is a
+    * window partitioned by doc id. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol).cast("long").as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n = df.count()
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(idf, "term")
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val tTokens = Q(
@@ -290,11 +318,33 @@ object TextOps {
                    CAST(len(chunk) AS BIGINT) AS n_tokens
             FROM c ORDER BY doc_id, chunk_id"""))
 
+  private val tTfidf = Q(
+    (s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "rank"),
+    Some("""WITH tf AS (SELECT doc_id AS id, t.term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(list_filter(
+                      string_split(lower(text), ' '), x -> x <> '')) AS term
+                    FROM documents) t
+              GROUP BY 1, 2),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            idf AS (SELECT term, COUNT(*) AS df,
+                     ln((SELECT CAST(n AS DOUBLE) FROM nn) / COUNT(*)) AS idf
+                    FROM tf GROUP BY term),
+            scored AS (SELECT tf.id, tf.term, tf.tf, idf.df,
+                        ROUND(tf.tf * idf.idf, 6) AS tfidf,
+                        row_number() OVER (PARTITION BY tf.id
+                          ORDER BY tf.tf * idf.idf DESC, tf.term) AS rank
+                       FROM tf JOIN idf ON tf.term = idf.term)
+            SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+            FROM scored WHERE rank <= 3
+            ORDER BY doc_id, rank"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_token_count" -> tTokens,
     "q_t_quality" -> tQuality,
     "q_t_langid" -> tLangId,
     "q_t_fingerprint" -> tFingerprint,
     "q_t_repetition" -> tRepetition,
-    "q_t_chunk" -> tChunk)
+    "q_t_chunk" -> tChunk,
+    "q_t_tfidf" -> tTfidf)
 }

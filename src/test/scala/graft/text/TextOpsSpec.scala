@@ -68,6 +68,20 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(2L)._3 === 1.818182) // round(20/11, 6)
   }
 
+  test("tfidf: corpus-wide terms score zero, rare repeated terms rank first") {
+    // "cat" appears in all 3 docs → idf = ln(1) = 0; "rocket" only in doc 1
+    // with tf=2 → top term of doc 1
+    val df = Seq((1L, "cat rocket rocket dog"), (2L, "cat dog"),
+      (3L, "cat fish")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(5)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.head._3 === "rocket")
+    assert(doc1.head._4 === 2.197225) // 2 * ln(3/1) rounded to 6dp
+    assert(out.filter(_._3 == "cat").forall(_._4 === 0.0))
+  }
+
   test("chunking: overlapping windows, ragged tail, degenerate docs") {
     val doc = (1 to 7).map(i => s"w$i").mkString(" ") // 7 tokens
     val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
