@@ -38,9 +38,32 @@ object Bench {
     "q_d_embed_neardup",
     "q_j3_positional")
 
+  /** 1-minute load average from /proc/loadavg (-1 when unreadable). */
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Bench numbers recorded while leftover sbt/test JVMs still run are
+    // contention artifacts, not engine cost. Wait (up to 5 min) for the
+    // 1-min load to drop below 2 before timing anything, and ALWAYS stamp
+    // the start/end load into the JSON so contamination is self-documenting.
+    var loadStart = load1()
+    val idleDeadline = System.nanoTime() + 300L * 1000000000L
+    while (loadStart > 2.0 && System.nanoTime() < idleDeadline) {
+      System.err.println(
+        f"[bench] 1-min load $loadStart%.2f > 2 — waiting for idle machine")
+      Thread.sleep(5000)
+      loadStart = load1()
+    }
+    if (loadStart > 2.0)
+      System.err.println(f"[bench] WARNING: recording under load $loadStart%.2f" +
+        " — timings below overstate real cost")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,7 +98,8 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"sf":"$sfDir%s"}""")
+    val loadEnd = load1()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir%s"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -26,12 +26,24 @@ object DupClusters {
 
   /** Connected components of an undirected pair list (ida, idb) → one row
     * per node appearing in any pair: (id, comp) with comp = the smallest
-    * node id reachable from `id`.
+    * node id reachable from `id`. An empty pair list yields an empty frame
+    * (callers like [[canonicalize]] then fall back to singleton clusters).
     *
     * Min-label propagation + pointer jumping; converges in O(log diameter)
     * iterations, each two equi-join shuffles keyed on node id. `maxIter`
-    * is a safety bound — the loop exits on the first unchanged round. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * is a safety bound — the loop exits on the first unchanged round.
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses RELIABLE
+    * `checkpoint()` into that directory instead of `localCheckpoint()` —
+    * required on a real cluster, where executor loss would otherwise drop
+    * the only copy of the label state mid-loop. The default (local) is
+    * right for single-JVM runs and tests. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val fwd = pairs.select(col("ida").cast("long").as("a"),
       col("idb").cast("long").as("b"))
     // no distinct: MIN-propagation is duplicate-insensitive, so repeated
@@ -48,17 +60,19 @@ object DupClusters {
     // per iteration materializes prop and next together in a single job —
     // eager checkpoints would run three blocking jobs per round (measured
     // 3× the loop wall-clock on the sf0.1 pair graph).
-    // On a real cluster this would be `checkpoint()` to reliable storage so
-    // executor loss cannot lose the only copy of the labels.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(eager = false)
+    // On a real cluster pass `checkpointDir` so the truncation goes to
+    // reliable storage and executor loss cannot lose the only label copy.
+    var labels = truncate(edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // convergence detector: per-node labels are monotonically non-increasing,
     // so Σcomp strictly decreases until the fixpoint — one narrow exact
     // DECIMAL aggregation per round instead of a join-with-previous + count
-    // (decimal, not long: Σ of 64-bit ids overflows long at corpus scale)
+    // (decimal, not long: Σ of 64-bit ids overflows long at corpus scale).
+    // sum() over ZERO rows is a null decimal — an empty edge list must read
+    // as Σ = 0, not an NPE.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-        .getDecimal(0).stripTrailingZeros()
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO).stripTrailingZeros()
     var prevSum = labelSum(labels)
     var changed = true
     var it = 0
@@ -70,18 +84,16 @@ object DupClusters {
         .select(col("a").as("id"), col("nc"))
       // checkpoint before the self-join so the jump reads the materialized
       // propagation result instead of evaluating the join twice
-      val prop = labels.join(nbrMin, Seq("id"), "left")
+      val prop = truncate(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .localCheckpoint(eager = false)
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp")))
       // pointer jump: label ← label's own label (labels are node ids, so the
       // lookup is a self-join; labels only decrease, so this contracts
       // label chains geometrically)
-      val next = prop
+      val next = truncate(prop
         .join(prop.select(col("id").as("comp"), col("comp").as("jc")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("jc"), col("comp")).as("comp"))
-        .localCheckpoint(eager = false)
+        .select(col("id"), coalesce(col("jc"), col("comp")).as("comp")))
       val s = labelSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s

@@ -256,6 +256,12 @@ object MultimodalOps {
     * contribute no rows rather than failing the partition (the decoder
     * contract).
     *
+    * MONO ONLY: the PCM data chunk is a flat sample stream, so framing a
+    * multi-channel WAV would window across interleaved channels and mix
+    * channels inside every RMS/zero-crossing — semantically wrong, so
+    * channels != 1 blobs are skipped like invalid blobs. (Per-channel
+    * de-interleaving is the decoder-seam extension if stereo is needed.)
+    *
     * Scale: mapPartitions decode, one output row per frame — linear in
     * audio duration, no shuffle; the frame rows carry only 6 scalars. */
   def wavFrameFeatures(df: DataFrame, idCol: String, blobCol: String,
@@ -266,7 +272,9 @@ object MultimodalOps {
       .mapPartitions(_.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        WavDecoder.pcmInfo(bytes).iterator.flatMap { case (_, _, dataOff, n) =>
+        WavDecoder.pcmInfo(bytes).iterator
+          .filter { case (_, channels, _, _) => channels == 1 }
+          .flatMap { case (_, _, dataOff, n) =>
           val nFrames = (n + frameSamples - 1) / frameSamples
           (0 until nFrames).iterator.map { f =>
             val from = f * frameSamples

@@ -171,7 +171,8 @@ object TextOps {
   /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
     * salient-term pass a curation pipeline runs for topic tagging.
     * tf = term count in doc; idf = ln(N / df) with df = #docs containing
-    * the term (no smoothing — every scored term has df ≥ 1 by construction).
+    * the term and N = #docs with ≥ 1 token (no smoothing — every scored
+    * term has df ≥ 1 by construction).
     *
     * Scale: two aggregations on natural keys — (doc, term) counts, then
     * term → df — joined back on term (the df table is vocabulary-sized;
@@ -180,18 +181,37 @@ object TextOps {
     * window partitioned by doc id. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    // tf feeds THREE consumers (the doc count N, the df/idf aggregation,
+    // and the scoring join). Catalyst specializes each branch (count
+    // elision, column pruning), so exchange reuse can never unify them —
+    // the one-scan plan needs the diamond materialized explicitly. tf is
+    // the right frame to persist: already aggregated, carries no document
+    // text, and is the input every later step re-reads. MEMORY_AND_DISK so
+    // a 100 TB corpus spills instead of evicting mid-job.
     val tf = df.select(col(idCol).cast("long").as("id"),
         explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val n = df.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N derived INSIDE the plan (not a separate df.count() action — that
+    // was a second pass over the corpus/upstream): a 1-row aggregation over
+    // the persisted tf frame, broadcast-cross-joined into the
+    // vocabulary-sized idf frame — one corpus scan, one job. N therefore
+    // counts documents with ≥ 1 token; tokenless docs carry no scorable
+    // term anyway, so they only ever appeared in the old N as an idf offset.
+    val nDf = tf.groupBy()
+      .agg(countDistinct("id").cast("double").as("__n"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("idf", log(col("__n") / col("df")))
+      .drop("__n")
+    // rank by the UNROUNDED product — ordering by the 6dp-rounded score can
+    // tie terms the true values separate, flipping the k-boundary term
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+      .partitionBy("id").orderBy((col("tf") * col("idf")).desc, col("term"))
     tf.join(idf, "term")
-      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
       .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
         col("term"), col("tf"), col("df"), col("tfidf"))
   }
@@ -326,7 +346,7 @@ object TextOps {
                       string_split(lower(text), ' '), x -> x <> '')) AS term
                     FROM documents) t
               GROUP BY 1, 2),
-            nn AS (SELECT COUNT(*) AS n FROM documents),
+            nn AS (SELECT COUNT(DISTINCT id) AS n FROM tf),
             idf AS (SELECT term, COUNT(*) AS df,
                      ln((SELECT CAST(n AS DOUBLE) FROM nn) / COUNT(*)) AS idf
                     FROM tf GROUP BY term),

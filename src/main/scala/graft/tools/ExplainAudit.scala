@@ -91,6 +91,21 @@ object ExplainAudit {
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("Exchange SinglePartition")))
+    // q_t_tfidf reuses the tf diamond through an explicit persist, which the
+    // plan STRING can't evidence (each InMemoryRelation echoes the cached
+    // subtree, parquet scan included) — audit the executed plan's leaves:
+    // every leaf must be the cached tf, none a direct file scan, so the
+    // corpus is read once and N costs no second scan/action.
+    locally {
+      val leaves = SparkEntry.queries("q_t_tfidf")(spark, sf)
+        .queryExecution.executedPlan.collectLeaves()
+      val file = leaves.count(_.nodeName.contains("Scan parquet"))
+      val mem = leaves.count(_.nodeName.contains("InMemoryTableScan"))
+      val ok = file == 0 && mem >= 3
+      println(s"=== q_t_tfidf ===\n  leaves: $mem cached-tf reads, $file direct file scans")
+      println(s"  [${if (ok) "OK" else "MISS"}] corpus scanned once via persisted tf (N derived in-plan)")
+      if (!ok) failures ::= "q_t_tfidf: corpus scanned once via persisted tf"
+    }
     audit("q_t_repetition",
       "per-doc argmax window is partitioned (no global window)" ->
         (p => p.contains("Window") && !p.contains("Exchange SinglePartition")))

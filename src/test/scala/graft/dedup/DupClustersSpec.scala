@@ -52,6 +52,35 @@ class DupClustersSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("connected components: empty pair list yields an empty frame, no NPE") {
+    // sum() over zero rows is a null decimal — the convergence probe must
+    // treat that as Σ = 0 instead of NPEing on getDecimal
+    val pairs = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    assert(DupClusters.connectedComponents(pairs).collect().isEmpty)
+  }
+
+  test("canonicalize: no candidate pairs → every doc is its own singleton") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    val out = DupClusters.canonicalize(docs, pairs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1), (2L, 2L, 1L, 1)))
+  }
+
+  test("connected components: reliable checkpointDir matches localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      .toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("ida", "idb")
+    val local = DupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = DupClusters.connectedComponents(pairs,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+  }
+
   test("canonicalize: longest text wins its cluster, ties to smallest id") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "x y z"),
       (4L, "p q r s t"), (5L, "lonely")).toDF("doc_id", "text")

@@ -147,6 +147,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out.exists(_._1 == 2L))
   }
 
+  test("wavFrameFeatures skips multi-channel blobs (mono-only framing)") {
+    // flat framing over an interleaved stereo stream would mix channels in
+    // every RMS/ZC — stereo blobs must be dropped like invalid ones
+    val mono = MultimodalOps.pcm16Wav(Array.tabulate(4)(_.toShort), 8000)
+    val stereo = mono.clone(); stereo(22) = 2 // channel-count field
+    val df = Seq((1L, mono), (2L, stereo)).toDF("media_id", "blob")
+    val ids = MultimodalOps.wavFrameFeatures(df, "media_id", "blob",
+      frameSamples = 2).select("media_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
   test("WavDecoder rejects non-PCM and non-16-bit variants, not the partition") {
     // hand-flip the audioFormat field (offset 20) to 3 (IEEE float)
     val wav = MultimodalOps.pcm16Wav(Array.tabulate(8)(_.toShort), 8000)
