@@ -54,10 +54,17 @@ object BayesianGmm {
       converged: Boolean,
       iterations: Int)
 
+  /** Recurrence-shifted asymptotic series. The shift count is computed
+    * up-front (ceil form) and each recurrence term is 1/(x₀+m) with m an
+    * exact integer — not the older sequential x += 1 walk — so the exact
+    * float-op sequence can be replayed verbatim by the DuckDB oracle
+    * ([[BgmmOracleSql]]); the two forms agree to ~1 ulp. */
   private[cluster] def digamma(x0: Double): Double = {
-    var x = x0
+    val s = math.max(math.ceil(6.0 - x0).toInt, 0)
     var acc = 0.0
-    while (x < 6.0) { acc -= 1.0 / x; x += 1.0 }
+    var m = 0
+    while (m < s) { acc -= 1.0 / (x0 + m); m += 1 }
+    val x = x0 + s
     val inv = 1.0 / x
     val inv2 = inv * inv
     acc + math.log(x) - 0.5 * inv -
@@ -69,6 +76,17 @@ object BayesianGmm {
   private[cluster] def invLogDet(a0: Array[Array[Double]])
       : (Array[Array[Double]], Double) = {
     val d = a0.length
+    if (d == 2) {
+      // closed-form adjugate for d = 2 — same arithmetic the DuckDB oracle
+      // replays (LU pivoting is equivalent but not bit-replayable in SQL)
+      val det = a0(0)(0) * a0(1)(1) - a0(0)(1) * a0(1)(0)
+      require(det != 0.0, "singular matrix in BayesianGmm")
+      val inv = Array(
+        Array(a0(1)(1) / det, -a0(0)(1) / det),
+        Array(-a0(1)(0) / det, a0(0)(0) / det))
+      return (inv,
+        math.log(math.abs(det)) + (if (det < 0) Double.NaN else 0.0))
+    }
     val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
     val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var logDet = 0.0
@@ -127,22 +145,34 @@ object BayesianGmm {
     e.logPiTilde(k) - 0.5 * e.nu(k) * quad
   }
 
+  /** @param initCol when set, an IntegerType column holding a 0..k-1 hard
+    *                 init label per row — replaces the KMeans seeding with a
+    *                 caller-deterministic one-hot init (the oracle-replay
+    *                 parameterization, [[BgmmOracleSql]]); `seed` is then
+    *                 unused. With tol = 0 the loop runs exactly `maxIter`
+    *                 variational iterations — the seeded-unroll contract. */
   def fit(df: DataFrame, featuresCol: String, k: Int, seed: Long,
-      maxIter: Int = 100, tol: Double = 1e-3, regCovar: Double = 1e-6)
+      maxIter: Int = 100, tol: Double = 1e-3, regCovar: Double = 1e-6,
+      initCol: Option[String] = None)
       : (BgmmModel, DataFrame) = {
     import org.apache.spark.ml.linalg.Vector
     val spark = df.sparkSession
-    val data: RDD[Array[Double]] = df.select(featuresCol).rdd
-      .map(_.getAs[Vector](0).toArray)
+    val sel = initCol match {
+      case Some(ic) => df.select(featuresCol, ic)
+      case None => df.select(featuresCol)
+    }
+    val data: RDD[(Array[Double], Int)] = sel.rdd
+      .map(r => (r.getAs[Vector](0).toArray,
+        if (r.size > 1) r.getInt(1) else -1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = data.count().toDouble
-    val d = data.first().length
+    val d = data.first()._1.length
     require(n > k, s"need more than k=$k rows")
 
     // sklearn data-driven priors: m0 = mean(X), W0^-1 = cov(X) + reg·I
     val (sumX, sumXX) = data.treeAggregate(
       (new Array[Double](d), Array.ofDim[Double](d, d)))(
-      seqOp = { case ((s, ss), x) =>
+      seqOp = { case ((s, ss), (x, _)) =>
         var i = 0
         while (i < d) {
           s(i) += x(i)
@@ -170,10 +200,14 @@ object BayesianGmm {
     val beta0 = 1.0
     val nu0 = d.toDouble
 
-    // init_params='kmeans': one-hot responsibilities from an MLlib fit
-    val km = new org.apache.spark.ml.clustering.KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol(featuresCol).setPredictionCol("__init").fit(df)
-    val centers = km.clusterCenters.map(_.toArray)
+    // init_params='kmeans': one-hot responsibilities from an MLlib fit.
+    // Computed eagerly on the DRIVER (a lazy val would be forced inside the
+    // executor closure); empty — and never consulted — on the initCol path.
+    val centers: Array[Array[Double]] =
+      if (initCol.isDefined) Array.empty
+      else new org.apache.spark.ml.clustering.KMeans().setK(k)
+        .setSeed(seed).setFeaturesCol(featuresCol).setPredictionCol("__init")
+        .fit(df).clusterCenters.map(_.toArray)
     def nearest(x: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -193,11 +227,11 @@ object BayesianGmm {
       val zero = (new Array[Double](k), Array.ofDim[Double](k, d),
         Array.ofDim[Double](k, d, d), 0.0)
       val (nk, sx, sxx, ll) = data.treeAggregate(zero)(
-        seqOp = { case ((nk, sx, sxx, ll), x) =>
+        seqOp = { case ((nk, sx, sxx, ll), (x, lbl)) =>
           val r = new Array[Double](k)
           var llRow = 0.0
           bc.value match {
-            case None => r(nearest(x)) = 1.0
+            case None => r(if (lbl >= 0) lbl else nearest(x)) = 1.0
             case Some(e) =>
               var mx = Double.NegativeInfinity
               var c = 0

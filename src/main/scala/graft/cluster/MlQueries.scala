@@ -196,6 +196,40 @@ object MlQueries {
         .orderBy("cluster")
     })
 
+  /** M9 at the ORACLE-REPLAYABLE parameterization ([[BgmmOracleSql]]): the
+    * same variational DP mixture ([[BayesianGmm]]) on the first two
+    * embedding dimensions, k = 3, deterministic one-hot init from
+    * `vec_id % 3`, tol = 0, exactly 2 variational iterations. DuckDB
+    * replays the hard-init moment stats, all three stick-breaking +
+    * Gaussian-Wishart M-steps (digamma expanded to the identical
+    * recurrence-plus-series float ops), both E-step logsumexp passes, and
+    * the final argmax labels — certifying the VB update arithmetic
+    * end-to-end. The general KMeans-init / converge-to-tol path stays
+    * q_m9_gmm (rows-only) + GmmSpec's DP-shrinkage pins. */
+  private val m9Seeded = Q(
+    (s, d) => {
+      import s.implicits._
+      val feats = Tables.embeddings(s, d).select(
+          col("vec_id").cast("long").as("id"),
+          element_at(col("embedding"), 1).cast("double").as("x1"),
+          element_at(col("embedding"), 2).cast("double").as("x2"))
+        .withColumn("features", array_to_vector(array(col("x1"), col("x2"))))
+        .withColumn("init", pmod(col("id"), lit(3)).cast("int"))
+      val (model, labeled) = BayesianGmm.fit(feats, "features", k = 3,
+        seed = 0L, maxIter = 2, tol = 0.0, initCol = Some("init"))
+      val params = (0 until 3).map(c =>
+        (c, model.weights(c), model.means(c)(0), model.means(c)(1)))
+        .toDF("cluster", "w", "mu1", "mu2")
+      labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .join(params, "cluster")
+        .select(col("cluster"), col("n"), round(col("w"), 4).as("w"),
+          round(col("mu1"), 4).as("mu1"), round(col("mu2"), 4).as("mu2"))
+        .orderBy("cluster")
+    },
+    Some(BgmmOracleSql.seeded2d(
+      """SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x1,
+                CAST(embedding[2] AS DOUBLE) AS x2 FROM embeddings""")))
+
   /** M10: Latent-class EM on categorical customer projections; BIC-selected
     * k would loop [[LatentClassEM.selectK]] — single k here for runtime.
     *
@@ -468,6 +502,7 @@ object MlQueries {
     "q_m5_kmodes" -> m5,
     "q_m6_kprototypes" -> m6,
     "q_m9_gmm" -> m9,
+    "q_m9_bgmm_seeded" -> m9Seeded,
     "q_m10_lca" -> m10,
     "q_m11_rules_based" -> m11,
     "q_m12_hierarchical" -> m12,
