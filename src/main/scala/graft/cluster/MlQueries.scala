@@ -410,6 +410,59 @@ object MlQueries {
         .toDF("accuracy", "f1", "precision", "recall")
     })
 
+  /** M25's metric arithmetic, hash-certified: the RF FIT has no
+    * cross-engine oracle (q_m25_rf_signal stays rows-only + spec), but the
+    * evaluation half — mod-10 test split, confusion contingency, accuracy /
+    * support-weighted precision / recall / F1 per metrics.py:714-811 —
+    * is deterministic given a FROZEN prediction column, so this registers
+    * it over a synthetic classifier: label = o_orderpriority's digit,
+    * prediction = label perturbed on the id % 7 rows. DuckDB replays the
+    * split, the contingency, and every weighted-metric formula. */
+  private val m25Metrics = Q(
+    (s, d) => {
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("id"),
+        (substring(col("o_orderpriority"), 1, 1).cast("int") - 1)
+          .cast("long").as("label"))
+      val test = base.filter(pmod(col("id"), lit(10)) === 0)
+        .withColumn("pred",
+          when(pmod(col("id"), lit(7)) === 0, (col("label") + 1) % 5)
+            .otherwise(col("label")))
+      ModelMetrics.classificationMetrics(test, "label", "pred")
+        .select(col("n_test"), round(col("accuracy"), 6).as("accuracy"),
+          round(col("f1"), 6).as("f1"),
+          round(col("precision_w"), 6).as("precision_w"),
+          round(col("recall_w"), 6).as("recall_w"))
+    },
+    Some("""WITH t AS (SELECT o_orderkey AS id,
+              CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) - 1 AS BIGINT)
+                AS label FROM orders),
+            te AS (SELECT id, label,
+                CASE WHEN id % 7 = 0 THEN (label + 1) % 5 ELSE label END AS pred
+              FROM t WHERE id % 10 = 0),
+            cm AS (SELECT label, pred, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM te GROUP BY 1, 2),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM te),
+            lc AS (SELECT label, SUM(n) AS ln FROM cm GROUP BY 1),
+            pc AS (SELECT pred, SUM(n) AS pn FROM cm GROUP BY 1),
+            tpv AS (SELECT label, n AS tp FROM cm WHERE label = pred),
+            per AS (SELECT l.label, l.ln, COALESCE(tpv.tp, 0) AS tp,
+                           COALESCE(pc.pn, 0) AS pn
+                    FROM lc l LEFT JOIN tpv ON l.label = tpv.label
+                              LEFT JOIN pc ON l.label = pc.pred),
+            m AS (SELECT label, ln, tp,
+                CASE WHEN pn > 0 THEN tp/pn ELSE 0.0 END AS prec,
+                CASE WHEN ln > 0 THEN tp/ln ELSE 0.0 END AS rec FROM per),
+            f AS (SELECT label, ln, tp, prec, rec,
+                CASE WHEN prec + rec > 0 THEN 2*prec*rec/(prec + rec)
+                     ELSE 0.0 END AS f1 FROM m)
+            SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_test,
+              ROUND(SUM(tp)/(SELECT n FROM nn), 6) AS accuracy,
+              ROUND(SUM(ln/(SELECT n FROM nn)*f1), 6) AS f1,
+              ROUND(SUM(ln/(SELECT n FROM nn)*prec), 6) AS precision_w,
+              ROUND(SUM(ln/(SELECT n FROM nn)*rec), 6) AS recall_w
+            FROM f"""))
+
   /** M26: χ²-signal slicer over categorical orders projections. The oracle
     * UNROLLS the greedy loop for this exact parameterization (3 variables,
     * minVars = 2, startFloor 0.25, decay 0.01): two unconditional keep
@@ -509,6 +562,7 @@ object MlQueries {
     "q_m16_random_baseline" -> m16,
     "q_m18_consistency" -> m18,
     "q_m25_rf_signal" -> m25,
+    "q_m25_metrics" -> m25Metrics,
     "q_m26_slicer" -> m26,
     "q_m31_social_presence" -> m31)
 }

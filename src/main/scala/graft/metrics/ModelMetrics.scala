@@ -131,6 +131,47 @@ object ModelMetrics {
       "precision" -> m("weightedPrecision"), "recall" -> m("weightedRecall"))
   }
 
+  /** Weighted multiclass classification metrics from the exact confusion
+    * contingency — accuracy, support-weighted precision / recall / F1, the
+    * same definitions the reference reports from its RF evaluation
+    * (metrics.py:714-811) and MulticlassClassificationEvaluator implements
+    * (pinned against it in ModelMetricsSpec). Works on ANY (label,
+    * prediction) pair — in particular a frozen deterministic prediction
+    * column, which makes the metric arithmetic DuckDB-oracle-checkable even
+    * when the classifier producing the predictions isn't (q_m25_metrics).
+    *
+    * Scale: ONE groupBy on (label, pred) — only the k×k matrix reaches the
+    * driver, never rows. */
+  def classificationMetrics(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val spark = pred.sparkSession
+    val cm = pred.groupBy(col(labelCol).cast("long").as("l"),
+        col(predCol).cast("long").as("p"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    require(cm.nonEmpty, "classificationMetrics on an empty frame")
+    val n = cm.values.sum.toDouble
+    val labels = cm.keys.map(_._1).toSeq.distinct.sorted
+    val tpSum = labels.map(l => cm.getOrElse((l, l), 0L)).sum
+    var f1w = 0.0
+    var pw = 0.0
+    var rw = 0.0
+    labels.foreach { l =>
+      val ln = cm.collect { case ((`l`, _), v) => v }.sum.toDouble
+      val pn = cm.collect { case ((_, `l`), v) => v }.sum.toDouble
+      val tp = cm.getOrElse((l, l), 0L).toDouble
+      val prec = if (pn > 0) tp / pn else 0.0
+      val rec = if (ln > 0) tp / ln else 0.0
+      val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+      f1w += ln / n * f1
+      pw += ln / n * prec
+      rw += ln / n * rec
+    }
+    import spark.implicits._
+    Seq((n.toLong, tpSum / n, f1w, pw, rw))
+      .toDF("n_test", "accuracy", "f1", "precision_w", "recall_w")
+  }
+
   /** Winner-count sampler selection (metrics.py:792-809): run the full
     * battery, count per-metric wins, return the sampler winning the most
     * metrics (ties resolved by battery order, the reference's iteration

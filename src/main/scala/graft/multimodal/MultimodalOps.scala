@@ -690,6 +690,84 @@ object MultimodalOps {
             FROM sm ORDER BY media_id"""
     })
 
+  /** Video with REAL per-frame image decode, fully hash-checked: GFV1
+    * containers whose frames are genuine 4×4 ARGB PNGs (deterministic
+    * closed-form pixels), stride-2 sampled and decoded by [[ImageIoDecoder]]
+    * — not the stub — then temporally mean-pooled. The oracle recomputes
+    * every channel moment (mean A/R/G/B, the integer-luma moments, dims)
+    * from the same closed-form pixels with the identical
+    * int-sum → int-div → double-div → float-cast ladder, so a PNG
+    * round-trip bug, a wrong stride, or a pooling error breaks the hash.
+    * PNG byte length is deflate-dependent, so n_bytes is deliberately NOT
+    * part of the hashed surface. */
+  private val mmVideoPng = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val nf = (3 + id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          for (y <- 0 until 4; x <- 0 until 4)
+            img.setRGB(x, y, 0xff000000 |
+              (((id * 31 + f * 97 + y * 4 + x) % 0x1000000).toInt))
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        Row(id, gfv1(frames))
+      }
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      decodeVideoFeatures(withBlob, "doc_id", "blob", stride = 2,
+          frameDecoder = ImageIoDecoder)
+        .select(
+          Seq(col("media_id"), col("format"), col("n_frames"),
+            col("n_sampled"), col("width"), col("height")) ++
+          (0 until 8).map(i =>
+            element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
+        .orderBy("media_id")
+    },
+    Some {
+      // closed-form pixel q (row-major) of frame f: ARGB with a = 255 and
+      // rgb24 = (id·31 + f·97 + q) mod 2^24 — the exact setRGB input
+      val v = "((id * 31 + f * 97 + q) % 16777216)"
+      val r = s"(($v // 65536) % 256)"
+      val g = s"(($v // 256) % 256)"
+      val b = s"($v % 256)"
+      val l = s"(299*$r + 587*$g + 114*$b)"
+      // per-frame feature values, replicating ImageIoDecoder's arithmetic:
+      // exact integer sums, integer division for the luma scalings, double
+      // divide by n = 16 pixels, float cast
+      def px(sum: String) = s"list_sum(list_transform(range(16), q -> $sum))"
+      val perFrame: Seq[String] = Seq(
+        "4080",                        // Σa = 16·255
+        px(r), px(g), px(b)).map(sm => s"CAST(CAST($sm AS DOUBLE)/16 AS REAL)") ++ Seq(
+        s"CAST(CAST(${px(l)} // 1000 AS DOUBLE)/16 AS REAL)",
+        s"CAST(CAST(${px(s"(($l*$l) // 1000)")} // 1000 AS DOUBLE)/16 AS REAL)",
+        "CAST(4 AS REAL)", "CAST(4 AS REAL)")
+      // temporal mean over the sampled frames: float features widened to
+      // double, summed in frame order, divided by the count, cast to float
+      val feat = perFrame.zipWithIndex.map { case (e, i) =>
+        s"""CAST(CAST(list_sum(list_transform(fs, f -> CAST($e AS DOUBLE)))
+               / len(fs) AS REAL) AS DOUBLE) AS f$i"""
+      }.mkString(",\n                   ")
+      s"""WITH bb AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                   3 + (doc_id % 3) AS nf FROM documents),
+            sm AS (SELECT id, nf, list_filter(range(nf), f -> f % 2 = 0) AS fs
+                   FROM bb)
+            SELECT id AS media_id,
+                   'gfv1/png' AS format,
+                   CAST(nf AS INTEGER) AS n_frames,
+                   CAST(len(fs) AS INTEGER) AS n_sampled,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   $feat
+            FROM sm ORDER BY media_id"""
+    })
+
   /** Resize round-trip, oracle-checked on the decode-verifiable surface:
     * per doc a deterministic 4×4 ARGB PNG is generated, resized to 8×6
     * through the real partition pipeline, and the output is RE-DECODED with
@@ -729,5 +807,6 @@ object MultimodalOps {
     "q_mm_wav_decode" -> mmWav,
     "q_mm_wav_frames" -> mmWavFrames,
     "q_mm_video_frames" -> mmVideo,
+    "q_mm_video_png" -> mmVideoPng,
     "q_mm_resize" -> mmResize)
 }

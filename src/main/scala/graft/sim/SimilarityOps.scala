@@ -249,13 +249,33 @@ object SimilarityOps {
             SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
             FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  /** IVF over the 64-dim embeddings: 16 lists, probe 4 — rows-only check
-    * (the KMeans quantizer is not SQL-expressible); exactness of returned
-    * cosines + recall vs brute force are pinned in SimilarityOpsSpec. */
+  /** IVF over the 64-dim embeddings: 16 lists, probe 6. The KMeans
+    * quantizer is not SQL-expressible, so instead of dumping the (formerly
+    * rows-only) neighbor lists this registers the QUALITY CONTRACT: recall
+    * of the IVF top-3 against the exact brute-force top-3, computed
+    * in-plan, thresholded at 0.6. The oracle supplies the expected query
+    * count and the TRUE literal — the hash matches iff the measured recall
+    * actually clears the bar, so a quantizer regression fails the
+    * correctness gate (measured recall@3 at nProbe=6: 0.67-0.93 over
+    * sf0.001-0.1; the nProbe/nList trade is documented on [[ivfTopK]]).
+    * Exactness of the returned cosines is pinned in SimilarityOpsSpec. */
   private val sIvf = Q(
-    (s, d) => ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      nList = 16, nProbe = 4, k = 3, col("id") < 5)
-      .orderBy("qid", "rank"))
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3).select(col("qid"), col("neighbor"))
+      val approx = ivfTopK(emb, "vec_id", "embedding",
+        nList = 16, nProbe = 6, k = 3, col("id") < 5)
+        .select(col("qid").as("aqid"), col("neighbor").as("aneighbor"))
+      exact.join(approx, col("qid") === col("aqid") &&
+          col("neighbor") === col("aneighbor"), "left")
+        .agg(countDistinct("qid").as("n_queries"),
+          (sum(when(col("aneighbor").isNotNull, 1).otherwise(0))
+            .cast("double") / count(lit(1))).as("recall"))
+        .select(col("n_queries"), (col("recall") >= 0.6).as("recall_ok"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 5"""))
 
   /** Seeded-quantizer IVF, fully oracle-checked: DuckDB replays centroid
     * choice, both argmins (same (d2, cid) tie-break), the list equi-join,
