@@ -94,6 +94,51 @@ object CorpusPipelineDemo {
     mixed.select("doc_id", "source", "text").write.mode("overwrite")
       .parquet(s"$outDir/corpus")
     docVecs.write.mode("overwrite").parquet(s"$outDir/doc_vectors")
+
+    // 7. the STREAMING edge, end to end (S9's queue pattern as streams):
+    //    the curated corpus re-arrives as files — plus planted exact and
+    //    near duplicates — and is drained by two Trigger.AvailableNow
+    //    queries with real checkpoints: (a) watermarked exact dedup at the
+    //    stream edge, landing clean docs; (b) the stateful SimHash
+    //    candidate-pair stream over the landed docs. Re-running the demo
+    //    reprocesses nothing (checkpointed file bookkeeping), exactly like
+    //    the reference's polled work queue.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Streams
+    val streamIn = s"$outDir/stream_in"
+    val exactDup = mixed.select("doc_id", "text").limit(10)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val nearDup = mixed.select("doc_id", "text").limit(10)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+      .withColumn("text", concat(col("text"), lit(" trailing marker token")))
+    mixed.select("doc_id", "text").union(exactDup).union(nearDup)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600))))
+      .write.mode("overwrite").parquet(streamIn)
+
+    val inSchema = spark.read.parquet(streamIn).schema
+    Streams.streamingExactDedup(
+        spark.readStream.schema(inSchema).parquet(streamIn), "text", "ts")
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/stream_docs")
+      .option("checkpointLocation", s"$outDir/ckpt_dedup")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val landed = spark.read.parquet(s"$outDir/stream_docs")
+    println(s"[stream] exact-deduped docs landed: ${landed.count()}" +
+      s" (planted exact dups dropped at the edge)")
+
+    Streams.streamingSimhashPairs(
+        spark.readStream.schema(landed.schema)
+          .parquet(s"$outDir/stream_docs"), "doc_id", "text")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/stream_pairs")
+      .option("checkpointLocation", s"$outDir/ckpt_pairs")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val pairs = spark.read.parquet(s"$outDir/stream_pairs")
+    println(s"[stream] near-dup candidate pairs emitted: ${pairs.count()}" +
+      s" (planted near-dups surfaced)")
+
     println("[corpus] OK")
     spark.stop()
   }
