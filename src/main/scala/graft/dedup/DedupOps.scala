@@ -230,6 +230,37 @@ object DedupOps {
       .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Benchmark DECONTAMINATION — the GPT-3/PaLM-style n-gram overlap
+    * filter: flag every training document that shares at least one
+    * `n`-token gram with the evaluation corpus, so benchmark answers can't
+    * leak into training data. Grams are distinct per document; the check is
+    * ONE equi-join on the gram key against the benchmark gram set — eval
+    * suites are tiny relative to a 100 TB corpus, so the bench side is
+    * broadcast and the scan stays map-side — followed by a per-doc count.
+    * Returns one row per training doc: (idCol, n_hit, contaminated). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame, id: org.apache.spark.sql.Column,
+        text: org.apache.spark.sql.Column): DataFrame = {
+      val t = col("__toks")
+      df.select(id.cast("long").as("id"),
+          TextOps.tokens(lower(text)).as("__toks"))
+        .select(col("id"), explode(when(size(t) >= n,
+          array_distinct(transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    }
+    val bg = grams(bench, lit(0L), col(benchTextCol)).select("g").distinct()
+    val hits = grams(docs, col(idCol), col(textCol))
+      .join(broadcast(bg), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val dExact = Q(
@@ -388,6 +419,44 @@ object DedupOps {
             FROM scored WHERE cosine >= 0.45
             ORDER BY ida, idb"""))
 
+  /** Decontamination over a synthetic eval split: docs with
+    * doc_id % 29 == 0 play the benchmark; every other doc is checked for a
+    * shared distinct 5-gram. The corpus's planted near-dup structure makes
+    * both outcomes live (simhash cluster-mates of an eval doc ARE
+    * contaminated; unrelated docs aren't). */
+  private val dDecontam = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(29)) =!= 0), "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(29)) === 0), "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tr AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id % 29 <> 0),
+            ev AS (SELECT
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id % 29 = 0),
+            evg AS (SELECT DISTINCT
+                unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                    || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]
+                    || ' ' || t[CAST(i AS INT)+5])) AS g
+              FROM ev),
+            trg AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                    || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]
+                    || ' ' || t[CAST(i AS INT)+5])) AS g
+              FROM tr),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hit
+              FROM trg JOIN evg USING (g) GROUP BY 1)
+            SELECT t.doc_id, COALESCE(h.n_hit, 0) AS n_hit,
+                   COALESCE(h.n_hit, 0) > 0 AS contaminated
+            FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
@@ -395,5 +464,6 @@ object DedupOps {
     "q_d_minhash_banded" -> dMinhashBanded,
     "q_d_simhash" -> dSimhash,
     "q_d_simhash_pairs" -> dSimhashPairs,
-    "q_d_embed_neardup" -> dEmbed)
+    "q_d_embed_neardup" -> dEmbed,
+    "q_d_decontaminate" -> dDecontam)
 }

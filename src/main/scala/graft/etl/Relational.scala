@@ -325,13 +325,19 @@ object Relational {
     Some("""SELECT ROUND(COUNT(CASE WHEN value >= 0.5 THEN 1 END) / COUNT(*), 6)
               AS resp_rate FROM events"""))
 
-  /** A9: group share of total — single shuffle, total via window over the
-    * already-aggregated (tiny) frame, not a second scan. */
+  /** A9: group share of total — single shuffle; the total comes from a
+    * broadcast 1-row cross join over the already-aggregated (group-sized)
+    * frame, not a second scan and not an empty-window single-partition
+    * exchange. */
   private val a9 = Q(
-    (s, d) => Tables.customer(s, d).groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / sum("n").over(), 6))
-      .orderBy("c_mktsegment"),
+    (s, d) => {
+      val grouped = Tables.customer(s, d).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      grouped.crossJoin(broadcast(grouped.agg(sum("n").as("tot"))))
+        .withColumn("share", round(col("n") / col("tot"), 6))
+        .drop("tot")
+        .orderBy("c_mktsegment")
+    },
     Some("""SELECT c_mktsegment, COUNT(*) AS n,
             ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
             FROM customer GROUP BY 1 ORDER BY 1"""))

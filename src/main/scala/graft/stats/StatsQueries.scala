@@ -529,9 +529,15 @@ object StatsQueries {
       val rows = Tables.orders(s, d)
         .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("nr"))
       val sigs = sigPairs(s, d).groupBy("st").agg(count(lit(1)).as("ns"))
-      rows.join(sigs, Seq("st"), "left").na.fill(Map("ns" -> 0L))
+      // totals via a broadcast 1-row cross join, not sum().over() — the
+      // frame is cluster-sized either way, but the empty-window warning
+      // (and its single-partition exchange) disappear from the plan
+      val joined = rows.join(sigs, Seq("st"), "left")
+        .na.fill(Map("ns" -> 0L))
+      val tot = joined.agg(sum("nr").as("tnr"), sum("ns").as("tns"))
+      joined.crossJoin(broadcast(tot))
         .withColumn("magnitude",
-          round((col("nr") / sum("nr").over()) * (col("ns") / sum("ns").over()), 6))
+          round((col("nr") / col("tnr")) * (col("ns") / col("tns")), 6))
         .select(col("st").as("cluster"), col("magnitude"))
         .orderBy("cluster")
     },

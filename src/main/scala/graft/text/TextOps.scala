@@ -216,6 +216,34 @@ object TextOps {
         col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII patterns for [[piiRedact]]. Deliberately lookahead-free and
+    * backreference-free so the SAME pattern strings run on java.util.regex
+    * (Spark) and RE2 (DuckDB oracle) with identical match sets. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything leaves curation: emails, NANP-style phone numbers, and
+    * IPv4 literals are counted (on the ORIGINAL text) and replaced with
+    * typed placeholder tags, in that fixed order. Pure codegen'd
+    * expressions, map-only, no shuffle; patterns are the RE2-compatible
+    * subset so the whole operator replays in the oracle. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("redacted"))
+      .drop(textCol)
+
   // -- registered queries -------------------------------------------------
 
   private val tTokens = Q(
@@ -359,8 +387,45 @@ object TextOps {
             FROM scored WHERE rank <= 3
             ORDER BY doc_id, rank"""))
 
+  /** PII redaction over planted positives: the corpus text carries no PII,
+    * so each doc gets a deterministic email, phone, and IPv4 literal
+    * appended (closed-form from doc_id, built identically in both engines)
+    * and the query hashes the counted-and-redacted output — a pattern or
+    * replacement-order regression breaks the hash. */
+  private val tPii = Q(
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach u"), col("doc_id").cast("string"),
+          lit("@mail.example.org call 555-010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(200)).cast("string")).as("text"))
+      piiRedact(planted, "doc_id", "text").orderBy("doc_id")
+    },
+    Some(s"""WITH p AS (SELECT doc_id,
+              text || ' reach u' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.org call 555-010-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 200 AS VARCHAR) AS text
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+                AS n_phones,
+              CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT)
+                AS n_ips,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '$EmailRe', '<EMAIL>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g'),
+                '$Ipv4Re', '<IP>', 'g') AS redacted
+            FROM p ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_token_count" -> tTokens,
+    "q_t_pii_redact" -> tPii,
     "q_t_quality" -> tQuality,
     "q_t_langid" -> tLangId,
     "q_t_fingerprint" -> tFingerprint,

@@ -91,4 +91,24 @@ class DedupOpsSpec extends SparkSpecBase {
       assert(math.abs(r.getAs[Double]("cosine") - exact) < 1e-5)
     }
   }
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark, counts distinct grams") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains "quick brown fox jumps over" (and one more shared 5-gram)
+      (1L, "a quick brown fox jumps over everything quick brown fox jumps over"),
+      (2L, "completely unrelated text with no overlap at all whatsoever"),
+      (3L, "short doc"), // < 5 tokens: no grams, never contaminated
+      // case-insensitive: tokens lowercased on both sides
+      (4L, "THE QUICK BROWN FOX JUMPS over nothing")).toDF("doc_id", "text")
+    val out = DedupOps.decontaminate(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1) // repeated gram counted ONCE (distinct)
+    assert(out(1L)._1 === 1L)
+    assert(out(2L) === ((0L, false)))
+    assert(out(3L) === ((0L, false)))
+    assert(out(4L)._2, "case-insensitive gram match must contaminate")
+    assert(out.size === 4)
+  }
 }

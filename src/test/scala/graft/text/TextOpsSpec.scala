@@ -105,4 +105,19 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(1L) === (("", 0.0, 0.0)))
     assert(out(2L) === (("", 0.0, 0.0)))
   }
+
+  test("pii: emails, phones, and IPv4s are counted and redacted; clean text untouched") {
+    val df = Seq(
+      (1L, "write bob.smith+x@corp.example.com or call 555-123-4567 now"),
+      (2L, "served from 192.168.10.1 and 10.0.0.255, mail a@b.io"),
+      (3L, "no pii here, just text with version 1.2 and code x@y")).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) === ((1L, 1L, 0L, "write <EMAIL> or call <PHONE> now")))
+    assert(out(2L) === ((1L, 0L, 2L, "served from <IP> and <IP>, mail <EMAIL>")))
+    // "x@y" has no dot-TLD, "1.2" is not a dotted quad — both stay
+    assert(out(3L) === ((0L, 0L, 0L,
+      "no pii here, just text with version 1.2 and code x@y")))
+  }
 }
