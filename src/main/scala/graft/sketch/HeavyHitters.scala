@@ -85,6 +85,59 @@ object HeavyHitters {
                     x -> x <> '')) AS word FROM documents)
             GROUP BY 1 ORDER BY cnt DESC, word LIMIT 10"""))
 
+  /** HyperLogLog++ distinct-count contract: at 100 TB nobody runs
+    * COUNT(DISTINCT) over raw keys — the sketch (one pass, mergeable,
+    * fixed memory) is the real plan, and this query certifies its error
+    * bound. Both the approximation and the exact count are computed
+    * in-plan and the hashed surface is the CONTRACT: |approx − exact| ≤
+    * 5·rsd·exact at rsd = 0.02 (HLL++'s standard-error multiple; 5σ keeps
+    * the bound deterministic for a fixed Spark version while still failing
+    * on any real sketch regression). The oracle supplies the exact count
+    * and the TRUE literal — the same quality-contract pattern as
+    * q_s_ann_ivf's recall. */
+  private val skHll = Q(
+    (s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_orderkey"))
+      keys.agg(
+          approx_count_distinct("l_orderkey", 0.02).as("approx"),
+          countDistinct("l_orderkey").as("exact"))
+        .select(col("exact").as("n_distinct"),
+          (abs(col("approx") - col("exact")) <=
+            lit(5 * 0.02) * col("exact")).as("within_bound"))
+    },
+    Some("""SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+            TRUE AS within_bound FROM lineitem"""))
+
+  /** Approximate-quantile contract (Greenwald-Khanna): the sketch path for
+    * percentiles over data too large to sort. approx_percentile at
+    * relativeError 0.01 must land within rank ±1% of each requested
+    * quantile — verified in-plan against the exact rank window, hashed as
+    * the contract booleans plus the exact quantile values. */
+  private val skQuantiles = Q(
+    (s, d) => {
+      val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val approx = v.agg(percentile_approx(col("x"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(100)).as("q"))
+      // exact ranks of the approximated values: fraction of rows <= q_i
+      val withQ = v.crossJoin(broadcast(approx))
+      withQ.agg(
+          count(lit(1)).as("n"),
+          (sum(when(col("x") <= element_at(col("q"), 1), 1).otherwise(0)) /
+            count(lit(1))).as("r25"),
+          (sum(when(col("x") <= element_at(col("q"), 2), 1).otherwise(0)) /
+            count(lit(1))).as("r50"),
+          (sum(when(col("x") <= element_at(col("q"), 3), 1).otherwise(0)) /
+            count(lit(1))).as("r75"))
+        .select(col("n"),
+          (col("r25") >= 0.24 && col("r25") <= 0.26).as("ok25"),
+          (col("r50") >= 0.49 && col("r50") <= 0.51).as("ok50"),
+          (col("r75") >= 0.74 && col("r75") <= 0.76).as("ok75"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            TRUE AS ok25, TRUE AS ok50, TRUE AS ok75 FROM lineitem"""))
+
   val queries: Map[String, Q] = Map(
-    "q_sk_heavy_hitters" -> skTopWords)
+    "q_sk_heavy_hitters" -> skTopWords,
+    "q_sk_hll_distinct" -> skHll,
+    "q_sk_approx_quantiles" -> skQuantiles)
 }

@@ -115,6 +115,22 @@ object ExplainAudit {
       "component closure is equi-join propagation (no cartesian anywhere)" ->
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_d_decontaminate",
+      "bench gram set is broadcast (eval suites are tiny at any corpus scale)" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_t_pii_redact",
+      "redaction is map-only: no hash-partition shuffle before the output sort" ->
+        (p => !p.contains("Exchange hashpartitioning")),
+      "whole-stage codegen active (regex ops are expressions, not UDFs)" ->
+        (_.contains("codegen id")))
+    audit("q_sk_hll_distinct",
+      "sketch and exact count share one scan (single aggregation subtree)" ->
+        // tree nodes only — formatted mode repeats each node in the detail
+        // section ("(1) Scan parquet"), which is not a second scan
+        (p => "Scan parquet  \\(".r.findAllIn(p).size <= 1))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
