@@ -43,6 +43,10 @@ object SimilarityOps {
     * murmur3) is load-bearing for verifiability: the oracle SQL rebuilds the
     * exact planes with DuckDB's sha256, so the FULL candidate set is
     * cross-engine replicable (same trick as [[graft.functions.SimHash64]]). */
+  /** Test access to the deterministic planes (LshSignatureSpec parity). */
+  def lshPlanesForTest(plane: Int, dim: Int): Array[Double] =
+    hyperplane(plane, dim)
+
   private[sim] def hyperplane(plane: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     Array.tabulate(dim) { i =>
@@ -52,17 +56,19 @@ object SimilarityOps {
     }
   }
 
-  /** Sign-bit LSH signature (nBits hyperplanes starting at `planeOffset`)
-    * as a column expression: bit p = 1 iff v · plane_p > 0. Planes are
-    * inlined as literal arrays — fully codegen'd, no UDF. */
+  /** Sign-bit LSH signature (nBits hyperplanes starting at `planeOffset`):
+    * bit p = 1 iff v · plane_p > 0, computed by the codegen'd
+    * [[graft.functions.LshSignature]] expression — ONE fused loop over a
+    * flattened plane constant. The earlier composed
+    * `aggregate(zip_with(...))` form was CodegenFallback (nBits interpreted
+    * lambda folds + nBits zipped-array allocations per row); the native
+    * expression produces bit-identical signatures (same left-to-right dot
+    * accumulation), so the DuckDB candidate-set oracles are unchanged. */
   def lshSignature(vecCol: String, dim: Int, nBits: Int,
       planeOffset: Int = 0): org.apache.spark.sql.Column = {
-    val v = col(vecCol).cast("array<double>")
-    (0 until nBits).map { p =>
-      val plane = hyperplane(planeOffset + p, dim)
-      val dot = aggregate(zip_with(v, lit(plane), _ * _), lit(0.0), (a, x) => a + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val planes = (0 until nBits)
+      .flatMap(p => hyperplane(planeOffset + p, dim)).toIndexedSeq
+    graft.functions.LshSignature.signature(col(vecCol), planes, nBits, dim)
   }
 
   /** ANN via OR-amplified LSH: `nTables` independent nBits-bit signatures;
