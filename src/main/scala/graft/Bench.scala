@@ -36,7 +36,13 @@ object Bench {
     // round-3 operators: LSH-banded embedding near-dup + the distributed
     // global-index positional join (previously a single-partition window)
     "q_d_embed_neardup",
-    "q_j3_positional")
+    "q_j3_positional",
+    // round-6 operators: single-scan TF-IDF (persisted tf diamond),
+    // pointer-jumping connected-components canonicalization, and the
+    // broadcast n-gram decontamination filter
+    "q_t_tfidf",
+    "q_d_dup_clusters",
+    "q_d_decontaminate")
 
   /** 1-minute load average from /proc/loadavg (-1 when unreadable). */
   private def load1(): Double =
