@@ -120,4 +120,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(3L) === ((0L, 0L, 0L,
       "no pii here, just text with version 1.2 and code x@y")))
   }
+
+  test("pii redaction is idempotent: placeholder tags never re-match") {
+    val rnd = new scala.util.Random(3)
+    val pieces = Seq("text", "a@b.co", "555-123-4567", "8.8.8.8", "word",
+      "x.y@z.example.com")
+    val df = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(6)(pieces(rnd.nextInt(pieces.length)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val once = TextOps.piiRedact(df, "doc_id", "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = TextOps.piiRedact(once, "doc_id", "text")
+    // second pass finds nothing and changes nothing
+    val residual = twice
+      .agg(sum(col("n_emails") + col("n_phones") + col("n_ips"))).head().getLong(0)
+    assert(residual === 0L)
+    val changed = once.join(twice.select(col("doc_id"), col("redacted")), "doc_id")
+      .filter(col("text") =!= col("redacted")).count()
+    assert(changed === 0L)
+  }
 }
