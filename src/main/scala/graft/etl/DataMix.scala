@@ -40,6 +40,20 @@ object DataMix {
       .drop("__u", "__rate")
   }
 
+  /** Quality-WEIGHTED sampling — importance sampling for corpus mixing
+    * (the FineWeb/DCLM-style move from per-source rates to per-document
+    * quality): keep a document iff u(id) < min(1, baseRate · weight), with
+    * `weightCol` any deterministic per-doc score in [0, 1] (a quality
+    * ratio, a classifier probability). Same scale contract as
+    * [[mixSample]]: pure map-side filter, no shuffle, reproducible under
+    * any partitioning; high-quality docs are kept at up to baseRate× the
+    * rate of zero-scored ones. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      baseRate: Double): DataFrame =
+    df.withColumn("__u", uniformHash(col(idCol)))
+      .filter(col("__u") < least(lit(1.0), lit(baseRate) * col(weightCol)))
+      .drop("__u")
+
   // -- registered query ---------------------------------------------------
 
   /** Mix the 20-source documents corpus: keep all of src0, half of src1,
@@ -67,5 +81,42 @@ object DataMix {
                                     ELSE 0.25 END)
             ORDER BY doc_id"""))
 
-  val queries: Map[String, Q] = Map("q_p14_mix_sample" -> pMix)
+  /** Weighted sampling keyed on the (already-oracled, 6dp-rounded)
+    * stopword-ratio quality feature at baseRate 1.5 — the oracle rebuilds
+    * the identical u and the identical rounded ratio, so the per-row keep
+    * decision compares bit-identical doubles in both engines. */
+  private val pWeighted = Q(
+    (s, d) => {
+      val q = graft.text.TextOps.qualityFeatures(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("stopword_ratio"))
+      weightedSample(q, "doc_id", "stopword_ratio", baseRate = 1.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            sw AS (SELECT doc_id,
+              ROUND(CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','of','and','to','in','is'], lower(x)))) AS DOUBLE)
+                / GREATEST(len(toks), 1), 6) AS stopword_ratio
+              FROM t),
+            u AS (SELECT doc_id, stopword_ratio,
+              (  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456.0
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216.0
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576.0
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536.0
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096.0
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256.0
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16.0
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+              ) / 4294967296.0 AS uu
+            FROM sw)
+            SELECT doc_id, stopword_ratio FROM u
+            WHERE uu < LEAST(1.0, 1.5 * stopword_ratio)
+            ORDER BY doc_id"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_p14_mix_sample" -> pMix,
+    "q_p15_weighted_sample" -> pWeighted)
 }

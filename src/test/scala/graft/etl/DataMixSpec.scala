@@ -32,4 +32,25 @@ class DataMixSpec extends SparkSpecBase {
     assert(kept.filter(col("source") === "src3").count() === 0L)
     assert(kept.count() === 300L)
   }
+
+  test("weighted sample: keep rate scales with the weight, deterministic") {
+    // 200 docs at weight 0.1, 200 at weight 0.6 — with baseRate 1.5 the
+    // effective rates are 0.15 and 0.9
+    val w = (0 until 400).map(i =>
+      (i.toLong, if (i < 200) 0.1 else 0.6)).toDF("id", "wt")
+    val kept = DataMix.weightedSample(w, "id", "wt", baseRate = 1.5)
+    val lo = kept.filter(col("wt") === 0.1).count()
+    val hi = kept.filter(col("wt") === 0.6).count()
+    assert(lo > 10 && lo < 50, s"low-weight kept $lo of 200 (expect ~30)")
+    assert(hi > 160 && hi < 200, s"high-weight kept $hi of 200 (expect ~180)")
+    // weight 0 drops everything; weight ≥ 1/baseRate keeps everything
+    assert(DataMix.weightedSample(w.withColumn("wt", lit(0.0)),
+      "id", "wt", 1.5).count() === 0L)
+    assert(DataMix.weightedSample(w.withColumn("wt", lit(1.0)),
+      "id", "wt", 1.5).count() === 400L)
+    // identical decisions under a different partitioning
+    val again = DataMix.weightedSample(w.repartition(7), "id", "wt", 1.5)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
 }
