@@ -162,8 +162,21 @@ object BayesianGmm {
       case None => df.select(featuresCol)
     }
     val data: RDD[(Array[Double], Int)] = sel.rdd
-      .map(r => (r.getAs[Vector](0).toArray,
-        if (r.size > 1) r.getInt(1) else -1))
+      .map { r =>
+        // fail with the CONTRACT, not an opaque NPE/AIOOBE deep in the
+        // aggregate: initCol must be a non-null int in 0..k-1 per row
+        val lbl =
+          if (r.size <= 1) -1
+          else {
+            require(!r.isNullAt(1),
+              s"initCol contains a null label (expected 0..${k - 1})")
+            val v = r.getInt(1)
+            require(v >= 0 && v < k,
+              s"initCol label $v outside 0..${k - 1}")
+            v
+          }
+        (r.getAs[Vector](0).toArray, lbl)
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = data.count().toDouble
     val d = data.first()._1.length

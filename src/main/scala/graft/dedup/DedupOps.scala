@@ -240,10 +240,14 @@ object DedupOps {
     * Returns one row per training doc: (idCol, n_hit, contaminated). */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    // ids keep their ORIGINAL type: an id cast (e.g. to long) would null
+    // out string/UUID ids, and null never equi-joins — every doc would
+    // silently come back contaminated=false, the worst failure mode a
+    // safety filter can have
     def grams(df: DataFrame, id: org.apache.spark.sql.Column,
         text: org.apache.spark.sql.Column): DataFrame = {
       val t = col("__toks")
-      df.select(id.cast("long").as("id"),
+      df.select(id.as("id"),
           TextOps.tokens(lower(text)).as("__toks"))
         .select(col("id"), explode(when(size(t) >= n,
           array_distinct(transform(sequence(lit(0), size(t) - n),
@@ -254,7 +258,7 @@ object DedupOps {
     val hits = grams(docs, col(idCol), col(textCol))
       .join(broadcast(bg), "g")
       .groupBy("id").agg(count(lit(1)).as("n_hit"))
-    docs.select(col(idCol).cast("long").as("id"))
+    docs.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),

@@ -36,14 +36,30 @@ object DupClusters {
     * `checkpointDir`: when set, per-round lineage truncation uses RELIABLE
     * `checkpoint()` into that directory instead of `localCheckpoint()` —
     * required on a real cluster, where executor loss would otherwise drop
-    * the only copy of the label state mid-loop. The default (local) is
-    * right for single-JVM runs and tests. */
+    * the only copy of the label state mid-loop. Note this sets the
+    * SESSION's checkpoint directory (SparkContext state is global). Each
+    * round's frame is persisted before the checkpoint so the checkpoint
+    * write reads the cached partitions instead of recomputing the round's
+    * joins a second time (RDD.checkpoint alone re-runs the lineage);
+    * caches are released as soon as the following round materializes. The
+    * default (local) is right for single-JVM runs and tests. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) {
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        roundCaches += cached
+        cached.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
+    // drop caches from rounds before the one that just materialized —
+    // the checkpointed files carry the state from here on
+    def releaseOldRounds(keep: Int): Unit =
+      while (roundCaches.length > keep) {
+        roundCaches.remove(0).unpersist(blocking = false)
+      }
     val fwd = pairs.select(col("ida").cast("long").as("a"),
       col("idb").cast("long").as("b"))
     // no distinct: MIN-propagation is duplicate-insensitive, so repeated
@@ -56,10 +72,13 @@ object DupClusters {
     // short-circuits execution but the analyzer still walks the whole
     // accumulated tree, which is the textbook driver OOM for DataFrame
     // loops. Checkpointing truncates the lineage to the materialized RDD.
-    // LAZY checkpoints (eager = false): the one convergence-count action
-    // per iteration materializes prop and next together in a single job —
-    // eager checkpoints would run three blocking jobs per round (measured
-    // 3× the loop wall-clock on the sf0.1 pair graph).
+    // LAZY checkpoints (eager = false): on the local path the one
+    // convergence-count action per iteration materializes prop and next
+    // together in a single job — eager checkpoints would run three
+    // blocking jobs per round (measured 3× the loop wall-clock on the
+    // sf0.1 pair graph). On the reliable path the checkpoint WRITES are
+    // additional jobs, but they read the per-round persist, not the
+    // recomputed join lineage.
     // On a real cluster pass `checkpointDir` so the truncation goes to
     // reliable storage and executor loss cannot lose the only label copy.
     var labels = truncate(edges.select(col("a").as("id")).distinct()
@@ -95,6 +114,9 @@ object DupClusters {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("jc"), col("comp")).as("comp")))
       val s = labelSum(next)
+      // this round's prop/next are materialized (and checkpointed on the
+      // reliable path) — earlier rounds' persists can go
+      releaseOldRounds(keep = 2)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
       labels = next

@@ -106,14 +106,20 @@ object CorpusPipelineDemo {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Streams
     val streamIn = s"$outDir/stream_in"
-    val exactDup = mixed.select("doc_id", "text").limit(10)
+    // ts is derived from the ORIGINAL doc_id BEFORE planting, so a planted
+    // duplicate carries its original's event time — the watermarked dedup
+    // guarantee then holds regardless of how the file source batches the
+    // input (a shifted ts could age the original's state out of the
+    // 10-minute horizon before the duplicate arrives)
+    val base = mixed.select(col("doc_id"), col("text"),
+      timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600)))
+        .as("ts"))
+    val exactDup = base.limit(10)
       .withColumn("doc_id", col("doc_id") + 1000000)
-    val nearDup = mixed.select("doc_id", "text").limit(10)
+    val nearDup = base.limit(10)
       .withColumn("doc_id", col("doc_id") + 2000000)
       .withColumn("text", concat(col("text"), lit(" trailing marker token")))
-    mixed.select("doc_id", "text").union(exactDup).union(nearDup)
-      .withColumn("ts",
-        timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600))))
+    base.union(exactDup).union(nearDup)
       .write.mode("overwrite").parquet(streamIn)
 
     val inSchema = spark.read.parquet(streamIn).schema

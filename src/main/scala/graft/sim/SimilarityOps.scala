@@ -43,11 +43,7 @@ object SimilarityOps {
     * murmur3) is load-bearing for verifiability: the oracle SQL rebuilds the
     * exact planes with DuckDB's sha256, so the FULL candidate set is
     * cross-engine replicable (same trick as [[graft.functions.SimHash64]]). */
-  /** Test access to the deterministic planes (LshSignatureSpec parity). */
-  def lshPlanesForTest(plane: Int, dim: Int): Array[Double] =
-    hyperplane(plane, dim)
-
-  private[sim] def hyperplane(plane: Int, dim: Int): Array[Double] = {
+  private[graft] def hyperplane(plane: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     Array.tabulate(dim) { i =>
       val hx = md.digest(s"lshp:$plane:$i".getBytes("UTF-8"))

@@ -110,14 +110,17 @@ object HeavyHitters {
 
   /** Approximate-quantile contract (Greenwald-Khanna): the sketch path for
     * percentiles over data too large to sort. approx_percentile at
-    * relativeError 0.01 must land within rank ±1% of each requested
-    * quantile — verified in-plan against the exact rank window, hashed as
-    * the contract booleans plus the exact quantile values. */
+    * accuracy 10000 (rank error ≤ 1e-4·N) must land within rank ±1% of
+    * each requested quantile — a 100× margin over the sketch's guarantee,
+    * so the contract survives Spark-version sketch-detail shifts and
+    * small tie groups while still failing on a real regression. Verified
+    * in-plan against the exact rank fractions, hashed as the contract
+    * booleans. */
   private val skQuantiles = Q(
     (s, d) => {
       val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
       val approx = v.agg(percentile_approx(col("x"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(100)).as("q"))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
       // exact ranks of the approximated values: fraction of rows <= q_i
       val withQ = v.crossJoin(broadcast(approx))
       withQ.agg(

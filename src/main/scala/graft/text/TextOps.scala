@@ -179,8 +179,14 @@ object TextOps {
     * at corpus scale this join stays a shuffle join on the term key, or a
     * broadcast when the vocabulary is trimmed). The per-doc top-k is a
     * window partitioned by doc id. */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame = {
+  /** [[tfidfTopTerms]] with a release handle for its internal persist —
+    * call the handle once the result is consumed (the
+    * [[graft.etl.GlobalIndex.withGlobalIndexReleasable]] convention).
+    * The plain overload leaves the cache to the session; Verify and Bench
+    * clear it per query, but long-lived sessions composing many operators
+    * should prefer this variant. */
+  def tfidfTopTermsReleasable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): (DataFrame, () => Unit) = {
     // tf feeds THREE consumers (the doc count N, the df/idf aggregation,
     // and the scoring join). Catalyst specializes each branch (count
     // elision, column pruning), so exchange reuse can never unify them —
@@ -208,13 +214,18 @@ object TextOps {
     // tie terms the true values separate, flipping the k-boundary term
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy((col("tf") * col("idf")).desc, col("term"))
-    tf.join(idf, "term")
+    val out = tf.join(idf, "term")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("tfidf", round(col("tf") * col("idf"), 6))
       .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
         col("term"), col("tf"), col("df"), col("tfidf"))
+    (out, () => { tf.unpersist(blocking = false); () })
   }
+
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    tfidfTopTermsReleasable(df, idCol, textCol, k)._1
 
   /** PII patterns for [[piiRedact]]. Deliberately lookahead-free and
     * backreference-free so the SAME pattern strings run on java.util.regex

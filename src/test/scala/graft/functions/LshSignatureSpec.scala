@@ -27,7 +27,7 @@ class LshSignatureSpec extends SparkSpecBase {
     val df = (0 until 300).map(i =>
       (i.toLong, Array.fill(dim)(rnd.nextGaussian()))).toDF("id", "v")
     val planes = (0 until nBits).map(p =>
-      graft.sim.SimilarityOps.lshPlanesForTest(p, dim))
+      graft.sim.SimilarityOps.hyperplane(p, dim))
     val flat = planes.flatten.toIndexedSeq
     val out = df.select(
       LshSignature.signature(col("v"), flat, nBits, dim).as("fused"),
@@ -39,7 +39,7 @@ class LshSignatureSpec extends SparkSpecBase {
 
   test("null vector, wrong length, and null element all yield 0L like the composed form") {
     val planes = (0 until nBits).map(p =>
-      graft.sim.SimilarityOps.lshPlanesForTest(p, dim))
+      graft.sim.SimilarityOps.hyperplane(p, dim))
     val flat = planes.flatten.toIndexedSeq
     val df = Seq(
       (1L, null.asInstanceOf[Array[Double]]),
@@ -63,7 +63,7 @@ class LshSignatureSpec extends SparkSpecBase {
     val df = (0 until 100).map(i =>
       (i.toLong, Array.fill(dim)(rnd.nextGaussian()))).toDF("id", "v")
     val planes = (0 until nBits)
-      .flatMap(p => graft.sim.SimilarityOps.lshPlanesForTest(p, dim))
+      .flatMap(p => graft.sim.SimilarityOps.hyperplane(p, dim))
       .toIndexedSeq
     def run(): Array[Long] = df.select(
       LshSignature.signature(col("v"), planes, nBits, dim)).collect()
