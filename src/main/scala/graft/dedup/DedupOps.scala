@@ -243,19 +243,16 @@ object DedupOps {
     // ids keep their ORIGINAL type: an id cast (e.g. to long) would null
     // out string/UUID ids, and null never equi-joins — every doc would
     // silently come back contaminated=false, the worst failure mode a
-    // safety filter can have
-    def grams(df: DataFrame, id: org.apache.spark.sql.Column,
-        text: org.apache.spark.sql.Column): DataFrame = {
-      val t = col("__toks")
-      df.select(id.as("id"),
-          TextOps.tokens(lower(text)).as("__toks"))
-        .select(col("id"), explode(when(size(t) >= n,
-          array_distinct(transform(sequence(lit(0), size(t) - n),
-            i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-    }
-    val bg = grams(bench, lit(0L), col(benchTextCol)).select("g").distinct()
-    val hits = grams(docs, col(idCol), col(textCol))
+    // safety filter can have. Gram construction IS [[shingles]] (same
+    // materialized-token / distinct-k-gram explode, one copy of the
+    // tokenize-once scale fix) under a constant block key.
+    def grams(df: DataFrame, id: String): DataFrame =
+      shingles(df.withColumn("__blk", lit(1)), id, textCol, "__blk", n)
+        .select(col("id"), col("shingle").as("g"))
+    val bg = grams(bench.select(lit(0L).as("__bid"),
+        col(benchTextCol).as(textCol)), "__bid")
+      .select("g").distinct()
+    val hits = grams(docs, idCol)
       .join(broadcast(bg), "g")
       .groupBy("id").agg(count(lit(1)).as("n_hit"))
     docs.select(col(idCol).as("id"))

@@ -41,8 +41,12 @@ object DupClusters {
     * round's frame is persisted before the checkpoint so the checkpoint
     * write reads the cached partitions instead of recomputing the round's
     * joins a second time (RDD.checkpoint alone re-runs the lineage);
-    * caches are released as soon as the following round materializes. The
-    * default (local) is right for single-JVM runs and tests. */
+    * caches are released as soon as the following round materializes, and
+    * all but the returned frame's cache are dropped when the loop exits.
+    * Checkpoint FILES under the directory are the CALLER's to delete —
+    * they must outlive consumption of the returned frame, so the loop
+    * cannot clean them up itself. The default (local) is right for
+    * single-JVM runs and tests. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
@@ -123,6 +127,9 @@ object DupClusters {
       it += 1
     }
     edges.unpersist(blocking = false)
+    // the final round's prop cache is dead weight (only next is returned);
+    // next's cache backs the returned frame until the caller consumes it
+    releaseOldRounds(keep = 1)
     labels
   }
 

@@ -261,6 +261,9 @@ object MultimodalOps {
     * channels inside every RMS/zero-crossing — semantically wrong, so
     * channels != 1 blobs are skipped like invalid blobs. (Per-channel
     * de-interleaving is the decoder-seam extension if stereo is needed.)
+    * Absence from this table is therefore ambiguous between "corrupt" and
+    * "stereo policy skip" — join [[wavFrameCoverage]] when a pipeline
+    * needs to tell them apart.
     *
     * Scale: mapPartitions decode, one output row per frame — linear in
     * audio duration, no shuffle; the frame rows carry only 6 scalars. */
@@ -301,6 +304,29 @@ object MultimodalOps {
         }
       })
     spark.createDataFrame(rows, wavFrameSchema)
+  }
+
+  /** Per-blob status companion to [[wavFrameFeatures]]: "ok" (mono PCM,
+    * frames emitted), "multichannel" (valid PCM skipped by the mono-only
+    * policy), or "invalid" (not decodable 16-bit PCM) — so a pipeline can
+    * distinguish a policy skip from corruption instead of inferring from
+    * absence. Same mapPartitions shape, no shuffle. */
+  def wavFrameCoverage(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("status", StringType)))
+    val rows = df.select(col(idCol).cast("long"), col(blobCol)).rdd
+      .mapPartitions(_.map { r =>
+        val status = WavDecoder.pcmInfo(r.getAs[Array[Byte]](1)) match {
+          case None => "invalid"
+          case Some((_, channels, _, _)) =>
+            if (channels == 1) "ok" else "multichannel"
+        }
+        Row(r.getLong(0), status)
+      })
+    spark.createDataFrame(rows, schema)
   }
 
   val mediaSchema: StructType = StructType(Seq(

@@ -223,6 +223,11 @@ object TextOps {
     (out, () => { tf.unpersist(blocking = false); () })
   }
 
+  /** Plain overload: DELIBERATELY leaves the tf cache to the session
+    * (the persist must outlive this lazy result, so a handle-free API
+    * cannot release it). Right for per-query sessions that clear caches
+    * (Verify/Bench do); long-lived compositions should call
+    * [[tfidfTopTermsReleasable]] and release after consuming. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
     tfidfTopTermsReleasable(df, idCol, textCol, k)._1

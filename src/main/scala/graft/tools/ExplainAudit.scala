@@ -129,8 +129,10 @@ object ExplainAudit {
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
-        // section ("(1) Scan parquet"), which is not a second scan
-        (p => "Scan parquet  \\(".r.findAllIn(p).size <= 1))
+        // section ("(1) Scan parquet"), which is not a second scan.
+        // EXACTLY one: a zero count means the node spelling changed and the
+        // assertion would otherwise pass vacuously on any plan
+        (p => "Scan parquet  \\(".r.findAllIn(p).size == 1))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

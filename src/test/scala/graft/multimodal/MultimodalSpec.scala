@@ -152,11 +152,16 @@ class MultimodalSpec extends SparkSpecBase {
     // every RMS/ZC — stereo blobs must be dropped like invalid ones
     val mono = MultimodalOps.pcm16Wav(Array.tabulate(4)(_.toShort), 8000)
     val stereo = mono.clone(); stereo(22) = 2 // channel-count field
-    val df = Seq((1L, mono), (2L, stereo)).toDF("media_id", "blob")
+    val df = Seq((1L, mono), (2L, stereo), (3L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "blob")
     val ids = MultimodalOps.wavFrameFeatures(df, "media_id", "blob",
       frameSamples = 2).select("media_id").distinct().collect()
       .map(_.getLong(0)).toSet
     assert(ids === Set(1L))
+    // the coverage companion tells a policy skip apart from corruption
+    val cov = MultimodalOps.wavFrameCoverage(df, "media_id", "blob")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cov === Map(1L -> "ok", 2L -> "multichannel", 3L -> "invalid"))
   }
 
   test("WavDecoder rejects non-PCM and non-16-bit variants, not the partition") {
