@@ -49,9 +49,17 @@ object DedupOps {
   }
 
   /** N-gram Jaccard near-dup pairs: candidates from a shared-shingle
-    * self-join within a block, similarity = |∩| / (|A|+|B|−|∩|). */
+    * self-join within a block, similarity = |∩| / (|A|+|B|−|∩|).
+    * The shingle frame is cached (it feeds the sizes aggregation AND the
+    * self-join); the plain overload leaves that cache to the session —
+    * long-lived compositions should use the releasable variant. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, k: Int = 3, threshold: Double = 0.05): DataFrame = {
+      blockCol: String, k: Int = 3, threshold: Double = 0.05): DataFrame =
+    ngramJaccardPairsReleasable(df, idCol, textCol, blockCol, k, threshold)._1
+
+  def ngramJaccardPairsReleasable(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, k: Int = 3,
+      threshold: Double = 0.05): (DataFrame, () => Unit) = {
     val sh = shingles(df, idCol, textCol, blockCol, k).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.toDF("ida", "block", "shingle")
@@ -59,13 +67,14 @@ object DedupOps {
     val shared = a.join(b, Seq("block", "shingle"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-    shared
+    val out = shared
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
       .withColumn("jaccard", round(col("shared") /
         (col("sza") + col("szb") - col("shared")), 6))
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "shared", "jaccard")
+    (out, () => { sh.unpersist(blocking = false); () })
   }
 
   /** MinHash+LSH candidate pairs via MLlib: 3-gram shingle set →
@@ -121,10 +130,21 @@ object DedupOps {
     *  4. true Jaccard verified ONLY for candidates via shared-shingle
     *     counting (shingle-join restricted by a candidate semi-join).
     *
-    * Output matches [[minhashPairs]]'s shape: (ida, idb, jaccard_dist). */
+    * Output matches [[minhashPairs]]'s shape: (ida, idb, jaccard_dist).
+    * Two frames are cached (shingles feed the minhash aggregation and the
+    * exact-Jaccard finish; minhashes feed the band explode and the sizes);
+    * the plain overload leaves both to the session — long-lived
+    * compositions should use the releasable variant. */
   def minhashPairsBanded(df: DataFrame, idCol: String, textCol: String,
       numBands: Int = 4, rowsPerBand: Int = 2, maxJaccardDist: Double = 0.5,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3): DataFrame =
+    minhashPairsBandedReleasable(df, idCol, textCol, numBands, rowsPerBand,
+      maxJaccardDist, shingleK)._1
+
+  def minhashPairsBandedReleasable(df: DataFrame, idCol: String,
+      textCol: String, numBands: Int = 4, rowsPerBand: Int = 2,
+      maxJaccardDist: Double = 0.5, shingleK: Int = 3)
+      : (DataFrame, () => Unit) = {
     // (id, shingle) is already distinct — shingles() explodes the
     // array_distinct'd per-doc set — so no extra distinct shuffle here
     val sh = shingles(
@@ -158,13 +178,18 @@ object DedupOps {
       .join(sh.toDF("ida", "shingle"), Seq("ida"))
       .join(sh.toDF("idb", "shingle"), Seq("idb", "shingle"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-    shared
+    val out = shared
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
       .withColumn("jaccard_dist", round(lit(1.0) -
         col("shared") / (col("sza") + col("szb") - col("shared")), 6))
       .filter(col("jaccard_dist") <= maxJaccardDist)
       .select("ida", "idb", "jaccard_dist")
+    (out, () => {
+      sh.unpersist(blocking = false)
+      minhashes.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** SimHash signatures (custom Catalyst expression) + near-dup pairs by
