@@ -255,6 +255,32 @@ object DedupOps {
       .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Edit-distance verification of near-dup CANDIDATES — the exactness
+    * arbiter a dedup stack runs after hash/banding candidate generation
+    * (every hash family admits false positives; Levenshtein on the pair
+    * text settles them). NEVER all-pairs: candidates come from any
+    * generator's (ida, idb) list, texts join back per pair, and the
+    * built-in codegen'd levenshtein scores each pair once. Distance is
+    * computed on `prefixLen`-char prefixes — unbounded Levenshtein is
+    * O(len²) per pair, and a dedup arbiter needs the bounded-cost variant
+    * at corpus scale (prefix disagreement ⇒ the docs differ; the standard
+    * trade). `confirmed` = dist ≤ maxDistRatio · max(prefix lengths). */
+  def editVerify(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, prefixLen: Int = 200,
+      maxDistRatio: Double = 0.2): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"),
+      substring(col(textCol), 1, prefixLen).as("__t"))
+    pairs.select("ida", "idb")
+      .join(t.toDF("ida", "ta"), "ida")
+      .join(t.toDF("idb", "tb"), "idb")
+      .select(col("ida"), col("idb"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("len_max"))
+      .withColumn("confirmed",
+        col("edit_dist") <= lit(maxDistRatio) * col("len_max"))
+  }
+
   /** Benchmark DECONTAMINATION — the GPT-3/PaLM-style n-gram overlap
     * filter: flag every training document that shares at least one
     * `n`-token gram with the evaluation corpus, so benchmark answers can't
@@ -483,6 +509,34 @@ object DedupOps {
             FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id"""))
 
+  /** Edit-distance arbitration of the SimHash candidate pairs — the oracle
+    * replays the signature + banding pair generation and DuckDB's own
+    * levenshtein on the same 200-char prefixes (both engines implement
+    * plain character-level Levenshtein). */
+  private val dEditVerify = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      editVerify(docs, simhashPairs(docs, "doc_id", "text"), "doc_id", "text")
+        .orderBy("ida", "idb")
+    },
+    Some(simhashSigSql + """,
+        p AS (SELECT a.id AS ida, b.id AS idb
+          FROM sig a JOIN sig b ON a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+            AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+              OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+              OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+              OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)),
+        tt AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+        sc AS (SELECT p.ida, p.idb,
+                 CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+                 CAST(GREATEST(length(a.t), length(b.t)) AS BIGINT) AS len_max
+               FROM p JOIN tt a ON p.ida = a.doc_id
+                      JOIN tt b ON p.idb = b.doc_id)
+        SELECT ida, idb, edit_dist, len_max,
+               edit_dist <= 0.2 * len_max AS confirmed
+        FROM sc ORDER BY ida, idb"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
@@ -491,5 +545,6 @@ object DedupOps {
     "q_d_simhash" -> dSimhash,
     "q_d_simhash_pairs" -> dSimhashPairs,
     "q_d_embed_neardup" -> dEmbed,
-    "q_d_decontaminate" -> dDecontam)
+    "q_d_decontaminate" -> dDecontam,
+    "q_d_edit_verify" -> dEditVerify)
 }

@@ -232,6 +232,24 @@ object TextOps {
       k: Int = 3): DataFrame =
     tfidfTopTermsReleasable(df, idCol, textCol, k)._1
 
+  /** Text canonicalization (the ftfy-lite pass a scrape runs before any
+    * hashing or tokenizing): Unicode NFC (via the codegen'd
+    * [[graft.functions.NfcNormalize]] expression — decomposed accents and
+    * compatibility forms otherwise defeat exact-dedup hashes), control and
+    * format characters replaced with spaces (replacement, not deletion, so
+    * "a\nb" keeps its word boundary), whitespace runs collapsed, ends
+    * trimmed. Map-only, no shuffle; the category classes are the
+    * RE2-compatible subset so the whole pass replays in DuckDB. */
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol),
+        trim(regexp_replace(
+          regexp_replace(graft.functions.NfcNormalize.nfc(col(textCol)),
+            "[\\p{Cc}\\p{Cf}]", " "),
+          "\\s+", " ")).as("clean"))
+      .select(col(idCol), col("clean"),
+        length(col(textCol)).cast("long").as("n_chars_raw"),
+        length(col("clean")).cast("long").as("n_chars_clean"))
+
   /** PII patterns for [[piiRedact]]. Deliberately lookahead-free and
     * backreference-free so the SAME pattern strings run on java.util.regex
     * (Spark) and RE2 (DuckDB oracle) with identical match sets. */
@@ -439,8 +457,37 @@ object TextOps {
                 '$Ipv4Re', '<IP>', 'g') AS redacted
             FROM p ORDER BY doc_id"""))
 
+  /** Canonicalization over planted mess: each doc gets a decomposed accent
+    * (e + U+0301), a control char, a format char (ZWSP), and ragged
+    * whitespace appended — built from identical literals in both engines —
+    * and the query hashes the cleaned text plus before/after lengths. NFC
+    * parity comes from DuckDB's nfc_normalize implementing the same
+    * Unicode normalization the JDK Normalizer does. */
+  private val tClean = Q(
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        // decomposed accent + BEL + zero-width space + tab + ragged
+        // spaces, written as escapes so the mess is visible in review
+        concat(col("text"),
+          lit(" cafe\u0301  \u0007del\u200Bzw\ttab  ")).as("text"))
+      cleanText(planted, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+              text || ' caf' || 'e' || chr(769) || '  ' || chr(7)
+                   || 'del' || chr(8203) || 'zw' || chr(9) || 'tab  ' AS text
+              FROM documents)
+            SELECT doc_id,
+              trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
+              CAST(length(text) AS BIGINT) AS n_chars_raw,
+              CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
+                AS n_chars_clean
+            FROM p ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_token_count" -> tTokens,
+    "q_t_clean" -> tClean,
     "q_t_pii_redact" -> tPii,
     "q_t_quality" -> tQuality,
     "q_t_langid" -> tLangId,

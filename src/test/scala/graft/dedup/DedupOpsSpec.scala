@@ -92,6 +92,27 @@ class DedupOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("editVerify: near-identical pairs confirm, unrelated pairs reject") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // 2 edits from 1
+      (3L, "completely different content on another topic")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("ida", "idb")
+    val out = DedupOps.editVerify(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out((1L, 2L))._1 === 2L)        // jumps -> jumped
+    assert(out((1L, 2L))._2, "near-dup pair must confirm")
+    assert(!out((1L, 3L))._2, "unrelated pair must reject")
+    // prefix bound: differences beyond prefixLen are invisible by design
+    val longDocs = Seq(
+      (1L, "x" * 300),
+      (2L, "x" * 200 + "y" * 100)).toDF("doc_id", "text")
+    val lp = DedupOps.editVerify(longDocs, Seq((1L, 2L)).toDF("ida", "idb"),
+      "doc_id", "text", prefixLen = 200).head()
+    assert(lp.getLong(2) === 0L && lp.getBoolean(4))
+  }
+
   test("decontaminate flags docs sharing an n-gram with the benchmark, counts distinct grams") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

@@ -121,6 +121,21 @@ class TextOpsSpec extends SparkSpecBase {
       "no pii here, just text with version 1.2 and code x@y")))
   }
 
+  test("cleanText: NFC composes accents, controls become boundaries, ws collapses") {
+    val df = Seq(
+      (1L, "cafe\u0301 x"),          // decomposed accent -> composed
+      (2L, "a\nb\u0007c"),           // newline + BEL: boundaries kept
+      (3L, "  lots   of\t\tspace  "), // collapse + trim
+      (4L, "del\u200Bzw")).toDF("doc_id", "text") // zero-width (Cf) -> space
+    val out = TextOps.cleanText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L)._1 === "caf\u00e9 x")
+    assert(out(1L)._2 === 6L) // composed e-acute counts one char
+    assert(out(2L)._1 === "a b c")
+    assert(out(3L)._1 === "lots of space")
+    assert(out(4L)._1 === "del zw")
+  }
+
   test("pii redaction is idempotent: placeholder tags never re-match") {
     val rnd = new scala.util.Random(3)
     val pieces = Seq("text", "a@b.co", "555-123-4567", "8.8.8.8", "word",
