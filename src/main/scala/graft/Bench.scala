@@ -44,31 +44,37 @@ object Bench {
     "q_d_dup_clusters",
     "q_d_decontaminate")
 
-  /** 1-minute load average from /proc/loadavg (-1 when unreadable). */
-  private def load1(): Double =
+  /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
+  private def loadAvg(): (Double, Double) =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
-      try src.mkString.split(" ")(0).toDouble finally src.close()
-    } catch { case _: Throwable => -1.0 }
+      try {
+        val f = src.mkString.split(" ")
+        (f(0).toDouble, f(1).toDouble)
+      } finally src.close()
+    } catch { case _: Throwable => (-1.0, -1.0) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     // Bench numbers recorded while leftover sbt/test JVMs still run are
-    // contention artifacts, not engine cost. Wait (up to 5 min) for the
-    // 1-min load to drop below 2 before timing anything, and ALWAYS stamp
-    // the start/end load into the JSON so contamination is self-documenting.
-    var loadStart = load1()
-    val idleDeadline = System.nanoTime() + 300L * 1000000000L
-    while (loadStart > 2.0 && System.nanoTime() < idleDeadline) {
+    // contention artifacts, not engine cost. Wait (up to 10 min) for BOTH
+    // the 1-min AND 5-min loads to drop below 2 before timing anything —
+    // the 1-min average alone lags a process that is still winding down —
+    // and ALWAYS stamp the start/end load into the JSON so contamination
+    // is self-documenting.
+    var (loadStart, load5Start) = loadAvg()
+    val idleDeadline = System.nanoTime() + 600L * 1000000000L
+    while ((loadStart > 2.0 || load5Start > 2.0) &&
+           System.nanoTime() < idleDeadline) {
       System.err.println(
-        f"[bench] 1-min load $loadStart%.2f > 2 — waiting for idle machine")
+        f"[bench] load1 $loadStart%.2f / load5 $load5Start%.2f — waiting for idle machine (need both < 2)")
       Thread.sleep(5000)
-      loadStart = load1()
+      val l = loadAvg(); loadStart = l._1; load5Start = l._2
     }
-    if (loadStart > 2.0)
-      System.err.println(f"[bench] WARNING: recording under load $loadStart%.2f" +
+    if (loadStart > 2.0 || load5Start > 2.0)
+      System.err.println(f"[bench] WARNING: recording under load1 $loadStart%.2f / load5 $load5Start%.2f" +
         " — timings below overstate real cost")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -104,8 +110,8 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val loadEnd = load1()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir%s"}""")
+    val (loadEnd, load5End) = loadAvg()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"load1_start":$loadStart%.2f,"load5_start":$load5Start%.2f,"load1_end":$loadEnd%.2f,"load5_end":$load5End%.2f,"sf":"$sfDir%s"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

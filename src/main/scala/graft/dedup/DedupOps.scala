@@ -264,21 +264,30 @@ object DedupOps {
     * computed on `prefixLen`-char prefixes — unbounded Levenshtein is
     * O(len²) per pair, and a dedup arbiter needs the bounded-cost variant
     * at corpus scale (prefix disagreement ⇒ the docs differ; the standard
-    * trade). `confirmed` = dist ≤ maxDistRatio · max(prefix lengths). */
+    * trade). `confirmed` = dist ≤ maxDistRatio · max(prefix lengths).
+    *
+    * An arbiter must never return an UNDEFINED verdict: null text reads as
+    * the empty string (two null-text docs are trivially identical), and a
+    * pair whose id is missing from `docs` is kept — left joins, not inner —
+    * with null edit_dist/len_max and an explicit `confirmed = false`
+    * (no text ⇒ cannot confirm), instead of being silently dropped. */
   def editVerify(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, prefixLen: Int = 200,
       maxDistRatio: Double = 0.2): DataFrame = {
     val t = docs.select(col(idCol).as("__id"),
-      substring(col(textCol), 1, prefixLen).as("__t"))
+      coalesce(substring(col(textCol), 1, prefixLen), lit("")).as("__t"))
+    val present = col("ta").isNotNull && col("tb").isNotNull
     pairs.select("ida", "idb")
-      .join(t.toDF("ida", "ta"), "ida")
-      .join(t.toDF("idb", "tb"), "idb")
+      .join(t.toDF("ida", "ta"), Seq("ida"), "left")
+      .join(t.toDF("idb", "tb"), Seq("idb"), "left")
       .select(col("ida"), col("idb"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-        greatest(length(col("ta")), length(col("tb"))).cast("long")
-          .as("len_max"))
+        when(present, levenshtein(col("ta"), col("tb")).cast("long"))
+          .as("edit_dist"),
+        when(present, greatest(length(col("ta")), length(col("tb")))
+          .cast("long")).as("len_max"))
       .withColumn("confirmed",
-        col("edit_dist") <= lit(maxDistRatio) * col("len_max"))
+        coalesce(col("edit_dist") <= lit(maxDistRatio) * col("len_max"),
+          lit(false)))
   }
 
   /** Benchmark DECONTAMINATION — the GPT-3/PaLM-style n-gram overlap
@@ -527,7 +536,8 @@ object DedupOps {
               OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
               OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
               OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)),
-        tt AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+        tt AS (SELECT doc_id, COALESCE(substr(text, 1, 200), '') AS t
+               FROM documents),
         sc AS (SELECT p.ida, p.idb,
                  CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
                  CAST(GREATEST(length(a.t), length(b.t)) AS BIGINT) AS len_max

@@ -88,15 +88,21 @@ object DupClusters {
     var labels = truncate(edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")))
     // convergence detector: per-node labels are monotonically non-increasing,
-    // so Σcomp strictly decreases until the fixpoint — one narrow exact
-    // DECIMAL aggregation per round instead of a join-with-previous + count
-    // (decimal, not long: Σ of 64-bit ids overflows long at corpus scale).
-    // sum() over ZERO rows is a null decimal — an empty edge list must read
-    // as Σ = 0, not an NPE.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO).stripTrailingZeros()
-    var prevSum = labelSum(labels)
+    // so Σcomp strictly decreases until the fixpoint (decimal, not long: Σ of
+    // 64-bit ids overflows long at corpus scale). The sum rides along as an
+    // observe() metric on the SAME action that materializes the round's
+    // checkpoint — no separate agg job, and no extra single-partition
+    // exchange stage: CollectMetrics folds partials on the driver as tasks
+    // finish. sum() over ZERO rows is a null decimal — an empty edge list
+    // must read as Σ = 0, not an NPE.
+    def materializeWithSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .foreach(_ => ()) // one job: computes df, its lazy checkpoint, and Σ
+      Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO).stripTrailingZeros()
+    }
+    var prevSum = materializeWithSum(labels)
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
@@ -117,7 +123,7 @@ object DupClusters {
         .join(prop.select(col("id").as("comp"), col("comp").as("jc")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("jc"), col("comp")).as("comp")))
-      val s = labelSum(next)
+      val s = materializeWithSum(next)
       // this round's prop/next are materialized (and checkpointed on the
       // reliable path) — earlier rounds' persists can go
       releaseOldRounds(keep = 2)
@@ -171,7 +177,17 @@ object DupClusters {
     * Nothing is all-pairs; both shuffle keys (segment text, doc id) are the
     * natural partition keys at 100 TB. */
   def corpusSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
-      segWords: Int = 5, minDocs: Int = 2): DataFrame = {
+      segWords: Int = 5, minDocs: Int = 2): DataFrame =
+    corpusSegmentDedupReleasable(docs, idCol, textCol, segWords, minDocs)._1
+
+  /** [[corpusSegmentDedup]] with a release handle for its internal persist
+    * (the [[graft.etl.GlobalIndex.withGlobalIndexReleasable]] convention) —
+    * call the handle once the result is consumed. The plain overload leaves
+    * the cache to the session (Verify/Bench clear per query); long-lived
+    * compositions should release explicitly. */
+  def corpusSegmentDedupReleasable(docs: DataFrame, idCol: String,
+      textCol: String, segWords: Int = 5,
+      minDocs: Int = 2): (DataFrame, () => Unit) = {
     val t = col("__toks")
     val segs = docs
       .select(col(idCol).cast("long").as("id"),
@@ -194,12 +210,13 @@ object DupClusters {
         array_sort(collect_list(struct(col("pos"), col("seg")))),
         x => x.getField("seg")), " ").as("clean_text"))
     val totals = segs.groupBy("id").agg(count(lit(1)).as("total_segments"))
-    totals.join(rebuilt, Seq("id"), "left")
+    val out = totals.join(rebuilt, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
         (col("total_segments") - coalesce(col("kept_segments"), lit(0L)))
           .as("removed_segments"))
+    (out, () => { segs.unpersist(blocking = false); () })
   }
 
   // -- registered queries -------------------------------------------------

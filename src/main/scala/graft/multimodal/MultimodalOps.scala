@@ -40,7 +40,9 @@ object MultimodalOps {
   object StubDecoder extends MediaDecoder {
     override def decodePartition(blobs: Iterator[(Long, Array[Byte])])
         : Iterator[(Long, MediaFeatures)] =
-      blobs.map { case (id, bytes) =>
+      blobs.map { case (id, rawBytes) =>
+        // a null blob column value decodes like an empty blob, never an NPE
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         val n = bytes.length
         val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
         // feature i = mean contribution of bytes at positions ≡ i (mod 8):
@@ -78,7 +80,9 @@ object MultimodalOps {
         : Iterator[(Long, MediaFeatures)] =
       blobs.map { case (id, bytes) => id -> decodeOne(bytes) }
 
-    private def decodeOne(bytes: Array[Byte]): MediaFeatures = {
+    private def decodeOne(rawBytes: Array[Byte]): MediaFeatures = {
+      // null blob → classified "unknown" like any other undecodable garbage
+      val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -154,10 +158,13 @@ object MultimodalOps {
 
     /** RIFF walk shared by the clip-level decode and the frame-level
       * feature op: (sampleRate, channels, dataOffset, nSamples) for a valid
-      * 16-bit PCM mono/multi WAV, None otherwise. */
+      * 16-bit PCM mono/multi WAV, None otherwise. A null blob column value
+      * is "not a WAV" (None → classified invalid/skipped by callers), never
+      * an NPE that kills the whole partition. */
     private[multimodal] def pcmInfo(bytes: Array[Byte])
         : Option[(Int, Int, Int, Int)] = {
-      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      if (bytes == null || bytes.length < 44 ||
+          tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
         return None
       var off = 12
       var rate = 0
@@ -189,7 +196,7 @@ object MultimodalOps {
         j: Int): Long = le16(bytes, dataOff + 2 * j).toShort.toLong
 
     private def decodeOne(bytes: Array[Byte]): MediaFeatures = {
-      val nb = bytes.length.toLong
+      val nb = if (bytes == null) 0L else bytes.length.toLong
       val info = pcmInfo(bytes)
       if (info.isEmpty) return unknown(nb)
       val (rate, channels, dataOff, n) = info.get
@@ -357,7 +364,7 @@ object MultimodalOps {
 
   /** Parse a GFV1 blob: (frameCount, frames) or None if malformed. */
   def videoFrames(bytes: Array[Byte]): Option[(Int, Vector[Array[Byte]])] = {
-    if (bytes.length < 8 ||
+    if (bytes == null || bytes.length < 8 ||
         new String(bytes.slice(0, 4), java.nio.charset.StandardCharsets.US_ASCII) != "GFV1")
       return None
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -404,7 +411,9 @@ object MultimodalOps {
     val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, rawBytes) =>
+          // null blob → 0-byte "unknown" row, never an NPE
+          val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
           videoFrames(bytes) match {
             case None =>
               Row(id, bytes.length.toLong, "unknown", -1, -1, -1, -1,

@@ -101,7 +101,16 @@ object TextOps {
     * Scale: explode overlapping n-grams (linear in corpus tokens), count by
     * (doc, gram) — the shuffle key — then reduce per doc; the per-doc
     * argmax is a window partitioned by doc id. Nothing is cross-document. */
-  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionFeaturesReleasable(df, idCol, textCol)._1
+
+  /** [[repetitionFeatures]] with a release handle for its internal persist
+    * (the [[graft.etl.GlobalIndex.withGlobalIndexReleasable]] convention) —
+    * call the handle once the result is consumed. The plain overload leaves
+    * the cache to the session (Verify/Bench clear per query); long-lived
+    * compositions should release explicitly. */
+  def repetitionFeaturesReleasable(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
     val t = col("__toks")
     def grams(n: Int): Column =
       when(size(t) >= n,
@@ -132,11 +141,13 @@ object TextOps {
         round(col("dup_chars") /
           greatest(col("char_total"), lit(1L)).cast("double"), 6)
           .as("dup_trigram_ratio"))
-    base.select("id").join(top2, Seq("id"), "left").join(dup3, Seq("id"), "left")
+    val out = base.select("id")
+      .join(top2, Seq("id"), "left").join(dup3, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("top_bigram"), lit("")).as("top_bigram"),
         coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"),
         coalesce(col("dup_trigram_ratio"), lit(0.0)).as("dup_trigram_ratio"))
+    (out, () => { base.unpersist(blocking = false); () })
   }
 
   /** Overlapping fixed-size token chunking — the preprocessing step before

@@ -113,6 +113,25 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(lp.getLong(2) === 0L && lp.getBoolean(4))
   }
 
+  test("editVerify: null text and missing-id pairs get defined verdicts, never null/dropped") {
+    val docs = Seq(
+      (1L, Option("the quick brown fox")),
+      (2L, Option.empty[String]),   // null text reads as ""
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    // (2,3): both null -> "" vs "" -> dist 0, confirmed
+    // (1,2): text vs ""  -> dist = len, rejected
+    // (1,9): 9 missing from docs -> kept, null dist, confirmed = false
+    val pairs = Seq((2L, 3L), (1L, 2L), (1L, 9L)).toDF("ida", "idb")
+    val out = DedupOps.editVerify(docs, pairs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size === 3, "no pair may be silently dropped")
+    assert(out((2L, 3L)).getLong(2) === 0L && out((2L, 3L)).getBoolean(4))
+    assert(out((1L, 2L)).getLong(2) === 19L && !out((1L, 2L)).getBoolean(4))
+    assert(out((1L, 9L)).isNullAt(2) && !out((1L, 9L)).getBoolean(4),
+      "missing-doc pair must be explicitly unconfirmed")
+    assert(out.values.forall(!_.isNullAt(4)), "confirmed is never null")
+  }
+
   test("decontaminate flags docs sharing an n-gram with the benchmark, counts distinct grams") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

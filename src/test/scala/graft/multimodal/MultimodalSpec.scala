@@ -164,6 +164,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(cov === Map(1L -> "ok", 2L -> "multichannel", 3L -> "invalid"))
   }
 
+  test("null blobs classify as invalid/unknown across every decoder, never NPE") {
+    val wav = MultimodalOps.pcm16Wav(Array[Short](3, -4, 0, 5), 8000)
+    val df = Seq((1L, Option(wav)), (2L, Option.empty[Array[Byte]]))
+      .toDF("media_id", "blob")
+    // frame ops: null blob contributes no frames / an "invalid" status row
+    assert(MultimodalOps.wavFrameFeatures(df, "media_id", "blob",
+      frameSamples = 2).select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    val cov = MultimodalOps.wavFrameCoverage(df, "media_id", "blob")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cov === Map(1L -> "ok", 2L -> "invalid"))
+    // clip decoders: null blob → 0-byte unknown/stub row
+    val wavRows = MultimodalOps.decodeFeatures(df, "media_id", "blob",
+      MultimodalOps.WavDecoder).orderBy("media_id").collect()
+    assert(wavRows(1).getLong(1) === 0L &&
+      wavRows(1).getString(2) === "unknown")
+    val imgRows = MultimodalOps.decodeFeatures(df, "media_id", "blob",
+      MultimodalOps.ImageIoDecoder).orderBy("media_id").collect()
+    assert(imgRows(1).getString(2) === "unknown")
+    val stubRows = MultimodalOps.decodeFeatures(df, "media_id", "blob",
+      MultimodalOps.StubDecoder).orderBy("media_id").collect()
+    assert(stubRows(1).getLong(1) === 0L)
+    // video sampler: null container → unknown row with 0 bytes
+    val vid = MultimodalOps.decodeVideoFeatures(df, "media_id", "blob")
+      .orderBy("media_id").collect()
+    assert(vid(1).getLong(1) === 0L && vid(1).getString(2) === "unknown")
+  }
+
   test("WavDecoder rejects non-PCM and non-16-bit variants, not the partition") {
     // hand-flip the audioFormat field (offset 20) to 3 (IEEE float)
     val wav = MultimodalOps.pcm16Wav(Array.tabulate(8)(_.toShort), 8000)
