@@ -28,7 +28,8 @@ object GmmSearch {
 
   final case class GmmFit(k: Int, seed: Long, logLik: Double, bic: Double,
       aic: Double, minShare: Double, accepted: Boolean, labeled: DataFrame,
-      effectiveK: Int = 0, retried: Boolean = false)
+      effectiveK: Int = 0, retried: Boolean = false,
+      weights: Array[Double] = Array.empty)
 
   def fitOne(df: DataFrame, featuresCol: String, k: Int, seed: Long,
       minClusterShare: Double = 0.01): GmmFit = {
@@ -57,7 +58,8 @@ object GmmSearch {
       aic = -2 * ll + 2 * p,
       minShare = minShare,
       accepted = minShare >= minClusterShare,
-      labeled = labeled, effectiveK = eff, retried = retried)
+      labeled = labeled, effectiveK = eff, retried = retried,
+      weights = model.weights)
   }
 
   /** Grid over k × seeds; winner by the reference's weighted rank sum

@@ -183,18 +183,58 @@ object MlQueries {
          FROM orders""", m = 2, k = 3, gamma = "0.5",
       numInit = Seq(-0.6745, 0.0, 0.6745))))
 
-  /** M9: GaussianMixture (after PCA to 8 dims) with BIC/AIC + share guard. */
+  /** M9: GaussianMixture (after PCA to 8 dims) — registered as a QUALITY
+    * CONTRACT (the q_s_ann_ivf pattern): the variational fit has no
+    * cross-engine oracle, but its INVARIANTS do. On the reference
+    * parameterization (k = 3 over PCA-8 embeddings): the mixing
+    * proportions must sum to 1 (the normalization clustering.py:944's
+    * share guard presumes), BIC must be finite (a NaN/∞ BIC is sklearn's
+    * degenerate-fit ValueError, which fitOne's reg_covar retry absorbs),
+    * and every row must get a label in [0, k) — the label booleans and the
+    * row count computed in-plan over the labeled frame. DP shrinkage —
+    * sklearn's signature BayesianGaussianMixture behavior
+    * (clustering.py:906-984) — is certified on a SECOND fit over planted
+    * well-separated blobs derived deterministically from vec_id (3 centers
+    * 12+ apart, per-row noise from the first two embedding components —
+    * the real embeddings' 10 label clusters are too diffuse after PCA to
+    * shrink, measured eff = k up to k = 24, so the invariant needs data
+    * that actually starves components): truncation k = 8 must predict < 8
+    * distinct labels. The oracle supplies the expected count and TRUE
+    * literals, so any violated invariant hash-fails the gate. The VB
+    * arithmetic itself is hash-certified by q_m9_bgmm_seeded; fit-quality
+    * pins live in GmmSpec. */
   private val m9 = Q(
     (s, d) => {
-      import s.implicits._
       val emb = Tables.embeddings(s, d)
         .withColumn("f64", array_to_vector(col("embedding")))
       val (pca, _) = FeaturePipeline.pcaAtVariance(emb, "f64", "features", 0.99, maxK = 8)
       val fit = GmmSearch.fitOne(pca, "features", k = 3, seed = 42L)
-      fit.labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
-        .withColumn("accepted", lit(fit.accepted))
-        .orderBy("cluster")
-    })
+      val propOk = math.abs(fit.weights.sum - 1.0) < 1e-6
+      val bicFinite = java.lang.Double.isFinite(fit.bic)
+      // planted 3-blob frame (centers 12+ apart, noise std ~0.8 from the
+      // embedding components' ~0.13 std × 6.3) at truncation k = 8
+      val blobs = Tables.embeddings(s, d).select(
+          col("vec_id").cast("long").as("id"),
+          pmod(col("vec_id"), lit(3)).cast("int").as("seg"),
+          element_at(col("embedding"), 1).cast("double").as("n1"),
+          element_at(col("embedding"), 2).cast("double").as("n2"))
+        .withColumn("features", array_to_vector(array(
+          element_at(array(lit(-12.0), lit(0.0), lit(12.0)), col("seg") + 1)
+            + col("n1") * 6.3,
+          element_at(array(lit(5.0), lit(-8.0), lit(9.0)), col("seg") + 1)
+            + col("n2") * 6.3)))
+      val over = GmmSearch.fitOne(blobs, "features", k = 8, seed = 42L)
+      fit.labeled.agg(
+          count(lit(1)).as("n_points"),
+          (min("cluster") >= 0 && max("cluster") < 3).as("labels_in_range"))
+        .select(col("n_points"), col("labels_in_range"),
+          lit(propOk).as("proportions_ok"), lit(bicFinite).as("bic_finite"),
+          lit(over.effectiveK < 8).as("dp_shrinks_overspecified_k"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+            TRUE AS labels_in_range, TRUE AS proportions_ok,
+            TRUE AS bic_finite, TRUE AS dp_shrinks_overspecified_k
+            FROM embeddings"""))
 
   /** M9 at the ORACLE-REPLAYABLE parameterization ([[BgmmOracleSql]]): the
     * same variational DP mixture ([[BayesianGmm]]) on the first two
@@ -399,16 +439,45 @@ object MlQueries {
                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS z FROM orders""",
       m18Init)))
 
-  /** M25: RF signal — predict the embedding label from the vector. */
+  /** M25: RF signal — predict the embedding label from the vector.
+    * Registered as a QUALITY CONTRACT (the q_s_ann_ivf pattern): the RF fit
+    * has no cross-engine oracle, but a signal-loss report is judged against
+    * invariants that do hash-check. On the reference parameterization
+    * (predict the planted `label` — which this corpus's vectors carry NO
+    * signal for: measured accuracy ≈ chance at every SF, the honest
+    * signal-loss answer): Cohen's κ must land in [−1, 1], every weighted
+    * metric in [0, 1], and the test split must be non-empty. Recovery power
+    * — "the pipeline beats the majority-class baseline when signal exists"
+    * — is certified on a SECOND fit against a derived SEPARABLE label (the
+    * sign pair of the first two embedding components, an axis-aligned
+    * 4-class problem an RF must learn). The corpus row count is computed
+    * in-plan; the oracle supplies the count and TRUE literals, so any
+    * violated invariant hash-fails the gate. The evaluation arithmetic
+    * itself is hash-certified by q_m25_metrics; MLlib-parity pins live in
+    * ModelMetricsSpec. */
   private val m25 = Q(
     (s, d) => {
-      import s.implicits._
       val emb = Tables.embeddings(s, d)
         .withColumn("features", array_to_vector(col("embedding")))
       val m = ModelMetrics.rfSignal(emb, "features", "label")
-      Seq((m("accuracy"), m("f1"), m("precision"), m("recall")))
-        .toDF("accuracy", "f1", "precision", "recall")
-    })
+      val unitOk = Seq("accuracy", "f1", "precision", "recall")
+        .forall(k => m(k) >= 0.0 && m(k) <= 1.0)
+      val sep = emb.withColumn("sep_label",
+        (when(element_at(col("embedding"), 1) > 0, 2).otherwise(0)
+          + when(element_at(col("embedding"), 2) > 0, 1).otherwise(0))
+          .cast("double"))
+      val ms = ModelMetrics.rfSignal(sep, "features", "sep_label")
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .select(col("n_vectors"),
+          lit(ms("accuracy") > ms("majority_baseline")).as("beats_majority"),
+          lit(m("kappa") >= -1.0 && m("kappa") <= 1.0).as("kappa_in_range"),
+          lit(unitOk).as("metrics_in_unit"),
+          lit(m("n_test") > 0).as("test_nonempty"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            TRUE AS beats_majority, TRUE AS kappa_in_range,
+            TRUE AS metrics_in_unit, TRUE AS test_nonempty
+            FROM embeddings"""))
 
   /** M25's metric arithmetic, hash-certified: the RF FIT has no
     * cross-engine oracle (q_m25_rf_signal stays rows-only + spec), but the

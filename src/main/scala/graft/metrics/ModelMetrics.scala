@@ -127,8 +127,26 @@ object ModelMetrics {
     def m(name: String) = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction").setMetricName(name)
       .evaluate(pred)
+    // Cohen's κ and the majority-class baseline from the exact confusion
+    // contingency (one groupBy; only the k×k matrix reaches the driver) —
+    // the sanity bounds a signal-loss report is judged against: a useful
+    // classifier must beat predicting the test split's modal class, and
+    // κ = (p_o − p_e)/(1 − p_e) is bounded in [−1, 1] by construction.
+    val cm = pred.groupBy(col("label").cast("long").as("l"),
+        col("prediction").cast("long").as("p"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val n = cm.values.sum.toDouble
+    val classes = (cm.keys.map(_._1) ++ cm.keys.map(_._2)).toSeq.distinct
+    val rowSums = classes.map(l => l -> cm.collect { case ((`l`, _), v) => v }.sum).toMap
+    val colSums = classes.map(l => l -> cm.collect { case ((_, `l`), v) => v }.sum).toMap
+    val po = classes.map(l => cm.getOrElse((l, l), 0L)).sum / n
+    val pe = classes.map(l => rowSums(l) * colSums(l).toDouble).sum / (n * n)
+    val kappa = if (pe >= 1.0) 1.0 else (po - pe) / (1 - pe)
+    val majority = rowSums.values.max / n
     Map("accuracy" -> m("accuracy"), "f1" -> m("f1"),
-      "precision" -> m("weightedPrecision"), "recall" -> m("weightedRecall"))
+      "precision" -> m("weightedPrecision"), "recall" -> m("weightedRecall"),
+      "kappa" -> kappa, "majority_baseline" -> majority, "n_test" -> n)
   }
 
   /** Weighted multiclass classification metrics from the exact confusion

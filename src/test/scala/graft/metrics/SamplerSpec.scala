@@ -68,10 +68,17 @@ class SamplerSpec extends SparkSpecBase {
     val (winner, results) = ModelMetrics.selectSampler(labeled, "features")
     assert(Set("none", "under", "over", "smote").contains(winner))
     results.foreach { case (_, m) =>
-      assert(m.keySet === Set("accuracy", "f1", "precision", "recall"))
-      m.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      assert(m.keySet === Set("accuracy", "f1", "precision", "recall",
+        "kappa", "majority_baseline", "n_test"))
+      Seq("accuracy", "f1", "precision", "recall", "majority_baseline")
+        .foreach(k => assert(m(k) >= 0.0 && m(k) <= 1.0))
+      assert(m("kappa") >= -1.0 && m("kappa") <= 1.0)
+      assert(m("n_test") > 0)
     }
-    // the blobs are linearly separable — every sampler should classify well
+    // the blobs are linearly separable — every sampler should classify well,
+    // beating the majority baseline with positive chance-corrected agreement
     assert(results("smote")("accuracy") > 0.6)
+    assert(results("smote")("accuracy") > results("smote")("majority_baseline"))
+    assert(results("smote")("kappa") > 0.0)
   }
 }
