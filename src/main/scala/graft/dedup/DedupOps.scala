@@ -399,11 +399,15 @@ object DedupOps {
     * 8 bytes (big-endian) vote ±1 per bit; signature bit i set iff the vote
     * sum is positive. Bit i lives in hex char 16−i/4 of the sha256 string,
     * at nibble position i%4; the signed BIGINT is rebuilt with an explicit
-    * −2⁶³ term for bit 63. Validated bit-for-bit against the expression. */
-  private[dedup] val simhashSigSql =
-    """WITH toks AS (SELECT doc_id,
+    * −2⁶³ term for bit 63. Validated bit-for-bit against the expression.
+    * `src` is the (doc_id, text) relation the signatures are computed over —
+    * `documents` for the standalone queries, an upstream CTE name for
+    * composed pipelines (q_pipeline_corpus). Returns the CTE LIST (no WITH)
+    * so callers can splice it mid-WITH. */
+  private[graft] def simhashSigCtes(src: String): String =
+    s"""toks AS (SELECT doc_id,
             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-          FROM documents),
+          FROM $src),
         tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
         h AS (SELECT doc_id, sha256(tk) AS hx FROM tok),
         bits AS (SELECT doc_id, i,
@@ -418,7 +422,9 @@ object DedupOps {
                 ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY 1),
         sig AS (SELECT d.doc_id AS id, COALESCE(s.simhash, 0) AS simhash
-          FROM documents d LEFT JOIN rawsig s ON d.doc_id = s.doc_id)"""
+          FROM $src d LEFT JOIN rawsig s ON d.doc_id = s.doc_id)"""
+
+  private[dedup] val simhashSigSql = "WITH " + simhashSigCtes("documents")
 
   private val dSimhash = Q(
     (s, d) => simhashSignatures(Tables.documents(s, d), "doc_id", "text")
