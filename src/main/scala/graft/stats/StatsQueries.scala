@@ -128,7 +128,7 @@ object StatsQueries {
 
   /** Registry surface of the deliver frame: arrays JSON-serialized for the
     * driver comparator, floats rounded for cross-engine hash parity. */
-  private def deliverChecked(df: DataFrame): DataFrame =
+  private[graft] def deliverChecked(df: DataFrame): DataFrame =
     Q.serializeArrays(df)
       .withColumn("chi2_stat", round(col("chi2_stat"), 4))
       .withColumn("p_value", round(col("p_value"), 9))
@@ -145,22 +145,15 @@ object StatsQueries {
     * SUM(l_quantity) — integer-valued, so exact in DOUBLE on both engines —
     * and the whole chain (stat, p, Yates trigger, post-hoc, mode,
     * percentages) runs on the weighted crosstab. */
-  private def deliverBody(weighted: Boolean): String = {
+  /** The generic deliver chain AFTER a `tall (variable, category, cluster
+    * [, w])` CTE — reusable by any 3-CLUSTER design (the zcrit literals are
+    * Bonferroni quantiles at 3 clusters) whose dof stays in {2,4,6,8}.
+    * Ends in a `deliver` CTE with the full deliverStats column set. */
+  private[graft] def deliverChainSql(weighted: Boolean): String = {
     def zc(ncat: Int): Double =
       math.max(1.96, ContingencyMath.bonferroniZCrit(ncat, 3))
-    val wsel = if (weighted) ", l_quantity AS w" else ""
     val nexpr = if (weighted) "CAST(SUM(w) AS DOUBLE)" else "CAST(COUNT(*) AS DOUBLE)"
-    f"""tall AS (
-         SELECT 'l_linestatus' AS variable, l_linestatus AS category,
-                l_returnflag AS cluster$wsel%s FROM lineitem
-         UNION ALL
-         SELECT 'qty_bucket', CASE WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
-                l_returnflag$wsel%s FROM lineitem
-         UNION ALL
-         SELECT 'planted', CASE WHEN l_returnflag = 'R' THEN 'ret'
-                                WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
-                l_returnflag$wsel%s FROM lineitem),
-       ct AS (SELECT variable, category, cluster, $nexpr%s AS n
+    f"""ct AS (SELECT variable, category, cluster, $nexpr%s AS n
               FROM tall GROUP BY 1,2,3),
        rm AS (SELECT variable, category, SUM(n) AS rn FROM ct GROUP BY 1,2),
        cm AS (SELECT variable, cluster, SUM(n) AS cn FROM ct GROUP BY 1,2),
@@ -217,6 +210,21 @@ object StatsQueries {
          JOIN md ON md.variable = sg.variable AND md.cluster = sg.cluster
            AND md.rnk = 1
          WHERE pv.p <= 0.05 AND sg.nsig > 0)"""
+  }
+
+  private def deliverBody(weighted: Boolean): String = {
+    val wsel = if (weighted) ", l_quantity AS w" else ""
+    f"""tall AS (
+         SELECT 'l_linestatus' AS variable, l_linestatus AS category,
+                l_returnflag AS cluster$wsel%s FROM lineitem
+         UNION ALL
+         SELECT 'qty_bucket', CASE WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
+                l_returnflag$wsel%s FROM lineitem
+         UNION ALL
+         SELECT 'planted', CASE WHEN l_returnflag = 'R' THEN 'ret'
+                                WHEN l_quantity <= 25 THEN 'low' ELSE 'high' END,
+                l_returnflag$wsel%s FROM lineitem),
+       """ + deliverChainSql(weighted)
   }
 
   private val deliverSqlBody: String = deliverBody(weighted = false)
