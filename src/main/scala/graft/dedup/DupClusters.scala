@@ -106,23 +106,10 @@ object DupClusters {
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
-      // label ← min(own label, neighbour labels)
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("comp").as("nbc")), "b")
-        .groupBy("a").agg(min("nbc").as("nc"))
-        .select(col("a").as("id"), col("nc"))
       // checkpoint before the self-join so the jump reads the materialized
       // propagation result instead of evaluating the join twice
-      val prop = truncate(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp")))
-      // pointer jump: label ← label's own label (labels are node ids, so the
-      // lookup is a self-join; labels only decrease, so this contracts
-      // label chains geometrically)
-      val next = truncate(prop
-        .join(prop.select(col("id").as("comp"), col("comp").as("jc")),
-          Seq("comp"), "left")
-        .select(col("id"), coalesce(col("jc"), col("comp")).as("comp")))
+      val prop = truncate(ccPropagate(edges, labels))
+      val next = truncate(ccPointerJump(prop))
       val s = materializeWithSum(next)
       // this round's prop/next are materialized (and checkpointed on the
       // reliable path) — earlier rounds' persists can go
@@ -138,6 +125,28 @@ object DupClusters {
     releaseOldRounds(keep = 1)
     labels
   }
+
+  /** One round's MIN-propagation segment: label ← min(own label, neighbour
+    * labels). Named (rather than inlined in the loop) so ExplainAudit can
+    * pin the segment's exchange count as a shuffle-volume regression guard. */
+  private[graft] def ccPropagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.select(col("id").as("b"), col("comp").as("nbc")), "b")
+      .groupBy("a").agg(min("nbc").as("nc"))
+      .select(col("a").as("id"), col("nc"))
+    labels.join(nbrMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+  }
+
+  /** One round's pointer-jump segment: label ← label's own label (labels
+    * are node ids, so the lookup is a self-join; labels only decrease, so
+    * this contracts label chains geometrically). */
+  private[graft] def ccPointerJump(prop: DataFrame): DataFrame =
+    prop
+      .join(prop.select(col("id").as("comp"), col("comp").as("jc")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("jc"), col("comp")).as("comp"))
 
   /** Cluster + canonicalize: every document gets its duplicate-cluster id
     * and the cluster's canonical representative (longest text wins, ties to

@@ -105,6 +105,10 @@ object ExplainAudit {
       println(s"=== q_t_tfidf ===\n  leaves: $mem cached-tf reads, $file direct file scans")
       println(s"  [${if (ok) "OK" else "MISS"}] corpus scanned once via persisted tf (N derived in-plan)")
       if (!ok) failures ::= "q_t_tfidf: corpus scanned once via persisted tf"
+      // instantiating the query persisted the tf frame; Spark's CacheManager
+      // matches by analyzed plan, so a leftover InMemoryRelation would alter
+      // later audited plans in this session — drop it like Verify/Bench do
+      spark.catalog.clearCache()
     }
     audit("q_t_repetition",
       "per-doc argmax window is partitioned (no global window)" ->
@@ -115,6 +119,43 @@ object ExplainAudit {
       "component closure is equi-join propagation (no cartesian anywhere)" ->
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
+    // CC ROUND SHAPE: the loop body is ccPropagate + ccPointerJump between
+    // checkpoint truncations. Pin each segment's shuffle-exchange count at
+    // the SHUFFLE-JOIN shape a 100 TB edge list forces (broadcast disabled:
+    // on planted audit-sized frames Spark would broadcast and hide the
+    // shape) — an accidental distinct/window/extra join here would silently
+    // multiply per-round shuffle volume at scale.
+    locally {
+      import org.apache.spark.sql.functions.col
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val pairs = spark.range(3).select(col("id").as("ida"),
+          (col("id") + 1).as("idb"))
+        val fwd = pairs.select(col("ida").as("a"), col("idb").as("b"))
+        val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint()
+        val labels = edges.select(col("a").as("id")).distinct()
+          .withColumn("comp", col("id")).localCheckpoint()
+        def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+        val prop = graft.dedup.DupClusters.ccPropagate(edges, labels)
+        val nProp = exchanges(prop)
+        val nJump = exchanges(graft.dedup.DupClusters.ccPointerJump(
+          prop.localCheckpoint()))
+        println(s"=== cc round shape ===\n  propagate: $nProp exchanges, " +
+          s"pointer-jump: $nJump exchanges")
+        // propagate: edges + labels shuffle onto the neighbour key (2), the
+        // map-side-combined min onto the node id (1), labels stitch-back (1).
+        // pointer-jump: ONE exchange only — the checkpointed prop preserves
+        // its hashpartitioning(id), so the self-join's id-keyed side needs
+        // no re-shuffle; only the comp-keyed probe side moves.
+        val ok = nProp == 4 && nJump == 1
+        println(s"  [${if (ok) "OK" else "MISS"}] CC round is 4+1 shuffle exchanges (no hidden extra shuffle)")
+        if (!ok) failures ::= s"cc round shape: expected 4+1 exchanges, got $nProp+$nJump"
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     audit("q_d_decontaminate",
       "bench gram set is broadcast (eval suites are tiny at any corpus scale)" ->
         (_.contains("BroadcastHashJoin")),
