@@ -229,6 +229,80 @@ object MultimodalOps {
     }
   }
 
+  /** Compressed-audio decoder behind the same [[MediaDecoder]] seam:
+    * shells out to an `ffmpeg` binary to demux + decode any compressed
+    * container (MP3/AAC/OGG/M4A/WAV …) to mono 16-bit PCM at a fixed rate,
+    * then computes the SAME exact-integer statistic family as
+    * [[WavDecoder]]. This container ships no codecs (neither does the
+    * reference's docker/base-image/Dockerfile), so availability is a
+    * RUNTIME property: [[available]] probes the PATH once per JVM, and when
+    * the binary is absent every blob classifies as "unknown" — the decoder
+    * degrades exactly like an undecodable blob instead of failing the job,
+    * so pipelines and specs behave in both environments. Per-partition
+    * process reuse would be the next step at scale (one ffmpeg per blob is
+    * the simple correct form; the seam hides either choice). */
+  object FfmpegAudioDecoder extends MediaDecoder {
+    val SampleRate = 16000
+
+    /** Probed lazily once per JVM (executors probe independently). */
+    lazy val available: Boolean =
+      try {
+        val p = new ProcessBuilder("ffmpeg", "-version")
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes()
+        p.waitFor() == 0
+      } catch { case _: Exception => false }
+
+    private def unknown(n: Long) =
+      MediaFeatures(n, "unknown", -1, -1, Array.fill(8)(0f))
+
+    override def decodePartition(blobs: Iterator[(Long, Array[Byte])])
+        : Iterator[(Long, MediaFeatures)] =
+      blobs.map { case (id, bytes) => id -> decodeOne(bytes) }
+
+    private def decodeOne(bytes: Array[Byte]): MediaFeatures = {
+      if (bytes == null || bytes.isEmpty || !available)
+        return unknown(if (bytes == null) 0L else bytes.length.toLong)
+      val nb = bytes.length.toLong
+      try {
+        val p = new ProcessBuilder("ffmpeg", "-hide_banner",
+          "-loglevel", "error", "-i", "pipe:0", "-f", "s16le", "-ac", "1",
+          "-ar", SampleRate.toString, "pipe:1").start()
+        // feed stdin from a helper thread — writing and reading the same
+        // process from one thread deadlocks once either pipe buffer fills
+        val writer = new Thread(() => {
+          try { p.getOutputStream.write(bytes); p.getOutputStream.close() }
+          catch { case _: java.io.IOException => () } // decoder died early
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val pcm = p.getInputStream.readAllBytes()
+        writer.join()
+        if (p.waitFor() != 0 || pcm.length < 2) return unknown(nb)
+        val n = pcm.length / 2
+        var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var prevNonNeg = true
+        var j = 0
+        while (j < n) {
+          val s = (((pcm(2 * j) & 0xff) | ((pcm(2 * j + 1) & 0xff) << 8))
+            .toShort).toLong
+          sum += s; sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          val nonNeg = s >= 0
+          if (j > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          j += 1
+        }
+        def m(num: Long) = if (n == 0) 0f else (num.toDouble / n).toFloat
+        MediaFeatures(nb, "ffmpeg/pcm16", width = SampleRate, height = 1,
+          Array(n.toFloat, (n * 1000.0 / SampleRate).toFloat, m(sum),
+            (if (n == 0) 0f else math.sqrt(sumSq.toDouble / n).toFloat),
+            peak.toFloat, zc.toFloat, 16f, 1f))
+      } catch { case scala.util.control.NonFatal(_) => unknown(nb) }
+    }
+  }
+
   /** Serialize mono 16-bit PCM to a canonical 44-byte-header WAV blob —
     * the ingest side of the audio path (and the deterministic generator the
     * q_mm_wav oracle replays). */
