@@ -42,7 +42,11 @@ object Bench {
     // broadcast n-gram decontamination filter
     "q_t_tfidf",
     "q_d_dup_clusters",
-    "q_d_decontaminate")
+    "q_d_decontaminate",
+    // round-7 capstones: the end-to-end corpus-curation and survey-
+    // inference compositions — the most realistic user workloads
+    "q_pipeline_corpus",
+    "q_pipeline_survey")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -708,5 +708,35 @@ object Relational {
     "q_e_window_agg" -> eWindow,
     "q_e_sessionize" -> eSession,
     "q_e_asof" -> eAsof,
-    "q_e_range_join" -> eRange)
+    "q_e_range_join" -> eRange,
+    "q_j_salted" -> SaltedJoinQuery.jSalted)
+}
+
+/** Salted skew join registration, split out so its `val` initializes
+  * before [[Relational.queries]] references it (object vals initialize in
+  * declaration order; `Relational.queries` sits above for readability). */
+private[etl] object SaltedJoinQuery {
+
+  /** Salted skew join (see [[SkewJoin]]): the customer fact against the
+    * tiny nation dim after renaming to a shared key. With |keys| = 25 and
+    * 32 shuffle partitions, every key is hot — exactly the shape where an
+    * unsalted shuffle join stragglers at 100 TB. Salting must be
+    * row-for-row transparent, which is what the oracle certifies: the
+    * DuckDB side is the PLAIN join. */
+  val jSalted = Q(
+    (s, d) => {
+      val fact = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").as("nk"))
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      SkewJoin.saltedJoin(fact, dim, "nk", salts = 8,
+          spreadCols = Seq("c_custkey"))
+        .select(col("c_custkey"), col("n_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, n_name, round(c_acctbal, 2) AS acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY c_custkey"""))
 }
