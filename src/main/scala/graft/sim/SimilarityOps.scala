@@ -368,10 +368,83 @@ object SimilarityOps {
                    x -> CAST(ROUND(ROUND(x / nv, 6) * 1000000) AS BIGINT))) AS pooled_micro
           FROM nrm ORDER BY grp"""))
 
+  /** SemDeDup (arXiv:2303.09540): semantic deduplication by partitioning
+    * the embedding space with a coarse quantizer, then pruning near-dups
+    * WITHIN each cell only. This seeded variant uses the
+    * [[ivfSeededTopK]] quantizer (centroids = the nList lowest-id
+    * vectors, assignment = argmin squared-euclidean, ties → lowest cid)
+    * and the deterministic keep rule "a vector is a duplicate iff some
+    * LOWER-id cell-mate has round(cosine, 6) ≥ tau" — the paper keeps the
+    * point farthest from the centroid; lowest-id is the replayable
+    * stand-in, same trade as [[graft.dedup.DedupOps.exactDedup]].
+    *
+    * Scale: the cell id is the blocking AND shuffle key — pair scoring is
+    * a per-cell self-join, never corpus-all-pairs; centroids are
+    * broadcast; only (id, cell) rows move through the pair join and the
+    * dim-sized vectors join back per pair side; the cosine is the
+    * codegen'd expression. At 100 TB, nList grows with the corpus
+    * (cells stay ~constant size), keeping per-cell |cell|² work flat —
+    * the same knob as IVF list count. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nList: Int, tau: Double): DataFrame = {
+    val v = prep(emb, idCol, vecCol)
+    val cent = v.filter(col("id") < nList)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
+    val assigned = v.join(broadcast(cent)).withColumn("d2", d2)
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+    val slim = assigned.select(col("id"), col("cell"))
+    val dups = slim.join(slim.toDF("idb", "cell"), Seq("cell"))
+      .filter(col("idb") < col("id"))
+      .join(assigned.select(col("id"), col("v")), Seq("id"))
+      .join(assigned.select(col("id").as("idb"), col("v").as("vb")), Seq("idb"))
+      .filter(round(cosineSim(col("v"), col("vb")), 6) >= tau)
+      .select("id").distinct()
+    assigned.join(dups.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("__dup"), lit(true)).as("kept"))
+  }
+
+  /** Seeded SemDeDup over the embeddings corpus: 16 cells, tau = 0.45 (the
+    * established near-dup bar for this corpus, see q_d_embed_neardup).
+    * DuckDB replays the quantizer argmin (same (d2, cid) tie-break), the
+    * within-cell lower-id pair rule, and the 6dp-rounded cosine
+    * threshold. */
+  private val sSemDedup = Q(
+    (s, d) => semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      nList = 16, tau = 0.45).orderBy("id"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+            dist AS (SELECT v.vec_id AS id, cent.cid,
+                COALESCE(list_sum(list_transform(range(0, 64),
+                  i -> (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1])
+                     * (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1]))), 0)
+                  AS d2
+              FROM v CROSS JOIN cent),
+            ar AS (SELECT id, cid, row_number() OVER
+                     (PARTITION BY id ORDER BY d2, cid) AS r FROM dist),
+            assigned AS (SELECT id, cid AS cell FROM ar WHERE r = 1),
+            dups AS (SELECT DISTINCT a.id
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND b.id < a.id
+              JOIN v va ON va.vec_id = a.id
+              JOIN v vb ON vb.vec_id = b.id
+              WHERE ROUND(list_dot_product(va.e, vb.e)
+                  / (SQRT(list_dot_product(va.e, va.e))
+                     * SQRT(list_dot_product(vb.e, vb.e))), 6) >= 0.45)
+            SELECT a.id AS id, a.cell AS cell, (d.id IS NULL) AS kept
+            FROM assigned a LEFT JOIN dups d ON a.id = d.id
+            ORDER BY a.id"""))
+
   val queries: Map[String, Q] = Map(
     "q_s_cosine_topk" -> sTopK,
     "q_s_ann_lsh" -> sAnn,
     "q_s_ann_ivf" -> sIvf,
     "q_s_ann_ivf_seeded" -> sIvfSeeded,
-    "q_s_mean_pool" -> sMeanPool)
+    "q_s_mean_pool" -> sMeanPool,
+    "q_d_semdedup" -> sSemDedup)
 }

@@ -102,4 +102,26 @@ class SimilarityOpsSpec extends SparkSpecBase {
       assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
     }
   }
+
+  test("semDedup: within-cell near-dups pruned, lowest id kept, cells block") {
+    // centroids = ids 0,1 (nList = 2): cell 0 along +x, cell 1 along +y.
+    // id 2 duplicates id 0 (same direction) → pruned; id 3 is y-ish with a
+    // small x component → cell 1, kept (its only cell-mate, id 1, is not
+    // within tau); id 4 duplicates id 1 but sits in cell 1 → pruned.
+    val df = Seq(
+      (0L, Array(10f, 0f, 0f)), (1L, Array(0f, 10f, 0f)),
+      (2L, Array(9f, 0.5f, 0f)), (3L, Array(2f, 6f, 7f)),
+      (4L, Array(0.5f, 9f, 0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(df, "vec_id", "embedding",
+        nList = 2, tau = 0.95).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cell"), r.getAs[Boolean]("kept"))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(out(0) === ((0L, true)) && out(2) === ((0L, false)), "x dup pruned")
+    assert(out(1) === ((1L, true)) && out(4) === ((1L, false)), "y dup pruned")
+    assert(out(3)._2, "non-dup cell-mate survives")
+    // survivors of one cell are pairwise below tau — the SemDeDup invariant
+    val survivors = out.collect { case (id, (cell, true)) => (id, cell) }
+    assert(survivors.map(_._1).toSet === Set(0L, 1L, 3L))
+  }
 }
