@@ -63,4 +63,40 @@ object GlobalIndex {
   def withGlobalIndex(df: DataFrame, order: Seq[Column],
       indexCol: String = "rn", numPartitions: Int = 0): DataFrame =
     withGlobalIndexReleasable(df, order, indexCol, numPartitions)._1
+
+  /** Global EXCLUSIVE prefix sum of `valueCol` over a total order — the
+    * running-total twin of [[withGlobalIndexReleasable]] (same two-pass
+    * range-partition scheme, per-partition SUM instead of COUNT feeding
+    * the offsets), replacing the single-partition
+    * `sum() OVER (ORDER BY …)` that dies at scale. Null values count as
+    * 0. Exclusive (the sum of all STRICTLY-preceding rows) because that
+    * is what consumers want as a start offset — sequence packing, byte
+    * offsets, allocation cursors. */
+  def withGlobalCumsumReleasable(df: DataFrame, order: Seq[Column],
+      valueCol: Column, cumsumCol: String = "cumsum_excl",
+      numPartitions: Int = 0): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("__v",
+        coalesce(valueCol.cast("long"), lit(0L)))
+      .repartitionByRange(parts, order: _*).cache()
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    val sums = withPid.groupBy("__pid").agg(sum("__v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._2).scanLeft(0L)(_ + _).init
+    val offDf = sums.map(_._1).zip(offsets).toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val out = withPid
+      .join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn(cumsumCol,
+        sum("__v").over(w) - col("__v") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__off", "__v")
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
+
+  def withGlobalCumsum(df: DataFrame, order: Seq[Column], valueCol: Column,
+      cumsumCol: String = "cumsum_excl", numPartitions: Int = 0): DataFrame =
+    withGlobalCumsumReleasable(df, order, valueCol, cumsumCol, numPartitions)._1
 }

@@ -179,6 +179,42 @@ object TextOps {
         size(col("chunk")).cast("long").as("n_tokens"))
   }
 
+  /** Sequence packing (pack-and-chop): lay the corpus out as ONE token
+    * stream in `idCol` order and cut it into fixed `budget`-token training
+    * sequences — the GPT-style pretraining batch layout (concatenate +
+    * chop at the sequence boundary; docs straddling a cut are split, no
+    * padding waste). Per doc: its BPE-ish token count, its start offset in
+    * the stream, and the first/last bin (= training sequence) it lands in.
+    * Zero-token docs occupy no space and ride along in the bin at their
+    * offset.
+    *
+    * Scale: token counting is map-only; the only distributed primitive is
+    * the global EXCLUSIVE prefix sum, which runs as
+    * [[graft.etl.GlobalIndex.withGlobalCumsumReleasable]]'s two-pass
+    * range-partition scheme — NO single-partition window anywhere. Bin
+    * arithmetic is scalar expressions on the offset. */
+  def packSequencesReleasable(docs: DataFrame, idCol: String,
+      textCol: String, budget: Long): (DataFrame, () => Unit) = {
+    require(budget > 0, "budget must be positive")
+    val counted = docs.select(col(idCol),
+      coalesce(bpeTokenCount(col(textCol)), lit(0L)).as("n_tokens"))
+    val (cum, release) = graft.etl.GlobalIndex.withGlobalCumsumReleasable(
+      counted, Seq(col(idCol)), col("n_tokens"), "start_tok")
+    // last occupied offset: start + max(n,1) − 1 (the max keeps empty
+    // docs single-bin without claiming a token)
+    val lastTok = col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1
+    val out = cum.withColumn("__last", lastTok)
+      .select(col(idCol), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $budget").as("bin_first"),
+        expr(s"__last div $budget").as("bin_last"))
+      .withColumn("n_segments", col("bin_last") - col("bin_first") + 1)
+    (out, release)
+  }
+
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame =
+    packSequencesReleasable(docs, idCol, textCol, budget)._1
+
   /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
     * salient-term pass a curation pipeline runs for topic tagging.
     * tf = term count in doc; idf = ln(N / df) with df = #docs containing
@@ -496,7 +532,32 @@ object TextOps {
                 AS n_chars_clean
             FROM p ORDER BY doc_id"""))
 
+  /** Packing at a 512-token budget in doc-id order. DuckDB replays the
+    * same BPE-ish count, the exclusive running sum (cast to BIGINT —
+    * DuckDB SUMs into HUGEINT), and the floor-div bin cuts. */
+  private val tPack = Q(
+    (s, d) => packSequences(Tables.documents(s, d), "doc_id", "text", 512L)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+              FROM t)
+            SELECT doc_id, n_tokens, start_tok,
+              CAST(start_tok // 512 AS BIGINT) AS bin_first,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+                AS bin_last,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512
+                - start_tok // 512 + 1 AS BIGINT) AS n_segments
+            FROM c ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
+    "q_t_pack" -> tPack,
     "q_t_token_count" -> tTokens,
     "q_t_clean" -> tClean,
     "q_t_pii_redact" -> tPii,

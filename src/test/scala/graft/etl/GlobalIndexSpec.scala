@@ -41,4 +41,27 @@ class GlobalIndexSpec extends SparkSpecBase {
     assert(dist === Map(10L -> 1L, 20L -> 2L, 30L -> 3L, 40L -> 4L, 50L -> 5L))
     spark.catalog.clearCache()
   }
+
+  test("global cumsum matches a single-partition running sum; nulls are 0") {
+    val df = (0 until 4000).map { i =>
+      val k = (i * 7919 % 4000).toLong
+      (k, if (k % 17 == 0) null else java.lang.Long.valueOf(k % 7 + 1))
+    }.toDF("k", "v")
+    val out = GlobalIndex.withGlobalCumsum(df, Seq(col("k")), col("v"),
+        numPartitions = 8)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+    assert(out.length === 4000)
+    val byKey = out.sortBy(_._1)
+    // exclusive: first row starts at 0; each next = prev + prev value
+    var acc = 0L
+    byKey.foreach { case (_, v, cum) =>
+      assert(cum === acc); acc += v
+    }
+    // no single-partition exchange in the plan
+    val plan = GlobalIndex.withGlobalCumsum(df, Seq(col("k")), col("v"),
+      numPartitions = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"))
+    spark.catalog.clearCache()
+  }
 }

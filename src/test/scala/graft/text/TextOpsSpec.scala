@@ -154,4 +154,27 @@ class TextOpsSpec extends SparkSpecBase {
       .filter(col("text") =!= col("redacted")).count()
     assert(changed === 0L)
   }
+
+  test("packSequences: offsets, straddling split, empty doc rides along") {
+    import spark.implicits._
+    // token counts: a=3, b=4, c=0, d=5 at budget 6 →
+    //   a [0,3) bin 0; b [3,7) straddles bins 0-1 (split);
+    //   c offset 7, zero tokens → bin 1 only; d [7,12) bins 1 (7..11) — all
+    //   inside bin 1 (6..11)
+    val df = Seq(
+      (1L, "one two three"), (2L, "a b c d"), (3L, ""),
+      (4L, "v w x y z")).toDF("doc_id", "text")
+    val out = TextOps.packSequences(df, "doc_id", "text", 6L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_tok"),
+         r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last"),
+         r.getAs[Long]("n_segments"))).toMap
+    assert(out(1L) === ((3L, 0L, 0L, 0L, 1L)))
+    assert(out(2L) === ((4L, 3L, 0L, 1L, 2L)), "doc straddles the cut")
+    assert(out(3L) === ((0L, 7L, 1L, 1L, 1L)), "empty doc occupies no space")
+    assert(out(4L) === ((5L, 7L, 1L, 1L, 1L)))
+    // stream is gapless: the last doc's end equals the total token count
+    val total = out.values.map(_._1).sum
+    assert(out.values.map(t => t._2 + t._1).max === total)
+  }
 }
