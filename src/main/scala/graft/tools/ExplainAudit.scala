@@ -167,6 +167,22 @@ object ExplainAudit {
         (p => !p.contains("Exchange hashpartitioning")),
       "whole-stage codegen active (regex ops are expressions, not UDFs)" ->
         (_.contains("codegen id")))
+    audit("q_d_semdedup",
+      "quantizer argmin window is per-vector (no single-partition window)" ->
+        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")),
+      "pair scoring blocks on the cell key (no unblocked cartesian)" ->
+        // the k-row centroid attach IS a broadcast nested loop by design;
+        // a CartesianProduct would mean the PAIR join lost its cell key
+        (p => !p.contains("CartesianProduct")))
+    audit("q_t_pack",
+      "global prefix sum is two-pass range scheme (no single-partition sort)" ->
+        (p => !p.contains("Exchange SinglePartition") &&
+          p.contains("rangepartitioning")),
+      "offsets attach via broadcast join" -> (_.contains("BroadcastHashJoin")))
+    audit("q_j_salted",
+      "salted join stays an equi-join on (key, salt)" ->
+        (p => p.contains("Join") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
