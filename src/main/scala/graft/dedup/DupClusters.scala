@@ -293,7 +293,65 @@ object DupClusters {
             FROM tot t LEFT JOIN r ON t.doc_id = r.doc_id
             ORDER BY t.doc_id"""))
 
+  /** Leakage-safe train/validation split: the split unit is the near-dup
+    * CLUSTER, not the document. Every connected component of `pairs` goes
+    * entirely to validation iff u(component min-id label) < valFrac
+    * (u = [[graft.etl.DataMix.uniformHash]]); docs in no pair hash their
+    * own id. Consequence: NO near-dup pair straddles the boundary — the
+    * eval-contamination guard a training pipeline runs after near-dup
+    * detection, closing the leak that per-document random splits leave
+    * open (a val doc's twin in train).
+    *
+    * Scale: the CC closure's log-diameter rounds + one left join on the
+    * doc id + a map-side hash decision; nothing new beyond the closure's
+    * own shuffles. */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      valFrac: Double): DataFrame = {
+    require(valFrac >= 0 && valFrac <= 1, "valFrac in [0,1]")
+    val comp = connectedComponents(pairs)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("split_group", coalesce(col("comp"), col("id")))
+      .select(col("id").as(idCol), col("split_group"),
+        (graft.etl.DataMix.uniformHash(col("split_group")) < valFrac)
+          .as("is_val"))
+  }
+
+  /** Split the documents corpus at valFrac = 0.1 on SimHash near-dup
+    * clusters. Oracle: the q_d_dup_clusters closure CTEs (signatures,
+    * band pairs, recursive reachability, min-label components) + the
+    * md5-uniform split decision on the component label. */
+  private val dLeakSplit = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      leakSafeSplit(docs, DedupOps.simhashPairs(docs, "doc_id", "text"),
+        "doc_id", valFrac = 0.1).orderBy("doc_id")
+    },
+    Some(DedupOps.simhashSigSql.replaceFirst("WITH toks", "WITH RECURSIVE toks") + """,
+        p AS (SELECT a.id AS ida, b.id AS idb
+          FROM sig a JOIN sig b ON a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+            AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+              OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+              OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+              OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)),
+        e AS (SELECT ida AS a, idb AS b FROM p
+              UNION SELECT idb AS a, ida AS b FROM p),
+        reach AS (SELECT a, b FROM e
+                  UNION
+                  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+                  WHERE e2.b <> r.a),
+        comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+        split AS (SELECT d.doc_id AS doc_id,
+                         COALESCE(c.comp, d.doc_id) AS split_group
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        SELECT doc_id, split_group,
+               """ + graft.etl.DataMix.uniformSqlExpr("split_group") + """
+                 < 0.1 AS is_val
+        FROM split ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_dup_clusters" -> dClusters,
-    "q_d_line_dedup" -> dLineDedup)
+    "q_d_line_dedup" -> dLineDedup,
+    "q_d_leak_split" -> dLeakSplit)
 }

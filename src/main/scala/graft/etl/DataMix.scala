@@ -29,6 +29,17 @@ object DataMix {
     conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") / lit(4294967296.0)
 
+  /** DuckDB replica of [[uniformHash]] over SQL expression `c` — for
+    * composing new oracle queries (the existing oracle literals above
+    * spell the same expression inline). */
+  def uniformSqlExpr(c: String): String = {
+    val m = s"md5(CAST($c AS VARCHAR))"
+    (1 to 8).map { i =>
+      val mult = java.math.BigInteger.valueOf(16L).pow(8 - i)
+      s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1) * $mult.0"
+    }.mkString("(  ", "\n               + ", "\n              ) / 4294967296.0")
+  }
+
   def mixSample(df: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>

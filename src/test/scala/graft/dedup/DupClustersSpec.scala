@@ -114,4 +114,27 @@ class DupClustersSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq == Seq((1L, "a b a b c d"), (2L, "x y")))
   }
+
+  test("leakSafeSplit: no near-dup pair straddles, clusters stay whole") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two chains (1-2-3, 10-11) plus singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val out = DupClusters.leakSafeSplit(docs, pairs, "doc_id", 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_group"), r.getAs[Boolean]("is_val"))).toMap
+    assert(out.size === 40)
+    // cluster members share the group (min id) and the side
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size === 1)
+    assert(Seq(10L, 11L).map(out(_)._1).distinct === Seq(10L))
+    assert(Seq(10L, 11L).map(out(_)._2).distinct.size === 1)
+    // no pair straddles the boundary — the defining invariant
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).foreach { case (a, b) =>
+      assert(out(a)._2 === out(b)._2, s"pair ($a,$b) straddles the split")
+    }
+    // at 50% both sides are populated across the 37 groups
+    val sides = out.values.map(_._2).toSet
+    assert(sides === Set(true, false))
+    spark.catalog.clearCache()
+  }
 }
