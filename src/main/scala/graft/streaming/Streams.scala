@@ -140,6 +140,49 @@ object Streams {
       }
   }
 
+  final case class DocTokens(shard: Long, doc_id: Long, n_tokens: Long)
+  final case class PackedDoc(shard: Long, docId: Long, nTokens: Long,
+      startTok: Long, binFirst: Long, binLast: Long)
+  /** Running token cursor for [[streamingPackSequences]]. */
+  final case class PackState(cursor: Long)
+
+  /** Streaming twin of [[graft.text.TextOps.packSequences]]: online
+    * pack-and-chop at the ingest edge. Each of `shards` independent
+    * packers owns a token stream and a persistent CURSOR in state; an
+    * arriving doc is appended at the cursor, its `budget`-token bin span
+    * reported, and the cursor advanced — offsets keep flowing seamlessly
+    * across triggers. Bin ids are SHARD-LOCAL (a training sequence is
+    * (shard, bin)): sharding is what makes online packing parallel — one
+    * global cursor would serialize the stream through a single state key.
+    * Docs are packed in doc-id order within a trigger; cross-trigger order
+    * is arrival order, as for any online packer. State is ONE long per
+    * shard. */
+  def streamingPackSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, shards: Int = 8): Dataset[PackedDoc] = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs.select(
+      pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"),
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(graft.text.TextOps.bpeTokenCount(col(textCol)), lit(0L))
+        .as("n_tokens")).as[DocTokens]
+    counted.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[DocTokens], state: GroupState[PackState]) =>
+          var cursor = state.getOption.getOrElse(PackState(0L)).cursor
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val start = cursor
+            val last = start + math.max(d.n_tokens, 1L) - 1
+            cursor += d.n_tokens
+            PackedDoc(shard, d.doc_id, d.n_tokens, start,
+              start / budget, last / budget)
+          }
+          state.update(PackState(cursor))
+          out.iterator
+      }
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

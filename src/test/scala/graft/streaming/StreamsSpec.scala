@@ -128,6 +128,34 @@ class StreamsSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 3L)), "evicted signature still matching")
   }
 
+  test("streaming packing: cursor persists across triggers, straddlers split") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // 2 shards (even/odd ids), budget 4
+    val q = Streams.streamingPackSequences(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        budget = 4L, shards = 2)
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").start()
+    input.addData((0L, "a b c"), (1L, "x y"))       // shard0: 3; shard1: 2
+    q.processAllAvailable()
+    input.addData((2L, "d e f"), (3L, "z"))         // shard0: +3; shard1: +1
+    q.processAllAvailable()
+    val out = spark.table("pack_out").as[Streams.PackedDoc].collect()
+      .map(p => p.docId -> p).toMap
+    q.stop()
+    // shard 0 stream: doc0 [0,3) bin 0; doc2 [3,6) straddles bins 0-1 —
+    // the cursor carried 3 across the trigger boundary
+    assert(out(0L).startTok === 0L && out(0L).binFirst === 0L
+      && out(0L).binLast === 0L)
+    assert(out(2L).startTok === 3L && out(2L).binFirst === 0L
+      && out(2L).binLast === 1L, "state cursor lost across triggers")
+    // shard 1 is independent: doc1 [0,2), doc3 [2,3) — both bin 0
+    assert(out(1L).startTok === 0L && out(3L).startTok === 2L)
+    assert(out(3L).binFirst === 0L && out(3L).binLast === 0L)
+    assert(out(1L).shard === 1L && out(3L).shard === 1L)
+  }
+
   test("AvailableNow ingestion drains files once and checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("ingest").toString
     val events = graft.Tables.events(spark, sf)
