@@ -128,8 +128,8 @@ object SimilarityOps {
     val probeLists = {
       val dists = array(centroids.zipWithIndex.map { case (ctr, i) =>
         struct(
-          aggregate(zip_with(col("qv"), lit(ctr), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x).as("d2"),
+          graft.functions.SquaredDistance.squaredDist(col("qv"), lit(ctr))
+            .as("d2"),
           lit(i).as("list"))
       }: _*)
       transform(slice(array_sort(dists), 1, nProbe), s => s.getField("list"))
@@ -161,8 +161,7 @@ object SimilarityOps {
     val v = prep(corpus, idCol, vecCol)
     val cent = v.filter(col("id") < nList)
       .select(col("id").as("cid"), col("v").as("cv"))
-    def d2 = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    def d2 = graft.functions.SquaredDistance.squaredDist(col("v"), col("cv"))
     def argmin(df: DataFrame, upTo: Int): DataFrame = {
       val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
       df.join(broadcast(cent)).withColumn("d2", d2)
@@ -390,8 +389,7 @@ object SimilarityOps {
     val v = prep(emb, idCol, vecCol)
     val cent = v.filter(col("id") < nList)
       .select(col("id").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d2 = graft.functions.SquaredDistance.squaredDist(col("v"), col("cv"))
     val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
     val assigned = v.join(broadcast(cent)).withColumn("d2", d2)
       .withColumn("r", row_number().over(w)).filter(col("r") === 1)
