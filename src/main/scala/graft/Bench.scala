@@ -46,7 +46,11 @@ object Bench {
     // round-7 capstones: the end-to-end corpus-curation and survey-
     // inference compositions — the most realistic user workloads
     "q_pipeline_corpus",
-    "q_pipeline_survey")
+    "q_pipeline_survey",
+    // round-7 operators: semantic dedup (codegen'd quantizer) and
+    // sequence packing (distributed prefix sum)
+    "q_d_semdedup",
+    "q_t_pack")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

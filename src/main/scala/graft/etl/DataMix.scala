@@ -127,7 +127,73 @@ object DataMix {
             WHERE uu < LEAST(1.0, 1.5 * stopword_ratio)
             ORDER BY doc_id"""))
 
+  /** Token-budget corpus mixing — the step a pretraining pipeline actually
+    * runs: targets are TOKEN shares per source, not row rates. Given
+    * target shares p_s (sources absent from the map get 0 and are
+    * dropped), the achievable corpus size without upsampling is
+    * T* = min_s(a_s / p_s) over the available token counts a_s; each
+    * source is then down-sampled at rate_s = min(1, p_s · T* / a_s) via
+    * the same u(id) decision as [[mixSample]], so the KEPT token mass
+    * lands on the target proportions in expectation.
+    *
+    * Scale: one hash aggregation for the per-source token counts (k rows,
+    * k = #sources), a broadcast join of the k-row rate table back onto
+    * the corpus, and the map-side hash filter. No driver-side numbers:
+    * T* and the rates stay in-plan, so the decision arithmetic is the
+    * same IEEE doubles the oracle recomputes. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.values.forall(_ > 0), "shares must be positive")
+    val share = targetShares.foldLeft(lit(0.0)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    val counted = docs.select(col(idCol), col(sourceCol),
+      coalesce(graft.text.TextOps.bpeTokenCount(col(textCol)), lit(0L))
+        .as("n_tokens"))
+    val avail = counted.groupBy(sourceCol)
+      .agg(sum("n_tokens").as("a_s"))
+      .withColumn("p_s", share)
+      .filter(col("p_s") > 0)
+    val tStar = avail.agg(min(col("a_s") / col("p_s")).as("t_star"))
+    val rates = avail.crossJoin(broadcast(tStar))
+      .select(col(sourceCol),
+        least(lit(1.0), col("p_s") * col("t_star") / col("a_s")).as("rate"))
+    counted.join(broadcast(rates), Seq(sourceCol))
+      .filter(uniformHash(col(idCol)) < col("rate"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
+
+  /** Mix src0/src1/src2 at 50/30/20 token shares (other sources dropped).
+    * The oracle recomputes a_s, T*, the rates, and the md5-uniform keep
+    * decision — identical double arithmetic on exact BIGINT token sums. */
+  private val pTokenMix = Q(
+    (s, d) => tokenBudgetMix(Tables.documents(s, d), "doc_id", "text",
+      "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, source,
+              CAST(len(regexp_extract_all(text,
+                ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                AS n_tokens
+              FROM documents),
+            avail AS (SELECT source, SUM(n_tokens) AS a_s,
+                -- CAST: a bare 0.5 literal is DECIMAL in DuckDB, and
+                -- decimal division would not match Spark's double path
+                CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                            WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS p_s
+              FROM t GROUP BY source),
+            pos AS (SELECT source, CAST(a_s AS BIGINT) AS a_s, p_s
+                    FROM avail WHERE p_s > 0),
+            ts AS (SELECT MIN(CAST(a_s AS DOUBLE) / p_s) AS t_star FROM pos),
+            rates AS (SELECT source,
+                LEAST(1.0, p_s * t_star / CAST(a_s AS DOUBLE)) AS rate
+              FROM pos CROSS JOIN ts)
+            SELECT t.doc_id AS doc_id, t.source AS source, t.n_tokens
+            FROM t JOIN rates r ON t.source = r.source
+            WHERE """ + uniformSqlExpr("t.doc_id") + """ < r.rate
+            ORDER BY t.doc_id"""))
+
   val queries: Map[String, Q] = Map(
+    "q_p16_token_budget_mix" -> pTokenMix,
     "q_p14_mix_sample" -> pMix,
     "q_p15_weighted_sample" -> pWeighted)
 }

@@ -53,4 +53,25 @@ class DataMixSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSet
     assert(again === kept.select("id").as[Long].collect().toSet)
   }
+
+  test("tokenBudgetMix: limiting source kept whole, bulk source down-sampled") {
+    // A: 100 docs × 10 tokens = 1000; B: 10 docs × 10 tokens = 100.
+    // Equal shares → T* = 200, rate_B = 1 (B is the limiting source),
+    // rate_A = 0.1; unlisted source C is dropped entirely.
+    val text = "tok " * 9 + "tok" // 10 whitespace/BPE tokens
+    val docs = ((1L to 100L).map(i => (i, text, "A")) ++
+      (101L to 110L).map(i => (i, text, "B")) ++
+      (111L to 120L).map(i => (i, text, "C")))
+      .toDF("doc_id", "text", "source")
+    val out = DataMix.tokenBudgetMix(docs, "doc_id", "text", "source",
+        Map("A" -> 0.5, "B" -> 0.5)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens")))
+    assert(out.forall(_._3 === 10L))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("B", 0) === 10, "limiting source must keep all")
+    assert(!bySrc.contains("C"), "unlisted source must be dropped")
+    val a = bySrc.getOrElse("A", 0)
+    assert(a > 0 && a < 100, s"bulk source kept $a of 100 (expect ~10)")
+  }
 }
