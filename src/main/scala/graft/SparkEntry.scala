@@ -17,7 +17,8 @@ object SparkEntry {
   def registry: Map[String, Q] =
     etl.Relational.queries ++ etl.DataMix.queries ++
       stats.StatsQueries.queries ++
-      text.TextOps.queries ++ dedup.DedupOps.queries ++
+      text.TextOps.queries ++ text.BpeMerge.queries ++
+      dedup.DedupOps.queries ++
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++

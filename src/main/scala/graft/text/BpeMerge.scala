@@ -1,0 +1,169 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge induction — learning the first `nMerges` byte-pair
+  * merges of a tokenizer over the corpus (Sennrich et al.,
+  * arXiv:1508.07909): start from characters, repeatedly (1) count adjacent
+  * symbol pairs, (2) take the most frequent pair (ties → lexicographically
+  * smallest), (3) merge its occurrences greedily LEFT-TO-RIGHT in every
+  * word.
+  *
+  * Scale shape (the classic one): all counting runs on the WORD-FREQUENCY
+  * table, not the corpus — one corpus-sized aggregation up front
+  * (`groupBy word`), after which every iteration touches only the
+  * vocabulary (bounded: ~millions of rows at any corpus size). Pair
+  * counting is one explode + hash aggregation per iteration, weighted by
+  * word frequency; the argmax is a 1-row limit; the merge application is a
+  * per-word fold expression. The chosen pair is a CONFIG value (2 strings),
+  * so collecting it to the driver is the k-row config pattern, not a
+  * data-sized collect.
+  */
+object BpeMerge {
+
+  import TextOps.tokens
+
+  /** Greedy left-to-right merge of adjacent (x, y) into x||y — a fold with
+    * a one-symbol lookbehind: `pend` holds the previous symbol until we
+    * know whether the current one completes the pair; after a merge the
+    * pending slot clears, so overlapping occurrences (x = y, runs like
+    * "bbb") merge exactly as BPE does: [bb, b]. */
+  private[text] def applyMerge(syms: Column, x: String, y: String): Column = {
+    val init = struct(array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    aggregate(syms, init,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        val merged = pend.isNotNull && pend === lit(x) && (s === lit(y))
+        struct(
+          when(pend.isNull, out)
+            .when(merged, concat(out, array(concat(pend, s))))
+            .otherwise(concat(out, array(pend))).as("out"),
+          when(merged, lit(null).cast("string")).otherwise(s).as("pend"))
+      },
+      acc => when(acc.getField("pend").isNotNull,
+        concat(acc.getField("out"), array(acc.getField("pend"))))
+        .otherwise(acc.getField("out")))
+  }
+
+  /** Adjacent-pair frame (x, y, cnt) of the current symbol table, weighted
+    * by word frequency. Single-symbol words contribute nothing (the
+    * sequence guard keeps `sequence` from going descending on size-1
+    * arrays). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.select(col("freq"), explode(
+        when(size(col("syms")) >= 2,
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("x"),
+              element_at(col("syms"), i + 2).as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Learn `nMerges` merges over the whitespace words of `textCol`.
+    * Returns (rank, pair_left, pair_right, pair_count) — the head of the
+    * tokenizer's merge list. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, "nMerges >= 1")
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("w"), ""))
+      .persist()
+    words.count() // materialize before the loop reuses it
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges) {
+      val best = pairCounts(words)
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
+      if (best.isEmpty) { rank = nMerges + 1 } // no pairs left anywhere
+      else {
+        val (x, y, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank.toLong, x, y, c))
+        val next = words
+          .withColumn("syms", applyMerge(col("syms"), x, y)).persist()
+        next.count()
+        words.unpersist(blocking = false)
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "pair_left", "pair_right", "pair_count")
+  }
+
+  // -- oracle SQL generator (seeded-unroll, LloydOracleSql style) ---------
+
+  /** DuckDB replay of [[learnMerges]]: per iteration — pair counts over
+    * the symbol table, the (cnt DESC, x, y) argmax, then the greedy merge
+    * re-derived positionally: match marks, gaps-and-islands run ids, the
+    * odd-position-in-run selection (greedy non-overlapping ≡ positions
+    * 1,3,5… of each run of consecutive matches), drop the consumed
+    * right-hand symbols, stitch lists back in order. */
+  private[text] def oracleSql(nMerges: Int): String = {
+    def iteration(t: Int): String = {
+      val (prev, cur) = (s"s${t - 1}", s"s$t")
+      s"""p$t AS (SELECT x, y, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |          syms[CAST(i AS INT) + 1] AS x,
+         |          syms[CAST(i AS INT) + 2] AS y
+         |        FROM $prev, LATERAL (SELECT unnest(range(len(syms) - 1)) AS i) ii)
+         |  GROUP BY x, y),
+         |b$t AS (SELECT x, y, cnt FROM p$t ORDER BY cnt DESC, x, y LIMIT 1),
+         |u$t AS (SELECT w, freq, CAST(i AS INT) AS i,
+         |          syms[CAST(i AS INT) + 1] AS s
+         |        FROM $prev, LATERAL (SELECT unnest(range(len(syms))) AS i) ii),
+         |m$t AS (SELECT u.w, u.freq, u.i, u.s,
+         |          lead(u.s) OVER (PARTITION BY u.w ORDER BY u.i) AS nxt,
+         |          (u.s = b.x AND
+         |           lead(u.s) OVER (PARTITION BY u.w ORDER BY u.i) = b.y)
+         |            AS ismatch
+         |        FROM u$t u CROSS JOIN b$t b),
+         |r$t AS (SELECT w, i,
+         |          i - CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS INT)
+         |            AS grp
+         |        FROM m$t WHERE ismatch),
+         |sel$t AS (SELECT w, i FROM (
+         |            SELECT w, i, row_number() OVER
+         |              (PARTITION BY w, grp ORDER BY i) AS rr FROM r$t)
+         |          WHERE rr % 2 = 1),
+         |$cur AS (SELECT m.w, m.freq,
+         |          list(CASE WHEN sel.i IS NOT NULL THEN m.s || m.nxt
+         |                    ELSE m.s END ORDER BY m.i) AS syms
+         |        FROM m$t m
+         |        LEFT JOIN sel$t sel ON m.w = sel.w AND m.i = sel.i
+         |        LEFT JOIN sel$t prv ON m.w = prv.w AND m.i = prv.i + 1
+         |        WHERE prv.i IS NULL
+         |        GROUP BY m.w, m.freq)""".stripMargin
+    }
+    val finalRows = (1 to nMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, x AS pair_left, y AS pair_right, cnt AS pair_count FROM b$t")
+      .mkString("\n            UNION ALL ")
+    s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+       |          x -> x <> '')) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS (SELECT w, freq,
+       |         list_transform(range(length(w)),
+       |           i -> substr(w, CAST(i AS INT) + 1, 1)) AS syms
+       |       FROM w0),
+       |${(1 to nMerges).map(iteration).mkString(",\n")}
+       |${finalRows}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** First 3 merges over the documents corpus. */
+  private val tBpe = Q(
+    (s, d) => learnMerges(Tables.documents(s, d), "text", 3)
+      .orderBy("rank"),
+    Some(oracleSql(3)))
+
+  val queries: Map[String, Q] = Map("q_t_bpe_merges" -> tBpe)
+}

@@ -1,0 +1,52 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BpeMergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("applyMerge: greedy left-to-right, overlapping runs, ends intact") {
+    val df = Seq(
+      Seq("b", "b", "b"),       // x=y run: [bb, b], not [b, bb]
+      Seq("b", "b", "b", "b"),  // [bb, bb]
+      Seq("a", "b", "c"),       // no-op for (b,b)
+      Seq("b"),                 // single symbol untouched
+      Seq("c", "b", "b")        // trailing pair merges
+    ).toDF("syms")
+    val out = df.select(BpeMerge.applyMerge(col("syms"), "b", "b").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) === List("bb", "b"))
+    assert(out(1) === List("bb", "bb"))
+    assert(out(2) === List("a", "b", "c"))
+    assert(out(3) === List("b"))
+    assert(out(4) === List("c", "bb"))
+  }
+
+  test("learnMerges: hand-computed merge sequence on a toy corpus") {
+    // corpus: "low low lower" ×2 docs and "new newer" — classic BPE toy.
+    // char pairs weighted by word freq: words {low:4, lower:2, new:1, newer:1}
+    //   (l,o):6 (o,w):6 (w,e):3 (e,r):3 (n,e):2 (e,w):2
+    // merge 1: tie (l,o)/(o,w) at 6 → lexicographic → (l,o)
+    // after: lo w / lo w e r — pairs: (lo,w):6 (w,e):3 (e,r):3 (n,e):2 (e,w):2
+    // merge 2: (lo,w) at 6 → low
+    // merge 3: pairs (low,e):2? no — lower → [low,e,r]: (low,e):2 (e,r):3
+    //   newer → [n,e,w,e,r]: (n,e):1(+new 1 =2) (e,w):2 (w,e):1 (e,r):1
+    //   so (e,r): lower 2 + newer 1 = 3 → merge 3 = (e,r) at 3
+    val docs = Seq("low low lower", "low low lower", "new newer")
+      .toDF("text")
+    val out = BpeMerge.learnMerges(docs, "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) === ((1L, "l", "o", 6L)))
+    assert(out(1) === ((2L, "lo", "w", 6L)))
+    assert(out(2) === ((3L, "e", "r", 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("learnMerges stops early when no pairs remain") {
+    val docs = Seq("a b a", "b a").toDF("text") // all words single-char
+    val out = BpeMerge.learnMerges(docs, "text", 3).collect()
+    assert(out.isEmpty)
+    spark.catalog.clearCache()
+  }
+}
