@@ -1,0 +1,126 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus bigram language model + per-document perplexity — the
+  * CCNet-style LM quality filter (arXiv:1911.00359 trains a 5-gram LM and
+  * keeps low-perplexity documents; the bigram variant keeps the same
+  * dataflow with the statistics learnable in-plan):
+  *
+  *   p(y|x) = (c(x,y) + k) / (c(x) + k·V)      (add-k smoothing)
+  *   ppl(doc) = exp( −(1/n) · Σ ln p(yᵢ|xᵢ) )  over the doc's n bigrams
+  *
+  * Numeric contract: the per-bigram negative log-prob is rounded to
+  * integer MICRO-nats immediately (each is a deterministic per-row
+  * function of exact counts — no aggregation order involved), so the
+  * per-doc reduction is an exact integer sum, reproducible bit-for-bit
+  * under any partitioning and replayable in DuckDB with no float-sum
+  * tolerance at all (the [[graft.sim.SimilarityOps.meanPool]] micro-units
+  * trick).
+  * Perplexity derives from the exact integers at the end.
+  *
+  * Scale: two corpus aggregations (bigram counts, token counts) keyed on
+  * natural keys; V is a 1-row aggregate broadcast into the probability
+  * expression; scoring joins the doc bigrams against the model on the
+  * bigram key (vocabulary²-bounded — a shuffle join at full scale, a
+  * broadcast when the model is trimmed) and reduces per doc in one hash
+  * aggregation. Docs with < 2 tokens carry n_bigrams = 0 and a null
+  * perplexity (emitted, not dropped — the downstream filter decides).
+  */
+object NgramLm {
+
+  import TextOps.tokens
+
+  private def bigrams(df: DataFrame, id: org.apache.spark.sql.Column,
+      text: String): DataFrame =
+    df.select(id.as("__id"), tokens(col(text)).as("__t"))
+      .select(col("__id"), explode(
+        when(size(col("__t")) >= 2,
+          transform(sequence(lit(0), size(col("__t")) - 2),
+            i => struct(element_at(col("__t"), i + 1).as("x"),
+              element_at(col("__t"), i + 2).as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("b"))
+      .select(col("__id"), col("b.x").as("x"), col("b.y").as("y"))
+
+  /** Exact integer core: (idCol, n_bigrams, nlp_micro) where nlp_micro is
+    * the doc's Σ round(−ln p · 1e6) in micro-nats. */
+  def negLogMicro(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelTextCol: String, k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val modelToks = model.select(explode(tokens(col(modelTextCol))).as("tok"))
+    val unigrams = modelToks.groupBy("tok").agg(count(lit(1)).as("cx"))
+    val vocab = modelToks.agg(countDistinct("tok").as("v"))
+    val bigramCounts = bigrams(model, monotonically_increasing_id(), modelTextCol)
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val scored = bigrams(docs, col(idCol), textCol)
+      .join(bigramCounts, Seq("x", "y"), "left")
+      .join(unigrams.withColumnRenamed("tok", "x"), Seq("x"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nlp_micro", round(-log(
+        (coalesce(col("cxy"), lit(0L)) + lit(k)) /
+          (coalesce(col("cx"), lit(0L)) + lit(k) * col("v"))) * 1e6)
+        .cast("long"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nlp_micro").as("nlp_micro"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nlp_micro"))
+  }
+
+  /** User surface: (idCol, n_bigrams, ppl) with ppl = exp(mean micro-nats),
+    * null for unscorable docs. */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelTextCol: String, k: Double = 1.0): DataFrame =
+    negLogMicro(docs, idCol, textCol, model, modelTextCol, k)
+      .withColumn("ppl",
+        exp(col("nlp_micro") / lit(1e6) / col("n_bigrams")))
+      .drop("nlp_micro")
+
+  /** Self-scored documents corpus at k = 1. Output is the exact-integer
+    * core — zero float-sum tolerance anywhere in the hash. */
+  private val tPpl = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      negLogMicro(docs, "doc_id", "text", docs, "text").orderBy("doc_id")
+    },
+    Some("""WITH mt AS (SELECT unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS tok FROM documents),
+            uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cx
+                    FROM mt GROUP BY tok),
+            voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM mt),
+            db AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+                   FROM documents),
+            bg AS (SELECT doc_id,
+                     t[CAST(i AS INT) + 1] AS x, t[CAST(i AS INT) + 2] AS y
+                   FROM db, LATERAL (SELECT unnest(range(len(t) - 1)) AS i) ii),
+            bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+                   FROM bg GROUP BY x, y),
+            sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     -- CAST both ln operands: bare 1.0 is DECIMAL in
+                     -- DuckDB and decimal arithmetic would diverge from
+                     -- Spark's double path (the sums are exact integers,
+                     -- so the casts lose nothing)
+                     CAST(SUM(CAST(ROUND(-ln(
+                         CAST(COALESCE(c.cxy, 0) + 1.0 AS DOUBLE)
+                       / CAST(COALESCE(u.cx, 0) + 1.0 * v.v AS DOUBLE))
+                       * 1000000.0) AS BIGINT)) AS BIGINT) AS nlp_micro
+                   FROM bg g
+                   LEFT JOIN bc c ON g.x = c.x AND g.y = c.y
+                   LEFT JOIN uni u ON g.x = u.tok
+                   CROSS JOIN voc v
+                   GROUP BY g.doc_id)
+            SELECT d.doc_id AS doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   s.nlp_micro
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN sc s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id"""))
+
+  val queries: Map[String, Q] = Map("q_t_perplexity" -> tPpl)
+}
