@@ -18,7 +18,7 @@ object SparkEntry {
     etl.Relational.queries ++ etl.DataMix.queries ++
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
-      text.NgramLm.queries ++
+      text.NgramLm.queries ++ text.QualityClassifier.queries ++
       dedup.DedupOps.queries ++
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++

@@ -183,6 +183,17 @@ object ExplainAudit {
       "salted join stays an equi-join on (key, salt)" ->
         (p => p.contains("Join") && !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_t_perplexity",
+      "doc bigrams join the model on the bigram key (no unblocked cartesian)" ->
+        // the 1-row vocabulary attach IS a broadcast nested loop by design
+        (p => !p.contains("CartesianProduct")),
+      "model counts partial-aggregate before their shuffle" ->
+        (_.contains("HashAggregate")))
+    audit("q_p16_token_budget_mix",
+      "k-row rate table broadcast back onto the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian beyond the 1-row T* attach" ->
+        (p => !p.contains("CartesianProduct")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
