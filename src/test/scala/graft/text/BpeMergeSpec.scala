@@ -43,6 +43,35 @@ class BpeMergeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("applyMerge matches a reference greedy scan on 600 random inputs") {
+    // one Spark job for all generated cases (PropertySpec convention)
+    def ref(syms: Seq[String], x: String, y: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          out += x + y; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 300).map { i =>
+      val n = rnd.nextInt(9)
+      (i.toLong, (0 until n).map(_ => Seq("a", "b", "c")(rnd.nextInt(3))))
+    }
+    val df = cases.toDF("id", "syms")
+    for ((x, y) <- Seq(("a", "b"), ("b", "b"))) {
+      val got = df.select(col("id"),
+          BpeMerge.applyMerge(col("syms"), x, y).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      cases.foreach { case (id, syms) =>
+        assert(got(id) === ref(syms, x, y),
+          s"case $id $syms pair ($x,$y)")
+      }
+    }
+  }
+
   test("learnMerges stops early when no pairs remain") {
     val docs = Seq("a b a", "b a").toDF("text") // all words single-char
     val out = BpeMerge.learnMerges(docs, "text", 3).collect()
