@@ -553,7 +553,92 @@ object DedupOps {
                edit_dist <= 0.2 * len_max AS confirmed
         FROM sc ORDER BY ida, idb"""))
 
+  /** Incremental dedup at the ingest boundary — the daily-batch case: a
+    * NEW batch is arbitrated against an already-curated corpus without
+    * re-deduplicating the corpus. Per new doc:
+    *   - exact_dup: its content hash exists in the corpus, or a lower-id
+    *     batch-mate claimed it (the batch's own exact dedup);
+    *   - near_dup: some corpus doc shares a 16-bit SimHash band and sits
+    *     within `maxHamming` (the corpus signature index is exactly what a
+    *     production pipeline keeps materialized between increments).
+    *
+    * Scale: the batch is small relative to the corpus; both joins key on
+    * hash/band — the corpus side streams through as the probe build's
+    * partner, nothing is all-pairs, and the corpus text is never re-read
+    * beyond its hash/signature projections (precomputable). */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 12): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      md5(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+        .cast("binary")).as("h"))
+    val nh = hashed(newDocs)
+    val ch = hashed(corpus).select(col("h")).distinct()
+      .withColumn("__inc", lit(true))
+    val batchMin = nh.groupBy("h").agg(min(idCol).as("__first"))
+    val exact = nh.join(ch, Seq("h"), "left").join(batchMin, Seq("h"))
+      .select(col(idCol),
+        (coalesce(col("__inc"), lit(false)) || col(idCol) =!= col("__first"))
+          .as("exact_dup"))
+    def banded(df: DataFrame, idAs: String, sigAs: String) =
+      simhashSignatures(df, idCol, textCol)
+        .select(col("id").as(idAs), col("simhash").as(sigAs),
+          explode(array((0 until 4).map(bnd =>
+            struct(lit(bnd).as("band"),
+              shiftrightunsigned(col("simhash"), bnd * 16)
+                .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val near = banded(newDocs, "id", "sn")
+      .join(banded(corpus, "idc", "sc"), Seq("bk"))
+      .select("id", "sn", "idc", "sc").distinct()
+      .withColumn("hamming", SimHash64.hammingDist(col("sn"), col("sc")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id").as(idCol)).distinct()
+      .withColumn("__nd", lit(true))
+    exact.join(near, Seq(idCol), "left")
+      .select(col(idCol), col("exact_dup"),
+        coalesce(col("__nd"), lit(false)).as("near_dup"))
+  }
+
+  /** Odd doc_ids play the incoming batch, even ids the curated corpus.
+    * The oracle reuses the signature CTEs over ALL documents (signatures
+    * are per-row deterministic) and splits by parity downstream. */
+  private val dIncremental = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text").orderBy("doc_id")
+    },
+    Some(simhashSigSql + """,
+        nh AS (SELECT doc_id,
+                 md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+               FROM documents WHERE doc_id % 2 = 1),
+        ch AS (SELECT DISTINCT
+                 md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+               FROM documents WHERE doc_id % 2 = 0),
+        bm AS (SELECT h, MIN(doc_id) AS firstid FROM nh GROUP BY h),
+        ex AS (SELECT nh.doc_id,
+                 (ch.h IS NOT NULL OR nh.doc_id <> bm.firstid) AS exact_dup
+               FROM nh LEFT JOIN ch ON nh.h = ch.h
+               JOIN bm ON nh.h = bm.h),
+        nb AS (SELECT id, simhash, b,
+                 (simhash >> CAST(b * 16 AS INT)) & 65535 AS key
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+               WHERE id % 2 = 1),
+        cb AS (SELECT id, simhash, b,
+                 (simhash >> CAST(b * 16 AS INT)) & 65535 AS key
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+               WHERE id % 2 = 0),
+        nd AS (SELECT DISTINCT n.id FROM nb n
+               JOIN cb c ON n.b = c.b AND n.key = c.key
+               WHERE bit_count(xor(n.simhash, c.simhash)) <= 12)
+        SELECT e.doc_id AS doc_id, e.exact_dup,
+               (nd.id IS NOT NULL) AS near_dup
+        FROM ex e LEFT JOIN nd ON e.doc_id = nd.id
+        ORDER BY e.doc_id"""))
+
   val queries: Map[String, Q] = Map(
+    "q_d_incremental" -> dIncremental,
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
     "q_d_minhash_lsh" -> dMinhash,

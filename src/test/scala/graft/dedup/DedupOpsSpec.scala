@@ -151,4 +151,28 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(out(4L)._2, "case-insensitive gram match must contaminate")
     assert(out.size === 4)
   }
+
+  test("incremental dedup: corpus twin, batch twin, near-dup, fresh doc") {
+    val base = "spark shuffle partition executor batch query scan filter " +
+      "join table column row group window sort merge stage task driver node"
+    val corpus = Seq((0L, base), (2L, "completely different content here "
+      + "about cooking recipes and garden flowers in summer")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                       // exact copy of corpus doc 0
+      (3L, "fresh unseen totally novel text with unique vocabulary words"),
+      (5L, base.replace("driver", "worker")), // near-dup of corpus doc 0
+      (7L, "fresh unseen totally novel text with unique vocabulary words"),
+      (9L, "x y z")                     // fresh and tiny
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    assert(out.keySet === Set(1L, 3L, 5L, 7L, 9L))
+    assert(out(1L) === ((true, true)), "corpus twin is exact AND near dup")
+    assert(out(3L) === ((false, false)), "first batch copy is fresh")
+    assert(out(7L)._1, "second batch copy is an exact dup of doc 3")
+    assert(out(5L)._1 === false)
+    assert(out(5L)._2, "one-word change must flag as near-dup")
+    assert(out(9L) === ((false, false)))
+  }
 }
