@@ -709,7 +709,41 @@ object Relational {
     "q_e_sessionize" -> eSession,
     "q_e_asof" -> eAsof,
     "q_e_range_join" -> eRange,
-    "q_j_salted" -> SaltedJoinQuery.jSalted)
+    "q_j_salted" -> SaltedJoinQuery.jSalted,
+    "q_a12_profile" -> ProfileQuery.pProfile)
+}
+
+/** Column profiling — the data-quality pass a pipeline runs on arrival:
+  * per column, row count, null count, exact distinct count, in ONE scan
+  * (the k countDistincts expand the aggregation k-way — the standard
+  * trade; at 100 TB profile with the HLL sketch instead, whose error
+  * contract q_sk_hll_distinct certifies). */
+private[etl] object ProfileQuery {
+  import org.apache.spark.sql.DataFrame
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  val pProfile = Q(
+    (s, d) => profile(Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount"))
+      .orderBy("col_name"),
+    Some(Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+      .map(c => s"""SELECT '$c' AS col_name,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+        FROM lineitem""")
+      .mkString("", "\n UNION ALL ", "\n ORDER BY col_name")))
 }
 
 /** Salted skew join registration, split out so its `val` initializes
