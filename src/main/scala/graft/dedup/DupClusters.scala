@@ -3,6 +3,7 @@ package graft.dedup
 import graft.{Q, Tables}
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution for training-data pipelines: the pair lists
@@ -350,8 +351,97 @@ object DupClusters {
                  < 0.1 AS is_val
         FROM split ORDER BY doc_id"""))
 
+  /** Duplicated-span detection — the exact-substring dedup analysis of
+    * Lee et al. (arXiv:2107.06499): find, per document, how much of it is
+    * covered by exact token spans that also occur in OTHER documents.
+    * Suffix arrays don't distribute; the standard scalable encoding is
+    * k-token anchor grams: a span of length L ≥ k duplicated across docs
+    * shows up as L−k+1 consecutive duplicated anchor positions, so the
+    * longest duplicated span = longest consecutive run + k − 1.
+    *
+    * Per doc: total anchor positions, duplicated positions, and the
+    * longest duplicated span in tokens (0 when nothing repeats).
+    *
+    * Scale: one overlapping-gram explode (linear in corpus tokens), one
+    * aggregation on the gram key (the natural shuffle key), a semi-join
+    * back, and a per-doc gaps-and-islands window — no all-pairs anywhere;
+    * the gram strings can be hashed to 8 bytes at 100 TB to shrink the
+    * shuffle (documented trade, not done here so the oracle stays
+    * string-exact). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1, minDocs >= 2")
+    val t = col("__toks")
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.text.TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), posexplode(
+        when(size(t) >= k,
+          transform(sequence(lit(0), size(t) - k),
+            i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct("id").as("nd"))
+      .filter(col("nd") >= minDocs).select("gram")
+    val dupPos = grams.join(dupGrams, Seq("gram"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("id").agg(max("run").as("max_run"),
+        sum("run").as("n_dup_grams"))
+    val totals = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(runs, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("max_run") + (k - 1), lit(0L))
+          .as("max_dup_span_tokens"))
+  }
+
+  /** 5-token anchors, duplicated = seen in ≥ 2 distinct docs. The oracle
+    * replays the overlapping grams positionally, the distinct-doc
+    * threshold, and the same gaps-and-islands longest-run. */
+  private val dDupSpans = Q(
+    (s, d) => duplicatedSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+              FROM documents),
+            g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                array_to_string(tk[CAST(i AS INT) + 1:CAST(i AS INT) + 5], ' ')
+                  AS gram
+              FROM t, LATERAL (SELECT unnest(range(len(tk) - 4)) AS i) ii
+              WHERE len(tk) >= 5),
+            dg AS (SELECT gram FROM g
+                   GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+            dp AS (SELECT g.doc_id, g.pos FROM g JOIN dg ON g.gram = dg.gram),
+            runs AS (SELECT doc_id,
+                pos - CAST(row_number() OVER
+                  (PARTITION BY doc_id ORDER BY pos) AS INT) AS grp
+              FROM dp),
+            agg AS (SELECT doc_id, MAX(run) AS max_run,
+                CAST(SUM(run) AS BIGINT) AS n_dup_grams
+              FROM (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+                    FROM runs GROUP BY doc_id, grp)
+              GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                    FROM g GROUP BY doc_id)
+            SELECT d.doc_id AS doc_id,
+              COALESCE(t2.n_grams, 0) AS n_grams,
+              COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+              COALESCE(a.max_run + 4, 0) AS max_dup_span_tokens
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN tot t2 ON d.doc_id = t2.doc_id
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_dup_clusters" -> dClusters,
     "q_d_line_dedup" -> dLineDedup,
-    "q_d_leak_split" -> dLeakSplit)
+    "q_d_leak_split" -> dLeakSplit,
+    "q_d_dup_spans" -> dDupSpans)
 }

@@ -115,6 +115,28 @@ class DupClustersSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "a b a b c d"), (2L, "x y")))
   }
 
+  test("duplicatedSpans: longest shared span recovered, singles ignored") {
+    // docs 1 and 2 share the 8-token span "a b c d e f g h" (runs of
+    // 8−5+1 = 4 anchor positions → span 4+4 = 8); doc 3 is unique; doc 4
+    // is too short for any anchor
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$shared x1 y1 z1 w1 v1"),
+      (2L, s"p2 q2 $shared r2"),
+      (3L, "totally unique content nothing repeats here at all ok"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = DupClusters.duplicatedSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+         r.getAs[Long]("max_dup_span_tokens"))).toMap
+    // doc 1: 13 tokens → 9 anchors, 4 duplicated, span 8
+    assert(out(1L) === ((9L, 4L, 8L)))
+    // doc 2: 11 tokens → 7 anchors, 4 duplicated (offset run), span 8
+    assert(out(2L) === ((7L, 4L, 8L)))
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L)
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
   test("leakSafeSplit: no near-dup pair straddles, clusters stay whole") {
     val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two chains (1-2-3, 10-11) plus singletons
