@@ -200,11 +200,17 @@ object DedupOps {
       SimHash64.simhash64(TextOps.tokens(lower(col(textCol)))).as("simhash"))
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
-    // 4 bands of 16 bits: dist ≤ 12 pairs share ≥1 band only probabilistically;
-    // with 4 bands the guarantee holds for dist ≤ 3 — wider dist is best-effort
-    // candidate generation, which is the standard trade.
+      maxHamming: Int = 12): DataFrame =
+    bandedHammingPairs(simhashSignatures(df, idCol, textCol), maxHamming)
+
+  /** Near-dup candidate pairs from ANY 64-bit signature frame
+    * (id, simhash) — SimHash text signatures, image dHashes, any LSH
+    * family living in a long. 4 bands of 16 bits: dist ≤ maxHamming pairs
+    * share ≥1 band only probabilistically; with 4 bands the guarantee
+    * holds for dist ≤ 3 — wider dist is best-effort candidate generation,
+    * which is the standard trade. The band key is the shuffle key; never
+    * all-pairs. */
+  def bandedHammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     val banded = sig.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(bnd =>
         struct(lit(bnd).as("band"),

@@ -909,7 +909,146 @@ object MultimodalOps {
                    CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height
             FROM documents ORDER BY media_id"""))
 
+  /** Deterministic 9×8 grayscale test image for `id` (closed form, public):
+    * pixel(r, c) = ((id%251)·37 + r·19 + c·11) mod 251, with ONE perturbed
+    * pixel at (id%8, (id/8)%9) flipped to 250−base — ids sharing id%251
+    * render near-identical images whose dHashes differ in ≤ 2 bits each.
+    * Encoded as a REAL PNG so the decode under test is real. */
+  private[multimodal] def synthGrayPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val g = (id % 251).toInt
+    val pr = (id % 8).toInt
+    val pc = ((id / 8) % 9).toInt
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val base = (g * 37 + r * 19 + c * 11) % 251
+        raster.setSample(c, r, 0,
+          if (r == pr && c == pc) 250 - base else base)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual dHash (difference hash) of image blobs: decode with
+    * ImageIO, reduce to 9×8 grayscale (direct sampling when the image
+    * already is one — the lossless path the oracle replays; real bilinear
+    * draw-scale otherwise), set bit r·8+c iff pixel(r,c) > pixel(r,c+1).
+    * Near-identical images land within small Hamming distance — feed the
+    * result to [[graft.dedup.DedupOps.bandedHammingPairs]] for image
+    * near-dup pairs, exactly as text SimHashes do.
+    * Returns (media_id, dhash, ok); undecodable blobs carry ok = false. */
+  def dHashImages(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType),
+      StructField("ok", BooleanType)))
+    val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = if (bytes == null) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Row(id, 0L, false)
+            else {
+              val gray =
+                if (img.getWidth == 9 && img.getHeight == 8 &&
+                  img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                  img
+                else {
+                  val out = new java.awt.image.BufferedImage(9, 8,
+                    java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                  val gr = out.createGraphics()
+                  try {
+                    gr.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    gr.drawImage(img, 0, 0, 9, 8, null)
+                  } finally gr.dispose()
+                  out
+                }
+              val ras = gray.getRaster
+              var h = 0L
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  if (ras.getSample(c, r, 0) > ras.getSample(c + 1, r, 0))
+                    h |= 1L << (r * 8 + c)
+                  c += 1
+                }
+                r += 1
+              }
+              Row(id, h, true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Row(id, 0L, false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Image near-dup pairs over the synthetic corpus imagery: REAL PNG
+    * encode → REAL ImageIO decode → dHash → banded Hamming pairs at
+    * distance ≤ 4 (each perturbed image differs from its group base in
+    * ≤ 2 dHash bits, so same-group pairs sit within 4). The oracle
+    * recomputes pixels from the closed form, the 64 comparison bits, the
+    * signed 64-bit hash, and the identical band-join predicate. */
+  private val mmImageNearDup = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map(r =>
+        Row(r.getLong(0), synthGrayPng(r.getLong(0))))
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      val sig = dHashImages(withBlob, "doc_id", "blob")
+        .select(col("media_id").as("id"), col("dhash").as("simhash"))
+      graft.dedup.DedupOps.bandedHammingPairs(sig, maxHamming = 4)
+        .orderBy("ida", "idb")
+    },
+    Some("""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        px AS (SELECT id, r, c,
+            CASE WHEN r = id % 8 AND c = (id // 8) % 9
+                 THEN 250 - ((id % 251) * 37 + r * 19 + c * 11) % 251
+                 ELSE ((id % 251) * 37 + r * 19 + c * 11) % 251 END AS p
+          FROM ids
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
+          CROSS JOIN (SELECT unnest(range(0, 9)) AS c) cc),
+        bits AS (SELECT a.id, a.r * 8 + a.c AS b
+          FROM px a JOIN px b2
+            ON a.id = b2.id AND a.r = b2.r AND b2.c = a.c + 1
+          WHERE a.c < 8 AND a.p > b2.p),
+        rawsig AS (SELECT id,
+            CAST(SUM(CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                 ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END)
+              AS BIGINT) AS simhash
+          FROM bits GROUP BY 1),
+        sig AS (SELECT i.id, COALESCE(s.simhash, 0) AS simhash
+          FROM ids i LEFT JOIN rawsig s ON i.id = s.id)
+        SELECT a.id AS ida, b.id AS idb,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+          AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+            OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+            OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+            OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)
+        ORDER BY ida, idb"""))
+
   val queries: Map[String, Q] = Map(
+    "q_mm_image_neardup" -> mmImageNearDup,
     "q_mm_binary_meta" -> mmBinary,
     "q_mm_stub_decode" -> mmDecode,
     "q_mm_decode_dims" -> mmDecodeDims,

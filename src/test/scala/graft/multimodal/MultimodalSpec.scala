@@ -203,4 +203,29 @@ class MultimodalSpec extends SparkSpecBase {
       .orderBy("media_id").collect()
     assert(rows.forall(_.getString(2) == "unknown"))
   }
+
+  test("dHash: same-group images within hamming 4, bad blobs flagged") {
+    import spark.implicits._
+    // ids 0 and 251 share id % 251 = 0 (near-identical images, different
+    // perturbed pixel); id 10 is another group entirely
+    val blobs = Seq(0L, 251L, 10L).map(id =>
+      (id, MultimodalOps.synthGrayPng(id))) :+ ((99L, Array[Byte](1, 2, 3)))
+    val df = blobs.toDF("media_id", "blob")
+    val sig = MultimodalOps.dHashImages(df, "media_id", "blob")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(sig(99L)._2 === false, "garbage blob must flag ok=false")
+    assert(Seq(0L, 251L, 10L).forall(sig(_)._2))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L)._1, sig(251L)._1) <= 4, "same-group must be near")
+    assert(ham(sig(0L)._1, sig(10L)._1) > 4, "different groups must differ")
+    // the pair generator finds the same-group pair and not the cross pair
+    val sigDf = MultimodalOps.dHashImages(
+        df.filter($"media_id" =!= 99L), "media_id", "blob")
+      .select($"media_id".as("id"), $"dhash".as("simhash"))
+    val pairs = graft.dedup.DedupOps.bandedHammingPairs(sigDf, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 251L)))
+    assert(!pairs.contains((0L, 10L)) && !pairs.contains((10L, 251L)))
+  }
 }
