@@ -439,9 +439,97 @@ object DupClusters {
             LEFT JOIN agg a ON d.doc_id = a.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Span scrubbing — the ACTING half of exact-substring dedup
+    * ([[duplicatedSpans]] detects; this removes): every token covered by
+    * a cross-doc duplicated k-gram anchor is dropped from all docs EXCEPT
+    * the keeper (lowest doc id containing that gram — one occurrence of
+    * every duplicated span survives corpus-wide), and the survivors
+    * reassemble in original order.
+    *
+    * Scale: anchors explode to their k covered token positions (k rows
+    * per duplicated anchor — linear), so coverage is a pure equi-join on
+    * (doc, pos) with no range join; reassembly is one groupBy doc with an
+    * in-memory per-doc sort, the corpusSegmentDedup shape. */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1, minDocs >= 2")
+    val t = col("__toks")
+    val toks = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.text.TextOps.tokens(lower(col(textCol))).as("__toks"))
+    val tokenRows = toks.select(col("id"),
+      posexplode(t).as(Seq("pos", "tok")))
+    val grams = toks.select(col("id"), posexplode(
+        when(size(t) >= k,
+          transform(sequence(lit(0), size(t) - k),
+            i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+    val keepers = grams.groupBy("gram")
+      .agg(countDistinct("id").as("nd"), min("id").as("keeper"))
+      .filter(col("nd") >= minDocs).select("gram", "keeper")
+    val covered = grams.join(keepers, Seq("gram"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = tokenRows.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        e => e.getField("tok"))).as("clean_text"),
+      count(lit(1)).as("kept_tokens"))
+    toks.select(col("id"), size(t).cast("long").as("total_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("total_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
+  /** Scrub at the q_d_dup_spans parameters; the oracle replays anchors,
+    * the min-id keeper rule, the k-position coverage explode, and the
+    * ordered reassembly. */
+  private val dSpanScrub = Q(
+    (s, d) => scrubDupSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+              FROM documents),
+            tok AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                tk[CAST(i AS INT) + 1] AS tk1
+              FROM t, LATERAL (SELECT unnest(range(len(tk))) AS i) ii),
+            g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                array_to_string(tk[CAST(i AS INT) + 1:CAST(i AS INT) + 5], ' ')
+                  AS gram
+              FROM t, LATERAL (SELECT unnest(range(len(tk) - 4)) AS i) ii
+              WHERE len(tk) >= 5),
+            kp AS (SELECT gram, MIN(doc_id) AS keeper FROM g
+                   GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT g.doc_id, g.pos + CAST(o AS INT) AS pos
+              FROM g JOIN kp ON g.gram = kp.gram AND g.doc_id <> kp.keeper
+              CROSS JOIN (SELECT unnest(range(0, 5)) AS o) oo),
+            kept AS (SELECT tok.doc_id, tok.pos, tok.tk1 FROM tok
+              LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+              WHERE cov.pos IS NULL),
+            rb AS (SELECT doc_id,
+                string_agg(tk1, ' ' ORDER BY pos) AS clean_text,
+                CAST(COUNT(*) AS BIGINT) AS kept_tokens
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens
+                    FROM t)
+            SELECT tot.doc_id AS doc_id,
+              COALESCE(rb.clean_text, '') AS clean_text,
+              COALESCE(rb.kept_tokens, 0) AS kept_tokens,
+              tot.total_tokens - COALESCE(rb.kept_tokens, 0) AS removed_tokens
+            FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id
+            ORDER BY tot.doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_dup_clusters" -> dClusters,
     "q_d_line_dedup" -> dLineDedup,
     "q_d_leak_split" -> dLeakSplit,
-    "q_d_dup_spans" -> dDupSpans)
+    "q_d_dup_spans" -> dDupSpans,
+    "q_d_span_scrub" -> dSpanScrub)
 }

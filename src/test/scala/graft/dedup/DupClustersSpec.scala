@@ -137,6 +137,23 @@ class DupClustersSpec extends SparkSpecBase {
     assert(out(4L) === ((0L, 0L, 0L)))
   }
 
+  test("scrubDupSpans: keeper doc intact, twin loses the span, order kept") {
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$shared x1 y1 z1 w1 v1"),
+      (2L, s"p2 q2 $shared r2"),
+      (3L, "nothing shared in this one at all honestly")).toDF("doc_id", "text")
+    val out = DupClusters.scrubDupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("kept_tokens"),
+         r.getAs[Long]("removed_tokens"))).toMap
+    // doc 1 is the keeper (min id): untouched
+    assert(out(1L) === ((s"$shared x1 y1 z1 w1 v1", 13L, 0L)))
+    // doc 2: the 8 shared tokens scrubbed, surrounding text survives in order
+    assert(out(2L) === (("p2 q2 r2", 3L, 8L)))
+    assert(out(3L)._3 === 0L)
+  }
+
   test("leakSafeSplit: no near-dup pair straddles, clusters stay whole") {
     val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two chains (1-2-3, 10-11) plus singletons
