@@ -574,9 +574,13 @@ object DedupOps {
     * beyond its hash/signature projections (precomputable). */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 12): DataFrame = {
+    // null text reads as '' (two null-text docs ARE exact duplicates): a
+    // null hash key would fall through the inner batch-min join and make
+    // the doc VANISH from the arbitration output — an arbiter must never
+    // return an undefined verdict (the editVerify contract)
     def hashed(df: DataFrame) = df.select(col(idCol),
-      md5(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
-        .cast("binary")).as("h"))
+      md5(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "[^a-z0-9 ]", "").cast("binary")).as("h"))
     val nh = hashed(newDocs)
     val ch = hashed(corpus).select(col("h")).distinct()
       .withColumn("__inc", lit(true))
@@ -617,10 +621,12 @@ object DedupOps {
     },
     Some(simhashSigSql + """,
         nh AS (SELECT doc_id,
-                 md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+                 md5(regexp_replace(lower(COALESCE(text, '')),
+                     '[^a-z0-9 ]', '', 'g')) AS h
                FROM documents WHERE doc_id % 2 = 1),
         ch AS (SELECT DISTINCT
-                 md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+                 md5(regexp_replace(lower(COALESCE(text, '')),
+                     '[^a-z0-9 ]', '', 'g')) AS h
                FROM documents WHERE doc_id % 2 = 0),
         bm AS (SELECT h, MIN(doc_id) AS firstid FROM nh GROUP BY h),
         ex AS (SELECT nh.doc_id,

@@ -479,7 +479,10 @@ object DupClusters {
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         e => e.getField("tok"))).as("clean_text"),
       count(lit(1)).as("kept_tokens"))
-    toks.select(col("id"), size(t).cast("long").as("total_tokens"))
+    // greatest(…, 0): size(null) is −1, and a null-text doc must report
+    // 0 totals, not −1 removed tokens
+    toks.select(col("id"),
+        greatest(size(t), lit(0)).cast("long").as("total_tokens"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -153,7 +153,10 @@ object DataMix {
     val avail = counted.groupBy(sourceCol)
       .agg(sum("n_tokens").as("a_s"))
       .withColumn("p_s", share)
-      .filter(col("p_s") > 0)
+      // a_s > 0: a share-listed source with no tokens would otherwise set
+      // T* = 0 and silently empty the WHOLE mix (and 0·T*/0 is NaN);
+      // an absent source can't contribute, so it must not cap the others
+      .filter(col("p_s") > 0 && col("a_s") > 0)
     val tStar = avail.agg(min(col("a_s") / col("p_s")).as("t_star"))
     val rates = avail.crossJoin(broadcast(tStar))
       .select(col(sourceCol),
@@ -182,7 +185,7 @@ object DataMix {
                             WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS p_s
               FROM t GROUP BY source),
             pos AS (SELECT source, CAST(a_s AS BIGINT) AS a_s, p_s
-                    FROM avail WHERE p_s > 0),
+                    FROM avail WHERE p_s > 0 AND a_s > 0),
             ts AS (SELECT MIN(CAST(a_s AS DOUBLE) / p_s) AS t_star FROM pos),
             rates AS (SELECT source,
                 LEAST(1.0, p_s * t_star / CAST(a_s AS DOUBLE)) AS rate

@@ -162,12 +162,16 @@ class DedupOpsSpec extends SparkSpecBase {
       (3L, "fresh unseen totally novel text with unique vocabulary words"),
       (5L, base.replace("driver", "worker")), // near-dup of corpus doc 0
       (7L, "fresh unseen totally novel text with unique vocabulary words"),
-      (9L, "x y z")                     // fresh and tiny
+      (9L, "x y z"),                    // fresh and tiny
+      (11L, null.asInstanceOf[String]), // null text: defined verdict, not lost
+      (13L, null.asInstanceOf[String])  // second null: exact dup of 11
     ).toDF("doc_id", "text")
     val out = DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
-    assert(out.keySet === Set(1L, 3L, 5L, 7L, 9L))
+    assert(out.keySet === Set(1L, 3L, 5L, 7L, 9L, 11L, 13L),
+      "every batch doc gets a verdict, null text included")
+    assert(!out(11L)._1 && out(13L)._1, "null-text docs dedup as empty text")
     assert(out(1L) === ((true, true)), "corpus twin is exact AND near dup")
     assert(out(3L) === ((false, false)), "first batch copy is fresh")
     assert(out(7L)._1, "second batch copy is an exact dup of doc 3")

@@ -152,6 +152,14 @@ class DupClustersSpec extends SparkSpecBase {
     // doc 2: the 8 shared tokens scrubbed, surrounding text survives in order
     assert(out(2L) === (("p2 q2 r2", 3L, 8L)))
     assert(out(3L)._3 === 0L)
+    // null text: zero totals, never -1 removed (size(null) guard)
+    val withNull = docs.union(
+      Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val n4 = DupClusters.scrubDupSpans(withNull, "doc_id", "text")
+      .filter(col("doc_id") === 4L).collect().head
+    assert(n4.getAs[String]("clean_text") === "")
+    assert(n4.getAs[Long]("kept_tokens") === 0L)
+    assert(n4.getAs[Long]("removed_tokens") === 0L)
   }
 
   test("leakSafeSplit: no near-dup pair straddles, clusters stay whole") {

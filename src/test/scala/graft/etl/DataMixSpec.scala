@@ -73,5 +73,10 @@ class DataMixSpec extends SparkSpecBase {
     assert(!bySrc.contains("C"), "unlisted source must be dropped")
     val a = bySrc.getOrElse("A", 0)
     assert(a > 0 && a < 100, s"bulk source kept $a of 100 (expect ~10)")
+    // a share-listed source with NO documents must not cap the others
+    // (a_s = 0 would set T* = 0 and silently empty the whole mix)
+    val withGhost = DataMix.tokenBudgetMix(docs, "doc_id", "text", "source",
+      Map("A" -> 0.4, "B" -> 0.4, "GHOST" -> 0.2)).count()
+    assert(withGhost > 0, "absent share-listed source emptied the mix")
   }
 }
