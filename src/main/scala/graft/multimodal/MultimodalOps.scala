@@ -910,10 +910,14 @@ object MultimodalOps {
             FROM documents ORDER BY media_id"""))
 
   /** Deterministic 9×8 grayscale test image for `id` (closed form, public):
-    * pixel(r, c) = ((id%251)·37 + r·19 + c·11) mod 251, with ONE perturbed
-    * pixel at (id%8, (id/8)%9) flipped to 250−base — ids sharing id%251
-    * render near-identical images whose dHashes differ in ≤ 2 bits each.
-    * Encoded as a REAL PNG so the decode under test is real. */
+    * pixel(r, c) = ((g·37 + r·19 + c·11)·(2g+1)) mod 251 with g = id%251 —
+    * the (2g+1) factor rotates the gradient per group, so DIFFERENT groups
+    * get genuinely different dHashes (a purely additive form shifts all
+    * pixels uniformly and barely changes any comparison) — plus ONE
+    * perturbed pixel at (id%8, (id/8)%9) flipped to 250−base, so ids
+    * sharing a group render near-identical images whose dHashes differ in
+    * ≤ 2 bits each. Encoded as a REAL PNG so the decode under test is
+    * real. */
   private[multimodal] def synthGrayPng(id: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -925,7 +929,7 @@ object MultimodalOps {
     while (r < 8) {
       var c = 0
       while (c < 9) {
-        val base = (g * 37 + r * 19 + c * 11) % 251
+        val base = ((g * 37 + r * 19 + c * 11) * (2 * g + 1)) % 251
         raster.setSample(c, r, 0,
           if (r == pr && c == pc) 250 - base else base)
         c += 1
@@ -1021,8 +1025,10 @@ object MultimodalOps {
     Some("""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         px AS (SELECT id, r, c,
             CASE WHEN r = id % 8 AND c = (id // 8) % 9
-                 THEN 250 - ((id % 251) * 37 + r * 19 + c * 11) % 251
-                 ELSE ((id % 251) * 37 + r * 19 + c * 11) % 251 END AS p
+                 THEN 250 - (((id % 251) * 37 + r * 19 + c * 11)
+                   * (2 * (id % 251) + 1)) % 251
+                 ELSE (((id % 251) * 37 + r * 19 + c * 11)
+                   * (2 * (id % 251) + 1)) % 251 END AS p
           FROM ids
           CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
           CROSS JOIN (SELECT unnest(range(0, 9)) AS c) cc),
