@@ -183,6 +183,33 @@ object Streams {
       }
   }
 
+  /** Streaming twin of [[graft.dedup.DedupOps.incrementalDedup]]'s exact
+    * half: documents stream in and are arbitrated against the STATIC
+    * curated corpus via a stream-static left join on the content hash
+    * (the corpus hash index never changes within a run, so Spark
+    * broadcasts or re-scans it per micro-batch without state), while
+    * within-stream duplicates drop through watermark-bounded
+    * `dropDuplicatesWithinWatermark` exactly as [[streamingExactDedup]].
+    * Output: the stream rows that survive BOTH checks — the ingest-edge
+    * filter a production increment runs. */
+  def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame,
+      textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    def h(c: org.apache.spark.sql.Column) =
+      md5(regexp_replace(lower(coalesce(c, lit(""))), "[^a-z0-9 ]", "")
+        .cast("binary"))
+    val corpusHashes = corpus
+      .select(h(col(textCol)).as("__h")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    docs
+      .withColumn("__h", h(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .join(corpusHashes, Seq("__h"), "left")
+      .filter(col("__in_corpus").isNull)
+      .drop("__h", "__in_corpus")
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

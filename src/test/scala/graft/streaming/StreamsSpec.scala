@@ -156,6 +156,27 @@ class StreamsSpec extends SparkSpecBase {
     assert(out(1L).shard === 1L && out(3L).shard === 1L)
   }
 
+  test("stream-static incremental dedup: corpus twins and stream twins drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("existing corpus document one",
+      "existing corpus document two").toDF("text")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streams.streamingIncrementalDedup(
+        input.toDF().toDF("doc_id", "text", "ts"), corpus, "text", "ts")
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "existing corpus document one", ts(0)), // corpus twin → dropped
+      (2L, "brand new fresh document", ts(1)),     // survives
+      (3L, "brand new fresh document", ts(2)),     // stream twin → dropped
+      (4L, "another novel one", ts(3)))            // survives
+    q.processAllAvailable()
+    val kept = spark.table("incdedup_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(kept === Set(2L, 4L))
+  }
+
   test("AvailableNow ingestion drains files once and checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("ingest").toString
     val events = graft.Tables.events(spark, sf)
