@@ -194,6 +194,19 @@ object ExplainAudit {
         (_.contains("BroadcastHashJoin")),
       "no cartesian beyond the 1-row T* attach" ->
         (p => !p.contains("CartesianProduct")))
+    audit("q_d_incremental",
+      "batch-vs-corpus arbitration joins on hash/band keys (no cartesian)" ->
+        (p => p.contains("Join") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_d_dup_spans",
+      "anchor coverage is a gram-key equi-join; runs window is per-doc" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("Exchange SinglePartition")))
+    audit("q_d_span_scrub",
+      "coverage explode keeps scrubbing an equi-join (no range/cartesian)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
