@@ -50,7 +50,17 @@ object Bench {
     // round-7 operators: semantic dedup (codegen'd quantizer) and
     // sequence packing (distributed prefix sum)
     "q_d_semdedup",
-    "q_t_pack")
+    "q_t_pack",
+    // round-7 operators, benched since round 8 — every oracled operator
+    // family now has a recorded number: incremental batch-vs-corpus dedup,
+    // duplicated-span detection + scrubbing, bigram-LM perplexity, BPE
+    // merge induction, image dHash near-dup
+    "q_d_incremental",
+    "q_d_dup_spans",
+    "q_d_span_scrub",
+    "q_t_perplexity",
+    "q_t_bpe_merges",
+    "q_mm_image_neardup")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -90,17 +90,16 @@ object DupClusters {
       .withColumn("comp", col("id")))
     // convergence detector: per-node labels are monotonically non-increasing,
     // so Σcomp strictly decreases until the fixpoint (decimal, not long: Σ of
-    // 64-bit ids overflows long at corpus scale). The sum rides along as an
-    // observe() metric on the SAME action that materializes the round's
-    // checkpoint — no separate agg job, and no extra single-partition
-    // exchange stage: CollectMetrics folds partials on the driver as tasks
-    // finish. sum() over ZERO rows is a null decimal — an empty edge list
-    // must read as Σ = 0, not an NPE.
+    // 64-bit ids overflows long at corpus scale). ONE column-pruned,
+    // codegen'd agg action per round — it computes df's RDD, which also
+    // writes the round's lazy checkpoint, so no second job is needed. (An
+    // observe()+foreach probe was measured ~2× slower here: typed foreach
+    // pays an InternalRow→Row conversion on every row plus a listener-bus
+    // wait per round.) sum() over ZERO rows is a null decimal — an empty
+    // edge list must read as Σ = 0, not an NPE.
     def materializeWithSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
-      val obs = org.apache.spark.sql.Observation()
-      df.observe(obs, sum(col("comp").cast("decimal(38,0)")).as("s"))
-        .foreach(_ => ()) // one job: computes df, its lazy checkpoint, and Σ
-      Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+      val row = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s")).head()
+      Option(row.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO).stripTrailingZeros()
     }
     var prevSum = materializeWithSum(labels)
@@ -520,7 +519,8 @@ object DupClusters {
                 string_agg(tk1, ' ' ORDER BY pos) AS clean_text,
                 CAST(COUNT(*) AS BIGINT) AS kept_tokens
               FROM kept GROUP BY doc_id),
-            tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens
+            tot AS (SELECT doc_id,
+                    CAST(COALESCE(len(tk), 0) AS BIGINT) AS total_tokens
                     FROM t)
             SELECT tot.doc_id AS doc_id,
               COALESCE(rb.clean_text, '') AS clean_text,

@@ -71,7 +71,11 @@ object GlobalIndex {
     * `sum() OVER (ORDER BY …)` that dies at scale. Null values count as
     * 0. Exclusive (the sum of all STRICTLY-preceding rows) because that
     * is what consumers want as a start offset — sequence packing, byte
-    * offsets, allocation cursors. */
+    * offsets, allocation cursors.
+    *
+    * `order` must be a TOTAL order (the [[withGlobalIndex]] convention):
+    * the in-partition window uses an explicit ROWS frame, so with ties the
+    * per-row result depends on the (nondeterministic) tie order. */
   def withGlobalCumsumReleasable(df: DataFrame, order: Seq[Column],
       valueCol: Column, cumsumCol: String = "cumsum_excl",
       numPartitions: Int = 0): (DataFrame, () => Unit) = {
@@ -87,7 +91,10 @@ object GlobalIndex {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = sums.map(_._2).scanLeft(0L)(_ + _).init
     val offDf = sums.map(_._1).zip(offsets).toSeq.toDF("__pid", "__off")
+    // explicit ROWS frame: the default RANGE frame sums over ALL tied rows,
+    // which under non-unique order keys is not a prefix sum of any ordering
     val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = withPid
       .join(broadcast(offDf), Seq("__pid"), "left")
       .withColumn(cumsumCol,

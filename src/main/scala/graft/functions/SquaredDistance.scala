@@ -19,8 +19,13 @@ import org.apache.spark.sql.types._
   * two distinct d² into one rounded root and flip a tie-break the oracle
   * would not flip. Accumulation order matches the composed
   * `aggregate(zip_with(v, c, (a,b) => (a−b)²), 0.0, +)` form (one
-  * left-to-right pass), so swapping the composed form for this expression
-  * is bit-identical — it only removes the per-row zipped-array allocation
+  * left-to-right pass), so for EQUAL-LENGTH, NULL-FREE arrays — the
+  * quantizer invariant, and the same min-length convention as
+  * [[EuclideanDistance]]/[[CosineSimilarity]] — swapping the composed form
+  * for this expression is bit-identical. (On mismatched lengths the forms
+  * diverge: `zip_with` pads the shorter array with nulls so the composed
+  * fold yields NULL, while this expression truncates to the common
+  * prefix.) The swap only removes the per-row zipped-array allocation
   * and the interpreted lambda folds ([[EuclideanDistance]]'s measured 9×
   * on the silhouette pair scan; same loop body minus the sqrt).
   */

@@ -256,6 +256,10 @@ object MultimodalOps {
     private def unknown(n: Long) =
       MediaFeatures(n, "unknown", -1, -1, Array.fill(8)(0f))
 
+    /** Watchdog for hung decodes — shared daemon timer, one task per blob. */
+    private lazy val watchdog = new java.util.Timer("ffmpeg-watchdog", true)
+    private val DecodeTimeoutMs = 60000L
+
     override def decodePartition(blobs: Iterator[(Long, Array[Byte])])
         : Iterator[(Long, MediaFeatures)] =
       blobs.map { case (id, bytes) => id -> decodeOne(bytes) }
@@ -265,9 +269,20 @@ object MultimodalOps {
         return unknown(if (bytes == null) 0L else bytes.length.toLong)
       val nb = bytes.length.toLong
       try {
+        // stderr MUST be discarded: a corrupt blob can make ffmpeg emit more
+        // error text than the pipe buffer (~64 KB); with nobody draining it,
+        // ffmpeg blocks on stderr while we block on stdout — a deadlocked
+        // Spark task. DISCARD keeps stdout (the PCM stream) separate/clean.
         val p = new ProcessBuilder("ffmpeg", "-hide_banner",
           "-loglevel", "error", "-i", "pipe:0", "-f", "s16le", "-ac", "1",
-          "-ar", SampleRate.toString, "pipe:1").start()
+          "-ar", SampleRate.toString, "pipe:1")
+          .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+        // belt-and-braces: if ffmpeg wedges anyway (no output, no exit), a
+        // watchdog kills it so the task degrades to "unknown", never hangs
+        val kill = new java.util.TimerTask {
+          def run(): Unit = p.destroyForcibly()
+        }
+        watchdog.schedule(kill, DecodeTimeoutMs)
         // feed stdin from a helper thread — writing and reading the same
         // process from one thread deadlocks once either pipe buffer fills
         val writer = new Thread(() => {
@@ -276,7 +291,7 @@ object MultimodalOps {
         })
         writer.setDaemon(true)
         writer.start()
-        val pcm = p.getInputStream.readAllBytes()
+        val pcm = try p.getInputStream.readAllBytes() finally kill.cancel()
         writer.join()
         if (p.waitFor() != 0 || pcm.length < 2) return unknown(nb)
         val n = pcm.length / 2

@@ -151,9 +151,13 @@ object ExplainAudit {
         // pointer-jump: ONE exchange only — the checkpointed prop preserves
         // its hashpartitioning(id), so the self-join's id-keyed side needs
         // no re-shuffle; only the comp-keyed probe side moves.
-        val ok = nProp == 4 && nJump == 1
-        println(s"  [${if (ok) "OK" else "MISS"}] CC round is 4+1 shuffle exchanges (no hidden extra shuffle)")
-        if (!ok) failures ::= s"cc round shape: expected 4+1 exchanges, got $nProp+$nJump"
+        // UPPER bounds, not exact counts: a planner that gets SMARTER (elides
+        // an exchange) should pass; only an accidental extra
+        // distinct/window/join shuffle — which multiplies per-round volume
+        // at scale — should fail.
+        val ok = nProp <= 4 && nJump <= 1
+        println(s"  [${if (ok) "OK" else "MISS"}] CC round is at most 4+1 shuffle exchanges (no hidden extra shuffle)")
+        if (!ok) failures ::= s"cc round shape: expected <=4 + <=1 exchanges, got $nProp+$nJump"
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
     audit("q_d_decontaminate",

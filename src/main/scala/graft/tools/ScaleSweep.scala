@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   * tool is the evidence that every operator also completes at bench scale.
   *
   *   sbt "runMain graft.tools.ScaleSweep /root/testdata/sf0.1"
+  *
+  * An optional second arg restricts the sweep to queries whose name
+  * contains any of the comma-separated substrings (local iteration aid).
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -21,8 +24,11 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val pats = if (args.length > 1) args(1).split(",").toSeq else Nil
     var bad = List.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => pats.isEmpty || pats.exists(n.contains) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val n = fn(spark, dir).count()
