@@ -56,6 +56,9 @@ object Bench {
     // duplicated-span detection + scrubbing, bigram-LM perplexity, BPE
     // merge induction, image dHash near-dup
     "q_d_incremental",
+    // round-8: the persisted-index lifecycle (index built once, probed by
+    // two batches, grown by the accepted docs between them)
+    "q_d_incremental_indexed",
     "q_d_dup_spans",
     "q_d_span_scrub",
     "q_t_perplexity",

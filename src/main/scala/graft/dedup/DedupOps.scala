@@ -571,33 +571,64 @@ object DedupOps {
     * Scale: the batch is small relative to the corpus; both joins key on
     * hash/band — the corpus side streams through as the probe build's
     * partner, nothing is all-pairs, and the corpus text is never re-read
-    * beyond its hash/signature projections (precomputable). */
+    * beyond its hash/signature projections. This convenience form
+    * recomputes those projections per call; the production shape is
+    * [[buildCorpusIndex]] once + [[incrementalDedupAgainstIndex]] per
+    * batch, with the index living as parquet between increments. */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 12): DataFrame = {
-    // null text reads as '' (two null-text docs ARE exact duplicates): a
-    // null hash key would fall through the inner batch-min join and make
-    // the doc VANISH from the arbitration output — an arbiter must never
-    // return an undefined verdict (the editVerify contract)
-    def hashed(df: DataFrame) = df.select(col(idCol),
+      textCol: String, maxHamming: Int = 12): DataFrame =
+    incrementalDedupAgainstIndex(newDocs,
+      buildCorpusIndex(corpus, idCol, textCol), idCol, textCol, maxHamming)
+
+  /** The persisted dedup index of a curated corpus — ONE map-only pass
+    * over the corpus text producing one row per doc:
+    * (id: long, h: string, simhash: long) — the normalized content hash
+    * and the 64-bit SimHash signature. This frame, written and re-read as
+    * parquet, is everything [[incrementalDedupAgainstIndex]] needs: the
+    * daily-ingest path reads the INDEX, never the corpus text
+    * (IncrementalIndexSpec proves the parquet round trip is bit-identical
+    * to recomputing from the corpus). Band keys are deliberately NOT
+    * stored — deriving 4 band keys from the signature is a map-side
+    * explode at join time, while storing them would 4× the index rows on
+    * disk. Keep the parquet partitioned however the corpus is ingested
+    * (e.g. by day); appending a new increment's accepted docs to the
+    * index is the same one-pass build over just those docs. */
+  def buildCorpusIndex(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      // null text reads as '' (two null-text docs ARE exact duplicates): a
+      // null hash key would fall through the inner batch-min join and make
+      // the doc VANISH from the arbitration output — an arbiter must never
+      // return an undefined verdict (the editVerify contract)
+      md5(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "[^a-z0-9 ]", "").cast("binary")).as("h"),
+      SimHash64.simhash64(TextOps.tokens(lower(col(textCol)))).as("simhash"))
+
+  /** [[incrementalDedup]] against a prebuilt [[buildCorpusIndex]] frame —
+    * the daily-ingest fast path: the corpus never gets re-read or
+    * re-signed, both arbitration joins key on the index's own columns
+    * (hash / derived band key). */
+  def incrementalDedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 12): DataFrame = {
+    // the batch's own projections — same normalization as the index build
+    val nh = newDocs.select(col(idCol),
       md5(regexp_replace(lower(coalesce(col(textCol), lit(""))),
         "[^a-z0-9 ]", "").cast("binary")).as("h"))
-    val nh = hashed(newDocs)
-    val ch = hashed(corpus).select(col("h")).distinct()
+    val ch = index.select(col("h")).distinct()
       .withColumn("__inc", lit(true))
     val batchMin = nh.groupBy("h").agg(min(idCol).as("__first"))
     val exact = nh.join(ch, Seq("h"), "left").join(batchMin, Seq("h"))
       .select(col(idCol),
         (coalesce(col("__inc"), lit(false)) || col(idCol) =!= col("__first"))
           .as("exact_dup"))
-    def banded(df: DataFrame, idAs: String, sigAs: String) =
-      simhashSignatures(df, idCol, textCol)
-        .select(col("id").as(idAs), col("simhash").as(sigAs),
-          explode(array((0 until 4).map(bnd =>
-            struct(lit(bnd).as("band"),
-              shiftrightunsigned(col("simhash"), bnd * 16)
-                .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-    val near = banded(newDocs, "id", "sn")
-      .join(banded(corpus, "idc", "sc"), Seq("bk"))
+    def banded(sig: DataFrame, idAs: String, sigAs: String) =
+      sig.select(col("id").as(idAs), col("simhash").as(sigAs),
+        explode(array((0 until 4).map(bnd =>
+          struct(lit(bnd).as("band"),
+            shiftrightunsigned(col("simhash"), bnd * 16)
+              .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val near = banded(simhashSignatures(newDocs, idCol, textCol), "id", "sn")
+      .join(banded(index.select("id", "simhash"), "idc", "sc"), Seq("bk"))
       .select("id", "sn", "idc", "sc").distinct()
       .withColumn("hamming", SimHash64.hammingDist(col("sn"), col("sc")))
       .filter(col("hamming") <= maxHamming)
@@ -649,8 +680,96 @@ object DedupOps {
         FROM ex e LEFT JOIN nd ON e.doc_id = nd.id
         ORDER BY e.doc_id"""))
 
+  /** The full daily-ingest lifecycle over ONE materialized index: even
+    * doc_ids play the curated corpus, doc_id ≡ 1 (mod 4) the day-1 batch
+    * and ≡ 3 (mod 4) the day-2 batch. The index is built once and
+    * persisted; day-1 runs against it; day-1's ACCEPTED docs (neither
+    * exact nor near dup) are appended to the index with the same one-pass
+    * build; day-2 runs against the grown index — so a day-2 copy of a
+    * day-1 original IS flagged, which is exactly what distinguishes this
+    * from re-arbitrating every batch against the frozen corpus. Within-
+    * batch near-dups remain [[simhashPairs]]' job; this operator is the
+    * batch-vs-index arbitration only. The oracle replays both days,
+    * including the index append, in one WITH chain. */
+  private val dIncrementalIndexed = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+      val idx = buildCorpusIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // day-1 verdicts feed both the output and the index append — tiny
+      // (3 columns × batch rows), so eager-checkpoint the diamond
+      val r1 = incrementalDedupAgainstIndex(b1, idx, "doc_id", "text")
+        .localCheckpoint(eager = true)
+      val acc1 = b1.join(
+        r1.filter(!col("exact_dup") && !col("near_dup")).select("doc_id"),
+        Seq("doc_id"))
+      val idx2 = idx.unionByName(buildCorpusIndex(acc1, "doc_id", "text"))
+      val r2 = incrementalDedupAgainstIndex(b2, idx2, "doc_id", "text")
+      val out = r1.unionByName(r2).orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      idx.unpersist(blocking = false)
+      out
+    },
+    Some(simhashSigSql + """,
+        h_all AS (SELECT doc_id,
+                    md5(regexp_replace(lower(COALESCE(text, '')),
+                        '[^a-z0-9 ]', '', 'g')) AS h
+                  FROM documents),
+        ch AS (SELECT DISTINCT h FROM h_all WHERE doc_id % 2 = 0),
+        cb AS (SELECT id, simhash, b,
+                 (simhash >> CAST(b * 16 AS INT)) & 65535 AS key
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+               WHERE id % 2 = 0),
+        nh1 AS (SELECT doc_id, h FROM h_all WHERE doc_id % 4 = 1),
+        bm1 AS (SELECT h, MIN(doc_id) AS firstid FROM nh1 GROUP BY h),
+        ex1 AS (SELECT nh1.doc_id,
+                  (ch.h IS NOT NULL OR nh1.doc_id <> bm1.firstid) AS exact_dup
+                FROM nh1 LEFT JOIN ch ON nh1.h = ch.h
+                JOIN bm1 ON nh1.h = bm1.h),
+        nb1 AS (SELECT id, simhash, b,
+                  (simhash >> CAST(b * 16 AS INT)) & 65535 AS key
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+                WHERE id % 4 = 1),
+        nd1 AS (SELECT DISTINCT n.id FROM nb1 n
+                JOIN cb c ON n.b = c.b AND n.key = c.key
+                WHERE bit_count(xor(n.simhash, c.simhash)) <= 12),
+        r1 AS (SELECT e.doc_id, e.exact_dup,
+                 (nd1.id IS NOT NULL) AS near_dup
+               FROM ex1 e LEFT JOIN nd1 ON e.doc_id = nd1.id),
+        acc1 AS (SELECT doc_id FROM r1
+                 WHERE NOT exact_dup AND NOT near_dup),
+        ch2 AS (SELECT h FROM ch
+                UNION
+                SELECT h_all.h FROM h_all JOIN acc1 USING (doc_id)),
+        cb2 AS (SELECT * FROM cb
+                UNION ALL
+                SELECT n.* FROM nb1 n JOIN acc1 ON n.id = acc1.doc_id),
+        nh3 AS (SELECT doc_id, h FROM h_all WHERE doc_id % 4 = 3),
+        bm3 AS (SELECT h, MIN(doc_id) AS firstid FROM nh3 GROUP BY h),
+        ex3 AS (SELECT nh3.doc_id,
+                  (ch2.h IS NOT NULL OR nh3.doc_id <> bm3.firstid) AS exact_dup
+                FROM nh3 LEFT JOIN ch2 ON nh3.h = ch2.h
+                JOIN bm3 ON nh3.h = bm3.h),
+        nb3 AS (SELECT id, simhash, b,
+                  (simhash >> CAST(b * 16 AS INT)) & 65535 AS key
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+                WHERE id % 4 = 3),
+        nd3 AS (SELECT DISTINCT n.id FROM nb3 n
+                JOIN cb2 c ON n.b = c.b AND n.key = c.key
+                WHERE bit_count(xor(n.simhash, c.simhash)) <= 12),
+        r3 AS (SELECT e.doc_id, e.exact_dup,
+                 (nd3.id IS NOT NULL) AS near_dup
+               FROM ex3 e LEFT JOIN nd3 ON e.doc_id = nd3.id)
+        SELECT doc_id, exact_dup, near_dup
+        FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r3)
+        ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_incremental" -> dIncremental,
+    "q_d_incremental_indexed" -> dIncrementalIndexed,
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
     "q_d_minhash_lsh" -> dMinhash,

@@ -92,10 +92,18 @@ object CorpusCuration {
   private val pCorpus = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      curate(
+      // releasable + eager materialization (the ModelMetrics SMOTE-trim
+      // convention): the survivor-diamond persist is released INSIDE the
+      // query instead of leaking into the session until the next
+      // clearCache; the output is per-surviving-doc (tiny), so the eager
+      // localCheckpoint is cheap and the returned frame stays consumable
+      // after release.
+      val (out, release) = curateReleasable(
         docs.filter(pmod(col("doc_id"), lit(29)) =!= 0), "doc_id", "text",
         docs.filter(pmod(col("doc_id"), lit(29)) === 0), "text")
-        .orderBy("doc_id")
+      val mat = out.orderBy("doc_id").localCheckpoint(eager = true)
+      release()
+      mat
     },
     Some("""WITH RECURSIVE
         rawdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0),
