@@ -63,7 +63,10 @@ object Bench {
     "q_d_span_scrub",
     "q_t_perplexity",
     "q_t_bpe_merges",
-    "q_mm_image_neardup")
+    "q_mm_image_neardup",
+    // round-8: the quantized-GD distillation family (transfer variant —
+    // 20 iterations, one integer agg each)
+    "q_t_quality_clf_transfer")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
-  final case class Fit(weights: Array[Double], n: Long, correct: Long)
+  final case class Fit(weights: Array[Double], n: Long, correct: Long,
+      pos: Long)
 
   private def zCol(w: Array[Double], features: Seq[String]): Column =
     features.zipWithIndex.foldLeft(lit(w(0)): Column) {
@@ -53,25 +54,28 @@ object QualityClassifier {
     }
     val correct = feats
       .filter((zCol(w, featureCols) >= 0) === (col("y") === 1.0)).count()
+    val pos = feats.filter(col("y") === 1.0).count()
     feats.unpersist(blocking = false)
-    Fit(w, n, correct)
+    Fit(w, n, correct, pos)
   }
 
   // -- oracle SQL generator (seeded-unroll, LloydOracleSql style) ---------
 
-  /** DuckDB replay of [[fit]] on the langid-score features: `iters`
-    * chained (gradient, weight) CTE pairs over the feature CTE. The
-    * feature scores replay [[TextOps.langIdScoreColumns]]; every float
-    * literal is e-notation (a bare 1.0 would be DECIMAL and decimal
-    * arithmetic would diverge from Spark's double path). */
-  private[text] def oracleSql(iters: Int, lr: Double): String =
+  /** DuckDB replay of [[fit]] over a pluggable 3-feature CTE chain:
+    * `iters` chained (gradient, weight) CTE pairs over a CTE `f` with
+    * columns (doc_id, y, f1, f2, f3) that `featureCtes` must produce.
+    * Every float literal is e-notation (a bare 1.0 would be DECIMAL and
+    * decimal arithmetic would diverge from Spark's double path). */
+  private[text] def oracleSql(iters: Int, lr: Double,
+      featureCtes: String): String =
     // MATERIALIZED pins each CTE to one evaluation — without it DuckDB
     // re-inlines `f` into every iteration and exhausts file handles
     // (the LloydOracleSql lesson, same failure mode)
-    oracleSqlRaw(iters, lr).replace(" AS (", " AS MATERIALIZED (")
+    oracleSqlRaw(iters, lr, featureCtes).replace(" AS (", " AS MATERIALIZED (")
 
-  private def oracleSqlRaw(iters: Int, lr: Double): String = {
-    val d = 3 // s_en, s_spark, s_sql
+  private def oracleSqlRaw(iters: Int, lr: Double,
+      featureCtes: String): String = {
+    val d = 3
     def wRefs(t: Int) = (0 to d).map(j => s"w$j")
     def z(wt: String) =
       s"($wt.w0 + $wt.w1 * f1 + $wt.w2 * f2 + $wt.w3 * f3)"
@@ -93,7 +97,27 @@ object QualityClassifier {
               FROM gt$t CROSS JOIN wt${t - 1} CROSS JOIN n0)"""
     }
     val zeros = (0 to d).map(j => s"0e0 AS w$j").mkString(", ")
-    s"""WITH t AS (SELECT doc_id,
+    s"""WITH $featureCtes,
+            n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+            p0 AS (SELECT CAST(COALESCE(SUM(CASE WHEN y = 1e0 THEN 1
+                     ELSE 0 END), 0) AS BIGINT) AS n_pos FROM f),
+            wt0 AS (SELECT $zeros),
+            ${(1 to iters).map(iteration).mkString(",\n            ")}
+            SELECT n0.n AS n, p0.n_pos AS n_pos,
+              CAST(ROUND(w0 * 1e6) AS BIGINT) AS w0_micro,
+              CAST(ROUND(w1 * 1e6) AS BIGINT) AS w1_micro,
+              CAST(ROUND(w2 * 1e6) AS BIGINT) AS w2_micro,
+              CAST(ROUND(w3 * 1e6) AS BIGINT) AS w3_micro,
+              (SELECT CAST(SUM(CASE WHEN (${z(s"wt$iters")} >= 0e0)
+                     = (y = 1e0) THEN 1 ELSE 0 END) AS BIGINT)
+               FROM f CROSS JOIN wt$iters) AS n_correct
+            FROM wt$iters CROSS JOIN n0 CROSS JOIN p0"""
+  }
+
+  /** The langid-score feature chain (the original distillation target —
+    * replays [[TextOps.langId]]'s profile scores). */
+  private val langidFeatureCtes: String =
+    """t AS (SELECT doc_id,
               list_filter(string_split(text, ' '), x -> x <> '') AS toks
               FROM documents),
             s AS (SELECT doc_id,
@@ -108,24 +132,98 @@ object QualityClassifier {
               FROM t),
             f AS (SELECT doc_id,
               CASE WHEN f1 >= f2 AND f1 >= f3 THEN 1e0 ELSE 0e0 END AS y,
-              f1, f2, f3 FROM s),
-            n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
-            wt0 AS (SELECT $zeros),
-            ${(1 to iters).map(iteration).mkString(",\n            ")}
-            SELECT n0.n AS n,
-              CAST(ROUND(w0 * 1e6) AS BIGINT) AS w0_micro,
-              CAST(ROUND(w1 * 1e6) AS BIGINT) AS w1_micro,
-              CAST(ROUND(w2 * 1e6) AS BIGINT) AS w2_micro,
-              CAST(ROUND(w3 * 1e6) AS BIGINT) AS w3_micro,
-              (SELECT CAST(SUM(CASE WHEN (${z(s"wt$iters")} >= 0e0)
-                     = (y = 1e0) THEN 1 ELSE 0 END) AS BIGINT)
-               FROM f CROSS JOIN wt$iters) AS n_correct
-            FROM wt$iters CROSS JOIN n0"""
-  }
+              f1, f2, f3 FROM s)"""
+
+  /** Char-class feature chain for the TRANSFER fit: label = token-level
+    * stopword density ≥ 6.25% (an EXACT integer test — nstop·10⁴ ≥
+    * 625·ntoks — so no float threshold anywhere), features = integer
+    * floor-division micro-ratios over CHARACTER CLASSES only (space
+    * density, mean word length, vowel density), centered by fixed
+    * constants. Floor division (not ROUND) keeps every feature an exact
+    * integer before one IEEE division by a power of ten, so Spark and
+    * DuckDB agree bit-for-bit with zero round-half ambiguity. */
+  private val charClassFeatureCtes: String =
+    """t AS (SELECT doc_id, COALESCE(text, '') AS text,
+              list_filter(string_split(COALESCE(text, ''), ' '),
+                x -> x <> '') AS toks
+              FROM documents),
+            c AS (SELECT doc_id,
+              CAST(GREATEST(length(text), 1) AS BIGINT) AS n,
+              CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+                AS BIGINT) AS spaces,
+              CAST(length(text)
+                   - length(regexp_replace(text, '[a-z]', '', 'g'))
+                AS BIGINT) AS alphas,
+              CAST(length(text)
+                   - length(regexp_replace(text, '[aeiou]', '', 'g'))
+                AS BIGINT) AS vowels,
+              CAST(len(toks) AS BIGINT) AS ntoks,
+              CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is'], lower(x))))
+                AS BIGINT) AS nstop
+              FROM t),
+            f AS (SELECT doc_id,
+              CASE WHEN nstop * 10000 >= 625 * GREATEST(ntoks, 1)
+                   THEN 1e0 ELSE 0e0 END AS y,
+              CAST((spaces * 1000000) // n - 178000 AS DOUBLE) / 1e4 AS f1,
+              CAST((alphas * 1000000) // (spaces + 1) - 4500000 AS DOUBLE)
+                / 1e5 AS f2,
+              CAST((vowels * 1000000) // GREATEST(alphas, 1) - 347700
+                AS DOUBLE) / 1e4 AS f3
+              FROM c)"""
+
+  /** The Spark twin of [[charClassFeatureCtes]]: one row per doc with the
+    * exact-integer label `y_sw` and the three centered char-class
+    * micro-ratio features (f1 space density, f2 mean word length, f3
+    * vowel density). Integral `div` plus one division by a power of ten —
+    * both exactly-rounded IEEE ops — make the frame bit-identical to the
+    * oracle's. */
+  def charClassFeatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        coalesce(col(textCol), lit("")).as("__t"),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col(idCol),
+        greatest(length(col("__t")), lit(1)).cast("long").as("n"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), " ", "")))
+          .cast("long").as("spaces"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), "[a-z]", "")))
+          .cast("long").as("alphas"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), "[aeiou]", "")))
+          .cast("long").as("vowels"),
+        size(col("__toks")).cast("long").as("ntoks"),
+        size(filter(col("__toks"), t => lower(t).isin(
+          "the", "a", "of", "and", "to", "in", "is")))
+          .cast("long").as("nstop"))
+      .select(col(idCol),
+        (col("nstop") * 10000L >= lit(625L) * greatest(col("ntoks"), lit(1L)))
+          .as("y_sw"),
+        ((expr("(spaces * 1000000) div n").cast("double") - lit(178000.0))
+          / lit(1e4)).as("f1"),
+        ((expr("(alphas * 1000000) div (spaces + 1)").cast("double")
+          - lit(4500000.0)) / lit(1e5)).as("f2"),
+        ((expr("(vowels * 1000000) div greatest(alphas, 1)").cast("double")
+          - lit(347700.0)) / lit(1e4)).as("f3"))
+
+  private def fitRow(r: Fit) =
+    (r.n, r.pos, math.round(r.weights(0) * 1e6),
+      math.round(r.weights(1) * 1e6), math.round(r.weights(2) * 1e6),
+      math.round(r.weights(3) * 1e6), r.correct)
+
+  private val fitCols = Seq("n", "n_pos", "w0_micro", "w1_micro",
+    "w2_micro", "w3_micro", "n_correct")
 
   /** Distill lang_pred == 'en' from the three langid profile scores —
-    * 20 GD steps at lr 1; the spec certifies the fit beats the majority
-    * class, the hash certifies the exact quantized weights and counts. */
+    * 20 GD steps at lr 1; the hash certifies the exact quantized weights
+    * and counts. NOTE this fit is circular BY DESIGN: the label is the
+    * argmax of the very scores it regresses on (separable by
+    * construction), which makes it a certification of the GD machinery,
+    * not of classifier quality — [[charClassFeatures]]' transfer fit
+    * (q_t_quality_clf_transfer) is the one that demonstrates prediction
+    * from an INDEPENDENT feature set. */
   private val tClf = Q(
     (s, d) => {
       val spark = s
@@ -133,13 +231,28 @@ object QualityClassifier {
       val scored = TextOps.langId(Tables.documents(s, d), "doc_id", "text")
       val r = fit(scored, Seq("s_en", "s_spark", "s_sql"),
         col("lang_pred") === "en", iters = 20, lr = 1.0)
-      Seq((r.n, math.round(r.weights(0) * 1e6),
-        math.round(r.weights(1) * 1e6), math.round(r.weights(2) * 1e6),
-        math.round(r.weights(3) * 1e6), r.correct))
-        .toDF("n", "w0_micro", "w1_micro", "w2_micro", "w3_micro",
-          "n_correct")
+      Seq(fitRow(r)).toDF(fitCols: _*)
     },
-    Some(oracleSql(20, 1.0)))
+    Some(oracleSql(20, 1.0, langidFeatureCtes)))
 
-  val queries: Map[String, Q] = Map("q_t_quality_clf" -> tClf)
+  /** The TRANSFER fit: predict token-level stopword density ≥ 6.25% from
+    * char-class features the label never sees (space/word-length/vowel
+    * densities). Not separable by construction — the spec pins that the
+    * fit still beats the majority class at every SF (measured ≈ +14 to
+    * +17 points), and the hash certifies the exact per-iteration
+    * quantized weights via the same DuckDB unroll. */
+  private val tClfTransfer = Q(
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val feats = charClassFeatures(Tables.documents(s, d), "doc_id", "text")
+      val r = fit(feats, Seq("f1", "f2", "f3"), col("y_sw"),
+        iters = 20, lr = 1.0)
+      Seq(fitRow(r)).toDF(fitCols: _*)
+    },
+    Some(oracleSql(20, 1.0, charClassFeatureCtes)))
+
+  val queries: Map[String, Q] = Map(
+    "q_t_quality_clf" -> tClf,
+    "q_t_quality_clf_transfer" -> tClfTransfer)
 }

@@ -32,4 +32,20 @@ class QualityClassifierSpec extends SparkSpecBase {
       s"weights ${r.weights.toList} do not reflect the distilled rule")
     spark.catalog.clearCache()
   }
+
+  test("char-class transfer fit beats majority on an independent label") {
+    // label = stopword density (token membership); features = char-class
+    // ratios only — nothing the label is defined from, so accuracy above
+    // the majority class demonstrates TRANSFER, not self-prediction
+    val feats = QualityClassifier.charClassFeatures(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    val r = QualityClassifier.fit(feats, Seq("f1", "f2", "f3"),
+      col("y_sw"), iters = 20, lr = 1.0)
+    val majority = math.max(r.pos, r.n - r.pos)
+    assert(r.correct > majority,
+      s"accuracy ${r.correct}/${r.n} does not beat majority $majority")
+    // both classes must actually be present, or the test is vacuous
+    assert(r.pos > 0 && r.pos < r.n, s"degenerate label split: ${r.pos}/${r.n}")
+    spark.catalog.clearCache()
+  }
 }
