@@ -25,12 +25,26 @@ object BpeMerge {
 
   import TextOps.tokens
 
-  /** Greedy left-to-right merge of adjacent (x, y) into x||y — a fold with
-    * a one-symbol lookbehind: `pend` holds the previous symbol until we
+  /** Greedy left-to-right merge of adjacent (x, y) into x||y with a
+    * one-symbol lookbehind: `pend` holds the previous symbol until we
     * know whether the current one completes the pair; after a merge the
     * pending slot clears, so overlapping occurrences (x = y, runs like
-    * "bbb") merge exactly as BPE does: [bb, b]. */
-  private[text] def applyMerge(syms: Column, x: String, y: String): Column = {
+    * "bbb") merge exactly as BPE does: [bb, b].
+    *
+    * Runs as the codegen'd [[graft.functions.BpeMergeFold]] expression:
+    * [[graft.tools.BpeVocabBench]] measured the composed `aggregate` fold
+    * at ~62% of a BPE iteration on a 10⁶-word vocab (CodegenFallback
+    * lambda + two array re-allocations per symbol), which tripped the
+    * port-to-codegen trigger. [[applyMergeComposed]] keeps the fold for
+    * the randomized equivalence spec. */
+  private[text] def applyMerge(syms: Column, x: String, y: String): Column =
+    graft.functions.BpeMergeFold.merge(syms, x, y)
+
+  /** The original higher-order-function formulation of [[applyMerge]] —
+    * CodegenFallback, kept as the independent semantic reference the spec
+    * checks the codegen'd expression against. */
+  private[text] def applyMergeComposed(syms: Column, x: String,
+      y: String): Column = {
     val init = struct(array().cast("array<string>").as("out"),
       lit(null).cast("string").as("pend"))
     aggregate(syms, init,
@@ -48,6 +62,13 @@ object BpeMerge {
         concat(acc.getField("out"), array(acc.getField("pend"))))
         .otherwise(acc.getField("out")))
   }
+
+  /** [[applyMerge]] / [[applyMergeComposed]] for callers outside the
+    * package ([[graft.tools.BpeVocabBench]]'s vocab-scale measurement). */
+  def applyMergeCol(syms: Column, x: String, y: String): Column =
+    applyMerge(syms, x, y)
+  def applyMergeComposedCol(syms: Column, x: String, y: String): Column =
+    applyMergeComposed(syms, x, y)
 
   /** Adjacent-pair frame (x, y, cnt) of the current symbol table, weighted
     * by word frequency. Single-symbol words contribute nothing (the

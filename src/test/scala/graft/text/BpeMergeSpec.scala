@@ -65,9 +65,16 @@ class BpeMergeSpec extends SparkSpecBase {
       val got = df.select(col("id"),
           BpeMerge.applyMerge(col("syms"), x, y).as("m"))
         .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      // the composed aggregate fold is the independent in-engine reference
+      // for the codegen'd expression — all three must agree exactly
+      val composed = df.select(col("id"),
+          BpeMerge.applyMergeComposed(col("syms"), x, y).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
       cases.foreach { case (id, syms) =>
         assert(got(id) === ref(syms, x, y),
           s"case $id $syms pair ($x,$y)")
+        assert(got(id) === composed(id),
+          s"codegen/composed divergence: case $id $syms pair ($x,$y)")
       }
     }
   }
