@@ -65,8 +65,9 @@ object Bench {
     "q_t_bpe_merges",
     "q_mm_image_neardup",
     // round-8: the quantized-GD distillation family (transfer variant —
-    // 20 iterations, one integer agg each)
-    "q_t_quality_clf_transfer")
+    // 20 iterations, one integer agg each) and the BPE encode half
+    "q_t_quality_clf_transfer",
+    "q_t_bpe_encode")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

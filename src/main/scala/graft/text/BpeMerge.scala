@@ -85,12 +85,13 @@ object BpeMerge {
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(sum("freq").as("cnt"))
 
-  /** Learn `nMerges` merges over the whitespace words of `textCol`.
-    * Returns (rank, pair_left, pair_right, pair_count) — the head of the
-    * tokenizer's merge list. */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The learn loop's full state: the ranked merge list AND the final
+    * symbol table (w, freq, syms) — i.e. the vocabulary ENCODED under
+    * those merges (each learn iteration's application pass doubles as the
+    * encode pass; they cannot diverge). The returned frame is persisted;
+    * the caller owns the unpersist. */
+  private[text] def learnState(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, "nMerges >= 1")
     var words = docs
       .select(explode(tokens(col(textCol))).as("w"))
@@ -116,9 +117,55 @@ object BpeMerge {
         rank += 1
       }
     }
-    words.unpersist(blocking = false)
-    merges.toSeq.toDF("rank", "pair_left", "pair_right", "pair_count")
+    (merges.toSeq, words)
   }
+
+  /** Learn `nMerges` merges over the whitespace words of `textCol`.
+    * Returns (rank, pair_left, pair_right, pair_count) — the head of the
+    * tokenizer's merge list. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, words) = learnState(docs, textCol, nMerges)
+    words.unpersist(blocking = false)
+    merges.toDF("rank", "pair_left", "pair_right", "pair_count")
+  }
+
+  /** Corpus-scale BPE ENCODE under the first `nMerges` learned merges —
+    * the other half of the tokenizer lifecycle (learn → encode), and the
+    * operator that turns "token budget" knobs ([[graft.etl.DataMix]],
+    * [[TextOps.packSequences]]) from whitespace estimates into real BPE
+    * counts. Per doc: word count, BPE token count under the merges, and
+    * character count.
+    *
+    * Scale shape: the merges are applied on the VOCABULARY (distinct
+    * words — the same bounded table the learn loop iterates; in fact the
+    * learn loop's final symbol table IS the encoded vocab, reused here,
+    * so encode adds zero extra merge passes). The corpus is touched
+    * exactly once more: explode to (doc_id, w), equi-join the encoded
+    * vocab on the word key, one per-doc aggregation. Docs with no tokens
+    * produce no row (nothing to encode).
+    *
+    * Returns (frame, release) — the release handle drops the vocab
+    * persist once the result is consumed (the repo's Releasable
+    * convention). */
+  def encodeCorpusReleasable(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): (DataFrame, () => Unit) = {
+    val (_, vocab) = learnState(docs, textCol, nMerges)
+    val corpusWords = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("w"))
+    val out = corpusWords
+      .join(vocab.select(col("w"), col("syms")), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_bpe_tokens"),
+        sum(length(col("w"))).as("n_chars"))
+    (out, () => { vocab.unpersist(blocking = false); () })
+  }
+
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame =
+    encodeCorpusReleasable(docs, idCol, textCol, nMerges)._1
 
   // -- oracle SQL generator (seeded-unroll, LloydOracleSql style) ---------
 
@@ -129,6 +176,32 @@ object BpeMerge {
     * 1,3,5… of each run of consecutive matches), drop the consumed
     * right-hand symbols, stitch lists back in order. */
   private[text] def oracleSql(nMerges: Int): String = {
+    val finalRows = (1 to nMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, x AS pair_left, y AS pair_right, cnt AS pair_count FROM b$t")
+      .mkString("\n            UNION ALL ")
+    s"""WITH ${iterCtes(nMerges)}
+       |${finalRows}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[encodeCorpus]]: the same learn-loop chain, then
+    * the corpus words joined to the final encoded vocab `s<n>` and
+    * aggregated per doc. */
+  private[text] def encodeOracleSql(nMerges: Int): String =
+    s"""WITH ${iterCtes(nMerges)},
+       |enc AS (SELECT doc_id, w
+       |        FROM (SELECT doc_id, unnest(list_filter(
+       |                string_split(text, ' '), x -> x <> '')) AS w
+       |              FROM documents))
+       |SELECT e.doc_id AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(length(e.w)) AS BIGINT) AS n_chars
+       |FROM enc e JOIN s$nMerges s ON e.w = s.w
+       |GROUP BY e.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private def iterCtes(nMerges: Int): String = {
     def iteration(t: Int): String = {
       val (prev, cur) = (s"s${t - 1}", s"s$t")
       s"""p$t AS (SELECT x, y, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -164,10 +237,10 @@ object BpeMerge {
          |        WHERE prv.i IS NULL
          |        GROUP BY m.w, m.freq)""".stripMargin
     }
-    val finalRows = (1 to nMerges).map(t =>
-      s"SELECT CAST($t AS BIGINT) AS rank, x AS pair_left, y AS pair_right, cnt AS pair_count FROM b$t")
-      .mkString("\n            UNION ALL ")
-    s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    // the shared learn-loop chain (w0, s0, iterations 1..n) — the final
+    // symbol table s<n> is the vocab encoded under the first n merges,
+    // which both oracles read
+    s"""w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
        |          x -> x <> '')) AS w FROM documents)
        |  GROUP BY w),
@@ -175,9 +248,7 @@ object BpeMerge {
        |         list_transform(range(length(w)),
        |           i -> substr(w, CAST(i AS INT) + 1, 1)) AS syms
        |       FROM w0),
-       |${(1 to nMerges).map(iteration).mkString(",\n")}
-       |${finalRows}
-       |ORDER BY rank""".stripMargin
+       |${(1 to nMerges).map(iteration).mkString(",\n")}""".stripMargin
   }
 
   /** First 3 merges over the documents corpus. */
@@ -186,5 +257,21 @@ object BpeMerge {
       .orderBy("rank"),
     Some(oracleSql(3)))
 
-  val queries: Map[String, Q] = Map("q_t_bpe_merges" -> tBpe)
+  /** Per-doc BPE token counts under the first 3 learned merges — the
+    * encode half of the lifecycle. Eager checkpoint + in-query release
+    * (the registry Releasable convention) so the vocab persist leaves no
+    * cache residue. */
+  private val tBpeEncode = Q(
+    (s, d) => {
+      val (out, release) = encodeCorpusReleasable(
+        Tables.documents(s, d), "doc_id", "text", 3)
+      val mat = out.orderBy("doc_id").localCheckpoint(eager = true)
+      release()
+      mat
+    },
+    Some(encodeOracleSql(3)))
+
+  val queries: Map[String, Q] = Map(
+    "q_t_bpe_merges" -> tBpe,
+    "q_t_bpe_encode" -> tBpeEncode)
 }

@@ -211,6 +211,29 @@ object ExplainAudit {
       "coverage explode keeps scrubbing an equi-join (no range/cartesian)" ->
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
+    // q_t_bpe_encode registers an eager-checkpointed frame (its audited
+    // plan would be a bare LogicalRDD scan), so audit the OPERATOR's
+    // pre-checkpoint plan: corpus words must reach the encoded vocab via
+    // a word-key equi-join — never a cartesian — and the per-doc rollup
+    // must partial-aggregate before its shuffle.
+    locally {
+      val (enc, release) = graft.text.BpeMerge.encodeCorpusReleasable(
+        graft.Tables.documents(spark, sf), "doc_id", "text", 1)
+      val plan = enc.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== bpe encode (operator form) ===")
+      val checks = Seq(
+        "vocab attach is a word-key equi-join (no cartesian)" ->
+          (plan.contains("Join") && !plan.contains("CartesianProduct") &&
+            !plan.contains("BroadcastNestedLoopJoin")),
+        "per-doc rollup partial-aggregates before the shuffle" ->
+          plan.contains("HashAggregate"))
+      checks.foreach { case (desc, ok) =>
+        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+        if (!ok) failures ::= s"bpe encode: $desc"
+      }
+      release()
+    }
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

@@ -79,6 +79,23 @@ class BpeMergeSpec extends SparkSpecBase {
     }
   }
 
+  test("encodeCorpus: per-doc counts under the learned merges, vocab released") {
+    // vocab: aa(freq 3), ab(2) → merge 1 = (a,a) [cnt 3], then the ab pair
+    // (a,b) [cnt 2] → after 2 merges: aa→[aa], ab→[ab]
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val (out, release) = BpeMerge.encodeCorpusReleasable(
+      docs, "doc_id", "text", 2)
+    val rows = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    release()
+    assert(rows.toSeq === Seq((1L, 3L, 3L, 6L), (2L, 2L, 2L, 4L)))
+    // with only ONE merge, ab stays two symbols
+    val one = BpeMerge.encodeCorpus(docs, "doc_id", "text", 1)
+      .orderBy("doc_id").collect().map(r => r.getLong(2))
+    assert(one.toSeq === Seq(4L, 3L)) // doc1: 1+2+1, doc2: 2+1
+    spark.catalog.clearCache()
+  }
+
   test("learnMerges stops early when no pairs remain") {
     val docs = Seq("a b a", "b a").toDF("text") // all words single-char
     val out = BpeMerge.learnMerges(docs, "text", 3).collect()
