@@ -68,7 +68,9 @@ object Bench {
     // 20 iterations, one integer agg each) and the BPE encode half
     "q_t_quality_clf_transfer",
     "q_t_bpe_encode",
-    "q_s_ivf_pq")
+    "q_s_ivf_pq",
+    "q_t_ppl_buckets",
+    "q_d_decontaminate_scored")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -328,6 +328,40 @@ object DedupOps {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Graded decontamination — [[decontaminate]]'s binary flag upgraded to
+    * a severity score: per doc, the DISTINCT n-gram count, the number of
+    * those grams present in the eval suite, and a `severe` verdict at an
+    * integer threshold (n_hit·100 ≥ tauPct·n_grams — no float fraction
+    * anywhere), which is what a graded removal policy ("drop ≥ 5%
+    * contaminated, keep-and-tag the rest") actually consumes.
+    *
+    * Scale: identical join shape to [[decontaminate]] (bench gram set
+    * broadcast), but the hit test rides the SAME left join + single
+    * aggregation that counts the doc's grams — one pass, no second
+    * corpus-sized join. */
+  def decontaminateScored(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5,
+      tauPct: Int = 5): DataFrame = {
+    def grams(df: DataFrame, id: String): DataFrame =
+      shingles(df.withColumn("__blk", lit(1)), id, textCol, "__blk", n)
+        .select(col("id"), col("shingle").as("g"))
+    val bg = grams(bench.select(lit(0L).as("__bid"),
+        col(benchTextCol).as(textCol)), "__bid")
+      .select("g").distinct()
+    val counts = grams(docs, idCol)
+      .join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy("id").agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    docs.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 100 >=
+          lit(tauPct.toLong) * coalesce(col("n_grams"), lit(0L)) &&
+          coalesce(col("n_grams"), lit(0L)) > 0).as("severe"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val dExact = Q(
@@ -767,9 +801,51 @@ object DedupOps {
         FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r3)
         ORDER BY doc_id"""))
 
+  /** Same 29-fold train/eval split as q_d_decontaminate, graded. */
+  private val dDecontamScored = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminateScored(
+        docs.filter(pmod(col("doc_id"), lit(29)) =!= 0), "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(29)) === 0), "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tr AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id % 29 <> 0),
+            ev AS (SELECT
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id % 29 = 0),
+            evg AS (SELECT DISTINCT
+                unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                    || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]
+                    || ' ' || t[CAST(i AS INT)+5])) AS g
+              FROM ev),
+            trg AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                    || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]
+                    || ' ' || t[CAST(i AS INT)+5])) AS g
+              FROM tr),
+            cnt AS (SELECT t.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_grams,
+                CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+              FROM trg t LEFT JOIN evg e USING (g) GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(c.n_grams, 0) AS n_grams,
+                   COALESCE(c.n_hit, 0) AS n_hit,
+                   (COALESCE(c.n_hit, 0) * 100 >= 5 * COALESCE(c.n_grams, 0)
+                    AND COALESCE(c.n_grams, 0) > 0) AS severe
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+            LEFT JOIN cnt c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_incremental" -> dIncremental,
     "q_d_incremental_indexed" -> dIncrementalIndexed,
+    "q_d_decontaminate_scored" -> dDecontamScored,
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
     "q_d_minhash_lsh" -> dMinhash,

@@ -88,7 +88,59 @@ object NgramLm {
       val docs = Tables.documents(s, d)
       negLogMicro(docs, "doc_id", "text", docs, "text").orderBy("doc_id")
     },
-    Some("""WITH mt AS (SELECT unnest(list_filter(string_split(text, ' '),
+    Some(negLogCtes + """
+            SELECT doc_id, n_bigrams, nlp_micro
+            FROM core ORDER BY doc_id"""))
+
+  /** CCNet-style perplexity bucketing (arXiv:1911.00359 §4.3): scorable
+    * docs ranked by mean per-bigram perplexity ascending (doc_id breaks
+    * ties — a total order), split into `nBuckets` rank bands — bucket 1 =
+    * "head" (closest to the model), last = "tail"; docs with no bigrams
+    * get bucket 0. The band of rank rn among n scorable docs is
+    * 1 + (nBuckets·(rn−1)) div n — pure integer arithmetic, so both
+    * engines agree exactly (no percentile interpolation anywhere).
+    *
+    * Scale: ranking uses [[graft.etl.GlobalIndex]]'s two-pass
+    * range-partition index, NOT a single-partition ntile window; n
+    * attaches as a broadcast 1-row frame. The sort key is the IEEE
+    * division of the two exact integers (identical in both engines);
+    * only integers reach the output. Returns (frame, release) — the
+    * release handle drops the index's internal range cache. */
+  def perplexityBucketsReleasable(docs: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, modelTextCol: String,
+      nBuckets: Int = 3, k: Double = 1.0): (DataFrame, () => Unit) = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val core = negLogMicro(docs, idCol, textCol, model, modelTextCol, k)
+    val scorable = core.filter(col("n_bigrams") > 0)
+      .withColumn("__ratio", col("nlp_micro") / col("n_bigrams"))
+    val (ranked, release) = graft.etl.GlobalIndex.withGlobalIndexReleasable(
+      scorable, Seq(col("__ratio"), col(idCol)), "__rn")
+    val n = scorable.agg(count(lit(1)).as("__n"))
+    val bucketed = ranked.crossJoin(broadcast(n))
+      // integral DIV (not float divide + truncate): exact at any corpus
+      // size, and the same operation the oracle's // computes
+      .withColumn("bucket",
+        expr(s"CAST(1 + ($nBuckets * (__rn - 1)) DIV __n AS INT)"))
+      .select(col(idCol), col("n_bigrams"), col("nlp_micro"), col("bucket"))
+    val out = core.filter(col("n_bigrams") === 0)
+      .select(col(idCol), col("n_bigrams"), col("nlp_micro"),
+        lit(0).as("bucket"))
+      .unionByName(bucketed)
+    (out, release)
+  }
+
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelTextCol: String, nBuckets: Int = 3,
+      k: Double = 1.0): DataFrame =
+    perplexityBucketsReleasable(docs, idCol, textCol, model, modelTextCol,
+      nBuckets, k)._1
+
+  /** The shared per-doc exact-integer CTE chain of [[negLogMicro]]'s
+    * oracle (self-scored documents at k = 1), ending in `core(doc_id,
+    * n_bigrams, nlp_micro)`. */
+  // lazy: referenced by tPpl, which is declared earlier in the object
+  private lazy val negLogCtes: String =
+    """WITH mt AS (SELECT unnest(list_filter(string_split(text, ' '),
               x -> x <> '')) AS tok FROM documents),
             uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cx
                     FROM mt GROUP BY tok),
@@ -102,10 +154,6 @@ object NgramLm {
             bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
                    FROM bg GROUP BY x, y),
             sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                     -- CAST both ln operands: bare 1.0 is DECIMAL in
-                     -- DuckDB and decimal arithmetic would diverge from
-                     -- Spark's double path (the sums are exact integers,
-                     -- so the casts lose nothing)
                      CAST(SUM(CAST(ROUND(-ln(
                          CAST(COALESCE(c.cxy, 0) + 1.0 AS DOUBLE)
                        / CAST(COALESCE(u.cx, 0) + 1.0 * v.v AS DOUBLE))
@@ -114,13 +162,40 @@ object NgramLm {
                    LEFT JOIN bc c ON g.x = c.x AND g.y = c.y
                    LEFT JOIN uni u ON g.x = u.tok
                    CROSS JOIN voc v
-                   GROUP BY g.doc_id)
-            SELECT d.doc_id AS doc_id,
+                   GROUP BY g.doc_id),
+            core AS (SELECT d.doc_id AS doc_id,
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.nlp_micro
             FROM (SELECT doc_id FROM documents) d
-            LEFT JOIN sc s ON d.doc_id = s.doc_id
-            ORDER BY d.doc_id"""))
+            LEFT JOIN sc s ON d.doc_id = s.doc_id)"""
 
-  val queries: Map[String, Q] = Map("q_t_perplexity" -> tPpl)
+  /** Self-scored head/middle/tail split of the documents corpus. */
+  private val tPplBuckets = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (out, release) = perplexityBucketsReleasable(
+        docs, "doc_id", "text", docs, "text", nBuckets = 3)
+      val mat = out.orderBy("doc_id").localCheckpoint(eager = true)
+      release()
+      mat
+    },
+    Some(negLogCtes + """,
+            rk AS (SELECT doc_id, n_bigrams, nlp_micro,
+                     row_number() OVER (ORDER BY
+                       CAST(nlp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+                       doc_id) AS rn,
+                     COUNT(*) OVER () AS n
+                   FROM core WHERE n_bigrams > 0)
+            SELECT doc_id, n_bigrams, nlp_micro,
+                   CAST(0 AS INT) AS bucket
+            FROM core WHERE n_bigrams = 0
+            UNION ALL
+            SELECT doc_id, n_bigrams, nlp_micro,
+                   CAST(1 + (3 * (rn - 1)) // n AS INT) AS bucket
+            FROM rk
+            ORDER BY doc_id"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_t_perplexity" -> tPpl,
+    "q_t_ppl_buckets" -> tPplBuckets)
 }

@@ -179,4 +179,27 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(out(5L)._2, "one-word change must flag as near-dup")
     assert(out(9L) === ((false, false)))
   }
+
+  test("decontaminateScored: graded severity at the integer threshold") {
+    // bench gram: "a b c d e". doc 1 = pure copy (100% of its 1 gram hits);
+    // doc 2 has 20 grams, exactly 1 hit = 5% (boundary: severe at >=5%);
+    // doc 3 has 20 grams, 0 hits; doc 4 too short for any 5-gram.
+    val w = (1 to 24).map(i => s"w$i").mkString(" ") // 24 tokens, 20 grams
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e " + (1 to 20).map(i => s"x$i").mkString(" ")),
+      (3L, w),
+      (4L, "too short")).toDF("doc_id", "text")
+    val bench = Seq("a b c d e").toDF("text")
+    val out = DedupOps.decontaminateScored(docs, "doc_id", "text",
+        bench, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, 1L, true)), "full copy is severe")
+    assert(out(2L)._1 === 21L) // 25 tokens -> 21 grams, 1 of them the bench's
+    assert(out(2L)._2 === 1L)
+    assert(!out(2L)._3, "1/21 < 5% stays below the severity threshold")
+    assert(out(3L) === ((20L, 0L, false)))
+    assert(out(4L) === ((0L, 0L, false)), "gramless doc is never severe")
+  }
 }

@@ -38,4 +38,29 @@ class NgramLmSpec extends SparkSpecBase {
       .toMap
     assert(both(2L) > both(1L), "unseen bigram must have higher perplexity")
   }
+
+  test("perplexityBuckets: balanced rank bands ordered by mean micro-nats") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (out, release) = NgramLm.perplexityBucketsReleasable(
+      docs, "doc_id", "text", docs, "text", nBuckets = 3)
+    val rows = out.collect().map(r => (r.getAs[Int]("bucket"),
+      r.getAs[Long]("n_bigrams"), Option(r.getAs[Any]("nlp_micro"))))
+    release()
+    val sizes = rows.filter(_._1 > 0).groupBy(_._1).view.mapValues(_.length)
+    assert(sizes.keySet === Set(1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 2,
+      s"rank bands should be near-equal, got $sizes")
+    // CCNet ordering: every head doc's mean micro-nats <= every tail doc's
+    def means(b: Int) = rows.filter(_._1 == b).map {
+      case (_, n, Some(m)) => m.asInstanceOf[Long].toDouble / n
+      case x => fail(s"scorable row without nlp_micro: $x")
+    }
+    assert(means(1).max <= means(3).min,
+      "head bucket must be uniformly closer to the model than tail")
+    // unscorable docs (no bigrams) land in bucket 0 with null score
+    rows.filter(_._1 == 0).foreach { case (_, n, m) =>
+      assert(n === 0L && m.isEmpty)
+    }
+    spark.catalog.clearCache()
+  }
 }
