@@ -70,7 +70,9 @@ object Bench {
     "q_t_bpe_encode",
     "q_s_ivf_pq",
     "q_t_ppl_buckets",
-    "q_d_decontaminate_scored")
+    "q_d_decontaminate_scored",
+    // round-8 capstone: learn BPE -> encode -> token-budget mix -> pack
+    "q_pipeline_tokenize")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

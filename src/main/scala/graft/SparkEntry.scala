@@ -23,7 +23,8 @@ object SparkEntry {
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
-      pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries
+      pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries ++
+      pipeline.TokenizerPipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style pricing summary: scan → filter → groupBy → agg, fully

@@ -142,14 +142,20 @@ object DataMix {
     * T* and the rates stay in-plan, so the decision arithmetic is the
     * same IEEE doubles the oracle recomputes. */
   def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetShares: Map[String, Double]): DataFrame =
+    tokenBudgetMixByCount(docs.select(col(idCol), col(sourceCol),
+      coalesce(graft.text.TextOps.bpeTokenCount(col(textCol)), lit(0L))
+        .as("n_tokens")), idCol, sourceCol, targetShares)
+
+  /** [[tokenBudgetMix]] over a PRECOMPUTED `(idCol, sourceCol, n_tokens)`
+    * frame — the composition surface for real tokenizer counts
+    * ([[graft.text.BpeMerge.encodeCorpus]]). */
+  def tokenBudgetMixByCount(counted: DataFrame, idCol: String,
       sourceCol: String, targetShares: Map[String, Double]): DataFrame = {
     require(targetShares.values.forall(_ > 0), "shares must be positive")
     val share = targetShares.foldLeft(lit(0.0)) { case (acc, (src, p)) =>
       when(col(sourceCol) === src, lit(p)).otherwise(acc)
     }
-    val counted = docs.select(col(idCol), col(sourceCol),
-      coalesce(graft.text.TextOps.bpeTokenCount(col(textCol)), lit(0L))
-        .as("n_tokens"))
     val avail = counted.groupBy(sourceCol)
       .agg(sum("n_tokens").as("a_s"))
       .withColumn("p_s", share)

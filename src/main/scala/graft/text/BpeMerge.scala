@@ -201,6 +201,19 @@ object BpeMerge {
        |GROUP BY e.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** The learn+encode CTE prefix ending in `enc(doc_id, n_tokens)` — the
+    * composition surface for downstream oracles
+    * ([[graft.pipeline.TokenizerPipeline]]). */
+  private[graft] def encodePrefixCtes(nMerges: Int): String =
+    s"""${iterCtes(nMerges)},
+       |encw AS (SELECT doc_id, w
+       |        FROM (SELECT doc_id, unnest(list_filter(
+       |                string_split(text, ' '), x -> x <> '')) AS w
+       |              FROM documents)),
+       |enc AS (SELECT e.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+       |        FROM encw e JOIN s$nMerges s ON e.w = s.w
+       |        GROUP BY e.doc_id)""".stripMargin
+
   private def iterCtes(nMerges: Int): String = {
     def iteration(t: Int): String = {
       val (prev, cur) = (s"s${t - 1}", s"s$t")

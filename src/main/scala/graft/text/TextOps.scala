@@ -194,20 +194,29 @@ object TextOps {
     * range-partition scheme — NO single-partition window anywhere. Bin
     * arithmetic is scalar expressions on the offset. */
   def packSequencesReleasable(docs: DataFrame, idCol: String,
-      textCol: String, budget: Long): (DataFrame, () => Unit) = {
+      textCol: String, budget: Long): (DataFrame, () => Unit) =
+    packCountedReleasable(docs.select(col(idCol),
+      coalesce(bpeTokenCount(col(textCol)), lit(0L)).as("n_tokens")),
+      idCol, budget)
+
+  /** [[packSequencesReleasable]] over a PRECOMPUTED `(idCol, n_tokens,
+    * …)` frame — any extra columns ride through to the output. This is
+    * the composition surface for callers that bring REAL tokenizer
+    * counts ([[graft.text.BpeMerge.encodeCorpus]]) instead of the regex
+    * estimate. */
+  def packCountedReleasable(counted: DataFrame, idCol: String,
+      budget: Long): (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
-    val counted = docs.select(col(idCol),
-      coalesce(bpeTokenCount(col(textCol)), lit(0L)).as("n_tokens"))
     val (cum, release) = graft.etl.GlobalIndex.withGlobalCumsumReleasable(
       counted, Seq(col(idCol)), col("n_tokens"), "start_tok")
     // last occupied offset: start + max(n,1) − 1 (the max keeps empty
     // docs single-bin without claiming a token)
     val lastTok = col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1
     val out = cum.withColumn("__last", lastTok)
-      .select(col(idCol), col("n_tokens"), col("start_tok"),
-        expr(s"start_tok div $budget").as("bin_first"),
-        expr(s"__last div $budget").as("bin_last"))
+      .withColumn("bin_first", expr(s"start_tok div $budget"))
+      .withColumn("bin_last", expr(s"__last div $budget"))
       .withColumn("n_segments", col("bin_last") - col("bin_first") + 1)
+      .drop("__last")
     (out, release)
   }
 
