@@ -210,6 +210,35 @@ object Streams {
       .drop("__h", "__in_corpus")
   }
 
+  /** Streaming twin of [[graft.dedup.DedupOps.decontaminate]]: documents
+    * stream in; each is exploded to its distinct n-grams, which
+    * stream-static inner-join the STATIC eval-suite gram set (tiny at any
+    * corpus scale — Spark broadcasts it per micro-batch, no state); a doc
+    * matching on ANY gram emits once, deduplicated by id within the
+    * watermark. Output: (idCol, tsCol) — the contaminated-doc stream a
+    * production ingest routes to quarantine (the keep-side is the
+    * stream's anti-join at the sink). */
+  def streamingDecontaminate(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, bench: DataFrame,
+      benchTextCol: String, n: Int = 5,
+      watermark: String = "10 minutes"): DataFrame = {
+    def gramArray(text: org.apache.spark.sql.Column) = {
+      val t = graft.text.TextOps.tokens(lower(text))
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val bg = bench.select(explode(gramArray(col(benchTextCol))).as("__g"))
+      .distinct()
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(gramArray(col(textCol))).as("__g"))
+      .join(bg, Seq("__g")) // stream-static inner: any shared gram hits
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

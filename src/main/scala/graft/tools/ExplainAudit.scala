@@ -234,6 +234,34 @@ object ExplainAudit {
       }
       release()
     }
+    audit("q_d_decontaminate_scored",
+      "bench gram set is broadcast; severity rides ONE left join + agg" ->
+        (p => p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")))
+    // q_t_ppl_buckets registers an eager-checkpointed frame; audit the
+    // OPERATOR's pre-checkpoint plan: the head/middle/tail ranking must
+    // use the range-partitioned global index, never a single-partition
+    // window (the ntile trap), and n attaches by broadcast.
+    locally {
+      val docs = graft.Tables.documents(spark, sf)
+      val (out, release) = graft.text.NgramLm.perplexityBucketsReleasable(
+        docs, "doc_id", "text", docs, "text", nBuckets = 3)
+      val plan = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== perplexity buckets (operator form) ===")
+      val checks = Seq(
+        "no single-partition exchange (ranking = global index, not ntile)" ->
+          !plan.contains("Exchange SinglePartition"),
+        "rank order comes from range partitioning" ->
+          plan.contains("rangepartitioning"),
+        "the 1-row scorable count attaches by broadcast" ->
+          plan.contains("BroadcastNestedLoopJoin"))
+      checks.foreach { case (desc, ok) =>
+        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+        if (!ok) failures ::= s"ppl buckets: $desc"
+      }
+      release()
+    }
     audit("q_s_ivf_pq",
       // the config-sized centroid/codebook attaches ARE broadcast nested
       // loops by design; a CartesianProduct would mean a corpus-sized

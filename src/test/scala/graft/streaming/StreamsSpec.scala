@@ -177,6 +177,65 @@ class StreamsSpec extends SparkSpecBase {
     assert(kept === Set(2L, 4L))
   }
 
+  test("streaming decontamination flags gram-sharing docs once, cleans pass silently") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val bench = Seq("the secret eval answer key").toDF("text")
+    val q = Streams.streamingDecontaminate(docs, "doc_id", "text", "ts",
+        bench, "text")
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "prefix the secret eval answer key suffix", ts(0)), // contaminated
+      (2L, "a perfectly clean document with many words", ts(1)),
+      (3L, "too short", ts(2)))
+    q.processAllAvailable()
+    input.addData(
+      // contaminated twice over (two bench grams) — must still emit ONCE
+      (4L, "the secret eval answer key the secret eval answer key", ts(3)))
+    q.processAllAvailable()
+    val out = spark.table("decon_out").collect()
+      .map(_.getAs[Long]("doc_id"))
+    q.stop()
+    assert(out.sorted.toSeq === Seq(1L, 4L))
+  }
+
+  test("streaming dedup state survives a restart from the checkpoint") {
+    // production crash-recovery: the file source is replayable and the
+    // dropDuplicatesWithinWatermark state lives in the checkpoint, so a
+    // duplicate arriving AFTER a full stop/start is still dropped
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-recovery").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Unit = {
+      val q = Streams.streamingExactDedup(
+          spark.readStream.schema(schema).parquet(s"$dir/in"), "text", "ts")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, "Hello, World", ts(0)), (2L, "other content", ts(1)))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    // new file after the restart: doc 3 duplicates doc 1's content
+    Seq((3L, "HELLO world!", ts(2)), (4L, "fresh one", ts(3)))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out === Set(1L, 2L, 4L),
+      s"state must survive the restart (got $out)")
+  }
+
   test("AvailableNow ingestion drains files once and checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("ingest").toString
     val events = graft.Tables.events(spark, sf)
