@@ -72,7 +72,8 @@ object Bench {
     "q_t_ppl_buckets",
     "q_d_decontaminate_scored",
     // round-8 capstone: learn BPE -> encode -> token-budget mix -> pack
-    "q_pipeline_tokenize")
+    "q_pipeline_tokenize",
+    "q_j_salted_adaptive")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -710,6 +710,7 @@ object Relational {
     "q_e_asof" -> eAsof,
     "q_e_range_join" -> eRange,
     "q_j_salted" -> SaltedJoinQuery.jSalted,
+    "q_j_salted_adaptive" -> SaltedJoinQuery.jSaltedAdaptive,
     "q_a12_profile" -> ProfileQuery.pProfile)
 }
 
@@ -757,6 +758,44 @@ private[etl] object SaltedJoinQuery {
     * unsalted shuffle join stragglers at 100 TB. Salting must be
     * row-for-row transparent, which is what the oracle certifies: the
     * DuckDB side is the PLAIN join. */
+  /** Adaptive salting over PLANTED sentinel-key skew: three quarters of
+    * the customer fact collapses onto key 0 (the "null-ish sentinel"
+    * scenario from [[SkewJoin]]'s scaladoc); the detector must salt
+    * exactly that key (cnt·n_keys ≥ 2·total — integer test) and leave
+    * the 24 light keys unsalted. The oracle is the PLAIN join plus the
+    * same integer heavy test, so both the row-for-row transparency AND
+    * the detection decision sit inside the hash. */
+  val jSaltedAdaptive = Q(
+    (s, d) => {
+      val fact = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(pmod(col("c_custkey"), lit(4)) =!= 0, lit(0))
+            .otherwise(col("c_nationkey")).cast("int").as("nk"))
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+      SkewJoin.adaptiveSaltedJoin(fact, dim, "nk", salts = 8, factor = 2,
+          spreadCols = Seq("c_custkey"))
+        .select(col("c_custkey"), col("n_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("is_heavy"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH f AS (SELECT c_custkey, c_acctbal,
+                CAST(CASE WHEN c_custkey % 4 <> 0 THEN 0
+                     ELSE c_nationkey END AS INT) AS nk
+              FROM customer),
+            cnt AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM f GROUP BY nk),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                           CAST(COUNT(*) AS BIGINT) AS nkeys FROM cnt),
+            heavy AS (SELECT nk FROM cnt CROSS JOIN tot
+                      WHERE c * nkeys >= 2 * total)
+            SELECT f.c_custkey, n.n_name,
+                   round(f.c_acctbal, 2) AS acctbal,
+                   (h.nk IS NOT NULL) AS is_heavy
+            FROM f JOIN nation n ON f.nk = n.n_nationkey
+            LEFT JOIN heavy h ON f.nk = h.nk
+            ORDER BY f.c_custkey"""))
+
   val jSalted = Q(
     (s, d) => {
       val fact = Tables.customer(s, d)

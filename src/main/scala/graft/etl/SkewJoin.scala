@@ -35,4 +35,48 @@ object SkewJoin {
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** MEASURED variant of [[saltedJoin]]: one counting pass over the fact
+    * finds the keys carrying at least `factor`× the mean row count, and
+    * only THOSE keys are salted — light keys join unsalted, so the dim
+    * replication cost drops from |dim| × salts to |heavy| × salts rows
+    * (at a power-law 100 TB key distribution, a handful). The heavy test
+    * is pure integer arithmetic — cnt · n_keys ≥ factor · total — so the
+    * decision is deterministic and cross-engine replayable. The heavy-key
+    * frame is by definition config-sized; it is materialized eagerly (the
+    * counting job runs at call time) and broadcast to both sides.
+    *
+    * The output adds `is_heavy` so callers (and the oracle) can observe
+    * which keys the detector salted; the data rows equal the plain join
+    * row-for-row. Null fact keys never match in an equi-join, so a null
+    * "key" group is never salted — identical to the plain join's
+    * treatment. */
+  def adaptiveSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, factor: Int = 2, joinType: String = "inner",
+      spreadCols: Seq[String] = Nil): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(factor > 0, "factor must be positive")
+    val spread = (if (spreadCols.nonEmpty) spreadCols
+                  else fact.columns.filterNot(_ == key).toSeq).map(col)
+    val counts = fact.groupBy(key).agg(count(lit(1)).as("__cnt"))
+    val tot = counts.agg(sum("__cnt").as("__total"),
+      count(lit(1)).as("__nkeys"))
+    val heavy = counts.crossJoin(broadcast(tot))
+      .filter(col("__cnt") * col("__nkeys") >=
+        lit(factor.toLong) * col("__total"))
+      .select(col(key), lit(true).as("__h"))
+      .localCheckpoint(eager = true) // tiny by definition; no cache residue
+    val saltedFact = fact.join(broadcast(heavy), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__h"), pmod(hash(spread: _*), lit(salts)))
+          .otherwise(lit(0)))
+    val saltedDim = dim.join(broadcast(heavy), Seq(key), "left")
+      .withColumn("__salt", explode(
+        when(col("__h"), array((0 until salts).map(lit): _*))
+          .otherwise(array(lit(0)))))
+      .drop("__h")
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType)
+      .withColumn("is_heavy", coalesce(col("__h"), lit(false)))
+      .drop("__salt", "__h")
+  }
 }

@@ -26,6 +26,22 @@ class SkewJoinSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("adaptive salting: only the measured-heavy key is salted, rows intact") {
+    val (fact, dim) = fixtures
+    val got = SkewJoin.adaptiveSaltedJoin(fact, dim, "k", salts = 8,
+      factor = 2)
+    val rows = got.select("k", "payload", "kname", "is_heavy").collect()
+    val want = fact.join(dim, Seq("k")).select("k", "payload", "kname")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows.map(_.toSeq.take(3)).sortBy(_.toString) === want,
+      "adaptive salting must be row-for-row transparent")
+    // key 1 carries 90% of 1000 rows over 8 distinct keys: 900*8 >= 2*1000
+    // -> heavy; every other key is far below the threshold
+    val heavyKeys = rows.filter(_.getAs[Boolean]("is_heavy"))
+      .map(_.getAs[Long]("k")).toSet
+    assert(heavyKeys === Set(1L), s"expected only key 1 heavy, got $heavyKeys")
+  }
+
   test("left join keeps unmatched fact rows with null dim columns") {
     val (fact, dim) = fixtures
     val extra = fact.union(Seq((99L, "orphan")).toDF("k", "payload"))
