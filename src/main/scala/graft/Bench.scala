@@ -73,7 +73,8 @@ object Bench {
     "q_d_decontaminate_scored",
     // round-8 capstone: learn BPE -> encode -> token-budget mix -> pack
     "q_pipeline_tokenize",
-    "q_j_salted_adaptive")
+    "q_j_salted_adaptive",
+    "q_t_pack_grouped")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -224,6 +224,36 @@ object TextOps {
       budget: Long): DataFrame =
     packSequencesReleasable(docs, idCol, textCol, budget)._1
 
+  /** GROUP-AWARE sequence packing: each group (domain / source /
+    * curriculum phase) is laid out as its OWN token stream and chopped
+    * into per-group `budget`-token sequences, so no training sequence
+    * ever mixes groups — the domain-separated batch layout.
+    *
+    * Scale: still exactly ONE distributed prefix sum — the global
+    * exclusive cumsum over the (group, id) total order — plus one
+    * per-group aggregation: a group's first doc's global offset IS the
+    * group's base (min over the group), and subtracting it rebases every
+    * doc into its group's stream. No per-group window over the corpus,
+    * no skew on big groups (the range partitioner splits them). Output
+    * adds `start_tok` (offset within the group's stream) and per-group
+    * bin ids. */
+  def packGroupedReleasable(counted: DataFrame, idCol: String,
+      groupCol: String, budget: Long): (DataFrame, () => Unit) = {
+    require(budget > 0, "budget must be positive")
+    val (cum, release) = graft.etl.GlobalIndex.withGlobalCumsumReleasable(
+      counted, Seq(col(groupCol), col(idCol)), col("n_tokens"), "__gcum")
+    val base = cum.groupBy(groupCol).agg(min("__gcum").as("__base"))
+    val out = cum.join(base, Seq(groupCol))
+      .withColumn("start_tok", col("__gcum") - col("__base"))
+      .withColumn("__last",
+        col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1)
+      .withColumn("bin_first", expr(s"start_tok div $budget"))
+      .withColumn("bin_last", expr(s"__last div $budget"))
+      .withColumn("n_segments", col("bin_last") - col("bin_first") + 1)
+      .drop("__gcum", "__base", "__last")
+    (out, release)
+  }
+
   /** Per-document top-k TF-IDF terms — the classic keyword-extraction /
     * salient-term pass a curation pipeline runs for topic tagging.
     * tf = term count in doc; idf = ln(N / df) with df = #docs containing
@@ -565,8 +595,43 @@ object TextOps {
                 - start_tok // 512 + 1 AS BIGINT) AS n_segments
             FROM c ORDER BY doc_id"""))
 
+  /** Domain-separated packing over the documents corpus: per-source
+    * streams, 512-token sequences. The oracle replays the rebase with a
+    * plain per-group window (replay-side luxury; the Spark side uses one
+    * global cumsum + a per-group min, the corpus-scale shape). */
+  private val tPackGrouped = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val counted = docs.select(col("doc_id"), col("source"),
+        coalesce(bpeTokenCount(col("text")), lit(0L)).as("n_tokens"))
+      val (out, release) = packGroupedReleasable(
+        counted, "doc_id", "source", 512L)
+      val mat = out.orderBy("doc_id").localCheckpoint(eager = true)
+      release()
+      mat
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+              CAST(len(regexp_extract_all(text,
+                ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+              FROM t)
+            SELECT doc_id, source, n_tokens, start_tok,
+              CAST(start_tok // 512 AS BIGINT) AS bin_first,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+                AS bin_last,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512
+                - start_tok // 512 + 1 AS BIGINT) AS n_segments
+            FROM c ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_pack" -> tPack,
+    "q_t_pack_grouped" -> tPackGrouped,
     "q_t_token_count" -> tTokens,
     "q_t_clean" -> tClean,
     "q_t_pii_redact" -> tPii,

@@ -177,4 +177,25 @@ class TextOpsSpec extends SparkSpecBase {
     val total = out.values.map(_._1).sum
     assert(out.values.map(t => t._2 + t._1).max === total)
   }
+
+  test("packGrouped: each group is its own zero-based stream, no mixing") {
+    import spark.implicits._
+    // group A: 3 + 4 tokens (doc 2 straddles the 6-cut), group B: 5 tokens
+    // starting back at offset 0 — a global packer would have put doc 10
+    // at offset 7
+    val counted = Seq(
+      (1L, "A", 3L), (2L, "A", 4L), (10L, "B", 5L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val (out, release) = TextOps.packGroupedReleasable(
+      counted, "doc_id", "grp", 6L)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("grp"), r.getAs[Long]("start_tok"),
+       r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last"))).toMap
+    release()
+    assert(rows(1L) === (("A", 0L, 0L, 0L)))
+    assert(rows(2L) === (("A", 3L, 0L, 1L)), "straddler splits within A")
+    assert(rows(10L) === (("B", 0L, 0L, 0L)),
+      "group B restarts at offset 0 — sequences never mix groups")
+    spark.catalog.clearCache()
+  }
 }
