@@ -74,7 +74,8 @@ object Bench {
     // round-8 capstone: learn BPE -> encode -> token-budget mix -> pack
     "q_pipeline_tokenize",
     "q_j_salted_adaptive",
-    "q_t_pack_grouped")
+    "q_t_pack_grouped",
+    "q_d_embed_incremental")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

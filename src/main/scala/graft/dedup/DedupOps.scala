@@ -261,6 +261,63 @@ object DedupOps {
       .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** The EMBEDDING-side dedup index — semantic twin of
+    * [[buildCorpusIndex]]: one row per corpus vector, (id, v, buckets)
+    * with `buckets` the nTables (table, sign-LSH bucket) keys. Written
+    * and re-read as parquet, it is everything
+    * [[incrementalEmbedDedupAgainstIndex]] needs; bucket keys stay
+    * packed per row (1 row/vector on disk) and explode map-side at join
+    * time. The vector itself rides along because semantic arbitration
+    * needs the exact cosine against candidates — the index IS the
+    * vectors plus their routing keys. */
+  def buildEmbeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int = 6, nTables: Int = 12): DataFrame = {
+    import graft.sim.SimilarityOps.lshSignature
+    corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(vecCol, dim, nBits, t * nBits).as("bucket"))): _*)
+        .as("buckets"))
+  }
+
+  /** Batch-vs-corpus SEMANTIC arbitration against a prebuilt
+    * [[buildEmbeddingIndex]] frame — the embedding twin of
+    * [[incrementalDedupAgainstIndex]]: each new vector probes the index
+    * on shared (table, bucket) keys only (never all-pairs), candidates
+    * are settled by exact cosine, and every batch vector gets a verdict
+    * row: (idCol, n_matches, max_cosine, near_dup). */
+  def incrementalEmbedDedupAgainstIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double,
+      nBits: Int = 6, nTables: Int = 12): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    import graft.sim.SimilarityOps.lshSignature
+    val bBuck = batch.select(col(idCol).as("id"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(vecCol, dim, nBits, t * nBits).as("bucket"))): _*))
+        .as("bk"))
+    val iBuck = index.select(col("id").as("idc"),
+      explode(col("buckets")).as("bk"))
+    val cands = bBuck.join(iBuck, Seq("bk"))
+      .filter(col("id") =!= col("idc"))
+      .select("id", "idc").distinct()
+    val scored = cands
+      .join(batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("va")), Seq("id"))
+      .join(index.select(col("id").as("idc"), col("v").as("vb")), Seq("idc"))
+      .withColumn("cosine", cosineSim(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+    val verdict = scored.groupBy("id")
+      .agg(count(lit(1)).as("n_matches"), max("cosine").as("__mc"))
+    batch.select(col(idCol).cast("long").as("id"))
+      .join(verdict, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        round(col("__mc"), 6).as("max_cosine"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("near_dup"))
+  }
+
   /** Edit-distance verification of near-dup CANDIDATES — the exactness
     * arbiter a dedup stack runs after hash/banding candidate generation
     * (every hash family admits false positives; Levenshtein on the pair
@@ -842,9 +899,67 @@ object DedupOps {
             LEFT JOIN cnt c ON d.doc_id = c.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Odd vec_ids play the batch, even the indexed corpus; threshold 0.45
+    * (the live band of this corpus's cosine distribution, same as
+    * q_d_embed_neardup). The oracle rebuilds the sha256 hyperplanes,
+    * both sides' signatures, the bucket-keyed candidate join, and the
+    * exact-cosine arbitration. */
+  private val dEmbedIncremental = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = buildEmbeddingIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", dim = 64)
+      incrementalEmbedDedupAgainstIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), idx, "vec_id",
+        "embedding", dim = 64, threshold = 0.45)
+        .orderBy("vec_id")
+    },
+    Some("""WITH pl AS (SELECT plane, i,
+              ((  (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 1, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 2, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 3, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 4, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 5, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 6, 1)) - 1)
+               ) / 16777215.0) * 2.0 - 1.0 AS comp
+              FROM (SELECT unnest(range(0, 72)) AS plane) p,
+                   (SELECT unnest(range(0, 64)) AS i) ii),
+            planes AS (SELECT plane, list(comp ORDER BY i) AS comps
+              FROM pl GROUP BY plane),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            dots AS (SELECT vec_id, plane, list_dot_product(e, comps) AS dot
+              FROM v CROSS JOIN planes),
+            sig AS (SELECT vec_id, CAST(plane // 6 AS INT) AS tbl,
+                SUM(CASE WHEN dot > 0
+                    THEN CAST(1 AS BIGINT) << CAST(plane % 6 AS INT)
+                    ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT b.vec_id AS id, c.vec_id AS idc
+              FROM sig b JOIN sig c ON b.tbl = c.tbl AND b.bucket = c.bucket
+              WHERE b.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+                AND b.vec_id <> c.vec_id),
+            scored AS (SELECT id, idc,
+                list_dot_product(a.e, b2.e)
+                  / (SQRT(list_dot_product(a.e, a.e))
+                     * SQRT(list_dot_product(b2.e, b2.e))) AS cosine
+              FROM cand JOIN v a ON a.vec_id = id
+                        JOIN v b2 ON b2.vec_id = idc),
+            m AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                    MAX(cosine) AS mc
+                  FROM scored WHERE cosine >= 0.45 GROUP BY id)
+            SELECT q.vec_id AS vec_id,
+                   COALESCE(m.n_matches, 0) AS n_matches,
+                   ROUND(m.mc, 6) AS max_cosine,
+                   (m.id IS NOT NULL) AS near_dup
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) q
+            LEFT JOIN m ON q.vec_id = m.id
+            ORDER BY q.vec_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_incremental" -> dIncremental,
     "q_d_incremental_indexed" -> dIncrementalIndexed,
+    "q_d_embed_incremental" -> dEmbedIncremental,
     "q_d_decontaminate_scored" -> dDecontamScored,
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,

@@ -38,6 +38,34 @@ class IncrementalIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("embedding index parquet round trip matches the direct arbitration") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eidx").toString
+    try {
+      val direct = DedupOps.buildEmbeddingIndex(
+        corpus, "vec_id", "embedding", dim = 64)
+      direct.write.mode("overwrite").parquet(dir)
+      val reloaded = spark.read.parquet(dir)
+      def run(idx: org.apache.spark.sql.DataFrame) =
+        DedupOps.incrementalEmbedDedupAgainstIndex(batch, idx, "vec_id",
+          "embedding", dim = 64, threshold = 0.45)
+          .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      val viaParquet = run(reloaded)
+      assert(viaParquet.nonEmpty, "every batch vector must get a verdict")
+      assert(viaParquet == run(direct))
+      // both verdicts must be live, or the threshold is degenerate here
+      val flags = viaParquet.map(_.last).toSet
+      assert(flags === Set(true, false), s"degenerate verdicts: $flags")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("appending an increment to the index equals rebuilding from the grown corpus") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
