@@ -272,6 +272,17 @@ object ExplainAudit {
         (_.contains("HashAggregate")),
       "LUT/code joins are hash equi-joins" ->
         (p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
+    audit("q_d_embed_incremental",
+      "bucket-keyed candidate join, no all-pairs cartesian" ->
+        (p => p.contains("Join") && !p.contains("CartesianProduct")),
+      "verdict rollup partial-aggregates before its shuffle" ->
+        (_.contains("HashAggregate")))
+    audit("q_j_salted_adaptive",
+      "the join stays a (key, salt) equi-join" ->
+        (p => p.contains("Join") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "heavy-key set attaches by broadcast to both sides" ->
+        (_.contains("BroadcastHashJoin")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
