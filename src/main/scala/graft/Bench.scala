@@ -75,7 +75,8 @@ object Bench {
     "q_pipeline_tokenize",
     "q_j_salted_adaptive",
     "q_t_pack_grouped",
-    "q_d_embed_incremental")
+    "q_d_embed_incremental",
+    "q_t_html_strip")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -364,6 +364,35 @@ object TextOps {
         Ipv4Re, "<IP>").as("redacted"))
       .drop(textCol)
 
+  /** Markup patterns for [[htmlStrip]] — lookahead-free and
+    * backreference-free so java.util.regex (Spark) and RE2 (DuckDB
+    * oracle) produce identical match sets. */
+  val TagRe = "<[^>]*>"
+  val EntityRe = "&(amp|lt|gt|quot|#39|nbsp);"
+
+  /** HTML/markup stripping — the extraction-cleanup stage a web-corpus
+    * pipeline runs before any text analysis: tags are counted (on the
+    * ORIGINAL text) and replaced with a space (so `a<br>b` does not glue
+    * to `ab`), the six ubiquitous entities are decoded exactly once
+    * (`&amp;` LAST — decoding it first would double-decode `&amp;lt;`
+    * into `<`), then whitespace collapses and trims. Pure codegen'd
+    * regexp expressions, map-only, no shuffle; RE2-compatible so the
+    * whole operator replays in the oracle. */
+  def htmlStrip(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(regexp_replace(t, TagRe, " ")) {
+        case (acc, (e, r)) => regexp_replace(acc, e, r)
+      }
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(TagRe), lit(0)))
+        .cast("long").as("n_tags"),
+      size(regexp_extract_all(t, lit(EntityRe), lit(0)))
+        .cast("long").as("n_entities"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val tTokens = Q(
@@ -629,9 +658,51 @@ object TextOps {
                 - start_tok // 512 + 1 AS BIGINT) AS n_segments
             FROM c ORDER BY doc_id"""))
 
+  /** Markup stripping over planted positives (the q_t_pii_redact
+    * convention): the corpus text carries no markup, so each doc is
+    * wrapped in a deterministic tag/entity scaffold built from doc_id
+    * and the query hashes the counted-and-stripped output — a pattern,
+    * decode-order, or whitespace regression breaks the hash. */
+  private val tHtmlStrip = Q(
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("<div class=\"d"), col("doc_id").cast("string"),
+          lit("\"><p>"), col("text"),
+          lit("</p><br/>&amp;copy &lt;x&gt; &quot;q&#39;s&quot;&nbsp;end</div>"))
+          .as("text"))
+      htmlStrip(planted, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+              '<div class="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+                || '</p><br/>&amp;copy &lt;x&gt; &quot;q&#39;s&quot;&nbsp;end</div>'
+                AS text
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+                AS n_tags,
+              CAST(len(regexp_extract_all(text,
+                '&(amp|lt|gt|quot|#39|nbsp);')) AS BIGINT) AS n_entities,
+              trim(regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                  '&lt;', '<', 'g'),
+                  '&gt;', '>', 'g'),
+                  '&quot;', '"', 'g'),
+                  '&#39;', '''', 'g'),
+                  '&nbsp;', ' ', 'g'),
+                  '&amp;', '&', 'g'),
+                '\s+', ' ', 'g')) AS clean_text
+            FROM p ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_pack" -> tPack,
     "q_t_pack_grouped" -> tPackGrouped,
+    "q_t_html_strip" -> tHtmlStrip,
     "q_t_token_count" -> tTokens,
     "q_t_clean" -> tClean,
     "q_t_pii_redact" -> tPii,

@@ -178,6 +178,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.values.map(t => t._2 + t._1).max === total)
   }
 
+  test("htmlStrip: tags to spaces, single-decode entities, edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a<br>b"),                      // tag must not glue a to b
+      (2L, "&amp;lt; stays literal"),      // double-encoded: ONE decode only
+      (3L, "<p>x &amp; y</p>"),
+      (4L, "no markup at all"),
+      (5L, "unclosed <tag stays")          // no '>' -> not a tag
+    ).toDF("doc_id", "text")
+    val out = TextOps.htmlStrip(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((1L, 0L, "a b")))
+    assert(out(2L) === ((0L, 1L, "&lt; stays literal")),
+      "&amp;lt; must decode exactly once, to the literal string '&lt;'")
+    assert(out(3L) === ((2L, 1L, "x & y")))
+    assert(out(4L) === ((0L, 0L, "no markup at all")))
+    assert(out(5L) === ((0L, 0L, "unclosed <tag stays")))
+  }
+
   test("packGrouped: each group is its own zero-based stream, no mixing") {
     import spark.implicits._
     // group A: 3 + 4 tokens (doc 2 straddles the 6-cut), group B: 5 tokens
