@@ -76,7 +76,8 @@ object Bench {
     "q_j_salted_adaptive",
     "q_t_pack_grouped",
     "q_d_embed_incremental",
-    "q_t_html_strip")
+    "q_t_html_strip",
+    "q_sk_cms")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

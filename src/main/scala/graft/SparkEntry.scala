@@ -23,6 +23,7 @@ object SparkEntry {
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
+      sketch.CountMin.queries ++
       pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries ++
       pipeline.TokenizerPipeline.queries
 
