@@ -29,7 +29,13 @@ object CountMin {
     conv(substring(md5(concat(lit(j.toString), lit(":"),
       key.cast("string")).cast("binary")), 7, 2), 16, 10).cast("int")
 
-  /** Build the sketch table (j, b, cnt) — at most depth×256 rows. */
+  /** Build the sketch table (j, b, cnt) — at most depth×256 rows.
+    *
+    * Works UNCHANGED on a streaming frame: explode + groupBy-count is a
+    * streaming aggregation whose state is the counter grid itself —
+    * bounded at depth×256 rows forever, no watermark needed (the rare
+    * unbounded-input aggregation with naturally bounded state; spec
+    * proves stream == batch on the same data). */
   def countMinSketch(df: DataFrame, keyCol: String,
       depth: Int = 4): DataFrame = {
     require(depth >= 1, "depth >= 1")

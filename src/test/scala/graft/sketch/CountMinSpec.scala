@@ -23,6 +23,29 @@ class CountMinSpec extends SparkSpecBase {
     assert(exactHits > 80, s"only $exactHits/100 exact at low contention")
   }
 
+  test("streaming CMS: counter grid over a stream equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = CountMin.countMinSketch(input.toDF().toDF("k"), "k")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val batch1 = (1L to 200L).map(_ % 31)
+    val batch2 = (1L to 150L).map(_ % 17)
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = CountMin.countMinSketch(
+        (batch1 ++ batch2).toDF("k"), "k").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "the streaming counter state must equal the batch-built sketch")
+  }
+
   test("two half-sketches merged by counter addition equal the full sketch") {
     val all = (1L to 400L).map(i => i % 37).toDF("k")
     val half1 = CountMin.countMinSketch(all.filter($"k" % 2 === 0), "k")
