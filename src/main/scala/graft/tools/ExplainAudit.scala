@@ -13,6 +13,7 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // audit-only: AQE's unexecuted formatted plans omit codegen ids;
       // production sessions (Verify/Bench) keep AQE on
@@ -22,18 +23,31 @@ object ExplainAudit {
     val sf = "/root/testdata/sf0.001"
 
     var failures = List.empty[String]
-    def audit(name: String, expects: (String, String => Boolean)*): Unit = {
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-      println(s"=== $name ===")
-      println(plan.linesIterator.take(25).mkString("\n"))
-      expects.foreach { case (desc, check) =>
-        val ok = check(plan)
-        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
-        if (!ok) failures ::= s"$name: $desc"
+    // Fault isolation: one broken query must cost ONE FAIL line, not the
+    // rest of the suite (round 8's NTZ break aborted at audit #12 and hid
+    // ~30 assertions). Every audit body runs in its own try/catch; the
+    // suite always completes and exits nonzero at the end if anything
+    // failed or threw.
+    def section(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          println(s"=== $name ===\n  [FAIL] ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ")}")
+          failures ::= s"$name: threw ${e.getClass.getSimpleName}"
       }
-    }
+    def audit(name: String, expects: (String, String => Boolean)*): Unit =
+      section(name) {
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        println(s"=== $name ===")
+        println(plan.linesIterator.take(25).mkString("\n"))
+        expects.foreach { case (desc, check) =>
+          val ok = check(plan)
+          println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+          if (!ok) failures ::= s"$name: $desc"
+        }
+      }
 
     audit("q_p4_filter",
       "filter pushed to parquet scan" ->
@@ -96,7 +110,7 @@ object ExplainAudit {
     // subtree, parquet scan included) — audit the executed plan's leaves:
     // every leaf must be the cached tf, none a direct file scan, so the
     // corpus is read once and N costs no second scan/action.
-    locally {
+    section("q_t_tfidf") {
       val leaves = SparkEntry.queries("q_t_tfidf")(spark, sf)
         .queryExecution.executedPlan.collectLeaves()
       val file = leaves.count(_.nodeName.contains("Scan parquet"))
@@ -125,7 +139,7 @@ object ExplainAudit {
     // on planted audit-sized frames Spark would broadcast and hide the
     // shape) — an accidental distinct/window/extra join here would silently
     // multiply per-round shuffle volume at scale.
-    locally {
+    section("cc round shape") {
       import org.apache.spark.sql.functions.col
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
@@ -216,7 +230,7 @@ object ExplainAudit {
     // pre-checkpoint plan: corpus words must reach the encoded vocab via
     // a word-key equi-join — never a cartesian — and the per-doc rollup
     // must partial-aggregate before its shuffle.
-    locally {
+    section("bpe encode (operator form)") {
       val (enc, release) = graft.text.BpeMerge.encodeCorpusReleasable(
         graft.Tables.documents(spark, sf), "doc_id", "text", 1)
       val plan = enc.queryExecution.explainString(
@@ -242,7 +256,7 @@ object ExplainAudit {
     // OPERATOR's pre-checkpoint plan: the head/middle/tail ranking must
     // use the range-partitioned global index, never a single-partition
     // window (the ntile trap), and n attaches by broadcast.
-    locally {
+    section("perplexity buckets (operator form)") {
       val docs = graft.Tables.documents(spark, sf)
       val (out, release) = graft.text.NgramLm.perplexityBucketsReleasable(
         docs, "doc_id", "text", docs, "text", nBuckets = 3)
