@@ -58,32 +58,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an event-time column to microsecond TimestampType (UTC
+    * instant) from every encoding a producing writer is known to emit:
+    *  - TIMESTAMP(NANOS): Spark has no nanos type, so sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong and we floor-div to micros
+    *    (matches DuckDB's ns→us truncation for positive epochs);
+    *  - timestamp[us] with no timezone (any pandas/pyarrow writer without
+    *    a tz): Spark reads TIMESTAMP_NTZ; the naive value is UTC wall time,
+    *    so reinterpret it as a UTC instant. convert_timezone against
+    *    current_timezone() keeps the cast correct even in a session that
+    *    did not pin spark.sql.session.timeZone=UTC.
+    * Works on batch and streaming frames alike (pure column rewrite). */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, expr(
+          s"cast(convert_timezone('UTC', current_timezone(), $tsCol) as timestamp)"))
+      case _ => df
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts arrives in whatever encoding the producing writer chose;
-    // normalize every known one to a microsecond TimestampType (UTC instant)
-    // so downstream unix_micros/window/as-of logic sees a single type:
-    //  - TIMESTAMP(NANOS): Spark has no nanos type, so sessions set
-    //    spark.sql.legacy.parquet.nanosAsLong and we floor-div to micros
-    //    (matches DuckDB's ns→us truncation for positive epochs);
-    //  - timestamp[us] with no timezone (any pandas/pyarrow writer without
-    //    a tz): Spark reads TIMESTAMP_NTZ; the naive value is UTC wall time,
-    //    so reinterpret it as a UTC instant. convert_timezone against
-    //    current_timezone() keeps the cast correct even in a session that
-    //    did not pin spark.sql.session.timeZone=UTC.
-    if (name == "events") {
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-      df.schema("ts").dataType match {
-        case LongType =>
-          df.withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
-        case TimestampNTZType =>
-          df.withColumn("ts", org.apache.spark.sql.functions.expr(
-            "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
-        case _ => df
-      }
-    } else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")

@@ -65,7 +65,12 @@ object SkewJoin {
       .filter(col("__cnt") * col("__nkeys") >=
         lit(factor.toLong) * col("__total"))
       .select(col(key), lit(true).as("__h"))
-      .localCheckpoint(eager = true) // tiny by definition; no cache residue
+      // eager localCheckpoint: the counting pass RUNS NOW, at plan
+      // construction — surprising for callers composing lazily, but
+      // deliberate: the heavy set must be a settled literal frame before
+      // both broadcast attaches (a lazy diamond would recount the fact
+      // table twice), and the result is config-sized so no cache residue
+      .localCheckpoint(eager = true)
     val saltedFact = fact.join(broadcast(heavy), Seq(key), "left")
       .withColumn("__salt",
         when(col("__h"), pmod(hash(spread: _*), lit(salts)))

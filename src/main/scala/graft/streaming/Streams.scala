@@ -239,6 +239,22 @@ object Streams {
       .select(col(idCol), col(tsCol))
   }
 
+  /** Typed event stream from a parquet events directory — the file-sourced
+    * entry to [[sessionize]]/[[windowedCounts]]. A file stream needs its
+    * schema declared up front, so the footer is read once (driver-side,
+    * batch) and the event-time column is normalized through
+    * [[graft.Tables.normalizeTs]] — the SAME boundary the batch loaders use,
+    * so a TIMESTAMP_NTZ or nanos-as-long events.parquet binds to the typed
+    * `Event` (java.sql.Timestamp) identically in both engines. */
+  def eventFileStream(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(path))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

@@ -45,6 +45,32 @@ class StreamsSpec extends SparkSpecBase {
     assert(out.exists(u => u.sessionId == 1 && u.nEvents == 1 && !u.closed))
   }
 
+  test("NTZ parquet events bind to the typed file stream and sessionize") {
+    // the batch loaders normalize TIMESTAMP_NTZ at the scan boundary; the
+    // file-stream entry must ride the same seam or a pandas/pyarrow-written
+    // events.parquet (no tz) breaks the typed Event binding
+    val dir = java.nio.file.Files.createTempDirectory("ntz_stream").toString
+    Seq(
+      (1L, 7L, 1700000000000000L, "view", 1.0),
+      (2L, 7L, 1700000060000000L, "click", 1.0),
+      (3L, 7L, 1700003700000000L, "view", 1.0), // 60.7-min gap -> new session
+      (4L, 8L, 1700000000000000L, "click", 1.0))
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val q = Streams.sessionize(Streams.eventFileStream(spark, dir))
+      .writeStream.format("memory").queryName("ntz_sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val out = spark.table("ntz_sess_out").as[Streams.SessionUpdate].collect()
+    q.stop()
+    assert(out.exists(u => u.userId == 7 && u.sessionId == 0 &&
+      u.nEvents == 2 && u.closed))
+    assert(out.exists(u => u.userId == 7 && u.sessionId == 1 && !u.closed))
+    assert(out.exists(u => u.userId == 8 && u.nEvents == 1))
+  }
+
   test("streaming exact dedup drops same-content docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
