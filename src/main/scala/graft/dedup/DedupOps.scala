@@ -113,10 +113,21 @@ object DedupOps {
       .setNumFeatures(1 << 20).transform(sh)
     val lsh = new MinHashLSH().setInputCol("vec").setOutputCol("sig")
       .setNumHashTables(numHashTables).setSeed(42L).fit(vecs)
+    // approxSimilarityJoin's distCol is Jaccard over the HASHED feature
+    // space — a 2^20 feature collision inside one pair's gram union shifts
+    // the reported distance (observed on real data: 1/93 vs the true 1/94).
+    // Collisions only ever LOWER the hashed distance, so the LSH join at
+    // maxJaccardDist is a candidate SUPERSET; recompute the EXACT gram
+    // Jaccard per candidate from the shingle arrays carried through the
+    // join (O(|union|) per candidate — the same verify-the-candidates
+    // principle as [[minhashPairsBanded]]) and re-filter on it.
+    val inter = size(array_intersect(col("datasetA.sh"), col("datasetB.sh")))
+    val union =
+      size(col("datasetA.sh")) + size(col("datasetB.sh")) - inter
     lsh.approxSimilarityJoin(vecs, vecs, maxJaccardDist, "jaccard_dist")
       .select(col("datasetA.id").as("ida"), col("datasetB.id").as("idb"),
-        round(col("jaccard_dist"), 6).as("jaccard_dist"))
-      .filter(col("ida") < col("idb"))
+        round(lit(1.0) - inter.cast("double") / union, 6).as("jaccard_dist"))
+      .filter(col("ida") < col("idb") && col("jaccard_dist") <= maxJaccardDist)
   }
 
   /** Banded MinHash entirely in DataFrame ops — the scale path without
