@@ -19,6 +19,7 @@ object SparkEntry {
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.QualityClassifier.queries ++
+      text.Dsir.queries ++
       dedup.DedupOps.queries ++
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++

@@ -33,7 +33,7 @@ object NgramLm {
 
   import TextOps.tokens
 
-  private def bigrams(df: DataFrame, id: org.apache.spark.sql.Column,
+  private[text] def bigrams(df: DataFrame, id: org.apache.spark.sql.Column,
       text: String): DataFrame =
     df.select(id.as("__id"), tokens(col(text)).as("__t"))
       .select(col("__id"), explode(

@@ -297,6 +297,35 @@ object ExplainAudit {
           !p.contains("BroadcastNestedLoopJoin")),
       "heavy-key set attaches by broadcast to both sides" ->
         (_.contains("BroadcastHashJoin")))
+    // q_t_dsir registers an eager-checkpointed frame; audit the OPERATOR's
+    // pre-checkpoint plan: both models must join the ONE exploded corpus
+    // bigram frame on equi-keys, vocab sizes attach as broadcast 1-row
+    // frames (BroadcastNestedLoopJoin by design), and the rank comes from
+    // the range-partitioned global index — never a single-partition window.
+    section("dsir (operator form)") {
+      val docs = graft.Tables.documents(spark, sf)
+      val (out, release) = graft.text.Dsir.selectTopFractionReleasable(
+        docs, "doc_id", "text",
+        docs.filter(org.apache.spark.sql.functions.col("lang") =!= "en"),
+        "text")
+      val plan = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== dsir (operator form) ===")
+      val checks = Seq(
+        "no single-partition exchange (rank = global index)" ->
+          !plan.contains("Exchange SinglePartition"),
+        "rank order comes from range partitioning" ->
+          plan.contains("rangepartitioning"),
+        "model joins are equi-joins (no corpus-sized cartesian)" ->
+          !plan.contains("CartesianProduct"),
+        "per-doc score partial-aggregates before its shuffle" ->
+          plan.contains("HashAggregate"))
+      checks.foreach { case (desc, ok) =>
+        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+        if (!ok) failures ::= s"dsir: $desc"
+      }
+      release()
+    }
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
