@@ -16,6 +16,7 @@ object SparkEntry {
   /** All registered queries (name → implementation + optional oracle). */
   def registry: Map[String, Q] =
     etl.Relational.queries ++ etl.DataMix.queries ++
+      etl.Sharding.queries ++
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.QualityClassifier.queries ++

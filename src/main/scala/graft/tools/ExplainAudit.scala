@@ -297,6 +297,34 @@ object ExplainAudit {
           !p.contains("BroadcastNestedLoopJoin")),
       "heavy-key set attaches by broadcast to both sides" ->
         (_.contains("BroadcastHashJoin")))
+    // q_p17_token_shards registers an eager-checkpointed frame; audit the
+    // OPERATOR's pre-checkpoint plan: the token prefix sum must be the
+    // two-pass range scheme (never a single-partition window) and the
+    // 1-row total attaches by broadcast.
+    section("token shards (operator form)") {
+      import org.apache.spark.sql.functions.{col, size}
+      val docs = graft.Tables.documents(spark, sf)
+        .withColumn("n_tokens",
+          size(graft.text.TextOps.tokens(col("text"))).cast("long"))
+        .select("doc_id", "n_tokens")
+      val (out, release) = graft.etl.Sharding.tokenBalancedShardsReleasable(
+        docs, "doc_id", col("n_tokens"), 8)
+      val plan = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== token shards (operator form) ===")
+      val checks = Seq(
+        "no single-partition exchange (prefix sum = range scheme)" ->
+          !plan.contains("Exchange SinglePartition"),
+        "prefix-sum order comes from range partitioning" ->
+          plan.contains("rangepartitioning"),
+        "1-row total attaches by broadcast" ->
+          plan.contains("BroadcastNestedLoopJoin"))
+      checks.foreach { case (desc, ok) =>
+        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+        if (!ok) failures ::= s"token shards: $desc"
+      }
+      release()
+    }
     // q_t_dsir registers an eager-checkpointed frame; audit the OPERATOR's
     // pre-checkpoint plan: both models must join the ONE exploded corpus
     // bigram frame on equi-keys, vocab sizes attach as broadcast 1-row
