@@ -607,7 +607,62 @@ object SimilarityOps {
             FROM assigned a LEFT JOIN dups d ON a.id = d.id
             ORDER BY a.id"""))
 
+  /** Cluster-balanced sampling — flatten the semantic cluster distribution
+    * by capping each cluster's contribution (the curation move behind
+    * prototypicality pruning, Sorscher et al. arXiv:2206.14486: web-scale
+    * corpora are dominated by a few dense semantic modes; capping
+    * per-cluster keeps the coverage of rare modes). Vectors are assigned
+    * to their nearest of `nList` seeded centroids (the [[semDedup]] /
+    * [[ivfSeededTopK]] quantizer — argmin over broadcast centroids with
+    * the (d2, cid) tie-break), then ranked within each cluster by
+    * (d2 asc, id) — most prototypical first — and kept while rank ≤ cap.
+    *
+    * Scale: assignment is the broadcast-centroid argmin (map-side); the
+    * per-cluster rank is a window PARTITIONED BY the cluster key — the
+    * same keyed-window shape as grouped top-k, no single-partition
+    * exchange. Both engines compute identical IEEE doubles for d2
+    * (sequential i=0..dim−1 sums), so the rank is exact cross-engine. */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      nList: Int, capPerCluster: Int): DataFrame = {
+    val v = prep(emb, idCol, vecCol)
+    val cent = v.filter(col("id") < nList)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val d2 = graft.functions.SquaredDistance.squaredDist(col("v"), col("cv"))
+    val wAssign = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
+    val assigned = v.join(broadcast(cent)).withColumn("d2", d2)
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col("id"), col("cid").as("cell"), col("d2"))
+    val wCap = Window.partitionBy("cell").orderBy(col("d2"), col("id"))
+    assigned.withColumn("cap_rank", row_number().over(wCap))
+      .select(col("id"), col("cell"), col("cap_rank"),
+        (col("cap_rank") <= capPerCluster).as("selected"))
+  }
+
+  /** 16 seeded cells over the embeddings corpus, 20 kept per cell. */
+  private val sClusterSample = Q(
+    (s, d) => clusterBalancedSample(Tables.embeddings(s, d), "vec_id",
+      "embedding", nList = 16, capPerCluster = 20).orderBy("id"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+            dist AS (SELECT v.vec_id AS id, cent.cid,
+                COALESCE(list_sum(list_transform(range(0, 64),
+                  i -> (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1])
+                     * (e[CAST(i AS INT) + 1] - cv[CAST(i AS INT) + 1]))), 0)
+                  AS d2
+              FROM v CROSS JOIN cent),
+            ar AS (SELECT id, cid, d2, row_number() OVER
+                     (PARTITION BY id ORDER BY d2, cid) AS r FROM dist),
+            assigned AS (SELECT id, cid AS cell, d2 FROM ar WHERE r = 1),
+            rk AS (SELECT id, cell, row_number() OVER
+                     (PARTITION BY cell ORDER BY d2, id) AS cap_rank
+                   FROM assigned)
+            SELECT id, cell, CAST(cap_rank AS INT) AS cap_rank,
+                   (cap_rank <= 20) AS selected
+            FROM rk ORDER BY id"""))
+
   val queries: Map[String, Q] = Map(
+    "q_s_cluster_sample" -> sClusterSample,
     "q_s_cosine_topk" -> sTopK,
     "q_s_ann_lsh" -> sAnn,
     "q_s_ann_ivf" -> sIvf,

@@ -148,4 +148,28 @@ class SimilarityOpsSpec extends SparkSpecBase {
     val survivors = out.collect { case (id, (cell, true)) => (id, cell) }
     assert(survivors.map(_._1).toSet === Set(0L, 1L, 3L))
   }
+
+  test("cluster-balanced sample caps each cell, most prototypical first") {
+    // two clusters around the axes: 4 x-ish vectors, 2 y-ish vectors;
+    // cap 2 → x cluster drops its 2 farthest members, y cluster intact
+    val df = Seq(
+      (0L, Array(10f, 0f, 0f)), (1L, Array(0f, 10f, 0f)), // seed centroids
+      (2L, Array(9f, 1f, 0f)), (3L, Array(8f, 2f, 0f)),
+      (4L, Array(7f, 3f, 0f)), (5L, Array(1f, 9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.clusterBalancedSample(df, "vec_id", "embedding",
+        nList = 2, capPerCluster = 2).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cell"), r.getAs[Int]("cap_rank"),
+          r.getAs[Boolean]("selected"))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L), "nothing dropped")
+    // per-cell selected counts = min(cap, cell size)
+    val perCell = out.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._3) }
+    assert(perCell === Map(0L -> 2, 1L -> 2))
+    // x cluster: centroid itself (d2=0) ranks 1, nearest member 2 ranks 2;
+    // farther members 3 and 4 unselected
+    assert(out(0L)._3 && out(2L)._3 && !out(3L)._3 && !out(4L)._3)
+    assert(out(1L)._3 && out(5L)._3)
+  }
 }
