@@ -77,7 +77,13 @@ object Bench {
     "q_t_pack_grouped",
     "q_d_embed_incremental",
     "q_t_html_strip",
-    "q_sk_cms")
+    "q_sk_cms",
+    // round-9 operators: DSIR importance resampling (dual bigram-LM
+    // scoring in one pass), token-balanced sharding (global prefix sum),
+    // cluster-balanced embedding sampling (quantizer + capped rank)
+    "q_t_dsir",
+    "q_p17_token_shards",
+    "q_s_cluster_sample")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -132,7 +138,9 @@ object Bench {
     "q_t_ppl_buckets" -> 10.0, "q_d_decontaminate_scored" -> 2.0,
     "q_pipeline_tokenize" -> 8.0, "q_j_salted_adaptive" -> 3.0,
     "q_t_pack_grouped" -> 3.0, "q_d_embed_incremental" -> 2.0,
-    "q_t_html_strip" -> 3.0, "q_sk_cms" -> 3.0)
+    "q_t_html_strip" -> 3.0, "q_sk_cms" -> 3.0,
+    "q_t_dsir" -> 12.0, "q_p17_token_shards" -> 4.0,
+    "q_s_cluster_sample" -> 4.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
