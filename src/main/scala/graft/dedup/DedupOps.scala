@@ -77,6 +77,39 @@ object DedupOps {
     (out, () => { sh.unpersist(blocking = false); () })
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: c(A→B) = |A∩B| / |A|. Jaccard
+    * misses the quote/syndication case — a short document wholly embedded
+    * in a much longer one scores |∩|/|union| ≈ |A|/|B| (low) but
+    * containment ≈ 1. Same blocked shared-shingle candidate join as
+    * [[ngramJaccardPairsReleasable]] (block key = shuffle key, never
+    * all-pairs); emits a pair when EITHER direction reaches `threshold`,
+    * with both directions reported so the caller knows which side is the
+    * contained one. */
+  def containmentPairsReleasable(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, k: Int = 3,
+      threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    val sh = shingles(df, idCol, textCol, blockCol, k).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("ida", "block", "shingle")
+    val b = sh.toDF("idb", "block", "shingle")
+    val shared = a.join(b, Seq("block", "shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.toDF("ida", "sza"), "ida")
+      .join(sizes.toDF("idb", "szb"), "idb")
+      .withColumn("containment_a", round(col("shared") / col("sza"), 6))
+      .withColumn("containment_b", round(col("shared") / col("szb"), 6))
+      .filter(col("containment_a") >= threshold ||
+        col("containment_b") >= threshold)
+      .select("ida", "idb", "shared", "containment_a", "containment_b")
+    (out, () => { sh.unpersist(blocking = false); () })
+  }
+
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 3, threshold: Double = 0.5): DataFrame =
+    containmentPairsReleasable(df, idCol, textCol, blockCol, k, threshold)._1
+
   /** MinHash+LSH candidate pairs via MLlib: 3-gram shingle set →
     * binary vector (HashingTF) → MinHashLSH banded join. The
     * approxSimilarityJoin only compares within-band hash buckets — the
@@ -461,6 +494,34 @@ object DedupOps {
             JOIN sizes sa ON sa.doc_id = ida
             JOIN sizes sb ON sb.doc_id = idb
             WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.05
+            ORDER BY ida, idb"""))
+
+  /** Same lang-blocked shingle frame as q_d_ngram_jaccard, containment
+    * direction reported both ways. */
+  private val dContainment = Q(
+    (s, d) => containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      "lang", 3, 0.5).orderBy("ida", "idb"),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            sh AS (SELECT DISTINCT doc_id, lang,
+                unnest(list_transform(range(GREATEST(len(t) - 2, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                       || ' ' || t[CAST(i AS INT)+3])) AS shingle
+              FROM toks),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1,2)
+            SELECT ida, idb, shared,
+                   ROUND(CAST(shared AS DOUBLE) / sa.sz, 6) AS containment_a,
+                   ROUND(CAST(shared AS DOUBLE) / sb.sz, 6) AS containment_b
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = ida
+            JOIN sizes sb ON sb.doc_id = idb
+            WHERE ROUND(CAST(shared AS DOUBLE) / sa.sz, 6) >= 0.5
+               OR ROUND(CAST(shared AS DOUBLE) / sb.sz, 6) >= 0.5
             ORDER BY ida, idb"""))
 
   /** Exact all-pairs Jaccard oracle for the MinHash variants. Valid because
@@ -980,5 +1041,6 @@ object DedupOps {
     "q_d_simhash_pairs" -> dSimhashPairs,
     "q_d_embed_neardup" -> dEmbed,
     "q_d_decontaminate" -> dDecontam,
+    "q_d_containment" -> dContainment,
     "q_d_edit_verify" -> dEditVerify)
 }

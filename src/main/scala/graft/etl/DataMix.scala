@@ -201,8 +201,47 @@ object DataMix {
             WHERE """ + uniformSqlExpr("t.doc_id") + """ < r.rate
             ORDER BY t.doc_id"""))
 
+  /** Seeded deterministic corpus shuffle — the training-order permutation.
+    * A training run must visit documents in a random-looking order that is
+    * (a) reproducible across reruns and engines, (b) re-derivable for any
+    * single doc without materializing the permutation (resume-from-step),
+    * and (c) computable without a global sort by an RNG sequence. Sort key
+    * = md5(seed ‖ ':' ‖ id) — a pseudorandom total order any engine
+    * replays; the position is the distributed global index over that key
+    * (two-pass range scheme, no single-partition exchange).
+    *
+    * Changing the seed re-permutes; epoch e conventionally uses seed ‖ e.
+    * Returns (frame, release) — release drops the index's range cache. */
+  def seededShuffleReleasable(df: DataFrame, idCol: String, seed: String)
+      : (DataFrame, () => Unit) = {
+    val keyed = df.withColumn("__shufkey",
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+        .cast("binary")))
+    val (indexed, release) = GlobalIndex.withGlobalIndexReleasable(
+      keyed, Seq(col("__shufkey"), col(idCol)), "pos")
+    (indexed.drop("__shufkey"), release)
+  }
+
+  def seededShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    seededShuffleReleasable(df, idCol, seed)._1
+
+  /** Documents permuted under seed "epoch0". */
+  private val pShuffle = Q(
+    (s, d) => {
+      val (out, release) = seededShuffleReleasable(
+        Tables.documents(s, d).select("doc_id"), "doc_id", "epoch0")
+      val mat = out.orderBy("doc_id").localCheckpoint(eager = true)
+      release()
+      mat
+    },
+    Some("""SELECT doc_id,
+              row_number() OVER (ORDER BY
+                md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+            FROM documents ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_p16_token_budget_mix" -> pTokenMix,
     "q_p14_mix_sample" -> pMix,
-    "q_p15_weighted_sample" -> pWeighted)
+    "q_p15_weighted_sample" -> pWeighted,
+    "q_p18_shuffle" -> pShuffle)
 }

@@ -202,4 +202,39 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(out(3L) === ((20L, 0L, false)))
     assert(out(4L) === ((0L, 0L, false)), "gramless doc is never severe")
   }
+
+  test("containment catches a quote embedded in a longer doc that jaccard misses") {
+    // doc 2 = doc 1's text embedded in a much longer doc: containment(1→2)
+    // = 1.0 while jaccard is low; doc 3 unrelated
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, quote, "en"),
+      (2L, s"breaking news today $quote said the minister adding many words of context around the statement entirely", "en"),
+      (3L, "completely different content about other things altogether now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = DedupOps.containmentPairs(docs, "doc_id", "text", "lang",
+      k = 3, threshold = 0.9).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("ida") === 1L && r.getAs[Long]("idb") === 2L)
+    assert(r.getAs[Double]("containment_a") === 1.0, "quote fully contained")
+    assert(r.getAs[Double]("containment_b") < 0.9, "asymmetry reported")
+    // the jaccard operator at the same bar would NOT pair them
+    val j = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      3, 0.9).count()
+    assert(j === 0)
+  }
+
+  test("seeded shuffle: a permutation, reproducible, seed-sensitive") {
+    val df = (1L to 100L).toDF("doc_id")
+    def run(seed: String) =
+      graft.etl.DataMix.seededShuffle(df, "doc_id", seed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run("epoch0")
+    assert(a.values.toSeq.sorted === (1L to 100L), "positions are 1..n")
+    assert(a === run("epoch0"), "same seed -> same permutation")
+    assert(a !== run("epoch1"), "different seed -> different permutation")
+    // not the identity: md5 order should scramble
+    assert((1L to 100L).count(i => a(i) == i) < 10)
+  }
 }
