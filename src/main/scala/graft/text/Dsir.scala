@@ -36,25 +36,47 @@ object Dsir {
 
   /** Exact integer core: (idCol, n_bigrams, nlp_raw_micro, nlp_tgt_micro,
     * weight_micro) for every doc; null scores and weight for docs with
-    * < 2 tokens (emitted, not dropped — the selector decides). */
-  def weightsMicro(docs: DataFrame, idCol: String, textCol: String,
-      target: DataFrame, targetTextCol: String, k: Double = 1.0): DataFrame = {
+    * < 2 tokens (emitted, not dropped — the selector decides).
+    *
+    * The corpus token arrays are persisted ONCE and feed all three corpus
+    * consumers — raw unigram counts, raw bigram counts, and the scoring
+    * bigrams (the [[TextOps]] tf-diamond pattern); without the diamond the
+    * corpus text is re-tokenized three times, which dominates the query.
+    * Returns (frame, release); release unpersists the diamond after the
+    * result is materialized. */
+  def weightsMicroReleasable(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Double = 1.0)
+      : (DataFrame, () => Unit) = {
     require(k > 0, "smoothing k must be positive")
-    def model(df: DataFrame, text: String, suffix: String)
+    // (__id, __t) → (__id, x, y) sliding bigrams over the token array
+    def bigramsOf(tf: DataFrame): DataFrame =
+      tf.select(col("__id"), explode(
+          when(size(col("__t")) >= 2,
+            transform(sequence(lit(0), size(col("__t")) - 2),
+              i => struct(element_at(col("__t"), i + 1).as("x"),
+                element_at(col("__t"), i + 2).as("y"))))
+            .otherwise(array().cast("array<struct<x:string,y:string>>")))
+          .as("b"))
+        .select(col("__id"), col("b.x").as("x"), col("b.y").as("y"))
+    def model(tf: DataFrame, suffix: String)
         : (DataFrame, DataFrame, DataFrame) = {
-      val toks = df.select(explode(tokens(col(text))).as("tok"))
+      val toks = tf.select(explode(col("__t")).as("tok"))
       (toks.groupBy("tok").agg(count(lit(1)).as(s"cx_$suffix"))
          .withColumnRenamed("tok", "x"),
        toks.agg(countDistinct("tok").as(s"v_$suffix")),
-       NgramLm.bigrams(df, monotonically_increasing_id(), text)
-         .groupBy("x", "y").agg(count(lit(1)).as(s"cxy_$suffix")))
+       bigramsOf(tf).groupBy("x", "y").agg(count(lit(1)).as(s"cxy_$suffix")))
     }
-    val (uniR, vocR, bcR) = model(docs, textCol, "r")
-    val (uniT, vocT, bcT) = model(target, targetTextCol, "t")
+    val corpusToks = docs
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .persist()
+    val (uniR, vocR, bcR) = model(corpusToks, "r")
+    val (uniT, vocT, bcT) = model(
+      target.select(monotonically_increasing_id().as("__id"),
+        tokens(col(targetTextCol)).as("__t")), "t")
     def nlMicro(cxy: String, cx: String, v: String) =
       round(-log((coalesce(col(cxy), lit(0L)) + lit(k)) /
         (coalesce(col(cx), lit(0L)) + lit(k) * col(v))) * 1e6).cast("long")
-    val scored = NgramLm.bigrams(docs, col(idCol), textCol)
+    val scored = bigramsOf(corpusToks)
       .join(bcR, Seq("x", "y"), "left")
       .join(bcT, Seq("x", "y"), "left")
       .join(uniR, Seq("x"), "left")
@@ -66,13 +88,18 @@ object Dsir {
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum("__nl_r").as("nlp_raw_micro"), sum("__nl_t").as("nlp_tgt_micro"))
-    docs.select(col(idCol))
+    val out = docs.select(col(idCol))
       .join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("nlp_raw_micro"), col("nlp_tgt_micro"),
         (col("nlp_raw_micro") - col("nlp_tgt_micro")).as("weight_micro"))
+    (out, () => { corpusToks.unpersist(blocking = false); () })
   }
+
+  def weightsMicro(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Double = 1.0): DataFrame =
+    weightsMicroReleasable(docs, idCol, textCol, target, targetTextCol, k)._1
 
   /** DSIR selection: keep the top num/den fraction of scorable docs by
     * (weight desc, id). Unscorable docs come back selected = false.
@@ -83,9 +110,10 @@ object Dsir {
       num: Int = 1, den: Int = 5, k: Double = 1.0)
       : (DataFrame, () => Unit) = {
     require(num > 0 && den >= num, "need 0 < num/den <= 1")
-    val w = weightsMicro(docs, idCol, textCol, target, targetTextCol, k)
+    val (w, releaseW) =
+      weightsMicroReleasable(docs, idCol, textCol, target, targetTextCol, k)
     val scorable = w.filter(col("n_bigrams") > 0)
-    val (ranked, release) = graft.etl.GlobalIndex.withGlobalIndexReleasable(
+    val (ranked, releaseIdx) = graft.etl.GlobalIndex.withGlobalIndexReleasable(
       scorable, Seq(col("weight_micro").desc, col(idCol)), "__rn")
     val n = scorable.agg(count(lit(1)).as("__n"))
     val out = ranked.crossJoin(broadcast(n))
@@ -95,7 +123,7 @@ object Dsir {
       .drop("__rn", "__n")
       .unionByName(w.filter(col("n_bigrams") === 0)
         .withColumn("selected", lit(false)))
-    (out, release)
+    (out, () => { releaseIdx(); releaseW() })
   }
 
   def selectTopFraction(docs: DataFrame, idCol: String, textCol: String,
