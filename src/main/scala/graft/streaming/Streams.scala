@@ -239,6 +239,65 @@ object Streams {
       .select(col(idCol), col(tsCol))
   }
 
+  /** Streaming DSIR quality gate — the stream-edge twin of
+    * [[graft.text.Dsir]]: documents stream in; each is scored by the
+    * importance weight log p_target − log p_raw under STATIC add-k bigram
+    * models ([[graft.text.Dsir.modelFrames]], fitted offline on the raw
+    * and target corpora — cache them, they re-evaluate per micro-batch
+    * otherwise), and only docs at or above `cutoffMicro` pass. A stream
+    * cannot rank globally, so the top-fraction cut is calibrated in BATCH
+    * (read the weight at the selection boundary of the last batch run)
+    * and applied here as a pure integer filter.
+    *
+    * State bound: the per-doc score aggregation groups by (event-time
+    * window, id) under the watermark — closed windows evict, so state is
+    * (docs-per-horizon) rows, never corpus-sized. The model joins are
+    * stream-static equi-joins on the bigram/unigram key; the 1-row
+    * vocabulary sizes attach on a constant key.
+    *
+    * Output: (idCol, n_bigrams, weight_micro) for PASSING docs —
+    * micro-nat integers, exactly the batch operator's weights (spec pins
+    * stream == batch). */
+  def streamingDsirGate(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, rawModel: (DataFrame, DataFrame, DataFrame),
+      targetModel: (DataFrame, DataFrame, DataFrame), cutoffMicro: Long,
+      k: Double = 1.0, watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.text.{Dsir, TextOps}
+    val (uniR, vocR, bcR) = rawModel
+    val (uniT, vocT, bcT) = targetModel
+    // the ts column must survive the bigram explode (it carries the
+    // window), so the explode is inlined rather than Dsir.bigramsOf
+    val exploded = docs.withWatermark(tsCol, watermark)
+      .select(col(idCol).as("__id"), col(tsCol).as("__ts"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("__id"), col("__ts"), explode(
+          when(size(col("__t")) >= 2,
+            transform(sequence(lit(0), size(col("__t")) - 2),
+              i => struct(element_at(col("__t"), i + 1).as("x"),
+                element_at(col("__t"), i + 2).as("y"))))
+            .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("b"))
+      .select(col("__id"), col("__ts"), col("b.x").as("x"), col("b.y").as("y"))
+    val one = lit(1).as("__one")
+    val scored = exploded
+      .join(bcR, Seq("x", "y"), "left")
+      .join(bcT, Seq("x", "y"), "left")
+      .join(uniR, Seq("x"), "left")
+      .join(uniT, Seq("x"), "left")
+      .withColumn("__one", one)
+      .join(vocR.withColumn("__one", one), Seq("__one"))
+      .join(vocT.withColumn("__one", one), Seq("__one"))
+      .withColumn("__nl_r", Dsir.nlMicroExpr("cxy_r", "cx_r", "v_r", k))
+      .withColumn("__nl_t", Dsir.nlMicroExpr("cxy_t", "cx_t", "v_t", k))
+    scored
+      .groupBy(window(col("__ts"), windowDur), col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum("__nl_r") - sum("__nl_t")).as("weight_micro"))
+      .filter(col("weight_micro") >= cutoffMicro)
+      .select(col("__id").as(idCol), col("n_bigrams"), col("weight_micro"))
+  }
+
   /** Typed event stream from a parquet events directory — the file-sourced
     * entry to [[sessionize]]/[[windowedCounts]]. A file stream needs its
     * schema declared up front, so the footer is read once (driver-side,

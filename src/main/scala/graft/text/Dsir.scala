@@ -44,28 +44,48 @@ object Dsir {
     * corpus text is re-tokenized three times, which dominates the query.
     * Returns (frame, release); release unpersists the diamond after the
     * result is materialized. */
+  /** (__id, __t) → (__id, x, y) sliding bigrams over the token array. */
+  private[graft] def bigramsOf(tf: DataFrame): DataFrame =
+    tf.select(col("__id"), explode(
+        when(size(col("__t")) >= 2,
+          transform(sequence(lit(0), size(col("__t")) - 2),
+            i => struct(element_at(col("__t"), i + 1).as("x"),
+              element_at(col("__t"), i + 2).as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>")))
+        .as("b"))
+      .select(col("__id"), col("b.x").as("x"), col("b.y").as("y"))
+
+  private def model(tf: DataFrame, suffix: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = tf.select(explode(col("__t")).as("tok"))
+    (toks.groupBy("tok").agg(count(lit(1)).as(s"cx_$suffix"))
+       .withColumnRenamed("tok", "x"),
+     toks.agg(countDistinct("tok").as(s"v_$suffix")),
+     bigramsOf(tf).groupBy("x", "y").agg(count(lit(1)).as(s"cxy_$suffix")))
+  }
+
+  /** Add-k bigram model count frames of a STATIC corpus, for composition
+    * outside the batch path (e.g. the streaming gate): unigram counts
+    * (x, cx_suffix), 1-row vocabulary size (v_suffix), bigram counts
+    * (x, y, cxy_suffix). */
+  def modelFrames(df: DataFrame, textCol: String, suffix: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    // the row id is never consumed by the count aggregations, and a real
+    // id expression (monotonically_increasing_id) would be rejected by
+    // the streaming checker when these frames join a stream
+    model(df.select(lit(0L).as("__id"),
+      tokens(col(textCol)).as("__t")), suffix)
+
+  /** The per-bigram negative log-prob in integer micro-nats. */
+  private[graft] def nlMicroExpr(cxy: String, cx: String, v: String,
+      k: Double): org.apache.spark.sql.Column =
+    round(-log((coalesce(col(cxy), lit(0L)) + lit(k)) /
+      (coalesce(col(cx), lit(0L)) + lit(k) * col(v))) * 1e6).cast("long")
+
   def weightsMicroReleasable(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, k: Double = 1.0)
       : (DataFrame, () => Unit) = {
     require(k > 0, "smoothing k must be positive")
-    // (__id, __t) → (__id, x, y) sliding bigrams over the token array
-    def bigramsOf(tf: DataFrame): DataFrame =
-      tf.select(col("__id"), explode(
-          when(size(col("__t")) >= 2,
-            transform(sequence(lit(0), size(col("__t")) - 2),
-              i => struct(element_at(col("__t"), i + 1).as("x"),
-                element_at(col("__t"), i + 2).as("y"))))
-            .otherwise(array().cast("array<struct<x:string,y:string>>")))
-          .as("b"))
-        .select(col("__id"), col("b.x").as("x"), col("b.y").as("y"))
-    def model(tf: DataFrame, suffix: String)
-        : (DataFrame, DataFrame, DataFrame) = {
-      val toks = tf.select(explode(col("__t")).as("tok"))
-      (toks.groupBy("tok").agg(count(lit(1)).as(s"cx_$suffix"))
-         .withColumnRenamed("tok", "x"),
-       toks.agg(countDistinct("tok").as(s"v_$suffix")),
-       bigramsOf(tf).groupBy("x", "y").agg(count(lit(1)).as(s"cxy_$suffix")))
-    }
     val corpusToks = docs
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
       .persist()
@@ -73,9 +93,7 @@ object Dsir {
     val (uniT, vocT, bcT) = model(
       target.select(monotonically_increasing_id().as("__id"),
         tokens(col(targetTextCol)).as("__t")), "t")
-    def nlMicro(cxy: String, cx: String, v: String) =
-      round(-log((coalesce(col(cxy), lit(0L)) + lit(k)) /
-        (coalesce(col(cx), lit(0L)) + lit(k) * col(v))) * 1e6).cast("long")
+    def nlMicro(cxy: String, cx: String, v: String) = nlMicroExpr(cxy, cx, v, k)
     val scored = bigramsOf(corpusToks)
       .join(bcR, Seq("x", "y"), "left")
       .join(bcT, Seq("x", "y"), "left")

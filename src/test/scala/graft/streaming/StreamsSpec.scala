@@ -71,6 +71,47 @@ class StreamsSpec extends SparkSpecBase {
     assert(out.exists(u => u.userId == 8 && u.nEvents == 1))
   }
 
+  test("streaming DSIR gate: stream weights equal batch, cutoff filters") {
+    import graft.text.Dsir
+    val raw = Seq(
+      (1L, "int main return int main return"),
+      (2L, "void loop break void loop break"),
+      (3L, "the cat sat on the mat"),
+      (4L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "the cat sat on the rug"),
+      (11L, "the dog sat on the mat"))
+      .toDF("doc_id", "text")
+    // batch truth: per-doc integer weights
+    val batch = Dsir.weightsMicro(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // cutoff between the code docs and the prose docs
+    val cutoff = (Seq(1L, 2L).map(batch).max + Seq(3L, 4L).map(batch).min) / 2
+    val rawModel = Dsir.modelFrames(raw, "text", "r")
+    val targetModel = Dsir.modelFrames(target, "text", "t")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.streamingDsirGate(stream, "doc_id", "text", "ts",
+        rawModel, targetModel, cutoff)
+      .writeStream.format("memory").queryName("dsir_gate_out")
+      .outputMode("update").start()
+    input.addData(
+      (1L, "int main return int main return", ts(0)),
+      (2L, "void loop break void loop break", ts(1)),
+      (3L, "the cat sat on the mat", ts(2)),
+      (4L, "the dog sat on the rug", ts(3)))
+    q.processAllAvailable()
+    val out = spark.table("dsir_gate_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_micro"))
+      .toMap
+    q.stop()
+    assert(out.keySet === Set(3L, 4L), "only target-like docs pass the gate")
+    assert(out(3L) === batch(3L) && out(4L) === batch(4L),
+      "stream weights == batch weights, micro-nat exact")
+  }
+
   test("streaming exact dedup drops same-content docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
