@@ -297,6 +297,37 @@ object ExplainAudit {
           !p.contains("BroadcastNestedLoopJoin")),
       "heavy-key set attaches by broadcast to both sides" ->
         (_.contains("BroadcastHashJoin")))
+    audit("q_d_containment",
+      "containment candidates come from the blocked shingle equi-join" ->
+        (p => p.contains("Join") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "pair counts partial-aggregate before their shuffle" ->
+        (_.contains("HashAggregate")))
+    audit("q_s_cluster_sample",
+      "per-cluster cap is a keyed window (no single-partition exchange)" ->
+        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")))
+    // q_p18_shuffle registers an eager-checkpointed frame; audit the
+    // OPERATOR's pre-checkpoint plan: the permutation position must come
+    // from the range-partitioned global index, never a single-partition
+    // row_number.
+    section("seeded shuffle (operator form)") {
+      val (out, release) = graft.etl.DataMix.seededShuffleReleasable(
+        graft.Tables.documents(spark, sf).select("doc_id"), "doc_id",
+        "epoch0")
+      val plan = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== seeded shuffle (operator form) ===")
+      val checks = Seq(
+        "no single-partition exchange (position = global index)" ->
+          !plan.contains("Exchange SinglePartition"),
+        "permutation order comes from range partitioning" ->
+          plan.contains("rangepartitioning"))
+      checks.foreach { case (desc, ok) =>
+        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+        if (!ok) failures ::= s"seeded shuffle: $desc"
+      }
+      release()
+    }
     // q_p17_token_shards registers an eager-checkpointed frame; audit the
     // OPERATOR's pre-checkpoint plan: the token prefix sum must be the
     // two-pass range scheme (never a single-partition window) and the
