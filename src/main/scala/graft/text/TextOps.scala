@@ -205,10 +205,21 @@ object TextOps {
     * counts ([[graft.text.BpeMerge.encodeCorpus]]) instead of the regex
     * estimate. */
   def packCountedReleasable(counted: DataFrame, idCol: String,
-      budget: Long): (DataFrame, () => Unit) = {
+      budget: Long): (DataFrame, () => Unit) =
+    packCountedOrderedReleasable(counted, Seq(col(idCol)), budget)
+
+  /** [[packCountedReleasable]] with an explicit layout ORDER (must be
+    * total, the GlobalIndex convention) — the curriculum surface: packing
+    * in (difficulty, id) order lays the token stream out so early
+    * training sequences hold easy documents (e.g. short-to-long length
+    * curriculum, ascending-perplexity CCNet ordering). Same two-pass
+    * range-partitioned prefix sum; only the order differs. */
+  def packCountedOrderedReleasable(counted: DataFrame,
+      order: Seq[org.apache.spark.sql.Column], budget: Long)
+      : (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
     val (cum, release) = graft.etl.GlobalIndex.withGlobalCumsumReleasable(
-      counted, Seq(col(idCol)), col("n_tokens"), "start_tok")
+      counted, order, col("n_tokens"), "start_tok")
     // last occupied offset: start + max(n,1) − 1 (the max keeps empty
     // docs single-bin without claiming a token)
     val lastTok = col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1
@@ -624,6 +635,37 @@ object TextOps {
                 - start_tok // 512 + 1 AS BIGINT) AS n_segments
             FROM c ORDER BY doc_id"""))
 
+  /** Short-to-long length-curriculum packing: same pack-and-chop, laid
+    * out in (n_tokens asc, doc_id) order so the earliest sequences hold
+    * the shortest documents. */
+  private val tPackCurriculum = Q(
+    (s, d) => {
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        coalesce(bpeTokenCount(col("text")), lit(0L)).as("n_tokens"))
+      val (out, release) = packCountedOrderedReleasable(
+        counted, Seq(col("n_tokens"), col("doc_id")), 512L)
+      val mat = out.orderBy("doc_id").localCheckpoint(eager = true)
+      release()
+      mat
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+              FROM t)
+            SELECT doc_id, n_tokens, start_tok,
+              CAST(start_tok // 512 AS BIGINT) AS bin_first,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+                AS bin_last,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512
+                - start_tok // 512 + 1 AS BIGINT) AS n_segments
+            FROM c ORDER BY doc_id"""))
+
   /** Domain-separated packing over the documents corpus: per-source
     * streams, 512-token sequences. The oracle replays the rebase with a
     * plain per-group window (replay-side luxury; the Spark side uses one
@@ -701,6 +743,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "q_t_pack" -> tPack,
+    "q_t_pack_curriculum" -> tPackCurriculum,
     "q_t_pack_grouped" -> tPackGrouped,
     "q_t_html_strip" -> tHtmlStrip,
     "q_t_token_count" -> tTokens,

@@ -218,4 +218,17 @@ class TextOpsSpec extends SparkSpecBase {
       "group B restarts at offset 0 — sequences never mix groups")
     spark.catalog.clearCache()
   }
+
+  test("curriculum packing lays short docs out first") {
+    import org.apache.spark.sql.functions.col
+    val counted = Seq((1L, 100L), (2L, 5L), (3L, 40L), (4L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val (out, release) = TextOps.packCountedOrderedReleasable(
+      counted, Seq(col("n_tokens"), col("doc_id")), 512L)
+    val offs = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_tok")).toMap
+    release()
+    // layout order (n_tokens, id): 2(5) -> 4(5) -> 3(40) -> 1(100)
+    assert(offs === Map(2L -> 0L, 4L -> 5L, 3L -> 10L, 1L -> 50L))
+  }
 }
