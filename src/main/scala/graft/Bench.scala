@@ -85,7 +85,8 @@ object Bench {
     "q_p17_token_shards",
     "q_s_cluster_sample",
     "q_d_containment",
-    "q_p18_shuffle")
+    "q_p18_shuffle",
+    "q_t_pack_curriculum")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -143,7 +144,7 @@ object Bench {
     "q_t_html_strip" -> 3.0, "q_sk_cms" -> 3.0,
     "q_t_dsir" -> 12.0, "q_p17_token_shards" -> 4.0,
     "q_s_cluster_sample" -> 4.0, "q_d_containment" -> 8.0,
-    "q_p18_shuffle" -> 3.0)
+    "q_p18_shuffle" -> 3.0, "q_t_pack_curriculum" -> 3.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
