@@ -86,7 +86,15 @@ object Bench {
     "q_s_cluster_sample",
     "q_d_containment",
     "q_p18_shuffle",
-    "q_t_pack_curriculum")
+    "q_t_pack_curriculum",
+    // round-9 additions: Gopher rule gate + trigram diversity (map-side
+    // text battery), temperature mix + reservoir sample (k-row broadcast
+    // decisions), Bloom-prefiltered decontamination (runtime-filter shape)
+    "q_t_gopher_rules",
+    "q_t_diversity",
+    "q_p19_temperature_mix",
+    "q_p20_reservoir",
+    "q_d_bloom_decon")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -144,7 +152,10 @@ object Bench {
     "q_t_html_strip" -> 3.0, "q_sk_cms" -> 3.0,
     "q_t_dsir" -> 12.0, "q_p17_token_shards" -> 4.0,
     "q_s_cluster_sample" -> 4.0, "q_d_containment" -> 8.0,
-    "q_p18_shuffle" -> 3.0, "q_t_pack_curriculum" -> 3.0)
+    "q_p18_shuffle" -> 3.0, "q_t_pack_curriculum" -> 3.0,
+    "q_t_gopher_rules" -> 4.0, "q_t_diversity" -> 4.0,
+    "q_p19_temperature_mix" -> 2.0, "q_p20_reservoir" -> 2.0,
+    "q_d_bloom_decon" -> 4.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

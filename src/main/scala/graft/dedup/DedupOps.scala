@@ -463,6 +463,80 @@ object DedupOps {
           coalesce(col("n_grams"), lit(0L)) > 0).as("severe"))
   }
 
+  /** [[decontaminate]] behind a Bloom-filter prefilter — the runtime-filter
+    * pattern (Bloom 1970; the same move as Spark's own
+    * InjectRuntimeFilter, built here from engine-neutral md5 so the
+    * result is reproducible anywhere): build an `mBits`-bit Bloom filter
+    * over the benchmark gram set IN-PLAN, broadcast it as ONE map row
+    * (word-index → 64-bit word, mBits/64 entries ≈ 8 KiB at the default —
+    * orders of magnitude smaller than the gram-string set), and drop
+    * corpus grams whose `kHash` bit probes are not all set BEFORE the
+    * string equi-join. Bloom error is one-sided (no false negatives:
+    * every benchmark gram set its own bits), so candidates ⊇ true hits
+    * and the exact verify join restores [[decontaminate]]'s output
+    * bit-for-bit — false positives only cost a little verify work.
+    *
+    * Scale: at 100 TB the corpus side dominates; the bitmap probe is a
+    * map-side scalar test in the scan stage (no join, no shuffle), so the
+    * per-gram string join only sees the tiny candidate slice. The bitmap
+    * build is a bounded aggregation (≤ mBits/64 rows) over the tiny
+    * benchmark side. */
+  /** The Bloom-prefilter stage of [[decontaminateBloom]]: returns the
+    * (id, g) corpus-gram slice whose `kHash` bit probes all hit the
+    * benchmark bitmap, plus the distinct benchmark gram frame (persisted —
+    * the caller's terminal action or clearCache releases it). Exposed
+    * `private[graft]` so the spec can measure the false-positive rate of
+    * the prefilter in isolation. */
+  private[graft] def bloomCandidatesWithBench(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String, n: Int,
+      mBits: Int, kHash: Int): (DataFrame, DataFrame) = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(kHash >= 1, "kHash must be >= 1")
+    def grams(df: DataFrame, id: String): DataFrame =
+      shingles(df.withColumn("__blk", lit(1)), id, textCol, "__blk", n)
+        .select(col("id"), col("shingle").as("g"))
+    val bg = grams(bench.select(lit(0L).as("__bid"),
+        col(benchTextCol).as(textCol)), "__bid")
+      .select("g").distinct()
+      // consumed twice (bitmap build + exact verify); benchmark gram sets
+      // are eval-suite-sized, so the persist is small and saves the
+      // second tokenize+distinct pass
+      .persist()
+    // kHash md5-derived bit positions per gram, as a map-side array
+    def positions(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(1), lit(kHash)), j =>
+        pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), g)
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(mBits.toLong)))
+    val bitmap = bg.select(explode(positions(col("g"))).as("p"))
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bw"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bw"))))
+        .as("bm"))
+    val cand = grams(docs, idCol)
+      .withColumn("__ps", positions(col("g")))
+      .crossJoin(broadcast(bitmap))
+      .filter(expr("forall(__ps, p -> " +
+        "(coalesce(element_at(bm, p div 64), 0L) & " +
+        "shiftleft(1L, cast(p % 64 as int))) != 0)"))
+      .select("id", "g")
+    (cand, bg)
+  }
+
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5,
+      mBits: Int = 1 << 16, kHash: Int = 3): DataFrame = {
+    val (cand, bg) = bloomCandidatesWithBench(
+      docs, idCol, textCol, bench, benchTextCol, n, mBits, kHash)
+    val hits = cand.join(broadcast(bg), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // -- registered queries -------------------------------------------------
 
   private val dExact = Q(
@@ -674,6 +748,44 @@ object DedupOps {
             ev AS (SELECT
                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
               FROM documents WHERE doc_id % 29 = 0),
+            evg AS (SELECT DISTINCT
+                unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                    || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]
+                    || ' ' || t[CAST(i AS INT)+5])) AS g
+              FROM ev),
+            trg AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                    || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]
+                    || ' ' || t[CAST(i AS INT)+5])) AS g
+              FROM tr),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hit
+              FROM trg JOIN evg USING (g) GROUP BY 1)
+            SELECT t.doc_id, COALESCE(h.n_hit, 0) AS n_hit,
+                   COALESCE(h.n_hit, 0) > 0 AS contaminated
+            FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
+
+  /** Bloom-prefiltered decontamination over its own eval split
+    * (doc_id % 31 == 0). Bloom error is one-sided, so the oracle is the
+    * EXACT n-gram overlap SQL — the bitmap prefilter must be invisible in
+    * the result; the false-positive rate and prune ratio are pinned by
+    * DedupOpsSpec instead. */
+  private val dBloomDecon = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(31)) =!= 0), "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(31)) === 0), "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tr AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id % 31 <> 0),
+            ev AS (SELECT
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id % 31 = 0),
             evg AS (SELECT DISTINCT
                 unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
                   i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
@@ -1041,6 +1153,7 @@ object DedupOps {
     "q_d_simhash_pairs" -> dSimhashPairs,
     "q_d_embed_neardup" -> dEmbed,
     "q_d_decontaminate" -> dDecontam,
+    "q_d_bloom_decon" -> dBloomDecon,
     "q_d_containment" -> dContainment,
     "q_d_edit_verify" -> dEditVerify)
 }

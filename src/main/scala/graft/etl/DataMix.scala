@@ -239,9 +239,167 @@ object DataMix {
                 md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
             FROM documents ORDER BY doc_id"""))
 
+  /** Temperature-scaled source mixing (the mT5/UniMax multilingual
+    * rebalancing step — Xue et al. 2021 §3.1, Chung et al. 2023): flatten
+    * the source-size distribution so the kept counts are ∝ n_s^α,
+    * α ∈ (0, 1], by down-sampling each source at
+    *
+    *   rate_s = (n_min / n_s)^(1−α)
+    *
+    * The smallest source is kept whole; a source 100× larger is kept at
+    * 100^(α−1) of its rows (α = 0.5 → 10× down-weight), which is exactly
+    * sampling with temperature T = 1/α. Decision = the same pure map-side
+    * u(id) < rate_s test as [[mixSample]].
+    *
+    * Scale: one k-row count aggregation (k = #sources, with map-side
+    * partial counts), a broadcast of the k-row rate table, and a scan-stage
+    * filter — the corpus itself never shuffles.
+    *
+    * Cross-engine float contract: α = 0.5 computes rate via sqrt (correctly
+    * rounded in IEEE 754, so DuckDB reproduces it bit-identically); other α
+    * go through pow, whose last-ulp rounding is not guaranteed identical
+    * across libm implementations — fine for production use, but oracle
+    * queries pin α = 0.5. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n_s"))
+    val nmin = counts.agg(min("n_s").as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_s").cast("double")
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(sourceCol), col("n_s"),
+        (if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha))
+          .as("rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(uniformHash(col(idCol)) < col("rate"))
+      .select(col(idCol), col(sourceCol), col("n_s"), col("rate"))
+  }
+
+  /** α = 0.5 (temperature 2) over the documents corpus grouped by LANGUAGE
+    * — the canonical mT5 use, and the skewed grouping in this corpus (en
+    * is ~3× the smallest language; the 20 sources are deliberately
+    * balanced, which would make every rate 1). The oracle replays counts,
+    * sqrt rates, and the md5-uniform keep decision with the identical
+    * IEEE doubles. */
+  private val pTemperature = Q(
+    (s, d) => temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+      alpha = 0.5).orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
+                       FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n_s) AS n_min FROM c),
+            r AS (SELECT lang, n_s,
+                    sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+                  FROM c CROSS JOIN m)
+            SELECT d.doc_id, d.lang, r.n_s, r.rate
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE """ + uniformSqlExpr("d.doc_id") + """ < r.rate
+            ORDER BY d.doc_id"""))
+
+  /** Seeded reservoir sampling: EXACTLY k documents per group (vs the
+    * rate-based operators above, which hit a target only in expectation —
+    * eval sets and per-domain probes need exact counts). The sample is the
+    * k smallest values of md5(seed ‖ ':' ‖ id) within each group: a
+    * uniform draw without replacement that any engine replays, independent
+    * of partitioning (groups smaller than k come back whole).
+    *
+    * Scale: a giant group must NOT funnel through one window task, so the
+    * selection is a two-level tournament — level 1 takes the top-k per
+    * (group, input-partition), bounding every task's output at k rows per
+    * group it sees and hashing the shuffle on (group, partition-id) so no
+    * single reducer receives a whole hot group; level 2 ranks the
+    * ≤ k·P survivors per group. The result is exactly the global top-k
+    * (any row outside its partition's top-k is outside the group's top-k),
+    * which is what the oracle's single window computes. */
+  def reservoirSample(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__u",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+          .cast("binary")))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(groupCol, "__pid")
+      .orderBy(col("__u"), col(idCol))
+    val global = Window.partitionBy(groupCol).orderBy(col("__u"), col(idCol))
+    keyed
+      .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col(idCol), col(groupCol), col("rank"))
+  }
+
+  /** Exactly 7 docs per source under seed "rsv0"; the oracle replays the
+    * same md5 order with one window (hex strings compare identically —
+    * ASCII in both engines). */
+  private val pReservoir = Q(
+    (s, d) => reservoirSample(Tables.documents(s, d), "doc_id", "source",
+      k = 7, seed = "rsv0").orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5('rsv0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS rank
+            FROM documents)
+            SELECT doc_id, source, rank FROM r WHERE rank <= 7
+            ORDER BY doc_id"""))
+
+  /** Weighted sampling WITHOUT replacement, exactly k rows — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws
+    * u ∈ (0,1) and keeps key u^(1/w); the k largest keys are a weighted
+    * sample without replacement. We order by the equivalent
+    * −ln(u)/w ASCENDING (monotone transform — avoids the pow whose
+    * rounding differs across libms) and, per the engine's integer
+    * discipline, round the key to integer NANOUNITS before ranking so the
+    * order is reproducible cross-engine (ties broken by id; the same
+    * round-before-compare move as [[graft.text.Dsir]]). u is the md5
+    * uniform shifted to the open interval ((h+0.5)/2³² — u = 0 would put
+    * −ln(u) at +∞ regardless of weight).
+    *
+    * Scale: same two-level tournament as [[reservoirSample]] — keys are
+    * map-side scalars, no full-group window ever sees a hot group whole. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat(lit(seed), lit(":"),
+        col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val keyed = df
+      .filter(col(weightCol) > 0)
+      .withColumn("key_nano",
+        round(-log(u) / col(weightCol).cast("double") * 1e9).cast("long"))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy("__pid")
+      .orderBy(col("key_nano"), col(idCol))
+    val global = Window.orderBy(col("key_nano"), col(idCol))
+    keyed
+      .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col(idCol), col(weightCol), col("key_nano"), col("rank"))
+  }
+
+  /** 25 documents sampled ∝ n_chars under seed "wrsv0". The oracle replays
+    * u, the nano-rounded A-ES key, and one global window. */
+  private val pWeightedReservoir = Q(
+    (s, d) => weightedReservoir(Tables.documents(s, d)
+      .select("doc_id", "n_chars"), "doc_id", "n_chars", k = 25,
+      seed = "wrsv0").orderBy("doc_id"),
+    Some("""WITH key AS (SELECT doc_id, n_chars,
+              CAST(round(-ln((
+              """ + uniformSqlExpr("'wrsv0:' || CAST(doc_id AS VARCHAR)") +
+      """ * 4294967296.0 + 0.5) / 4294967296.0)
+                / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+              FROM documents WHERE n_chars > 0),
+            rk AS (SELECT doc_id, n_chars, key_nano,
+              row_number() OVER (ORDER BY key_nano, doc_id) AS rank
+              FROM key)
+            SELECT doc_id, n_chars, key_nano, rank FROM rk WHERE rank <= 25
+            ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_p16_token_budget_mix" -> pTokenMix,
     "q_p14_mix_sample" -> pMix,
     "q_p15_weighted_sample" -> pWeighted,
-    "q_p18_shuffle" -> pShuffle)
+    "q_p18_shuffle" -> pShuffle,
+    "q_p19_temperature_mix" -> pTemperature,
+    "q_p20_reservoir" -> pReservoir,
+    "q_p21_weighted_reservoir" -> pWeightedReservoir)
 }

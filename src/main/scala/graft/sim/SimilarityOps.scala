@@ -661,7 +661,86 @@ object SimilarityOps {
                    (cap_rank <= 20) AS selected
             FROM rk ORDER BY id"""))
 
+  /** Int8 scalar quantization (SQ8 — the FAISS storage-compression
+    * baseline, Jégou et al. TPAMI'11 §II): per-dimension min/max over the
+    * corpus, each component stored as code = round(255·(x−mn)/(mx−mn)),
+    * i.e. 4× smaller than float32. Returns per vector: n_dims, the integer
+    * code checksum, and the reconstruction error under dequantization
+    * mn + code·(mx−mn)/255, scaled to integer picounits
+    * (round(Σ(x−x̂)²·1e12)) — the per-term rounding happens BEFORE the sum,
+    * so the total is an exact integer reproducible under any partitioning
+    * and in DuckDB.
+    *
+    * Scale: the ONLY shuffle is the dim-keyed min/max aggregation over the
+    * exploded (pos, x) slice (dims rows out, map-side combined). The
+    * per-dim stats come back as ONE broadcast row of (mins, maxs) arrays;
+    * codes and error are then a per-row array fold in the scan stage — the
+    * corpus itself never shuffles and is read once per pass. A degenerate
+    * dimension (mx == mn) quantizes to code 0 with zero error. */
+  def scalarQuantize8(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val v = prep(df, idCol, vecCol)
+    val stats = v
+      .select(posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy("pos0").agg(min("x").as("mn"), max("x").as("mx"))
+    // one row: mins/maxs as position-ordered arrays (array_sort on the
+    // (pos, stat) structs orders by pos — the first struct field)
+    val statsRow = stats.agg(
+      transform(array_sort(collect_list(struct(col("pos0"), col("mn")))),
+        s => s.getField("mn")).as("mins"),
+      transform(array_sort(collect_list(struct(col("pos0"), col("mx")))),
+        s => s.getField("mx")).as("maxs"))
+    def at(a: String, i: org.apache.spark.sql.Column) = element_at(col(a), i)
+    // posexplode is 0-based, element_at 1-based
+    def code(i: org.apache.spark.sql.Column) = {
+      val (x, mn, mx) = (at("v", i), at("mins", i), at("maxs", i))
+      when(mx > mn, round(lit(255.0) * (x - mn) / (mx - mn)).cast("long"))
+        .otherwise(0L)
+    }
+    def errPico(i: org.apache.spark.sql.Column) = {
+      val (x, mn, mx) = (at("v", i), at("mins", i), at("maxs", i))
+      val dq = when(mx > mn,
+        mn + (code(i).cast("double") * (mx - mn)) / 255.0).otherwise(mn)
+      round(((x - dq) * (x - dq)) * 1e12).cast("long")
+    }
+    v.crossJoin(broadcast(statsRow))
+      .select(col("id").as(idCol),
+        size(col("v")).cast("long").as("n_dims"),
+        aggregate(sequence(lit(1), size(col("v"))), lit(0L),
+          (acc, i) => acc + code(i)).as("code_sum"),
+        aggregate(sequence(lit(1), size(col("v"))), lit(0L),
+          (acc, i) => acc + errPico(i)).as("err_pico"))
+  }
+
+  private val sSq8 = Q(
+    (s, d) => scalarQuantize8(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy("vec_id"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+            ex AS (SELECT vec_id, CAST(i AS INT) + 1 AS pos,
+                e[CAST(i AS INT) + 1] AS x
+              FROM v, LATERAL (SELECT unnest(range(len(e))) AS i) ii),
+            st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+                   FROM ex GROUP BY pos),
+            c AS (SELECT ex.vec_id,
+                CASE WHEN st.mx > st.mn
+                  THEN CAST(round(255.0 * (ex.x - st.mn) / (st.mx - st.mn))
+                    AS BIGINT) ELSE 0 END AS code,
+                st.mn, st.mx, ex.x
+              FROM ex JOIN st USING (pos)),
+            t AS (SELECT vec_id, code,
+                CASE WHEN mx > mn
+                  THEN mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0
+                  ELSE mn END AS dq, x
+              FROM c)
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+              CAST(SUM(code) AS BIGINT) AS code_sum,
+              CAST(SUM(CAST(round(((x - dq) * (x - dq)) * 1e12) AS BIGINT))
+                AS BIGINT) AS err_pico
+            FROM t GROUP BY vec_id ORDER BY vec_id"""))
+
   val queries: Map[String, Q] = Map(
+    "q_s_sq8" -> sSq8,
     "q_s_cluster_sample" -> sClusterSample,
     "q_s_cosine_topk" -> sTopK,
     "q_s_ann_lsh" -> sAnn,

@@ -741,7 +741,131 @@ object TextOps {
                 '\s+', ' ', 'g')) AS clean_text
             FROM p ORDER BY doc_id"""))
 
+  /** Gopher-style rule filter (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    * the RedPajama/Dolma "rule gate" that precedes model-based quality
+    * scoring): a fixed battery of cheap document heuristics, each a named
+    * boolean, with keep = AND of all. Rules and their integer forms (every
+    * ratio threshold is cross-multiplied so the whole gate is integer
+    * arithmetic — no float compare anywhere, bit-identical in any engine):
+    *
+    *   r_wc    word count within [minWords, maxWords]
+    *   r_mwl   mean word length in [3.5, 5] → 2·len_sum ≥ 7·n ∧ len_sum ≤ 5·n
+    *   r_alpha ≥ 80% of words contain an alphabetic char → 5·n_alpha ≥ 4·n
+    *   r_sym   symbol-to-word ratio ('#' and '…'/'...') ≤ 0.1 → 10·sym ≤ n
+    *   r_stop  ≥ 2 stopword hits
+    *
+    * Scale: pure map-side — one token split feeding all counters (the
+    * materialized-array discipline of [[qualityColumns]]), then scalar
+    * integer tests; composes into the scan stage, no shuffle, no UDF. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 80): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    df.select(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("len_sum"),
+        size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        (length(col("__text")) - length(regexp_replace(col("__text"),
+          "[#…]", "")) +
+          (length(col("__text")) - length(regexp_replace(col("__text"),
+            "\\.\\.\\.", ""))) / 3).cast("long").as("n_sym"),
+        size(filter(col("__toks"), t => lower(t).isin(stop: _*)))
+          .cast("long").as("n_stop"))
+      .withColumn("r_wc",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mwl", lit(2) * col("len_sum") >= lit(7) * col("n_words")
+        && col("len_sum") <= lit(5) * col("n_words"))
+      .withColumn("r_alpha", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+      .withColumn("r_sym", lit(10) * col("n_sym") <= col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("keep", col("r_wc") && col("r_mwl") && col("r_alpha") &&
+        col("r_sym") && col("r_stop"))
+  }
+
+  private val tGopher = Q(
+    (s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, text,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            c AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+                AS BIGINT) AS len_sum,
+              CAST(len(list_filter(toks,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+              CAST(len(text) - len(regexp_replace(text, '[#…]', '', 'g'))
+                + (len(text) - len(replace(text, '...', ''))) // 3
+                AS BIGINT) AS n_sym,
+              CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is'], lower(x))))
+                AS BIGINT) AS n_stop
+              FROM t)
+            SELECT doc_id, n_words, len_sum, n_alpha, n_sym, n_stop,
+              (n_words >= 20 AND n_words <= 80) AS r_wc,
+              (2 * len_sum >= 7 * n_words AND len_sum <= 5 * n_words)
+                AS r_mwl,
+              (5 * n_alpha >= 4 * n_words) AS r_alpha,
+              (10 * n_sym <= n_words) AS r_sym,
+              (n_stop >= 2) AS r_stop,
+              ((n_words >= 20 AND n_words <= 80)
+                AND (2 * len_sum >= 7 * n_words AND len_sum <= 5 * n_words)
+                AND (5 * n_alpha >= 4 * n_words)
+                AND (10 * n_sym <= n_words) AND (n_stop >= 2)) AS keep
+            FROM c ORDER BY doc_id"""))
+
+  /** Corpus n-gram diversity — the distinct-n diagnostic (Li et al. 2016's
+    * distinct-[n] generalized corpus-wide; the "is my filtered corpus
+    * collapsing into boilerplate?" check run after every dedup/filter
+    * stage): per group, total word-trigram occurrences vs distinct
+    * trigrams. Both are exact integers; the ratio is left to the consumer
+    * so the output stays hash-exact.
+    *
+    * Scale: tokenize once per doc map-side, explode trigrams, then ONE
+    * partial-aggregated shuffle on (group, gram) to collapse duplicates
+    * (map-side combine bounds the exchange by the distinct-gram count, not
+    * the corpus token count), and a k-row rollup per group. countDistinct
+    * in a single agg would plan the same two-phase expand; spelling it as
+    * gram-collapse → rollup keeps the heavy shuffle key explicit. */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    // n-th sliding word-gram as a space-joined string; i ranges over the
+    // 0-based start positions, element_at is 1-based
+    def gramArr(tcol: Column): Column =
+      when(size(tcol) >= n,
+        transform(sequence(lit(0), size(tcol) - n), i =>
+          concat_ws(" ", (1 to n).map(j => element_at(tcol, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    df.select(col(groupCol), tokens(col(textCol)).as("__t"))
+      .select(col(groupCol), explode(gramArr(col("__t"))).as("g"))
+      .groupBy(groupCol, "g").agg(count(lit(1)).as("__c"))
+      .groupBy(groupCol)
+      .agg(sum("__c").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+  }
+
+  private val tDiversity = Q(
+    (s, d) => ngramDiversity(Tables.documents(s, d), "lang", "text", n = 3)
+      .orderBy("lang"),
+    Some("""WITH t AS (SELECT lang,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            g AS (SELECT lang,
+                toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]
+                  || ' ' || toks[CAST(i AS INT) + 3] AS g
+              FROM t, LATERAL (SELECT unnest(range(len(toks) - 2)) AS i) ii
+              WHERE len(toks) >= 3)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+              CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams
+            FROM g GROUP BY lang ORDER BY lang"""))
+
   val queries: Map[String, Q] = Map(
+    "q_t_gopher_rules" -> tGopher,
+    "q_t_diversity" -> tDiversity,
     "q_t_pack" -> tPack,
     "q_t_pack_curriculum" -> tPackCurriculum,
     "q_t_pack_grouped" -> tPackGrouped,

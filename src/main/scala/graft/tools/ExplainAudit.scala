@@ -385,6 +385,31 @@ object ExplainAudit {
       }
       release()
     }
+    audit("q_t_gopher_rules",
+      "rule gate is map-only (no hash-partition shuffle before output sort)" ->
+        (p => !p.contains("Exchange hashpartitioning")),
+      "text tokenized once: a single split() in the physical plan" ->
+        (p => "split\\(".r.findAllIn(p).size <= 1),
+      "whole-stage codegen active (rules are expressions, not UDFs)" ->
+        (_.contains("codegen id")))
+    audit("q_t_diversity",
+      "gram collapse partial-aggregates before the (group, gram) shuffle" ->
+        (_.contains("HashAggregate")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_p19_temperature_mix",
+      "k-row rate table broadcast back onto the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      // the 1-row n_min attach IS a broadcast nested loop by design
+      "no corpus-sized cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_p20_reservoir",
+      "two-level tournament: keyed windows only, no single-partition exchange" ->
+        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")))
+    audit("q_d_bloom_decon",
+      // the 1-row bitmap attach IS a broadcast nested loop by design
+      "exact verify join is a broadcast hash join on the gram key" ->
+        (_.contains("BroadcastHashJoin")),
+      "no corpus-sized cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

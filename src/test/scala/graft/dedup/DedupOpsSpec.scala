@@ -237,4 +237,35 @@ class DedupOpsSpec extends SparkSpecBase {
     // not the identity: md5 order should scramble
     assert((1L to 100L).count(i => a(i) == i) < 10)
   }
+
+  test("bloom decontamination == exact decontamination, and the filter prunes") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit"),
+        r.getAs[Boolean]("contaminated"))).toSet
+    val exact = key(DedupOps.decontaminate(
+      corpus, "doc_id", "text", bench, "text"))
+    // one-sided error: default geometry must reproduce the exact result
+    assert(key(DedupOps.decontaminateBloom(
+      corpus, "doc_id", "text", bench, "text")) === exact)
+    // even a pathologically tiny bitmap (mass false positives at the
+    // prefilter) must stay exact — the verify join absorbs them all
+    assert(key(DedupOps.decontaminateBloom(corpus, "doc_id", "text",
+      bench, "text", mBits = 64, kHash = 1)) === exact)
+    // the prefilter itself must prune: with m=65536 bits / k=3 and an
+    // eval-suite-sized gram set, non-member grams pass only at the Bloom
+    // false-positive rate — measure it directly on the candidate slice
+    val (cand, bg) = DedupOps.bloomCandidatesWithBench(
+      corpus, "doc_id", "text", bench, "text", 5, 1 << 16, 3)
+    val totalGrams = DedupOps.shingles(corpus.withColumn("__blk", lit(1)),
+      "doc_id", "text", "__blk", 5).count()
+    val nCand = cand.count()
+    val nTrue = cand.join(bg, "g").count()
+    val fpr = (nCand - nTrue).toDouble / math.max(totalGrams - nTrue, 1L)
+    assert(nCand < totalGrams, "prefilter dropped nothing")
+    assert(fpr < 0.05, f"bloom FPR $fpr%.4f on ${totalGrams} grams")
+  }
 }

@@ -79,4 +79,87 @@ class DataMixSpec extends SparkSpecBase {
       Map("A" -> 0.4, "B" -> 0.4, "GHOST" -> 0.2)).count()
     assert(withGhost > 0, "absent share-listed source emptied the mix")
   }
+
+  test("temperatureMix flattens a skewed source distribution toward n^alpha") {
+    // 400 / 100 / 25 docs; alpha=0.5 -> rates 0.25 / 0.5 / 1
+    val skewed = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 500L).map(i => (i, "mid")) ++
+      (500L until 525L).map(i => (i, "small"))).toDF("id", "source")
+    val out = DataMix.temperatureMix(skewed, "id", "source", alpha = 0.5)
+    val kept = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") === 25L, "smallest source must be kept whole")
+    // expectations 100 / 50 / 25 — allow binomial noise
+    assert(kept("big") > 70 && kept("big") < 130, s"big=${kept("big")}")
+    assert(kept("mid") > 30 && kept("mid") < 70, s"mid=${kept("mid")}")
+    // flattening: raw ratio 16:1 must compress toward 4:1
+    assert(kept("big").toDouble / kept("small") < 8.0)
+    // alpha = 1 is the identity
+    assert(DataMix.temperatureMix(skewed, "id", "source", 1.0).count() === 525L)
+    // decisions are partition-independent
+    val again = DataMix.temperatureMix(skewed.repartition(11), "id",
+      "source", 0.5).select("id").as[Long].collect().toSet
+    assert(again === out.select("id").as[Long].collect().toSet)
+  }
+
+  test("reservoirSample: exactly k per group, tournament == single window") {
+    val df = ((0L until 300L).map(i => (i, "A")) ++
+      (300L until 320L).map(i => (i, "B")) ++
+      (320L until 323L).map(i => (i, "C"))).toDF("id", "source")
+    val out = DataMix.reservoirSample(df, "id", "source", k = 5, seed = "s0")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Int]("rank").toLong))
+    val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGroup("A").size === 5 && byGroup("B").size === 5)
+    assert(byGroup("C") === Set(320L, 321L, 322L),
+      "group smaller than k comes back whole")
+    assert(out.map(_._3).forall(r => r >= 1 && r <= 5))
+    // the two-level tournament must equal the direct single-window top-k
+    import org.apache.spark.sql.expressions.Window
+    val direct = df.withColumn("__u",
+        md5(concat(lit("s0:"), col("id").cast("string")).cast("binary")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("__u"), col("id"))))
+      .filter(col("r") <= 5).select("id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet === direct)
+    // partition-independent and seed-sensitive
+    val again = DataMix.reservoirSample(df.repartition(17), "id", "source",
+      5, "s0").select("id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+    val other = DataMix.reservoirSample(df, "id", "source", 5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(other !== out.map(_._1).toSet)
+  }
+
+  test("weightedReservoir: exact k, weight-propelled, tournament == window") {
+    // one row carries 10^6x the weight of the other 999 — A-ES makes its
+    // key -ln(u)/w essentially 0, so it must be in any size-25 sample
+    val df = ((0L until 999L).map(i => (i, 1L)) :+ (999L, 1000000L))
+      .toDF("id", "wt")
+    val out = DataMix.weightedReservoir(df, "id", "wt", k = 25, seed = "w0")
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(ids.size === 25)
+    assert(ids.contains(999L), "heavy row missing from the weighted sample")
+    // equals the direct single-window computation of the same keys
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat(lit("w0:"),
+        col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val direct = df.withColumn("key_nano",
+        round(-log(u) / col("wt").cast("double") * 1e9).cast("long"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("key_nano"), col("id"))))
+      .filter(col("r") <= 25).select("id").as[Long].collect().toSet
+    assert(ids === direct)
+    // zero/negative weights are excluded, not sampled at rate ~0
+    val withZero = df.withColumn("wt",
+      when(col("id") < 990, lit(0L)).otherwise(col("wt")))
+    val nz = DataMix.weightedReservoir(withZero, "id", "wt", 25, "w0")
+    assert(nz.count() === 10L)
+    assert(nz.select("id").as[Long].collect().forall(_ >= 990L))
+    // partition-independent
+    val again = DataMix.weightedReservoir(df.repartition(13), "id", "wt",
+      25, "w0").select("id").as[Long].collect().toSet
+    assert(again === ids)
+  }
 }

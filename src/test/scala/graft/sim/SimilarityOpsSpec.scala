@@ -172,4 +172,40 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(out(0L)._3 && out(2L)._3 && !out(3L)._3 && !out(4L)._3)
     assert(out(1L)._3 && out(5L)._3)
   }
+
+  test("scalarQuantize8: extremes exact, mid-range error bounded, reproducible") {
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f)),   // the per-dim minimum on both dims
+      (1L, Array(1.0f, 10.0f)),  // the per-dim maximum on both dims
+      (2L, Array(0.5f, 5.0f)))   // exact midpoints
+    val df = vs.toDF("vec_id", "embedding")
+    val out = SimilarityOps.scalarQuantize8(df, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_dims"), r.getAs[Long]("code_sum"),
+          r.getAs[Long]("err_pico"))).toMap
+    // min vector -> code 0 each dim, zero error; max -> 255 each, zero
+    // error (ranges 1 and 10 dequantize exactly)
+    assert(out(0L) === ((2L, 0L, 0L)))
+    assert(out(1L) === ((2L, 510L, 0L)))
+    // midpoint: 127.5 rounds HALF_UP to 128 on both dims; error per dim is
+    // (half-step/2)^2-ish — bounded by (step/2)^2 = (range/510)^2
+    val (n, cs, err) = out(2L)
+    assert(n === 2L && cs === 256L)
+    val bound = (math.pow(1.0 / 510, 2) + math.pow(10.0 / 510, 2)) * 1e12
+    assert(err > 0L && err <= math.ceil(bound).toLong + 2)
+    // degenerate dimension (mx == mn) -> code 0, no error contribution
+    val degen = SimilarityOps.scalarQuantize8(
+      Seq((0L, Array(3.0f, 1.0f)), (1L, Array(3.0f, 2.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("err_pico")).toMap
+    assert(degen(0L) === 0L && degen(1L) === 0L)
+    // partition-independent on the real table
+    val a = SimilarityOps.scalarQuantize8(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val b = SimilarityOps.scalarQuantize8(emb.repartition(7), "vec_id",
+      "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
 }

@@ -268,6 +268,36 @@ class StreamsSpec extends SparkSpecBase {
     assert(out.sorted.toSeq === Seq(1L, 4L))
   }
 
+  test("gopher rule gate runs unchanged on a stream (stream == batch)") {
+    // the rule battery is a stateless scan-stage projection, so the SAME
+    // DataFrame code must bind to a streaming frame with no changes and
+    // agree with the batch result row-for-row
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown foxes jumped over many lazy sleeping dogs " +
+        "while the farmer watched from his barn door in quiet amazement " +
+        "until every single animal finally wandered home again after dark"),
+      (2L, "too few words here"),
+      (3L, Seq.fill(30)("wordy").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.TextOps.gopherRules(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Boolean]("r_stop"),
+          r.getAs[Boolean]("keep"))).toMap
+    val stream = key(spark.table("gopher_out").collect())
+    q.stop()
+    val batch = key(graft.text.TextOps.gopherRules(
+      rows.toDF("doc_id", "text"), "doc_id", "text").collect())
+    assert(stream === batch)
+    assert(stream(1L)._3 && !stream(2L)._3 && !stream(3L)._3)
+  }
+
   test("streaming dedup state survives a restart from the checkpoint") {
     // production crash-recovery: the file source is replayable and the
     // dropDuplicatesWithinWatermark state lives in the checkpoint, so a

@@ -231,4 +231,53 @@ class TextOpsSpec extends SparkSpecBase {
     // layout order (n_tokens, id): 2(5) -> 4(5) -> 3(40) -> 1(100)
     assert(offs === Map(2L -> 0L, 4L -> 5L, 3L -> 10L, 1L -> 50L))
   }
+
+  test("gopherRules: each rule trips on its crafted violator, keep is the AND") {
+    val good = "the quick brown foxes jumped over many lazy sleeping dogs " +
+      "while the farmer watched from his barn door in quiet amazement " +
+      "until every single animal finally wandered home again after dark"
+    val docs = Seq(
+      (1L, good),                               // passes everything
+      (2L, "too few words here"),               // r_wc (and r_stop)
+      (3L, ("a b c " * 20).trim + " the of"),   // r_mwl low (mean < 3.5)
+      (4L, good.replace("the ", "### the ")),   // r_sym
+      (5L, Seq.fill(30)("wordy").mkString(" ")) // r_stop (0 stopwords)
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_wc"), r.getAs[Boolean]("r_mwl"),
+          r.getAs[Boolean]("r_alpha"), r.getAs[Boolean]("r_sym"),
+          r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) === ((true, true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._6)
+    assert(!out(3L)._2 && !out(3L)._6)
+    assert(!out(4L)._4 && !out(4L)._6)
+    assert(!out(5L)._5 && !out(5L)._6)
+    // '…' and '...' both count as symbols; integer div by 3 for the dots
+    val sym = TextOps.gopherRules(
+      Seq((9L, "a … b ... c")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_sym").as[Long].head()
+    assert(sym === 2L)
+  }
+
+  test("ngramDiversity: exact totals, short docs skipped, dup collapse") {
+    val docs = Seq(
+      ("en", "a b c d"),     // trigrams: "a b c", "b c d"
+      ("en", "a b c"),       // "a b c" again -> duplicate
+      ("en", "x y"),         // shorter than n: contributes nothing
+      ("fr", "u v w")        // one trigram in its own group
+    ).toDF("lang", "text")
+    val out = TextOps.ngramDiversity(docs, "lang", "text", n = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams")))
+      .toMap
+    assert(out("en") === ((3L, 2L)))
+    assert(out("fr") === ((1L, 1L)))
+    // a corpus duplicated wholesale doubles totals, distinct unchanged
+    val doubled = TextOps.ngramDiversity(docs.union(docs), "lang", "text", 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams")))
+      .toMap
+    assert(doubled("en") === ((6L, 2L)))
+  }
 }
