@@ -94,7 +94,10 @@ object Bench {
     "q_t_diversity",
     "q_p19_temperature_mix",
     "q_p20_reservoir",
-    "q_d_bloom_decon")
+    "q_d_bloom_decon",
+    // round-9: A-ES weighted sampling and embedding scalar quantization
+    "q_p21_weighted_reservoir",
+    "q_s_sq8")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -155,7 +158,8 @@ object Bench {
     "q_p18_shuffle" -> 3.0, "q_t_pack_curriculum" -> 3.0,
     "q_t_gopher_rules" -> 4.0, "q_t_diversity" -> 4.0,
     "q_p19_temperature_mix" -> 2.0, "q_p20_reservoir" -> 2.0,
-    "q_d_bloom_decon" -> 4.0)
+    "q_d_bloom_decon" -> 4.0, "q_p21_weighted_reservoir" -> 2.0,
+    "q_s_sq8" -> 4.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

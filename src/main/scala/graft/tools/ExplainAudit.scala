@@ -410,6 +410,17 @@ object ExplainAudit {
       "exact verify join is a broadcast hash join on the gram key" ->
         (_.contains("BroadcastHashJoin")),
       "no corpus-sized cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_p21_weighted_reservoir",
+      // level 2 of the tournament IS a bounded global window (<= k*P
+      // survivor rows) — the audit pins that level 1 pruned BEFORE it
+      "tournament prunes per-partition before the bounded global rank" ->
+        (p => "Window".r.findAllIn(p).size >= 2))
+    audit("q_s_sq8",
+      "per-dim stats attach as ONE broadcast row (corpus never shuffles)" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "only the stats pass shuffles (dim-keyed partial aggregation)" ->
+        (_.contains("HashAggregate")),
+      "no corpus-sized cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
