@@ -502,11 +502,14 @@ object DedupOps {
       // are eval-suite-sized, so the persist is small and saves the
       // second tokenize+distinct pass
       .persist()
-    // kHash md5-derived bit positions per gram, as a map-side array
+    // kHash bit positions per gram, as a map-side array. xxhash64 (not
+    // md5): the oracle never replays the bloom — it checks the EXACT
+    // overlap result — so the probe hash only needs determinism, and the
+    // codegen'd 64-bit hash is an order of magnitude cheaper per gram
+    // than hex-md5 parsing on the corpus-sized side.
     def positions(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       transform(sequence(lit(1), lit(kHash)), j =>
-        pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), g)
-          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(mBits.toLong)))
+        pmod(xxhash64(j, g), lit(mBits.toLong)))
     val bitmap = bg.select(explode(positions(col("g"))).as("p"))
       .select(expr("p div 64").as("w"),
         expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
