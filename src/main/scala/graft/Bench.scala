@@ -97,7 +97,19 @@ object Bench {
     "q_d_bloom_decon",
     // round-9: A-ES weighted sampling and embedding scalar quantization
     "q_p21_weighted_reservoir",
-    "q_s_sq8")
+    "q_s_sq8",
+    // round-9: event analytics (user_id-keyed funnels/retention), the
+    // source-level overlap audit (shingle-keyed), the one-pass correlation
+    // matrix, and the codegen'd char-entropy gate (map-only)
+    "q_e_funnel",
+    "q_e_retention",
+    "q_d_corpus_overlap",
+    "q_a13_corr_matrix",
+    "q_t_entropy",
+    // round-9: session roll-up, hard-negative mining, CDC chunk dedup
+    "q_e_session_stats",
+    "q_s_hard_negatives",
+    "q_d_cdc_chunks")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -16,7 +16,7 @@ object SparkEntry {
   /** All registered queries (name → implementation + optional oracle). */
   def registry: Map[String, Q] =
     etl.Relational.queries ++ etl.DataMix.queries ++
-      etl.Sharding.queries ++
+      etl.Sharding.queries ++ etl.EventAnalytics.queries ++
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.QualityClassifier.queries ++

@@ -110,6 +110,42 @@ object DedupOps {
       blockCol: String, k: Int = 3, threshold: Double = 0.5): DataFrame =
     containmentPairsReleasable(df, idCol, textCol, blockCol, k, threshold)._1
 
+  /** Corpus-level overlap audit: exact k-gram Jaccard + mutual containment
+    * between every pair of SOURCES (not documents) — "how much of
+    * source A's n-gram vocabulary also appears in source B?". The question
+    * a mixing/decontamination decision needs answered before weighting
+    * corpora (the doc-level analog is [[ngramJaccardPairsReleasable]]).
+    *
+    * Scale shape: the unit of work is the DISTINCT (source, shingle) pair —
+    * one shuffle keyed on the shingle string (dedup + the self-join share
+    * it), and the join fan-out per shingle is bounded by the number of
+    * sources carrying it (sources are few; shingles are the big axis).
+    * Nothing is ever all-pairs over documents, and the output is
+    * |sources|² rows — driver-sized at any corpus scale. */
+  def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    corpusOverlapReleasable(df, groupCol, textCol, k)._1
+
+  def corpusOverlapReleasable(df: DataFrame, groupCol: String,
+      textCol: String, k: Int = 3): (DataFrame, () => Unit) = {
+    val sh = shingles(df, groupCol, textCol, groupCol, k)
+      .select(col("id").as("src"), col("shingle")).distinct().cache()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+    val shared = sh.toDF("src_a", "shingle")
+      .join(sh.toDF("src_b", "shingle"), Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.toDF("src_a", "sza"), "src_a")
+      .join(sizes.toDF("src_b", "szb"), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared") / (col("sza") + col("szb") - col("shared")), 6)
+          .as("jaccard"),
+        round(col("shared") / col("sza"), 6).as("containment_a"),
+        round(col("shared") / col("szb"), 6).as("containment_b"))
+    (out, () => { sh.unpersist(blocking = false); () })
+  }
+
   /** MinHash+LSH candidate pairs via MLlib: 3-gram shingle set →
     * binary vector (HashingTF) → MinHashLSH banded join. The
     * approxSimilarityJoin only compares within-band hash buckets — the
@@ -600,6 +636,123 @@ object DedupOps {
             WHERE ROUND(CAST(shared AS DOUBLE) / sa.sz, 6) >= 0.5
                OR ROUND(CAST(shared AS DOUBLE) / sb.sz, 6) >= 0.5
             ORDER BY ida, idb"""))
+
+  /** Source-level overlap audit over the same 3-gram vocabulary: every
+    * (source_a, source_b) pair with shared grams, exact Jaccard and both
+    * containments. No threshold — the audit wants the whole matrix
+    * (disjoint pairs simply have no row: overlap zero). */
+  private val dCorpusOverlap = Q(
+    (s, d) => corpusOverlap(Tables.documents(s, d), "source", "text", 3)
+      .orderBy("src_a", "src_b"),
+    Some("""WITH toks AS (SELECT source,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            sh AS (SELECT DISTINCT source,
+                unnest(list_transform(range(GREATEST(len(t) - 2, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                       || ' ' || t[CAST(i AS INT)+3])) AS shingle
+              FROM toks),
+            sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+            shared AS (SELECT a.source AS src_a, b.source AS src_b,
+                COUNT(*) AS shared
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1,2)
+            SELECT src_a, src_b, shared,
+                   ROUND(CAST(shared AS DOUBLE)
+                     / (sa.sz + sb.sz - shared), 6) AS jaccard,
+                   ROUND(CAST(shared AS DOUBLE) / sa.sz, 6) AS containment_a,
+                   ROUND(CAST(shared AS DOUBLE) / sb.sz, 6) AS containment_b
+            FROM shared
+            JOIN sizes sa ON sa.source = src_a
+            JOIN sizes sb ON sb.source = src_b
+            ORDER BY src_a, src_b"""))
+
+  /** Content-defined chunking (CDC, Muthitacharoen et al. SOSP'01 LBFS):
+    * chunk boundaries fall where the hash of the trailing `w`-char window
+    * hits a modulus condition, so an insertion early in a document shifts
+    * only the chunk it lands in — every later boundary re-synchronizes,
+    * which is exactly what fixed-width chunking cannot do. Chunk-hash
+    * granularity catches duplicated FRAGMENTS (shared license headers,
+    * boilerplate, vendored code) that whole-doc hashing misses and span
+    * detection only localizes.
+    *
+    * The window hash is the first two hex digits of md5(window) (mod
+    * `mask+1` condition) — portable: the oracle replays the identical
+    * boundaries in DuckDB. Boundary detection + chunk slicing are a
+    * map-only HOF cascade in the scan stage; the ONLY shuffle is the final
+    * groupBy(chunk md5), whose key count is the distinct-chunk count. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, mask: Int = 63): DataFrame = {
+    val t = col("__t")
+    val n = col("__n")
+    // boundary AFTER position i (1-based) iff md5(text[i-w+1 .. i]) % (mask+1) == 0
+    val bounds = filter(sequence(lit(window), n), i =>
+      conv(substring(md5(t.substr(i - (window - 1), lit(window))), 1, 2),
+        16, 10).cast("int") % (mask + 1) === 0)
+    val withEnds = df
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .filter(length(t) > 0)
+      .withColumn("__n", length(t))
+      .withColumn("__b", bounds)
+      .withColumn("__ends",
+        when(size(col("__b")) > 0 && element_at(col("__b"), -1) === n,
+          col("__b")).otherwise(concat(col("__b"), array(n))))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(
+          slice(col("__ends"), lit(1), size(col("__ends")) - 1), e => e + 1)))
+    withEnds
+      .select(col("id"), posexplode(zip_with(col("__starts"), col("__ends"),
+        (s, e) => col("__t").substr(s, e - s + 1))))
+      .select(col("id"), (col("pos") + 1).as("chunk_idx"),
+        md5(col("col")).as("chunk_hash"),
+        length(col("col")).cast("long").as("chunk_len"))
+  }
+
+  /** Duplicate-chunk groups across the corpus: chunks occurring more than
+    * once, with occurrence and distinct-doc counts. */
+  def cdcDuplicateChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, mask: Int = 63): DataFrame =
+    cdcChunks(df, idCol, textCol, window, mask)
+      .groupBy("chunk_hash")
+      .agg(max("chunk_len").as("chunk_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct("id").as("n_docs"),
+        min("id").as("first_doc"))
+      .filter(col("n_occ") > 1)
+
+  private val dCdc = Q(
+    (s, d) => cdcDuplicateChunks(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("chunk_hash"),
+    Some("""WITH doc AS (SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE length(text) > 0),
+            b AS (SELECT doc_id, text, n,
+              list_filter(range(8, n + 1), i ->
+                ((strpos('0123456789abcdef',
+                    substr(md5(text[CAST(i AS INT)-7 : CAST(i AS INT)]), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef',
+                    substr(md5(text[CAST(i AS INT)-7 : CAST(i AS INT)]), 2, 1)) - 1)
+                % 64 = 0) AS bb
+              FROM doc),
+            e AS (SELECT doc_id, text,
+              CASE WHEN len(bb) > 0 AND bb[-1] = n THEN bb
+                   ELSE list_append(bb, n) END AS ends FROM b),
+            st AS (SELECT doc_id, text, ends,
+              list_prepend(CAST(1 AS BIGINT), list_transform(
+                ends[1 : len(ends) - 1], x -> x + 1)) AS starts FROM e),
+            ch AS (SELECT doc_id, unnest(list_transform(
+                range(1, len(ends) + 1), j ->
+                  text[CAST(starts[CAST(j AS INT)] AS INT)
+                       : CAST(ends[CAST(j AS INT)] AS INT)])) AS chunk
+              FROM st),
+            h AS (SELECT doc_id, md5(chunk) AS chunk_hash,
+                CAST(length(chunk) AS BIGINT) AS chunk_len FROM ch)
+            SELECT chunk_hash, MAX(chunk_len) AS chunk_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS first_doc
+            FROM h GROUP BY 1 HAVING COUNT(*) > 1
+            ORDER BY chunk_hash"""))
 
   /** Exact all-pairs Jaccard oracle for the MinHash variants. Valid because
     * (a) both variants VERIFY candidates with the exact Jaccard (no
@@ -1158,5 +1311,7 @@ object DedupOps {
     "q_d_decontaminate" -> dDecontam,
     "q_d_bloom_decon" -> dBloomDecon,
     "q_d_containment" -> dContainment,
+    "q_d_corpus_overlap" -> dCorpusOverlap,
+    "q_d_cdc_chunks" -> dCdc,
     "q_d_edit_verify" -> dEditVerify)
 }

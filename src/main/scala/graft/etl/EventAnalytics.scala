@@ -1,0 +1,200 @@
+package graft.etl
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` table — the operators a
+  * product/behavioral pipeline runs at 100 TB: ordered funnels, cohort
+  * retention, and inter-arrival statistics. The reference has no event
+  * layer (its closest analog is the work-queue poll, assets.py:9-25);
+  * these extend the engine's event-time family (q_e_*) beyond the
+  * windowed/sessionize/as-of/range operators.
+  *
+  * Scale shape: every operator here shuffles ONLY on `user_id` (or
+  * (user_id, event_type)) — the natural partitioning key of an event
+  * store — and reduces to per-user scalars before any global step. The
+  * funnel's per-step frames all share the user_id key, so AQE reuses the
+  * exchange; nothing is ever joined on time alone or exploded.
+  */
+object EventAnalytics {
+
+  private def us(c: Column): Column = unix_micros(c)
+
+  /** Ordered conversion funnel: for each user, the earliest occurrence of
+    * step 1; then the earliest occurrence of step 2 STRICTLY AFTER that;
+    * and so on. Returns one row per step with the count of users who
+    * reached it — the standard "signup → view → click → purchase" drop-off
+    * curve. Strict ordering (not mere presence) is the part plain
+    * conditional aggregation cannot express.
+    *
+    * Each stage is a keyed (user_id) aggregate of the previous stage's
+    * survivors: step k is a filter + join(user_id) + min — at cluster
+    * scale that is |users| rows of state per step, never a time-range
+    * join. All four aggregates hash-partition on user_id.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      us(col(tsCol)).as("m"))
+    // reachedAt(k): (u, m_k) = earliest time user completed steps 0..k in order
+    val first = base.filter(col("t") === steps.head)
+      .groupBy("u").agg(min("m").as("m"))
+    val reached: Seq[DataFrame] = steps.tail.foldLeft(Seq(first)) { (acc, step) =>
+      val prev = acc.last
+      val nxt = base.filter(col("t") === step)
+        .join(prev.select(col("u"), col("m").as("pm")), Seq("u"))
+        .filter(col("m") > col("pm"))
+        .groupBy("u").agg(min("m").as("m"))
+      acc :+ nxt
+    }
+    val counts = reached.zip(steps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }
+    counts.reduce(_.union(_)).orderBy("step")
+  }
+
+  /** Weekly cohort retention: cohort = the user's first-ever activity week,
+    * offset = whole weeks since that first activity; cell = distinct active
+    * users. Pure integer day arithmetic (epoch micros div 86400e6) keeps
+    * exact cross-engine parity — no timezone-dependent week truncation.
+    *
+    * One user_id-keyed aggregate for cohorts, a broadcast-sized join back
+    * (|users| rows — broadcastable at any corpus scale where retention is
+    * meaningful per-product), then a (cohort, offset) count-distinct.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    // integer `div`, not double `/` + cast: a ts within ~0.4 µs of a day
+    // boundary would round differently in binary64 on the two engines
+    val days = events.select(col(userCol).as("u"),
+      us(col(tsCol)).as("m")).withColumn("day", expr("m div 86400000000"))
+      .select("u", "day").distinct()
+    val cohorts = days.groupBy("u").agg(min("day").as("c_day"))
+    days.join(cohorts, Seq("u"))
+      .select(col("u"), expr("c_day div 7").as("cohort_week"),
+        expr("(day - c_day) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("u").as("n_users"))
+  }
+
+  /** Per-event-type inter-arrival gap statistics: within each (user, type)
+    * stream, the lag-1 time delta; aggregated per type to count / mean /
+    * min / max. The window partitions on (user, type) — bounded state, no
+    * global sort — and the final aggregate is map-side-combined over five
+    * groups. */
+  def interArrival(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(userCol, typeCol).orderBy(tsCol, "event_id")
+    events
+      .withColumn("gap_us", us(col(tsCol)) - lag(us(col(tsCol)), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(typeCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap_us"), 3).as("avg_gap_us"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"))
+  }
+
+  /** Per-session roll-up: gap-based session assembly (same 30-min lag flag
+    * as q_e_sessionize) followed by a keyed aggregate per (user, session) —
+    * events, duration, and whether the session converted. The running flag
+    * sum uses an explicit rows frame; all state is user-partitioned. */
+  def sessionStats(events: DataFrame, gapUs: Long = 1800000000L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol, "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("m", us(col(tsCol)))
+      .withColumn("prev", lag(col("m"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("m") - col("prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_s").over(cum).cast("long"))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max("m") - min("m")).as("duration_us"),
+        max(when(col(typeCol) === "purchase", 1).otherwise(0))
+          .cast("boolean").as("converted"))
+  }
+
+  // ---- registry --------------------------------------------------------
+
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  private val eFunnel = Q(
+    (s, d) => funnel(Tables.events(s, d), FunnelSteps).orderBy("step"),
+    Some("""WITH base AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS m
+                          FROM events),
+            s1 AS (SELECT u, MIN(m) AS m FROM base WHERE t = 'signup' GROUP BY 1),
+            s2 AS (SELECT b.u, MIN(b.m) AS m FROM base b JOIN s1 ON b.u = s1.u
+                   WHERE b.t = 'view' AND b.m > s1.m GROUP BY 1),
+            s3 AS (SELECT b.u, MIN(b.m) AS m FROM base b JOIN s2 ON b.u = s2.u
+                   WHERE b.t = 'click' AND b.m > s2.m GROUP BY 1),
+            s4 AS (SELECT b.u, MIN(b.m) AS m FROM base b JOIN s3 ON b.u = s3.u
+                   WHERE b.t = 'purchase' AND b.m > s3.m GROUP BY 1)
+            SELECT * FROM (
+              SELECT CAST(1 AS INT) AS step, 'signup' AS step_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+              UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+              UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
+            ORDER BY step"""))
+
+  private val eRetention = Q(
+    (s, d) => retention(Tables.events(s, d))
+      .orderBy("cohort_week", "week_offset"),
+    Some("""WITH days AS (SELECT DISTINCT user_id AS u,
+                            epoch_us(ts) // 86400000000 AS day FROM events),
+            cohorts AS (SELECT u, MIN(day) AS c_day FROM days GROUP BY 1)
+            SELECT c.c_day // 7 AS cohort_week,
+                   (d.day - c.c_day) // 7 AS week_offset,
+                   CAST(COUNT(DISTINCT d.u) AS BIGINT) AS n_users
+            FROM days d JOIN cohorts c ON d.u = c.u
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val eInterArrival = Q(
+    (s, d) => interArrival(Tables.events(s, d)).orderBy("event_type"),
+    Some("""WITH g AS (SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+              FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   ROUND(AVG(gap_us), 3) AS avg_gap_us,
+                   MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY 1 ORDER BY 1"""))
+
+  private val eSessionStats = Q(
+    (s, d) => sessionStats(Tables.events(s, d))
+      .orderBy("user_id", "session_id"),
+    Some("""WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS m,
+              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev
+              FROM events),
+            f AS (SELECT user_id, event_id, event_type, m,
+              CASE WHEN prev IS NULL OR m - prev > 1800000000
+                   THEN 1 ELSE 0 END AS new_s FROM g),
+            sid AS (SELECT user_id, event_type, m,
+              CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY m, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM f)
+            SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(m) - MIN(m) AS duration_us,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                     AS converted
+            FROM sid GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_e_funnel" -> eFunnel,
+    "q_e_session_stats" -> eSessionStats,
+    "q_e_retention" -> eRetention,
+    "q_e_interarrival" -> eInterArrival)
+}

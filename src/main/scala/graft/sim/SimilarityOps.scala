@@ -38,6 +38,29 @@ object SimilarityOps {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training data: per
+    * anchor, the k corpus vectors MOST similar to it that carry a
+    * DIFFERENT label — the near-boundary negatives InfoNCE-style losses
+    * learn most from (easy negatives are ~orthogonal and contribute no
+    * gradient). Same broadcast-anchor shape as [[bruteForceTopK]]: the
+    * corpus never shuffles, anchors ride the task closure, and at real
+    * scale the candidate generator swaps to the IVF/LSH blocked paths
+    * while this exact form stays the rerank step. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), col(labelCol).as("lbl"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"),
+      col(labelCol).as("qlbl"))
+    val scored = c.join(broadcast(q), col("lbl") =!= col("qlbl"))
+      .withColumn("cosine", cosineSim(col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("negative"),
+        col("lbl").as("neg_label"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes in [-1, 1]: component i of
     * plane p = first 24 bits of sha256("lshp:p:i") scaled. sha256 (not
     * murmur3) is load-bearing for verifiability: the oracle SQL rebuilds the
@@ -298,6 +321,29 @@ object SimilarityOps {
                     (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
                   FROM scored)
             SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
+            FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** Anchors = vec_id < 5; negatives = top-3 cosine among OTHER labels. */
+  private val sHardNeg = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      hardNegatives(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "label", 3).orderBy("qid", "rank")
+    },
+    Some("""WITH v AS (SELECT vec_id, label,
+                CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS qid, label AS qlbl, e AS qe
+                  FROM v WHERE vec_id < 5),
+            scored AS (SELECT qid, v.vec_id AS id, v.label AS lbl,
+                list_dot_product(v.e, q.qe)
+                  / (SQRT(list_dot_product(v.e, v.e))
+                     * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+              FROM v, q WHERE v.label <> q.qlbl),
+            r AS (SELECT qid, id, lbl, cosine, row_number() OVER
+                    (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+                  FROM scored)
+            SELECT qid, rank, id AS negative, lbl AS neg_label,
+                   ROUND(cosine, 6) AS cosine
             FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
   /** Bucket-bit count trades recall vs candidate volume: measured on the
@@ -743,6 +789,7 @@ object SimilarityOps {
     "q_s_sq8" -> sSq8,
     "q_s_cluster_sample" -> sClusterSample,
     "q_s_cosine_topk" -> sTopK,
+    "q_s_hard_negatives" -> sHardNeg,
     "q_s_ann_lsh" -> sAnn,
     "q_s_ann_ivf" -> sIvf,
     "q_s_ann_ivf_seeded" -> sIvfSeeded,

@@ -557,7 +557,42 @@ object StatsQueries {
                          (COALESCE(ns, 0) / SUM(COALESCE(ns, 0)) OVER ()), 6) AS magnitude
             FROM rs LEFT JOIN ss ON rs.st = ss.st ORDER BY 1"""))
 
+  /** A13 (beyond ref §2.5): pairwise Pearson correlation matrix over the
+    * lineitem measure columns — the feature-screening step ahead of the
+    * PCA/KMeans battery (the reference eigensolves a correlation matrix at
+    * clustering.py:176-189; this exposes the matrix itself as a query).
+    *
+    * ONE full-scan aggregate computes all C(4,2)=6 coefficients via
+    * map-side-combined co-moment state (no per-pair passes, no shuffle
+    * beyond the single-row reduce); `stack` unpivots the 1×6 result
+    * driver-side. Adding columns grows state quadratically but the scan
+    * stays single-pass — the shape that survives 100 TB. */
+  private val a13 = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    Q(
+      (s, d) => {
+        val aggs = pairs.map { case (a, b) =>
+          round(corr(col(a), col(b)), 6).as(s"${a}__$b") }
+        val stackArgs = pairs
+          .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ")
+        Tables.lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            s"stack(${pairs.size}, $stackArgs) as (col_a, col_b, r)"))
+          .orderBy("col_a", "col_b")
+      },
+      Some(pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+            ROUND(corr($a, $b), 6) AS r FROM lineitem"""
+      }.mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY col_a, col_b")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_a13_corr_matrix" -> a13,
     "q_m20_chi2" -> m20,
     "q_m21_expected" -> m21,
     "q_m23_residuals" -> m23,

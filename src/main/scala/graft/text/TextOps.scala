@@ -442,6 +442,28 @@ object TextOps {
                 / GREATEST(length(text), 1), 6) AS upper_ratio
             FROM t ORDER BY doc_id"""))
 
+  /** Character-entropy quality gate via the codegen'd [[CharEntropy]]
+    * expression (map-only; the oracle is the explode→group formulation this
+    * expression exists to avoid). The gate brackets prose: padding/repeated
+    * filler scores near 0 bits, encoded noise well above 5.5. The flag is
+    * derived from the ROUNDED value so both engines branch on identical
+    * inputs. */
+  private val tEntropy = Q(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(graft.functions.CharEntropy.charEntropy(col("text")), 6)
+          .as("h_char"))
+      .withColumn("entropy_ok",
+        col("h_char") >= 2.0 && col("h_char") <= 5.5)
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents),
+            h AS (SELECT doc_id, ROUND(entropy(ch), 6) AS h_char
+              FROM c GROUP BY 1)
+            SELECT doc_id, h_char,
+                   h_char >= 2.0 AND h_char <= 5.5 AS entropy_ok
+            FROM h ORDER BY doc_id"""))
+
   private val tLangId = Q(
     (s, d) => langId(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
@@ -874,6 +896,7 @@ object TextOps {
     "q_t_clean" -> tClean,
     "q_t_pii_redact" -> tPii,
     "q_t_quality" -> tQuality,
+    "q_t_entropy" -> tEntropy,
     "q_t_langid" -> tLangId,
     "q_t_fingerprint" -> tFingerprint,
     "q_t_repetition" -> tRepetition,

@@ -421,6 +421,56 @@ object ExplainAudit {
       "only the stats pass shuffles (dim-keyed partial aggregation)" ->
         (_.contains("HashAggregate")),
       "no corpus-sized cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_e_funnel",
+      "every step joins keyed on the user (no time-range or nested-loop join)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "per-step min reduces per user before the next stage" ->
+        (_.contains("HashAggregate")))
+    audit("q_e_retention",
+      "cohort join is keyed (no cartesian/nested loop)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "distinct-user count partial-aggregates before its shuffle" ->
+        (_.contains("HashAggregate")))
+    audit("q_d_corpus_overlap",
+      "self-join keyed on the shingle (no all-pairs)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "distinct (source, shingle) frame computed once and reused (cache)" ->
+        (_.contains("InMemoryTableScan")))
+    audit("q_a13_corr_matrix",
+      "all 6 coefficients from ONE scan (single aggregation subtree)" ->
+        (p => "Scan parquet  \\(".r.findAllIn(p).size == 1),
+      "co-moment state partial-aggregates map-side" ->
+        (_.contains("HashAggregate")))
+    audit("q_t_entropy",
+      "map-only: no hash-partition shuffle before the output sort" ->
+        (p => !p.contains("Exchange hashpartitioning")),
+      "char_entropy rides whole-stage codegen (native expression, not a UDF)" ->
+        (_.contains("codegen id")))
+    audit("q_e_session_stats",
+      "session assembly stays user-partitioned (no single-partition window)" ->
+        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_s_hard_negatives",
+      // the label-inequality anchor attach IS a broadcast nested loop by
+      // design: 5 anchors ride the task closure, the corpus never shuffles
+      // before scoring
+      "anchors broadcast (corpus side never pre-shuffles)" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "no unbroadcast cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_d_cdc_chunks",
+      "boundary detect + slice are map-only (Generate in the scan stage)" ->
+        (_.contains("Generate")),
+      // exactly the distinct-agg exchange pair: partial distinct keyed
+      // (chunk_hash, id), final keyed chunk_hash — both on the chunk key,
+      // nothing upstream of the roll-up shuffles
+      "only the chunk-hash roll-up shuffles (distinct-agg pair)" ->
+        (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2),
+      "no cartesian" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

@@ -268,4 +268,52 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(nCand < totalGrams, "prefilter dropped nothing")
     assert(fpr < 0.05, f"bloom FPR $fpr%.4f on ${totalGrams} grams")
   }
+
+  test("cdcChunks: chunks cover the text exactly and re-sync after an insert") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val edited = "XXX " + base // early insertion
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunks(docs, "doc_id", "text").collect()
+    // coverage: per doc, chunk lengths sum to text length
+    val lens = ch.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(lens === Map(1L -> base.length.toLong, 2L -> edited.length.toLong))
+    // re-synchronization: the insertion perturbs only a prefix — the two
+    // docs still SHARE at least one identical chunk hash
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(2)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet
+    assert((h1 & h2).nonEmpty,
+      "no shared chunk after an early insertion — boundaries did not re-sync")
+    // and the duplicate-group roll-up reports those shared chunks
+    val dups = DedupOps.cdcDuplicateChunks(docs, "doc_id", "text")
+      .filter(col("n_docs") === 2).count()
+    assert(dups >= 1)
+  }
+
+  test("cdcChunks: short and empty docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunks(docs, "doc_id", "text").collect()
+    // sub-window doc -> exactly one whole-text chunk; empty doc -> none
+    assert(ch.length === 1 && ch.head.getLong(0) === 1L &&
+      ch.head.getLong(3) === 4L)
+  }
+
+  test("corpusOverlap: exact source-level Jaccard; disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4"), // shingles: {w1 w2 w3, w2 w3 w4}
+      (2L, "a", "w1 w2 w3"), //    adds nothing new to source a
+      (3L, "b", "w1 w2 w3"), //    {w1 w2 w3} — contained in a
+      (4L, "c", "x1 x2 x3")) //    disjoint
+      .toDF("doc_id", "source", "text")
+    val (out, release) = DedupOps.corpusOverlapReleasable(
+      docs, "source", "text", 3)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(5))).toSeq
+    release()
+    // only (a, b) overlaps: shared=1, |a|=2, |b|=1 -> J=1/2, c_b=1.0
+    assert(rows === Seq(("a", "b", 1L, 0.5, 1.0)))
+  }
 }

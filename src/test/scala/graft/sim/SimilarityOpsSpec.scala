@@ -208,4 +208,30 @@ class SimilarityOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
     assert(a === b)
   }
+
+  test("hard negatives: never the anchor's own label, top-k by cosine") {
+    val out = SimilarityOps.hardNegatives(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", "label", 4).collect()
+    val labels = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length === 4)
+      rows.foreach { r =>
+        assert(r.getAs[Int]("neg_label") !== labels(qid),
+          s"negative shares anchor $qid's label")
+      }
+      // the mined negatives are exactly the best cross-label entries of the
+      // unconstrained exact top list
+      val full = SimilarityOps.bruteForceTopK(emb,
+        emb.filter($"vec_id" === qid), "vec_id", "embedding", 1000)
+        .collect().sortBy(_.getAs[Int]("rank"))
+        .filter(r => labels(r.getAs[Long]("neighbor")) != labels(qid))
+        .take(4).map(_.getAs[Long]("neighbor")).toSeq
+      val mined = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("negative")).toSeq
+      assert(mined === full)
+    }
+  }
 }
