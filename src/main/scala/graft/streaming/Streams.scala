@@ -298,6 +298,46 @@ object Streams {
       .select(col("__id").as(idCol), col("n_bigrams"), col("weight_micro"))
   }
 
+  final case class FunnelState(stage: Int, atUs: Long)
+  final case class FunnelAdvance(userId: Long, step: Int, stepName: String,
+      atUs: Long)
+
+  /** Streaming twin of [[graft.etl.EventAnalytics.funnel]]: per-user state
+    * is (funnel stage reached, µs it was reached at); an advance row is
+    * emitted the moment a user completes the next step STRICTLY after the
+    * previous one — the live drop-off counter, without re-scanning history.
+    * State is two longs per user regardless of event volume.
+    *
+    * In-order parity: within a micro-batch events sort by (ts, event_id),
+    * so a single-drain run reproduces the batch min-chain exactly (the
+    * spec pins stream == batch). Across batches the advance is greedy —
+    * production ingestion orders by watermark before this operator if
+    * cross-batch ties matter. */
+  def streamingFunnel(events: Dataset[Event], steps: Seq[String])
+      : Dataset[FunnelAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+          sorted.foreach { e =>
+            if (s.stage < steps.length && e.event_type == steps(s.stage) &&
+                (s.stage == 0 || micros(e.ts) > s.atUs)) {
+              s = FunnelState(s.stage + 1, micros(e.ts))
+              out += FunnelAdvance(userId, s.stage, steps(s.stage - 1),
+                micros(e.ts))
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Typed event stream from a parquet events directory — the file-sourced
     * entry to [[sessionize]]/[[windowedCounts]]. A file stream needs its
     * schema declared up front, so the footer is read once (driver-side,

@@ -344,4 +344,46 @@ class StreamsSpec extends SparkSpecBase {
     Streams.ingestAvailableNow(spark, s"$dir/in", schema, s"$dir/out", s"$dir/ckpt")
     assert(spark.read.parquet(s"$dir/out").count() === 100)
   }
+
+  test("streaming funnel: strict order, and stream == batch on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "purchase")
+    // strictness within a drain: user 2's purchase PRECEDES its view
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.streamingFunnel(input.toDS(), steps)
+      .writeStream.format("memory").queryName("fun_out")
+      .outputMode("append").start()
+    input.addData(
+      Streams.Event(1, ts(0), 1, "signup", 0), Streams.Event(2, ts(1), 1, "view", 0),
+      Streams.Event(3, ts(2), 1, "purchase", 0),
+      Streams.Event(4, ts(0), 2, "signup", 0), Streams.Event(5, ts(1), 2, "purchase", 0),
+      Streams.Event(6, ts(2), 2, "view", 0))
+    q.processAllAvailable()
+    // state carries ACROSS batches: user 2's purchase arrives later
+    input.addData(Streams.Event(7, ts(9), 2, "purchase", 0))
+    q.processAllAvailable()
+    val adv = spark.table("fun_out").as[Streams.FunnelAdvance].collect()
+    q.stop()
+    assert(adv.count(_.step == 3) === 2) // both users eventually convert
+    assert(adv.filter(a => a.userId == 2 && a.step == 3)
+      .forall(_.atUs == ts(9).getTime * 1000L)) // not the early purchase
+    // stream == batch on the sf0.001 events table, full drain (the file
+    // stream needs a directory source, so stage the single-file table)
+    val fsteps = Seq("signup", "view", "click", "purchase")
+    val staged = java.nio.file.Files.createTempDirectory("funnel_sf").toString
+    graft.Tables.events(spark, sf).write.parquet(s"$staged/events.parquet")
+    val q2 = Streams.streamingFunnel(
+      Streams.eventFileStream(spark, staged), fsteps)
+      .writeStream.format("memory").queryName("fun_out_sf")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    val streamCounts = spark.table("fun_out_sf")
+      .groupBy("step").agg(countDistinct("userId").as("n"))
+      .as[(Int, Long)].collect().toMap
+    q2.stop()
+    val batch = graft.etl.EventAnalytics.funnel(
+      graft.Tables.events(spark, sf), fsteps)
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+    assert(streamCounts === batch)
+  }
 }
