@@ -109,7 +109,8 @@ object Bench {
     // round-9: session roll-up, hard-negative mining, CDC chunk dedup
     "q_e_session_stats",
     "q_s_hard_negatives",
-    "q_d_cdc_chunks")
+    "q_d_cdc_chunks",
+    "q_s_knn_graph")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -35,6 +35,23 @@ object ExplainAudit {
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ")}")
           failures ::= s"$name: threw ${e.getClass.getSimpleName}"
       }
+    // A SinglePartition exchange is the scale-killer ONLY when data rows
+    // funnel through it (global window / global sort). A global SCALAR
+    // reduce — partial aggregate map-side, one row per partition over the
+    // wire — is the healthy way to compute a corpus total and necessarily
+    // prints "Arguments: SinglePartition". Accept exactly those: every
+    // SinglePartition exchange must be fed by a keyless aggregate stage in
+    // its immediately-preceding detail block — "partial_*" functions, or a
+    // "Keys: []" count-style stage (zero-column partial counts print
+    // "Functions: []"). A global Window/Sort block has neither.
+    def scalarReducesOnly(p: String): Boolean = {
+      val lines = p.linesIterator.toArray
+      lines.indices.forall { i =>
+        !lines(i).contains("SinglePartition,") ||
+          lines.slice(math.max(0, i - 12), i).exists(l =>
+            l.contains("partial_") || l.contains("Keys: []"))
+      }
+    }
     def audit(name: String, expects: (String, String => Boolean)*): Unit =
       section(name) {
         val plan = SparkEntry.queries(name)(spark, sf)
@@ -59,7 +76,7 @@ object ExplainAudit {
     audit("q_j1_left_broadcast",
       "broadcast hash join chosen" -> (_.contains("BroadcastHashJoin")),
       "fact side has no shuffle before join" ->
-        (p => !p.contains("Exchange hashpartitioning(l_suppkey")))
+        (p => !p.contains("hashpartitioning(l_suppkey")))
     audit("q_a2_crosstab",
       "single-pass partial aggregation" -> (_.contains("HashAggregate")),
       "whole-stage codegen active" -> (_.contains("codegen id")))
@@ -92,11 +109,11 @@ object ExplainAudit {
         (p => "split\\(".r.findAllIn(p).size <= 1))
     audit("q_j3_positional",
       "distributed global index: no single-partition exchange" ->
-        (p => !p.contains("Exchange SinglePartition") &&
+        (p => !p.contains("SinglePartition,") &&
           p.contains("rangepartitioning")))
     audit("q_w1_avg_rank",
       "global avg-rank via GlobalIndex: no single-partition exchange" ->
-        (p => !p.contains("Exchange SinglePartition") &&
+        (p => !p.contains("SinglePartition,") &&
           p.contains("rangepartitioning")))
     audit("q_d_line_dedup",
       "duplicate segments removed by anti-join on the segment key" ->
@@ -104,7 +121,7 @@ object ExplainAudit {
       "no cartesian, no single-partition exchange" ->
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") &&
-          !p.contains("Exchange SinglePartition")))
+          !p.contains("SinglePartition,")))
     // q_t_tfidf reuses the tf diamond through an explicit persist, which the
     // plan STRING can't evidence (each InMemoryRelation echoes the cached
     // subtree, parquet scan included) — audit the executed plan's leaves:
@@ -126,7 +143,7 @@ object ExplainAudit {
     }
     audit("q_t_repetition",
       "per-doc argmax window is partitioned (no global window)" ->
-        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")))
+        (p => p.contains("Window") && !p.contains("SinglePartition,")))
     // the CC loop runs its convergence actions while the final plan is
     // assembled — the audited plan is the label/canonical join stitch
     audit("q_d_dup_clusters",
@@ -182,19 +199,19 @@ object ExplainAudit {
           !p.contains("BroadcastNestedLoopJoin")))
     audit("q_t_pii_redact",
       "redaction is map-only: no hash-partition shuffle before the output sort" ->
-        (p => !p.contains("Exchange hashpartitioning")),
+        (p => !p.contains("hashpartitioning(")),
       "whole-stage codegen active (regex ops are expressions, not UDFs)" ->
         (_.contains("codegen id")))
     audit("q_d_semdedup",
       "quantizer argmin window is per-vector (no single-partition window)" ->
-        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")),
+        (p => p.contains("Window") && !p.contains("SinglePartition,")),
       "pair scoring blocks on the cell key (no unblocked cartesian)" ->
         // the k-row centroid attach IS a broadcast nested loop by design;
         // a CartesianProduct would mean the PAIR join lost its cell key
         (p => !p.contains("CartesianProduct")))
     audit("q_t_pack",
       "global prefix sum is two-pass range scheme (no single-partition sort)" ->
-        (p => !p.contains("Exchange SinglePartition") &&
+        (p => !p.contains("SinglePartition,") &&
           p.contains("rangepartitioning")),
       "offsets attach via broadcast join" -> (_.contains("BroadcastHashJoin")))
     audit("q_j_salted",
@@ -220,7 +237,7 @@ object ExplainAudit {
       "anchor coverage is a gram-key equi-join; runs window is per-doc" ->
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") &&
-          !p.contains("Exchange SinglePartition")))
+          !p.contains("SinglePartition,")))
     audit("q_d_span_scrub",
       "coverage explode keeps scrubbing an equi-join (no range/cartesian)" ->
         (p => !p.contains("CartesianProduct") &&
@@ -264,8 +281,8 @@ object ExplainAudit {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"=== perplexity buckets (operator form) ===")
       val checks = Seq(
-        "no single-partition exchange (ranking = global index, not ntile)" ->
-          !plan.contains("Exchange SinglePartition"),
+        "data never funnels single-partition (ranking = global index, not ntile; scalar total reduces allowed)" ->
+          scalarReducesOnly(plan),
         "rank order comes from range partitioning" ->
           plan.contains("rangepartitioning"),
         "the 1-row scorable count attaches by broadcast" ->
@@ -305,7 +322,7 @@ object ExplainAudit {
         (_.contains("HashAggregate")))
     audit("q_s_cluster_sample",
       "per-cluster cap is a keyed window (no single-partition exchange)" ->
-        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")))
+        (p => p.contains("Window") && !p.contains("SinglePartition,")))
     // q_p18_shuffle registers an eager-checkpointed frame; audit the
     // OPERATOR's pre-checkpoint plan: the permutation position must come
     // from the range-partitioned global index, never a single-partition
@@ -319,7 +336,7 @@ object ExplainAudit {
       println(s"=== seeded shuffle (operator form) ===")
       val checks = Seq(
         "no single-partition exchange (position = global index)" ->
-          !plan.contains("Exchange SinglePartition"),
+          !plan.contains("SinglePartition,"),
         "permutation order comes from range partitioning" ->
           plan.contains("rangepartitioning"))
       checks.foreach { case (desc, ok) =>
@@ -344,8 +361,8 @@ object ExplainAudit {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"=== token shards (operator form) ===")
       val checks = Seq(
-        "no single-partition exchange (prefix sum = range scheme)" ->
-          !plan.contains("Exchange SinglePartition"),
+        "data never funnels single-partition (prefix sum = range scheme; scalar total reduces allowed)" ->
+          scalarReducesOnly(plan),
         "prefix-sum order comes from range partitioning" ->
           plan.contains("rangepartitioning"),
         "1-row total attaches by broadcast" ->
@@ -371,8 +388,8 @@ object ExplainAudit {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"=== dsir (operator form) ===")
       val checks = Seq(
-        "no single-partition exchange (rank = global index)" ->
-          !plan.contains("Exchange SinglePartition"),
+        "data never funnels single-partition (rank = global index; scalar total reduces allowed)" ->
+          scalarReducesOnly(plan),
         "rank order comes from range partitioning" ->
           plan.contains("rangepartitioning"),
         "model joins are equi-joins (no corpus-sized cartesian)" ->
@@ -387,7 +404,7 @@ object ExplainAudit {
     }
     audit("q_t_gopher_rules",
       "rule gate is map-only (no hash-partition shuffle before output sort)" ->
-        (p => !p.contains("Exchange hashpartitioning")),
+        (p => !p.contains("hashpartitioning(")),
       "text tokenized once: a single split() in the physical plan" ->
         (p => "split\\(".r.findAllIn(p).size <= 1),
       "whole-stage codegen active (rules are expressions, not UDFs)" ->
@@ -404,7 +421,7 @@ object ExplainAudit {
       "no corpus-sized cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_p20_reservoir",
       "two-level tournament: keyed windows only, no single-partition exchange" ->
-        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")))
+        (p => p.contains("Window") && !p.contains("SinglePartition,")))
     audit("q_d_bloom_decon",
       // the 1-row bitmap attach IS a broadcast nested loop by design
       "exact verify join is a broadcast hash join on the gram key" ->
@@ -446,12 +463,12 @@ object ExplainAudit {
         (_.contains("HashAggregate")))
     audit("q_t_entropy",
       "map-only: no hash-partition shuffle before the output sort" ->
-        (p => !p.contains("Exchange hashpartitioning")),
+        (p => !p.contains("hashpartitioning(")),
       "char_entropy rides whole-stage codegen (native expression, not a UDF)" ->
         (_.contains("codegen id")))
     audit("q_e_session_stats",
       "session assembly stays user-partitioned (no single-partition window)" ->
-        (p => p.contains("Window") && !p.contains("Exchange SinglePartition")),
+        (p => p.contains("Window") && !p.contains("SinglePartition,")),
       "no cartesian" -> (p => !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin")))
     audit("q_s_hard_negatives",
@@ -468,9 +485,14 @@ object ExplainAudit {
       // (chunk_hash, id), final keyed chunk_hash — both on the chunk key,
       // nothing upstream of the roll-up shuffles
       "only the chunk-hash roll-up shuffles (distinct-agg pair)" ->
-        (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2),
+        (p => "hashpartitioning\\(".r.findAllIn(p).size <= 2),
       "no cartesian" -> (p => !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_s_knn_graph",
+      // the 16-row centroid attach IS a broadcast nested loop by design
+      "candidate pairs keyed on the coarse list (both sides shuffle on it)" ->
+        (_.contains("hashpartitioning(list")),
+      "no unbroadcast cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

