@@ -110,7 +110,8 @@ object Bench {
     "q_e_session_stats",
     "q_s_hard_negatives",
     "q_d_cdc_chunks",
-    "q_s_knn_graph")
+    "q_s_knn_graph",
+    "q_s_semantic_clusters")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -388,6 +388,58 @@ object SimilarityOps {
                    ROUND(cosine, 6) AS cosine
             FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Semantic duplicate clusters (SemDeDup by graph closure): connected
+    * components over the kNN-graph edges whose cosine clears `minCosine`.
+    * Composition of two certified operators — [[knnGraph]] generates the
+    * blocked candidate edges, [[graft.dedup.DupClusters.connectedComponents]]
+    * closes them in O(log diameter) keyed rounds — so the whole pipeline
+    * inherits their 100 TB shapes (list-keyed candidate shuffle; min-label
+    * propagation on the edge key; no all-pairs anywhere). Vectors in no
+    * strong edge are their own singleton cluster. */
+  def semanticClusters(emb: DataFrame, idCol: String, vecCol: String,
+      nList: Int, nProbe: Int, k: Int, minCosine: Double): DataFrame = {
+    val edges = knnGraph(emb, idCol, vecCol, nList, nProbe, k)
+      .filter(col("cosine") >= minCosine)
+      .select(col("qid").as("ida"), col("neighbor").as("idb"))
+    val cc = graft.dedup.DupClusters.connectedComponents(edges)
+    val labeled = emb.select(col(idCol).as("vec_id"))
+      .join(cc.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster"))
+    val sizes = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster"))
+      .select("vec_id", "cluster", "cluster_size")
+  }
+
+  /** Clusters at cosine ≥ 0.3 on the (16, 4, 5) graph; the oracle closes
+    * the SAME rounded edge set with a recursive CTE (transitive closure =
+    * the SQL specification of connected components, as in
+    * q_d_dup_clusters). */
+  private val sSemClusters = Q(
+    (s, d) => semanticClusters(Tables.embeddings(s, d), "vec_id",
+      "embedding", nList = 16, nProbe = 4, k = 5, minCosine = 0.3)
+      .orderBy("vec_id"),
+    Some("WITH RECURSIVE " + knnGraphSql + """,
+            p AS (SELECT qid AS ida, id AS idb FROM r
+                  WHERE rank <= 5 AND ROUND(cosine, 6) >= 0.3),
+            e AS (SELECT ida AS a, idb AS b FROM p
+                  UNION SELECT idb AS a, ida AS b FROM p),
+            reach AS (SELECT a, b FROM e
+                      UNION
+                      SELECT rc.a, e2.b FROM reach rc JOIN e e2 ON rc.b = e2.a
+                      WHERE e2.b <> rc.a),
+            comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
+                     FROM reach GROUP BY a),
+            lab AS (SELECT v.vec_id, COALESCE(c.comp, v.vec_id) AS cluster
+                    FROM v LEFT JOIN comp c ON v.vec_id = c.id),
+            sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                   FROM lab GROUP BY 1)
+            SELECT lab.vec_id, lab.cluster, sz.cluster_size
+            FROM lab JOIN sz ON lab.cluster = sz.cluster
+            ORDER BY lab.vec_id"""))
+
   /** Bucket-bit count trades recall vs candidate volume: measured on the
     * sf0.001 embeddings, (8 bits, 6 tables) -> 0.02 recall of exact top-3,
     * (6, 12) -> 0.43, (4, 16) -> 0.90 (but 4-bit buckets stop scaling with
@@ -504,10 +556,12 @@ object SimilarityOps {
     * exact): one-sided candidates (16,4) → 0.48; SYMMETRIC (16,2) → 0.49,
     * (16,4) → 0.91, (16,6) → 1.00 — symmetric generation ~doubles recall
     * at the same candidate bound, so (16,4) is the default. */
-  private val sKnnGraph = Q(
-    (s, d) => knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
-      nList = 16, nProbe = 4, k = 5).orderBy("qid", "rank"),
-    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  /** Shared oracle CTE chain for the (16, 4)-geometry kNN graph: seeded
+    * centroids, squared-distance argmin probes, symmetric probe-list
+    * candidates, exact cosine, per-qid rank. Ends at CTE `r`. */
+  // def, not val: referenced by queries declared ABOVE it in init order
+  private def knnGraphSql: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
               FROM embeddings),
             cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
             dist AS (SELECT v.vec_id AS id, cent.cid,
@@ -530,7 +584,12 @@ object SimilarityOps {
                         JOIN v b ON b.vec_id = cand.qid),
             r AS (SELECT qid, id, cosine, row_number() OVER
                     (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
-                  FROM scored)
+                  FROM scored)"""
+
+  private val sKnnGraph = Q(
+    (s, d) => knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 5).orderBy("qid", "rank"),
+    Some("WITH " + knnGraphSql + """
             SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
             FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
@@ -870,6 +929,7 @@ object SimilarityOps {
     "q_s_ann_lsh" -> sAnn,
     "q_s_ann_ivf" -> sIvf,
     "q_s_knn_graph" -> sKnnGraph,
+    "q_s_semantic_clusters" -> sSemClusters,
     "q_s_ann_ivf_seeded" -> sIvfSeeded,
     "q_s_ivf_pq" -> sIvfPq,
     "q_s_mean_pool" -> sMeanPool,

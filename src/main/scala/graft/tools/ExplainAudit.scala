@@ -493,6 +493,14 @@ object ExplainAudit {
       "candidate pairs keyed on the coarse list (both sides shuffle on it)" ->
         (_.contains("hashpartitioning(list")),
       "no unbroadcast cartesian" -> (p => !p.contains("CartesianProduct")))
+    // the CC closure runs its convergence actions while the final plan is
+    // assembled (q_d_dup_clusters precedent) — the audited plan is the
+    // label/size stitch over the converged labels
+    audit("q_s_semantic_clusters",
+      "label attach + size roll-up are keyed joins (no cartesian)" ->
+        (p => !p.contains("CartesianProduct") &&
+          p.contains("hashpartitioning(")),
+      "no global window" -> (p => scalarReducesOnly(p)))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

@@ -227,6 +227,18 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(recall >= 0.7, f"knn-graph recall@3 $recall%.2f") // measured 0.91
   }
 
+  test("semantic clusters: strong pairs merge, the rest stay singletons") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticClusters(vecs, "vec_id", "embedding",
+      nList = 2, nProbe = 2, k = 2, minCosine = 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(0L -> (0L, 2L), 1L -> (0L, 2L),
+      2L -> (2L, 1L), 3L -> (3L, 1L)))
+  }
+
   test("hard negatives: never the anchor's own label, top-k by cosine") {
     val out = SimilarityOps.hardNegatives(emb, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", "label", 4).collect()
