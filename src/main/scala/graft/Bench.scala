@@ -111,7 +111,8 @@ object Bench {
     "q_s_hard_negatives",
     "q_d_cdc_chunks",
     "q_s_knn_graph",
-    "q_s_semantic_clusters")
+    "q_s_semantic_clusters",
+    "q_p22_stratified_split")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -2,6 +2,7 @@ package graft.etl
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic per-source sampling for training-data mixing: given a
@@ -394,7 +395,57 @@ object DataMix {
             SELECT doc_id, n_chars, key_nano, rank FROM rk WHERE rank <= 25
             ORDER BY doc_id"""))
 
+  /** Deterministic stratified train/val/test split with EXACT per-stratum
+    * counts: within each stratum rows rank by md5(seed:id) (a reproducible
+    * uniform order), and the cumulative-fraction boundaries floor to
+    * integers — so every stratum lands its floor(n·Σf) rows per split
+    * exactly, unlike Bernoulli `sample()` whose per-split sizes drift.
+    * Complements [[graft.dedup.DupClusters.leakSafeSplit]] (which splits by
+    * near-dup CLUSTER to stop leakage; this one guarantees per-class
+    * proportions when strata are labels).
+    *
+    * Scale shape: ONE per-stratum window (keyed shuffle on the stratum) +
+    * a broadcast of the per-stratum counts; the split decision is a scalar
+    * cascade on (rank, n). Identical FP products both engines (floor of
+    * double·fraction), so boundaries hash-match. */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Seq[(String, Double)], seed: String): DataFrame = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val w = Window.partitionBy(stratumCol).orderBy(col("__k"), col(idCol))
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    val ranked = df
+      .withColumn("__k",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(stratumCol))
+    val cascade = fractions.init.zip(cum.init).reverse
+      .foldLeft(lit(fractions.last._1)) { case (els, ((name, _), c)) =>
+        when(col("__r") <= floor(col("__n") * c), name).otherwise(els)
+      }
+    ranked.withColumn("split", cascade).drop("__k", "__r", "__n")
+  }
+
+  private val pStratified = Q(
+    (s, d) => stratifiedSplit(Tables.documents(s, d), "doc_id", "lang",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "42")
+      .select("doc_id", "lang", "split").orderBy("doc_id"),
+    Some("""WITH k AS (SELECT doc_id, lang,
+                md5('42:' || CAST(doc_id AS VARCHAR)) AS kk FROM documents),
+            r AS (SELECT doc_id, lang, row_number() OVER
+                    (PARTITION BY lang ORDER BY kk, doc_id) AS r FROM k),
+            n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)
+            SELECT r.doc_id, r.lang,
+              CASE WHEN r.r <= FLOOR(n.n * 0.8) THEN 'train'
+                   WHEN r.r <= FLOOR(n.n * 0.9) THEN 'val'
+                   ELSE 'test' END AS split
+            FROM r JOIN n ON r.lang = n.lang
+            ORDER BY r.doc_id"""))
+
   val queries: Map[String, Q] = Map(
+    "q_p22_stratified_split" -> pStratified,
     "q_p16_token_budget_mix" -> pTokenMix,
     "q_p14_mix_sample" -> pMix,
     "q_p15_weighted_sample" -> pWeighted,

@@ -501,6 +501,11 @@ object ExplainAudit {
         (p => !p.contains("CartesianProduct") &&
           p.contains("hashpartitioning(")),
       "no global window" -> (p => scalarReducesOnly(p)))
+    audit("q_p22_stratified_split",
+      "per-stratum rank window only (no global data funnel)" ->
+        (p => p.contains("Window") && scalarReducesOnly(p)),
+      "stratum counts attach by broadcast" ->
+        (_.contains("BroadcastHashJoin")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

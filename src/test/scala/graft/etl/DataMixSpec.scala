@@ -162,4 +162,27 @@ class DataMixSpec extends SparkSpecBase {
       25, "w0").select("id").as[Long].collect().toSet
     assert(again === ids)
   }
+
+  test("stratifiedSplit: exact floor counts per stratum, deterministic") {
+    val df = (1L to 100L).map(i => (i, if (i <= 60) "a" else "b"))
+      .toDF("id", "cls")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = DataMix.stratifiedSplit(df, "id", "cls", fr, "s1")
+    val byCls = out.groupBy("cls", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (c, s, n) => (c, s) -> n }.toMap
+    // stratum a: n=60 -> 48/6/6; stratum b: n=40 -> 32/4/4
+    assert(byCls === Map(("a", "train") -> 48L, ("a", "val") -> 6L,
+      ("a", "test") -> 6L, ("b", "train") -> 32L, ("b", "val") -> 4L,
+      ("b", "test") -> 4L))
+    // reproducible and partition-count independent
+    val a = out.select("id", "split").as[(Long, String)].collect().toSet
+    val b = DataMix.stratifiedSplit(df.repartition(7), "id", "cls", fr, "s1")
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(a === b)
+    // a different seed moves membership but not the counts
+    val c = DataMix.stratifiedSplit(df, "id", "cls", fr, "s2")
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(c !== a)
+  }
 }
