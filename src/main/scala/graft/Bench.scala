@@ -112,7 +112,10 @@ object Bench {
     "q_d_cdc_chunks",
     "q_s_knn_graph",
     "q_s_semantic_clusters",
-    "q_p22_stratified_split")
+    "q_p22_stratified_split",
+    // round-9: trigram stupid-backoff scoring and the per-source card
+    "q_t_trigram_sb",
+    "q_pipeline_corpus_card")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -19,7 +19,8 @@ object SparkEntry {
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
-      text.NgramLm.queries ++ text.QualityClassifier.queries ++
+      text.NgramLm.queries ++ text.TrigramLm.queries ++
+      text.QualityClassifier.queries ++
       text.Dsir.queries ++
       dedup.DedupOps.queries ++
       dedup.DupClusters.queries ++

@@ -5,6 +5,7 @@ import graft.dedup.{DedupOps, DupClusters}
 import graft.etl.DataMix
 import graft.text.TextOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-curation capstone: the realistic LLM-training-data
@@ -194,6 +195,68 @@ object CorpusCuration {
         FROM u WHERE uu < LEAST(1.0, 1.5 * stopword_ratio)
         ORDER BY doc_id"""))
 
+  /** Per-source "corpus card": the audit table a dataset release ships —
+    * volume (docs/tokens/chars), language profile (dominant language by
+    * count, ties to the lexicographically smallest), and exact-duplicate
+    * mass (docs whose normalized md5 repeats within the source). Three
+    * source-keyed aggregates joined on the handful-sized source key; the
+    * dominant language is a per-source top-1 window over the (source,
+    * lang) counts — never over rows. */
+  def corpusCard(docs: DataFrame, sourceCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"),
+      col(langCol).as("lang"), col(textCol).as("text"))
+    val vol = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(graft.text.TextOps.tokens(col("text")))).cast("long")
+        .as("total_tokens"),
+      sum(length(col("text"))).cast("long").as("total_chars"))
+    val langCnt = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("lang"))
+    val topLang = langCnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_lang_docs"))
+    val dups = base
+      .select(col("source"), md5(lower(col("text"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy("source").agg(sum("c").cast("long").as("dup_docs"))
+    vol.join(topLang, Seq("source"))
+      .join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("top_lang"), col("top_lang_docs"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+  }
+
+  private val pCard = Q(
+    (s, d) => corpusCard(graft.Tables.documents(s, d), "source", "text",
+      "lang").orderBy("source"),
+    Some("""WITH vol AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(list_filter(string_split(text, ' '),
+                x -> x <> ''))) AS BIGINT) AS total_tokens,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars
+              FROM documents GROUP BY 1),
+            lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+            tl AS (SELECT source, lang AS top_lang, c AS top_lang_docs,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY c DESC, lang) AS rn FROM lc),
+            dp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS dup_docs FROM
+                     (SELECT source, md5(lower(text)) AS h,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                      FROM documents GROUP BY 1, 2) g
+                   WHERE c > 1 GROUP BY 1)
+            SELECT v.source, v.n_docs, v.total_tokens, v.total_chars,
+                   t.top_lang, t.top_lang_docs,
+                   COALESCE(d.dup_docs, 0) AS dup_docs
+            FROM vol v
+            JOIN tl t ON t.source = v.source AND t.rn = 1
+            LEFT JOIN dp d ON d.source = v.source
+            ORDER BY v.source"""))
+
   val queries: Map[String, Q] = Map(
-    "q_pipeline_corpus" -> pCorpus)
+    "q_pipeline_corpus" -> pCorpus,
+    "q_pipeline_corpus_card" -> pCard)
 }

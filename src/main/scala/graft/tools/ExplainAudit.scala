@@ -506,6 +506,20 @@ object ExplainAudit {
         (p => p.contains("Window") && scalarReducesOnly(p)),
       "stratum counts attach by broadcast" ->
         (_.contains("BroadcastHashJoin")))
+    audit("q_t_trigram_sb",
+      "gram scoring joins are equi-joins on gram keys (no cartesian)" ->
+        (p => !p.contains("CartesianProduct")),
+      // the 1-row (N, V) attach IS a broadcast nested loop by design
+      "count tables partial-aggregate before their shuffles" ->
+        (_.contains("HashAggregate")),
+      "no global data funnel" -> (p => scalarReducesOnly(p)))
+    audit("q_pipeline_corpus_card",
+      "three source-keyed aggregates joined on the source key" ->
+        (p => p.contains("HashAggregate") &&
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "dominant language via per-source window, never over rows" ->
+        (p => p.contains("Window") && scalarReducesOnly(p)))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail
