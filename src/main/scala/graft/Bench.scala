@@ -115,7 +115,8 @@ object Bench {
     "q_p22_stratified_split",
     // round-9: trigram stupid-backoff scoring and the per-source card
     "q_t_trigram_sb",
-    "q_pipeline_corpus_card")
+    "q_pipeline_corpus_card",
+    "q_t_quality_norm")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

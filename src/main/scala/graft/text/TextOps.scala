@@ -2,6 +2,7 @@ package graft.text
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -464,6 +465,57 @@ object TextOps {
                    h_char >= 2.0 AND h_char <= 5.5 AS entropy_ok
             FROM h ORDER BY doc_id"""))
 
+  /** Per-source percentile-rank normalization of a quality signal —
+    * quality scores are only comparable WITHIN a source (books score high
+    * on stopword density, code low), so cross-source selection normalizes
+    * each doc to its source-relative rank first (the CCNet/DSIR mixing
+    * preprocessing step). pct = (r−1)/(n−1) over the (score, id) total
+    * order; singleton sources pin 0.5. Integer rank and count reach the
+    * division, so both engines divide identical values.
+    *
+    * One keyed window per source + a broadcast of per-source counts —
+    * the [[graft.etl.DataMix.stratifiedSplit]] shape. */
+  def qualityPercentileBySource(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String): DataFrame = {
+    val scored = df.select(col(idCol), col(sourceCol),
+        col(textCol).as("__text"), tokens(col(textCol)).as("__toks"))
+      .withColumn("score", round(
+        size(filter(col("__toks"), t => lower(t).isin(
+          "the", "a", "of", "and", "to", "in", "is"))).cast("double") /
+          greatest(size(col("__toks")), lit(1)), 6))
+      .drop("__text", "__toks")
+    val w = Window.partitionBy(sourceCol).orderBy(col("score"), col(idCol))
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    scored
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(sourceCol))
+      .withColumn("pct", when(col("__n") === 1, 0.5)
+        .otherwise(round((col("__r") - 1) / (col("__n") - 1), 6)))
+      .drop("__r", "__n")
+  }
+
+  private val tQualityNorm = Q(
+    (s, d) => qualityPercentileBySource(Tables.documents(s, d), "doc_id",
+      "text", "source").orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, source,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            sc AS (SELECT doc_id, source,
+              ROUND(CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','of','and','to','in','is'], lower(x)))) AS DOUBLE)
+                / GREATEST(len(toks), 1), 6) AS score
+              FROM t),
+            r AS (SELECT doc_id, source, score, row_number() OVER
+                    (PARTITION BY source ORDER BY score, doc_id) AS r
+                  FROM sc),
+            n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+            SELECT r.doc_id, r.source, r.score,
+              CASE WHEN n.n = 1 THEN 0.5
+                   ELSE ROUND(CAST(r.r - 1 AS DOUBLE) / (n.n - 1), 6)
+              END AS pct
+            FROM r JOIN n ON r.source = n.source
+            ORDER BY r.doc_id"""))
+
   private val tLangId = Q(
     (s, d) => langId(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
@@ -897,6 +949,7 @@ object TextOps {
     "q_t_pii_redact" -> tPii,
     "q_t_quality" -> tQuality,
     "q_t_entropy" -> tEntropy,
+    "q_t_quality_norm" -> tQualityNorm,
     "q_t_langid" -> tLangId,
     "q_t_fingerprint" -> tFingerprint,
     "q_t_repetition" -> tRepetition,

@@ -280,4 +280,21 @@ class TextOpsSpec extends SparkSpecBase {
       .toMap
     assert(doubled("en") === ((6L, 2L)))
   }
+
+  test("quality percentile: 0..1 span per source, singleton pins 0.5") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "the of and the of"), // densest stopwords in source a
+      (2L, "a", "the foo bar baz qux"),
+      (3L, "a", "foo bar baz qux quux"),
+      (4L, "b", "anything at all"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.qualityPercentileBySource(docs, "doc_id", "text",
+      "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pct")).toMap
+    assert(out(3L) === 0.0) // zero stopwords -> lowest rank
+    assert(out(2L) === 0.5)
+    assert(out(1L) === 1.0)
+    assert(out(4L) === 0.5) // singleton source
+  }
 }
