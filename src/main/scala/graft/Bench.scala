@@ -116,7 +116,10 @@ object Bench {
     // round-9: trigram stupid-backoff scoring and the per-source card
     "q_t_trigram_sb",
     "q_pipeline_corpus_card",
-    "q_t_quality_norm")
+    "q_t_quality_norm",
+    "q_e_moving_avg",
+    "q_j7_interval",
+    "q_e_attribution")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

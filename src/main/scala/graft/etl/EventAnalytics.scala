@@ -125,6 +125,64 @@ object EventAnalytics {
           .cast("boolean").as("converted"))
   }
 
+  /** Trailing event-time moving aggregate per user: a RANGE frame over the
+    * last `windowUs` microseconds (not N rows — bursts widen the row
+    * count, quiet stretches shrink it). `value` sums as exact integer
+    * micro-units inside the frame, so the mean is a ratio of exact
+    * integers — sliding-window float accumulation (add/remove) never
+    * touches the hash. Range frames include ties on both engines. */
+  def movingAggregate(events: DataFrame, windowUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("m"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .withColumn("m", us(col(tsCol)))
+      .withColumn("vu", round(col(valueCol) * 1e6).cast("long"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_micro", sum("vu").over(w))
+      .select(col("event_id"), col(userCol), col("m").as("ts_us"),
+        col("n_win"), col("sum_micro"),
+        round(col("sum_micro") / lit(1e6) / col("n_win"), 6).as("avg_value"))
+  }
+
+  /** Touch attribution: for each conversion event, the touch events of the
+    * same user inside the trailing `windowUs` lookback — count plus the
+    * deterministic first/last touch (by (ts, event_id)), the inputs of
+    * linear / first-touch / last-touch credit models. Conversions with no
+    * touch emit 0/null rather than disappearing.
+    *
+    * The join is keyed on the USER (the event store's partitioning), never
+    * on time alone; per-conversion first/last come from one keyed
+    * min/max-over-struct aggregate, not a window. */
+  def attribution(events: DataFrame, windowUs: Long,
+      convType: String = "purchase", touchType: String = "view",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val base = events.select(col("event_id"), col(userCol).as("u"),
+      col("event_type").as("t"), us(col(tsCol)).as("m"))
+    val conv = base.filter(col("t") === convType)
+      .select(col("event_id").as("conv_id"), col("u"), col("m").as("cm"))
+    val touch = base.filter(col("t") === touchType)
+      .select(col("u").as("tu"), col("event_id").as("tid"),
+        col("m").as("tm"))
+    // the window predicate lives IN the left join: a conversion whose
+    // user has touches, all outside the window, must still emit its row
+    val joined = conv.join(touch,
+      col("u") === col("tu") && col("tm") >= col("cm") - windowUs &&
+        col("tm") < col("cm"), "left")
+    joined
+      .groupBy("conv_id", "u", "cm")
+      .agg(count(col("tid")).as("n_touch"),
+        min(when(col("tid").isNotNull,
+          struct(col("tm"), col("tid")))).getField("tid")
+          .as("first_touch_id"),
+        max(when(col("tid").isNotNull,
+          struct(col("tm"), col("tid")))).getField("tid")
+          .as("last_touch_id"))
+      .select(col("conv_id"), col("u").as("user_id"), col("cm").as("ts_us"),
+        col("n_touch"), col("first_touch_id"), col("last_touch_id"))
+  }
+
   // ---- registry --------------------------------------------------------
 
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
@@ -192,8 +250,54 @@ object EventAnalytics {
                      AS converted
             FROM sid GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val eAttribution = Q(
+    (s, d) => attribution(Tables.events(s, d), 604800000000L)
+      .orderBy("conv_id"),
+    Some("""WITH base AS (SELECT event_id, user_id AS u, event_type AS t,
+              epoch_us(ts) AS m FROM events),
+            conv AS (SELECT event_id AS conv_id, u, m AS cm FROM base
+                     WHERE t = 'purchase'),
+            touch AS (SELECT u, event_id AS tid, m AS tm FROM base
+                      WHERE t = 'view'),
+            j AS (SELECT c.conv_id, c.u, c.cm, t.tid, t.tm
+                  FROM conv c LEFT JOIN touch t
+                    ON c.u = t.u AND t.tm >= c.cm - 604800000000
+                   AND t.tm < c.cm),
+            rk AS (SELECT conv_id, tid, tm,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY tm, tid) AS ra,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY tm DESC, tid DESC) AS rd
+                   FROM j WHERE tid IS NOT NULL),
+            agg AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touch,
+                     MIN(CASE WHEN ra = 1 THEN tid END) AS first_touch_id,
+                     MIN(CASE WHEN rd = 1 THEN tid END) AS last_touch_id
+                    FROM rk GROUP BY 1)
+            SELECT c.conv_id, c.u AS user_id, c.cm AS ts_us,
+                   COALESCE(a.n_touch, 0) AS n_touch,
+                   a.first_touch_id, a.last_touch_id
+            FROM conv c LEFT JOIN agg a ON c.conv_id = a.conv_id
+            ORDER BY c.conv_id"""))
+
+  private val eMovingAvg = Q(
+    (s, d) => movingAggregate(Tables.events(s, d), 300000000L)
+      .orderBy("event_id"),
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS m,
+              CAST(ROUND(value * 1000000.0) AS BIGINT) AS vu FROM events)
+            SELECT event_id, user_id, m AS ts_us,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+              CAST(SUM(vu) OVER w AS BIGINT) AS sum_micro,
+              ROUND(CAST(SUM(vu) OVER w AS DOUBLE) / 1000000.0
+                / (COUNT(*) OVER w), 6) AS avg_value
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY m
+              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_e_funnel" -> eFunnel,
+    "q_e_attribution" -> eAttribution,
+    "q_e_moving_avg" -> eMovingAvg,
     "q_e_session_stats" -> eSessionStats,
     "q_e_retention" -> eRetention,
     "q_e_interarrival" -> eInterArrival)

@@ -244,6 +244,34 @@ object Relational {
                               AND o.o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
+  /** J7 (beyond ref): point-in-interval lookup join — the price-band /
+    * IP-range / SLA-tier dimension shape. The band table is config-sized,
+    * so the inequality join IS a broadcast nested loop by design: each
+    * fact row tests k intervals in the scan stage, the fact side never
+    * shuffles, and the roll-up partial-aggregates map-side. At 100 TB the
+    * same plan holds — the only growing thing is the scan. */
+  private val j7 = Q(
+    (s, d) => {
+      val sess = s
+      import sess.implicits._
+      val bands = Seq(("cheap", 0.0, 1000.0), ("mid", 1000.0, 10000.0),
+        ("high", 10000.0, 1e12)).toDF("band", "lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands), col("l_extendedprice") >= col("lo") &&
+          col("l_extendedprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("band")
+    },
+    Some("""SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS total
+            FROM lineitem l
+            JOIN (VALUES ('cheap', 0.0, 1000.0), ('mid', 1000.0, 10000.0),
+                         ('high', 10000.0, 1e12)) b(band, lo, hi)
+              ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+            GROUP BY 1 ORDER BY 1"""))
+
   // -- A: aggregations ---------------------------------------------------
 
   /** A1: group-by count (value_counts). */
@@ -683,6 +711,7 @@ object Relational {
     "q_j4_mapjoin" -> j4,
     "q_j5_semi" -> j5,
     "q_j6_anti" -> j6,
+    "q_j7_interval" -> j7,
     "q_a1_count" -> a1,
     "q_a2_crosstab" -> a2,
     "q_a3_weighted_sum" -> a3,

@@ -520,6 +520,25 @@ object ExplainAudit {
           !p.contains("BroadcastNestedLoopJoin")),
       "dominant language via per-source window, never over rows" ->
         (p => p.contains("Window") && scalarReducesOnly(p)))
+    audit("q_e_attribution",
+      "touch join keyed on the user (no time-only or nested-loop join)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      // struct-typed min/max is not hash-aggregable, so this plans as a
+      // keyed SortAggregate — still a partial/final pair on the group key
+      "per-conversion extrema in a keyed aggregate (no window)" ->
+        (p => (p.contains("HashAggregate") || p.contains("SortAggregate")) &&
+          scalarReducesOnly(p)))
+    audit("q_e_moving_avg",
+      "range-frame window stays user-partitioned" ->
+        (p => p.contains("Window") && scalarReducesOnly(p)))
+    audit("q_j7_interval",
+      // the k-interval band attach IS a broadcast nested loop by design
+      "band table broadcast (fact side never shuffles before the lookup)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")),
+      "band roll-up partial-aggregates map-side" ->
+        (_.contains("HashAggregate")))
     audit("q_sk_hll_distinct",
       "sketch and exact count share one scan (single aggregation subtree)" ->
         // tree nodes only — formatted mode repeats each node in the detail

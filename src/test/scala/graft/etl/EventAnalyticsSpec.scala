@@ -48,6 +48,39 @@ class EventAnalyticsSpec extends SparkSpecBase {
       (1L, 0L, 1L)))
   }
 
+  test("attribution: lookback window, strict upper bound, empty conversions kept") {
+    val df = ev(
+      (1L, 1L, "view", 10L), (2L, 1L, "view", 50L),
+      (3L, 1L, "purchase", 100L), // touches 1, 2 in [0, 100)
+      (4L, 1L, "view", 100L), //     simultaneous view must NOT attribute
+      (5L, 1L, "purchase", 300L), // window [200, 300): no touches
+      (6L, 2L, "purchase", 50L)) //  user with no views at all
+    val out = EventAnalytics.attribution(df, 100000000L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out === Map(
+      3L -> ((2L, Some(1L), Some(2L))),
+      5L -> ((0L, None, None)),
+      6L -> ((0L, None, None))))
+  }
+
+  test("movingAggregate: trailing range frame, inclusive lower bound") {
+    val df = ev((1L, 1L, "view", 0L), (2L, 1L, "view", 100L),
+      (3L, 1L, "view", 400L))
+      .withColumn("value",
+        when(col("event_id") === 1, 1.0)
+          .when(col("event_id") === 2, 2.0).otherwise(4.0))
+    val out = EventAnalytics.movingAggregate(df, 300000000L)
+      .orderBy("event_id")
+      .select("event_id", "n_win", "sum_micro", "avg_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1000000L, 1.0),
+      (2L, 2L, 3000000L, 1.5), // frame [-200s, 100s] holds both
+      (3L, 2L, 6000000L, 3.0))) // 0s event falls off; 100s is inclusive
+  }
+
   test("sessionStats: gap split, duration, and conversion flag") {
     // user 1: events at 0s, 60s (same session, converted), then 4000s
     // (> 30 min gap -> new session, single event, not converted)
