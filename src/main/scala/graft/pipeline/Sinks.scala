@@ -40,6 +40,21 @@ object Sinks {
   def json(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed-table sink: persist a table hash-bucketed (and sorted)
+    * on its join/aggregation key. THE storage-layout lever for repeated
+    * big-table joins at 100 TB: two tables bucketed on the same key with
+    * the same bucket count join with ZERO Exchange — the shuffle is paid
+    * once at write time instead of on every downstream query (and
+    * bucket-local sort makes it a sort-merge join with no sort either).
+    * Registered to the session catalog (`saveAsTable` — bucket metadata
+    * lives in the catalog, plain `.parquet(path)` cannot carry it);
+    * the exchange-free join contract is spec-pinned in SinksSpec. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** S7: segmentation-result bundle — the pickled dict's fields as one
     * struct row: labels live in their own parquet (data-scale), summary
     * fields in JSON. */

@@ -176,4 +176,43 @@ class PipelineSpec extends SparkSpecBase {
     Sinks.metricsCsv(metricsDf, s"$dir/metrics")
     assert(spark.read.option("header", true).csv(s"$dir/metrics").count() > 0)
   }
+
+  test("bucketed tables join with ZERO exchange and aggregate without one") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val o = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+    Sinks.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Sinks.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 8)
+    // tiny test tables would broadcast-join (which needs no distribution,
+    // so the planner rightly disables the bucketed scan); force the
+    // shuffle-join path the bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the shuffle was paid once at write time: the join replans with no
+      // Exchange on either side (and no per-query sort — data is
+      // bucket-local sorted)
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      assert(joined.count() === l.count())
+      // aggregation on the bucket key also skips its exchange
+      val agg = spark.table("b_lineitem").groupBy("o_orderkey")
+        .agg(sum("l_quantity"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      // correctness unchanged vs the unbucketed join
+      val a = joined.groupBy().agg(count(lit(1)), sum("l_quantity"))
+        .head().toSeq
+      val b = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy().agg(count(lit(1)), sum("l_quantity")).head().toSeq
+      assert(a === b)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
