@@ -33,6 +33,34 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("v"))
 
+  /** Stream-STREAM event-time interval join: purchases matched to the same
+    * user's views from the trailing `lookback` — both sides are unbounded
+    * streams, so the watermark + the time-range predicate are what let
+    * Spark EVICT join state (a view older than the purchase watermark
+    * minus the lookback can never match again; without the range
+    * condition state grows forever). The batch twin of the shape is
+    * [[graft.etl.EventAnalytics.attribution]]'s windowed join.
+    *
+    * Inner join: a purchase emits once per qualifying view, as soon as
+    * both sides have arrived. */
+  def streamStreamAttribution(purchases: DataFrame, views: DataFrame,
+      lookback: String = "interval 1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(lookback) &&
+        col("v_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Public: Catalyst's generated code constructs/reads state instances. */
   final case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)
 

@@ -345,6 +345,37 @@ class StreamsSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/out").count() === 100)
   }
 
+  test("stream-stream interval join: in-window views only, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[Streams.Event]
+    val vIn = MemoryStream[Streams.Event]
+    val q = Streams.streamStreamAttribution(pIn.toDF(), vIn.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    // views at minute 5 and 50; purchase at minute 60 with 1 h lookback
+    vIn.addData(Streams.Event(1, ts(5), 1, "view", 0),
+      Streams.Event(2, ts(50), 1, "view", 0),
+      Streams.Event(3, ts(50), 2, "view", 0)) // other user: no match
+    q.processAllAvailable()
+    pIn.addData(Streams.Event(10, ts(60), 1, "purchase", 0))
+    q.processAllAvailable()
+    // a view ARRIVING after the purchase still joins (both-sides state)
+    vIn.addData(Streams.Event(4, ts(59), 1, "view", 0))
+    q.processAllAvailable()
+    val out = spark.table("ssj_out")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(out === Set((10L, 1L), (10L, 2L), (10L, 4L)))
+    // batch twin agrees on the same events
+    val all = Seq(
+      Streams.Event(1, ts(5), 1, "view", 0), Streams.Event(2, ts(50), 1, "view", 0),
+      Streams.Event(3, ts(50), 2, "view", 0), Streams.Event(4, ts(59), 1, "view", 0),
+      Streams.Event(10, ts(60), 1, "purchase", 0)).toDF()
+    val batch = graft.etl.EventAnalytics.attribution(all, 3600000000L)
+      .filter(col("conv_id") === 10).head()
+    assert(batch.getAs[Long]("n_touch") === 3)
+  }
+
   test("streaming funnel: strict order, and stream == batch on real events") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("signup", "view", "purchase")
