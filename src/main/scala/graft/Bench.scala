@@ -119,7 +119,8 @@ object Bench {
     "q_t_quality_norm",
     "q_e_moving_avg",
     "q_j7_interval",
-    "q_e_attribution")
+    "q_e_attribution",
+    "q_e_asof_fwd")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

@@ -50,4 +50,28 @@ object AsOfJoin {
       .select(left.columns.map(col) ++
         payloadCols.map(c => col("__m")(c).as(matchPrefix + c)): _*)
   }
+
+  /** Forward as-of join — the mirror: for each left row, the EARLIEST right
+    * row with `right.ts >= left.ts` in the same key (inclusive ties, like
+    * DuckDB's `ASOF … ON l.ts <= r.ts`). "Next event after": time-to-
+    * conversion, next-error-after-deploy, label lookahead. Same single
+    * union shuffle + one window pass; left rows sort before right rows at
+    * equal ts (tag 0 < 1), and `first(payload) over current..following`
+    * carries the nearest following right payload back. */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      matchPrefix: String = "next_"): DataFrame = {
+    require(!left.columns.contains("__r") && !left.columns.contains("__tag"),
+      "left must not contain reserved columns __r/__tag")
+    val payloadCols = right.columns.filterNot(_ == key)
+    val r = right.select(col(key), col(ts).as("__ts"), lit(1).as("__tag"),
+      struct(payloadCols.map(col).toSeq: _*).as("__r"))
+    val l = left.withColumn("__ts", col(ts)).withColumn("__tag", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("__m", first("__r", ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col("__m")(c).as(matchPrefix + c)): _*)
+  }
 }

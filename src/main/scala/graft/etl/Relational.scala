@@ -670,6 +670,34 @@ object Relational {
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY event_id"""))
 
+  /** Forward as-of (see [[AsOfJoin.forward]]): each view matched to the
+    * user's next purchase at-or-after it — time-to-conversion. Oracle is
+    * DuckDB's forward ASOF (`l.ts <= r.ts`). */
+  private val eAsofFwd = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.forward(views, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("next_event_id"),
+          unix_micros(col("next_ts")).as("next_ts_us"),
+          col("next_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT l.event_id AS event_id, l.user_id AS user_id,
+                   epoch_us(l.ts) AS ts_us, r.event_id AS next_event_id,
+                   epoch_us(r.ts) AS next_ts_us, r.value AS next_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+            ORDER BY event_id"""))
+
   /** Keyless time-proximity range join (see [[RangeJoin]]): purchases within
     * ±60 s of each error event, counted. Oracle is DuckDB's BETWEEN range
     * join (IEJoin); the Spark side uses the banded equi-join encoding. */
@@ -737,6 +765,7 @@ object Relational {
     "q_e_window_agg" -> eWindow,
     "q_e_sessionize" -> eSession,
     "q_e_asof" -> eAsof,
+    "q_e_asof_fwd" -> eAsofFwd,
     "q_e_range_join" -> eRange,
     "q_j_salted" -> SaltedJoinQuery.jSalted,
     "q_j_salted_adaptive" -> SaltedJoinQuery.jSaltedAdaptive,

@@ -96,6 +96,10 @@ object ExplainAudit {
       "as-of composes to sort+window, not an inequality join" ->
         (p => !p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct") && p.contains("Window")))
+    audit("q_e_asof_fwd",
+      "forward as-of composes to sort+window, not an inequality join" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct") && p.contains("Window")))
     audit("q_e_range_join",
       "banded range join is an equi-join (no nested-loop/cartesian)" ->
         (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
