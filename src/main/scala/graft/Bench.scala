@@ -120,7 +120,8 @@ object Bench {
     "q_e_moving_avg",
     "q_j7_interval",
     "q_e_attribution",
-    "q_e_asof_fwd")
+    "q_e_asof_fwd",
+    "q_t_boilerplate")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

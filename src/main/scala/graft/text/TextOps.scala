@@ -516,6 +516,53 @@ object TextOps {
             FROM r JOIN n ON r.source = n.source
             ORDER BY r.doc_id"""))
 
+  /** Boilerplate detector: the most frequent word 5-grams per source with
+    * occurrence and document counts — repeated headers, navigation chrome,
+    * license blurbs surface at the top. (source, gram) counts with
+    * map-side combine bound the exchange by distinct grams; the top-k is
+    * a keyed window over COUNT rows, never documents. Deterministic ties:
+    * (count desc, gram asc). */
+  def topGramsBySource(df: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 5, n: Int = 5): DataFrame = {
+    val t = col("__toks")
+    val grams = df
+      .select(col(sourceCol).as("source"), col("doc_id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .select(col("source"), col("doc_id"), explode(
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val counts = grams.groupBy("source", "gram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_occ").desc, col("gram"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("source", "rank", "gram", "n_occ", "n_docs")
+  }
+
+  private val tBoilerplate = Q(
+    (s, d) => topGramsBySource(Tables.documents(s, d), "source", "text")
+      .orderBy("source", "rank"),
+    Some("""WITH toks AS (SELECT source, doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            g AS (SELECT source, doc_id,
+                unnest(list_transform(range(GREATEST(len(t) - 4, 0)),
+                  i -> t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                    || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]
+                    || ' ' || t[CAST(i AS INT)+5])) AS gram
+              FROM toks),
+            c AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM g GROUP BY 1, 2),
+            r AS (SELECT source, gram, n_occ, n_docs,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_occ DESC, gram) AS INT) AS rank FROM c)
+            SELECT source, rank, gram, n_occ, n_docs
+            FROM r WHERE rank <= 5 ORDER BY source, rank"""))
+
   private val tLangId = Q(
     (s, d) => langId(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
@@ -950,6 +997,7 @@ object TextOps {
     "q_t_quality" -> tQuality,
     "q_t_entropy" -> tEntropy,
     "q_t_quality_norm" -> tQualityNorm,
+    "q_t_boilerplate" -> tBoilerplate,
     "q_t_langid" -> tLangId,
     "q_t_fingerprint" -> tFingerprint,
     "q_t_repetition" -> tRepetition,
