@@ -17,6 +17,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     etl.Relational.queries ++ etl.DataMix.queries ++
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
+      etl.ZOrder.queries ++
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++

@@ -551,6 +551,26 @@ object ExplainAudit {
         // assertion would otherwise pass vacuously on any plan
         (p => "Scan parquet  \\(".r.findAllIn(p).size == 1))
 
+    audit("q_d_exact_spans",
+      "gram rows shuffle ONCE on the dual-hash key (window, not " +
+        "groupBy+rejoin — no join anywhere in the plan)" ->
+        (p => p.contains("hashpartitioning(h1") && !p.contains("Join")),
+      "per-doc island closure shuffles on the doc id" ->
+        (_.contains("hashpartitioning(id")),
+      "span aggregation partial-aggregates map-side" ->
+        (_.contains("partial_min")),
+      "scan pruned to id+text (no lang/source/n_chars)" ->
+        (p => p.linesIterator.exists(l => l.contains("ReadSchema") &&
+          l.contains("text") && !l.contains("lang"))))
+    audit("q_p19_zorder",
+      "1-row min/max bounds attach by broadcast (never a shuffle)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")),
+      "bounds reduce is the only SinglePartition exchange (scalar, " +
+        "partial-aggregated map-side)" -> scalarReducesOnly,
+      "morton key is pure map-side: zero hash exchanges" ->
+        (p => !p.contains("hashpartitioning(")))
+
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
       sys.exit(1)

@@ -184,4 +184,48 @@ class DupClustersSpec extends SparkSpecBase {
     assert(sides === Set(true, false))
     spark.catalog.clearCache()
   }
+
+  test("exactCharSpans: byte-exact maximal spans, within- and cross-doc, " +
+      "vs a hash-free string-search reference") {
+    // seeded non-periodic strings (a cyclic filler like 'abc..zabc..z'
+    // would plant spurious self-repeats inside one occurrence)
+    val rnd = new scala.util.Random(42)
+    def rs(n: Int) = rnd.alphanumeric.take(n).mkString
+    val S = rs(80); val T = rs(60); val W = rs(49)
+    val u = Array.fill(9)(rs(30))
+    val local = Seq(
+      1L -> (u(0) + S + u(1)), // cross-doc repeat of S with doc 2
+      2L -> (u(2) + S + u(3)),
+      3L -> (u(4) + T + u(5) + T + u(6)), // within-doc repeat — must count
+      4L -> (u(7) + W), // shared 49-char tail: below minLen=50 — silent
+      5L -> (u(8) + W))
+    val got = DupClusters.exactCharSpans(
+        local.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // exact boundaries: |u|=30 everywhere, so doc 1/2 carry S at [30,109]
+    // (maximal: the flanking chars differ across docs), doc 3 carries T
+    // twice at [30,89] and [120,179], docs 4/5 nothing
+    assert(got === Set((1L, 30L, 109L, 80L), (2L, 30L, 109L, 80L),
+      (3L, 30L, 89L, 60L), (3L, 120L, 179L, 60L)))
+    // independent reference: duplicated = the literal 50-gram occurs >= 2
+    // times corpus-wide (substring counting, no hashing), islands merged —
+    // the suffix-array definition evaluated by brute force
+    val grams = for {
+      (id, t) <- local; p <- 0 to t.length - 50
+    } yield (id, p, t.substring(p, p + 50))
+    val occ = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = grams.filter(g => occ(g._3) >= 2).groupBy(_._1)
+      .flatMap { case (id, g) =>
+        val ps = g.map(_._2).sorted
+        val islands = ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        islands.map { case (s, e) =>
+          (id, s.toLong, (e + 49).toLong, (e + 49 - s + 1).toLong) }
+      }.toSet
+    assert(got === expected)
+  }
 }
