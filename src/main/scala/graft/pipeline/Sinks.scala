@@ -55,6 +55,51 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** ORC sink — the second columnar format (parquet is the default;
+    * ORC covers warehouses standardized on it). Spark's OrcScan carries
+    * the same scan-side contracts as parquet — predicate pushdown +
+    * column pruning (PushedFilters in the plan) — so switching formats
+    * costs no plan quality; OrcSpec pins round-trip fidelity AND the
+    * pushdown. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.orc(path)
+
+  /** Corrupt-tolerant JSONL ingest with a quarantine lane. A 100 TB
+    * ingest WILL contain malformed lines; FAILFAST kills the job on the
+    * first one and DROPMALFORMED silently loses data — the production
+    * answer is PERMISSIVE parse + route the RAW broken line to a replay
+    * sink. Returns the parsed good rows; the quarantine path receives
+    * each broken line verbatim (text, one per line — re-ingestable by
+    * this same function after repair).
+    *
+    * The corrupt column must be materialized before it can be filtered
+    * alone (Spark disallows queries referencing ONLY the internal
+    * corrupt-record column), hence the cache; it is released after the
+    * quarantine write — the good-row frame re-reads the source. */
+  def readJsonWithQuarantine(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      quarantinePath: String): DataFrame = {
+    val corrupt = "_corrupt_record"
+    val raw = spark.read
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .cache()
+    try {
+      raw.filter(col(corrupt).isNotNull).select(col(corrupt))
+        .write.mode(SaveMode.Append).text(quarantinePath)
+      val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+      // materialize before releasing the cache so the returned frame
+      // never re-parses the source (this call is an ingest ACTION, not a
+      // lazy transform — the quarantine write already ran a job)
+      good.localCheckpoint(eager = true)
+    } finally raw.unpersist(blocking = false)
+  }
+
   /** S7: segmentation-result bundle — the pickled dict's fields as one
     * struct row: labels live in their own parquet (data-scale), summary
     * fields in JSON. */
