@@ -125,6 +125,7 @@ object Bench {
     // round-9: suffix-array-exact duplicated char spans (single gram-key
     // window shuffle) and the Morton-key layout computation
     "q_d_exact_spans",
+    "q_d_exact_scrub",
     "q_p19_zorder")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
@@ -187,7 +188,8 @@ object Bench {
     "q_t_gopher_rules" -> 4.0, "q_t_diversity" -> 4.0,
     "q_p19_temperature_mix" -> 2.0, "q_p20_reservoir" -> 2.0,
     "q_d_bloom_decon" -> 4.0, "q_p21_weighted_reservoir" -> 2.0,
-    "q_s_sq8" -> 4.0, "q_d_exact_spans" -> 6.0, "q_p19_zorder" -> 2.0)
+    "q_s_sq8" -> 4.0, "q_d_exact_spans" -> 6.0, "q_d_exact_scrub" -> 6.0,
+    "q_p19_zorder" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

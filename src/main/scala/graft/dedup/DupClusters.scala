@@ -615,11 +615,129 @@ object DupClusters {
             FROM runs GROUP BY doc_id, grp
             ORDER BY doc_id, span_start"""))
 
+  /** The ACTING half of exact-substring dedup ([[exactCharSpans]]
+    * detects; this removes — arXiv:2107.06499's scrub step at character
+    * granularity). Keeper rule matches [[scrubDupSpans]]: the lowest doc
+    * id containing a duplicated gram keeps it; every OTHER doc's covered
+    * characters are cut, so one occurrence of each duplicated span
+    * survives corpus-wide (within-doc repeats inside the keeper doc
+    * survive whole, the same trade the token scrub documents).
+    *
+    * Scale: no per-character explode — anchor positions become per-doc
+    * removal INTERVALS (islands, then a cumulative-max window merges the
+    * overlaps that the +L-1 extension introduces: two islands closer
+    * than L chars overlap after extension), and the cut itself is one
+    * interpreted fold per DOC over its handful of sorted spans (span
+    * surgery: O(spans) lambda steps + O(len) substr copies — per-doc
+    * config-sized, unlike a corpus-chars-sized coverage join). */
+  def scrubExactSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, minOcc: Int = 2): DataFrame = {
+    require(minLen >= 2 && minOcc >= 2, "need minLen >= 2, minOcc >= 2")
+    import graft.functions.RollingGramHash
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__t"))
+    val grams = base
+      .where(length(col("__t")) >= minLen)
+      .select(col("id"),
+        RollingGramHash.hashes(col("__t"), minLen,
+          RollingGramHash.Mult1).as("__ha"),
+        RollingGramHash.hashes(col("__t"), minLen,
+          RollingGramHash.Mult2).as("__hb"))
+      .select(col("id"),
+        posexplode(arrays_zip(col("__ha"), col("__hb"))).as(Seq("pos", "h")))
+      .select(col("id"), col("pos"),
+        col("h.__ha").as("h1"), col("h.__hb").as("h2"))
+    val occ = Window.partitionBy("h1", "h2")
+    val removePos = grams
+      .withColumn("occ", count(lit(1)).over(occ))
+      .withColumn("keeper", min("id").over(occ))
+      .filter(col("occ") >= minOcc && col("id") =!= col("keeper"))
+    val wi = Window.partitionBy("id").orderBy("pos")
+    val islands = removePos
+      .withColumn("grp", col("pos") - row_number().over(wi))
+      .groupBy("id", "grp")
+      .agg(min("pos").as("s"), (max("pos") + (minLen - 1)).as("e"))
+    // extension overlap merge: cumulative max of prior ends; a span
+    // starting at or before prevMaxE+1 continues the current cut region
+    val ws = Window.partitionBy("id").orderBy("s")
+    val merged = islands
+      .withColumn("pme",
+        max("e").over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("cut",
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("cutGrp",
+        sum("cut").over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "cutGrp").agg(min("s").as("s"), max("e").as("e"))
+    val spansPerDoc = merged.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__spans"))
+    base.join(spansPerDoc, Seq("id"), "left")
+      .withColumn("__spans",
+        coalesce(col("__spans"),
+          expr("CAST(array() AS array<struct<s:int,e:int>>)")))
+      .withColumn("clean_text", expr(
+        """aggregate(__spans,
+             named_struct('t', CAST('' AS STRING), 'c', 0),
+             (a, sp) -> named_struct(
+               't', concat(a.t, substr(__t, a.c + 1, sp.s - a.c)),
+               'c', sp.e + 1),
+             a -> concat(a.t, substr(__t, a.c + 1, length(__t) - a.c)))"""))
+      .select(col("id").as(idCol), col("clean_text"),
+        length(col("clean_text")).cast("long").as("kept_chars"),
+        (length(col("__t")) - length(col("clean_text"))).cast("long")
+          .as("removed_chars"))
+  }
+
+  /** Char-scrub at the q_d_exact_spans parameters. The oracle replays
+    * literal 50-char grams, the min-doc keeper, island closure, interval
+    * merge — and verifies the SURGERY result against an independent
+    * construction: per-character coverage (one row per kept char,
+    * string_agg reassembly), so a fold bug that dropped or duplicated a
+    * boundary char would hash-mismatch. */
+  private val dExactScrub = Q(
+    (s, d) => scrubExactSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                substr(text, CAST(i AS INT) + 1, 50) AS gram
+              FROM documents,
+                LATERAL (SELECT unnest(range(length(text) - 49)) AS i) ii
+              WHERE length(text) >= 50),
+            dg AS (SELECT gram, MIN(doc_id) AS keeper FROM g
+                   GROUP BY gram HAVING COUNT(*) >= 2),
+            rp AS (SELECT g.doc_id, g.pos FROM g
+                   JOIN dg ON g.gram = dg.gram AND g.doc_id <> dg.keeper),
+            runs AS (SELECT doc_id, pos,
+                pos - CAST(row_number() OVER
+                  (PARTITION BY doc_id ORDER BY pos) AS INT) AS grp
+              FROM rp),
+            spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 49 AS e
+                      FROM runs GROUP BY doc_id, grp),
+            ch AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                substr(text, CAST(i AS INT) + 1, 1) AS c
+              FROM documents,
+                LATERAL (SELECT unnest(range(length(text))) AS i) ii),
+            kept AS (SELECT ch.doc_id, ch.pos, ch.c FROM ch
+              LEFT JOIN spans ON ch.doc_id = spans.doc_id
+                AND ch.pos BETWEEN spans.s AND spans.e
+              WHERE spans.s IS NULL)
+            SELECT d.doc_id AS doc_id,
+              COALESCE(k.clean_text, '') AS clean_text,
+              COALESCE(k.kept_chars, 0) AS kept_chars,
+              length(d.text) - COALESCE(k.kept_chars, 0) AS removed_chars
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                string_agg(c, '' ORDER BY pos) AS clean_text,
+                CAST(COUNT(*) AS BIGINT) AS kept_chars
+              FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+            ORDER BY d.doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_dup_clusters" -> dClusters,
     "q_d_line_dedup" -> dLineDedup,
     "q_d_leak_split" -> dLeakSplit,
     "q_d_dup_spans" -> dDupSpans,
     "q_d_exact_spans" -> dExactSpans,
+    "q_d_exact_scrub" -> dExactScrub,
     "q_d_span_scrub" -> dSpanScrub)
 }

@@ -562,6 +562,15 @@ object ExplainAudit {
       "scan pruned to id+text (no lang/source/n_chars)" ->
         (p => p.linesIterator.exists(l => l.contains("ReadSchema") &&
           l.contains("text") && !l.contains("lang"))))
+    audit("q_d_exact_scrub",
+      "anchor generation shuffles once on the dual-hash key" ->
+        (_.contains("hashpartitioning(h1")),
+      "span surgery joins keyed on the doc id (no nested loop over " +
+        "docs x spans)" ->
+        (p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")),
+      "island closure partial-aggregates map-side" ->
+        (_.contains("partial_min")))
     audit("q_p19_zorder",
       "1-row min/max bounds attach by broadcast (never a shuffle)" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&

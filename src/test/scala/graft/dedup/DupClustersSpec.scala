@@ -228,4 +228,30 @@ class DupClustersSpec extends SparkSpecBase {
       }.toSet
     assert(got === expected)
   }
+
+  test("scrubExactSpans: non-keeper occurrences cut, keeper survives, " +
+      "overlapping extended spans merge into one surgical cut") {
+    val rnd = new scala.util.Random(5)
+    def rs(n: Int) = rnd.alphanumeric.take(n).mkString
+    val sA = rs(60) // shared between docs 1 and 9
+    val extra = rs(60)
+    val c9 = sA + extra // doc 9: sB = c9[40,100) OVERLAPS sA's tail
+    val sB = c9.substring(40, 100) // shared between docs 2 and 9
+    val (u0, u1, v0, v1) = (rs(30), rs(30), rs(30), rs(30))
+    val docs = Seq(
+      1L -> (u0 + sA + u1), // keeper of sA (lowest id)
+      2L -> (v0 + sB + v1), // keeper of sB
+      9L -> c9) // loses sA at [0,59] AND sB at [40,99] -> merged [0,99]
+      .toDF("doc_id", "text")
+    val out = DupClusters.scrubExactSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // keepers keep everything
+    assert(out(1L) === (u0 + sA + u1, 120L, 0L))
+    assert(out(2L) === (v0 + sB + v1, 120L, 0L))
+    // doc 9: islands [0,10] (sA grams) and [40,50] (sB grams) extend to
+    // [0,59] and [40,99] — overlapping; the merge must cut [0,99] once,
+    // leaving exactly the last 20 chars
+    assert(out(9L) === (c9.substring(100), 20L, 100L))
+  }
 }
