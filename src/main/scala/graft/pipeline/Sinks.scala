@@ -100,6 +100,96 @@ object Sinks {
     } finally raw.unpersist(blocking = false)
   }
 
+  /** Deterministic bucket id for the keyed-bucket layout: pmod(xxhash64)
+    * — NOT Spark's internal bucketBy hash, because the id must be
+    * reproducible by name from any engine/session (the layout contract
+    * lives in directory names, not catalog metadata). */
+  def bucketId(key: org.apache.spark.sql.Column, numBuckets: Int)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
+
+  /** Keyed-bucket table layout: rows land in `bucket=<i>` partition dirs
+    * by hashed key. The point is [[applyCdc]]: a change batch touches
+    * only the buckets its keys hash to, so incremental maintenance
+    * rewrites |touched buckets| / numBuckets of the table instead of all
+    * of it, and key lookups prune to one directory (PartitionFilters on
+    * the bucket column — spec-pinned). */
+  def writeKeyedBuckets(df: DataFrame, dir: String, key: String,
+      numBuckets: Int): Unit =
+    df.withColumn("bucket", bucketId(col(key), numBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
+
+  /** CDC merge into a [[writeKeyedBuckets]] table: `batch` carries one
+    * row per change with an op column ('I'/'U' upsert, 'D' delete) and a
+    * sequence column ordering changes to the same key (the latest wins —
+    * a debezium-style changelog collapse). At-scale shape:
+    *
+    *  1. collapse the batch per key (window over the BATCH, which is
+    *     change-sized, never table-sized);
+    *  2. list the touched buckets (distinct over the collapsed batch —
+    *     config-sized driver list);
+    *  3. read ONLY those bucket dirs (partition pruning), anti-join out
+    *     the changed keys, union the upserts;
+    *  4. stage the rewritten buckets to a temp dir, then swap each
+    *     bucket dir by rename — never an in-place overwrite of a path
+    *     being read (Spark refuses it, and a mid-job crash would
+    *     otherwise destroy the table: rename-swap keeps the old bucket
+    *     until its replacement is fully committed).
+    *
+    * Untouched buckets are never read, never rewritten. */
+  def applyCdc(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, key: String, opCol: String, seqCol: String,
+      numBuckets: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("bucket", bucketId(col(key), numBuckets))
+      .cache()
+    try {
+      val touched = latest.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existing = spark.read.parquet(dir)
+        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      val survivors = existing
+        .join(latest.select(col(key)), Seq(key), "left_anti")
+      val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+      val stage = dir.stripSuffix("/") + "__cdc_stage"
+      survivors.unionByName(upserts)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stage)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.foreach { b =>
+        val from = new org.apache.hadoop.fs.Path(s"$stage/bucket=$b")
+        val to = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
+        fs.delete(to, true)
+        // a touched bucket can vanish entirely (every row deleted):
+        // staged dir absent is a valid commit of an empty bucket
+        if (fs.exists(from)) fs.rename(from, to)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    } finally latest.unpersist(blocking = false)
+  }
+
+  /** Pruned point/key lookup against a keyed-bucket table: the bucket
+    * predicate is a PARTITION filter, so only |keys| directories are
+    * listed and scanned. */
+  def lookupKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: String, keys: Seq[Any], numBuckets: Int): DataFrame = {
+    // one 1-row job evaluates the writer's own pmod(xxhash64) for every
+    // probe key — hashing driver-side in Scala would silently diverge
+    // from Spark's typed xxhash64 the day a key type changes
+    val hashed = spark.range(1)
+      .select(keys.map(k => bucketId(lit(k), numBuckets)): _*)
+      .head().toSeq.map(_.asInstanceOf[Int]).distinct
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(hashed.map(Integer.valueOf): _*) &&
+        col(key).isin(keys: _*))
+  }
+
   /** S7: segmentation-result bundle — the pickled dict's fields as one
     * struct row: labels live in their own parquet (data-scale), summary
     * fields in JSON. */

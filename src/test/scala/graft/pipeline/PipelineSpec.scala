@@ -168,6 +168,54 @@ class PipelineSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("cdc apply: latest-wins merge with bucket-pruned rewrite; " +
+      "untouched bucket files stay byte-identical; lookups prune") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    val init = (0L until 800L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sinks.writeKeyedBuckets(init, dir, "k", 16)
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.lastModified(), f.length()))
+        .toMap
+    }
+    val before = fileState()
+    // update k=5 (two changes — seq 2 must win), delete k=6, insert k=900
+    val batch = Seq((5L, "stale", "U", 1L), (5L, "fresh", "U", 2L),
+      (6L, "gone", "D", 1L), (900L, "new", "I", 1L))
+      .toDF("k", "v", "op", "seq")
+    Sinks.applyCdc(spark, dir, batch, "k", "op", "seq", 16)
+    val after = spark.read.parquet(dir).drop("bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (0L until 800L).map(k => k -> s"v$k").toMap -
+      6L + (5L -> "fresh") + (900L -> "new")
+    assert(after === expected)
+    // untouched buckets: every pre-existing file outside the touched
+    // buckets survives with identical mtime+size
+    val touched = spark.range(1).select(
+        Sinks.bucketId(lit(5L), 16), Sinks.bucketId(lit(6L), 16),
+        Sinks.bucketId(lit(900L), 16))
+      .head().toSeq.map(_.asInstanceOf[Int]).toSet
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"bucket=$b/")) }
+    val nowState = fileState()
+    untouchedBefore.foreach { case (p, st) =>
+      assert(nowState.get(p) === Some(st), s"untouched file rewritten: $p")
+    }
+    assert(untouchedBefore.nonEmpty && touched.size >= 2)
+    // key lookup prunes to the probed buckets (partition filter on the
+    // bucket directory column, not a full listing)
+    val lk = Sinks.lookupKeys(spark, dir, "k", Seq(5L, 900L), 16)
+    assert(lk.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+      .toSet === Set((5L, "fresh"), (900L, "new")))
+    val plan = lk.queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")), plan)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("end-to-end segmentation battery on a planted survey") {
     val rows = (0 until 240).map { i =>
       val seg = i % 3
