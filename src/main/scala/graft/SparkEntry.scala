@@ -17,7 +17,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     etl.Relational.queries ++ etl.DataMix.queries ++
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
-      etl.ZOrder.queries ++
+      etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++

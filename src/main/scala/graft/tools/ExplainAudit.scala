@@ -562,6 +562,22 @@ object ExplainAudit {
       "scan pruned to id+text (no lang/source/n_chars)" ->
         (p => p.linesIterator.exists(l => l.contains("ReadSchema") &&
           l.contains("text") && !l.contains("lang"))))
+    audit("q_j8_tpch_q3",
+      "segment filter pushed into the customer scan" ->
+        (_.contains("EqualTo(c_mktsegment,BUILDING)")),
+      "dimension side joins by broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "top-10 is a TakeOrdered, never a global sort of all groups" ->
+        (p => p.contains("TakeOrderedAndProject") &&
+          !p.contains("GlobalLimit")))
+    audit("q_j9_tpch_q5",
+      "six-table chain plans >= 3 broadcast joins, zero cartesian" ->
+        (p => "BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
+          !p.contains("CartesianProduct")),
+      "region filter pushed into its scan" ->
+        (_.contains("EqualTo(r_name,ASIA)")),
+      "revenue partial-aggregates map-side" ->
+        (_.contains("partial_sum")))
     audit("q_d_exact_scrub",
       "anchor generation shuffles once on the dual-hash key" ->
         (_.contains("hashpartitioning(h1")),
