@@ -139,8 +139,63 @@ object HeavyHitters {
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
             TRUE AS ok25, TRUE AS ok50, TRUE AS ok75 FROM lineitem"""))
 
+  /** Mergeable per-group distinct-count STATE (DataSketches HLL via the
+    * built-in `hll_sketch_agg`) — the incremental twin of
+    * q_sk_hll_distinct's one-shot contract. The sketch is a binary
+    * column in an ordinary DataFrame, so it persists as parquet like any
+    * other state table: each ingest batch builds its own per-group
+    * sketches (one pass over the BATCH), and the running distinct count
+    * is a union-merge of sketch rows — history is never rescanned, and
+    * the state is group-count-sized forever (~2^lgK bytes per group).
+    * lgK=12 → relative standard error ~1.04/√4096 ≈ 1.6 %. */
+  def buildHllState(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("hll"))
+
+  /** Union-merge state tables (same groupCols + `hll` binary column):
+    * groups present in either side survive; overlap double-counts
+    * nothing (HLL union is idempotent on shared values). */
+  def mergeHllStates(groupCols: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+
+  def estimateHll(state: DataFrame): DataFrame =
+    state.withColumn("n_distinct_est", hll_sketch_estimate(col("hll")))
+
+  /** Contract query: lineitem split into two "ingest batches" by line
+    * number parity — orderkeys STRADDLE the split, so the union must
+    * dedupe across batches, not just add counts. Estimate from the
+    * merged state must land within 5·rse of the exact per-flag distinct
+    * count (computed in-plan; the hashed booleans fail on regression). */
+  private val skHllState = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      val batchA = li.filter(col("l_linenumber") % 2 === 0)
+      val batchB = li.filter(col("l_linenumber") % 2 === 1)
+      val merged = mergeHllStates(Seq("l_returnflag"),
+        buildHllState(batchA, Seq("l_returnflag"), "l_orderkey"),
+        buildHllState(batchB, Seq("l_returnflag"), "l_orderkey"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("n_exact"))
+      estimateHll(merged)
+        .join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact")) <=
+            lit(5 * 1.04 / math.sqrt(1 << 12)) * col("n_exact"))
+            .as("within_bound"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+              TRUE AS within_bound
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val queries: Map[String, Q] = Map(
     "q_sk_heavy_hitters" -> skTopWords,
     "q_sk_hll_distinct" -> skHll,
+    "q_sk_hll_state" -> skHllState,
     "q_sk_approx_quantiles" -> skQuantiles)
 }

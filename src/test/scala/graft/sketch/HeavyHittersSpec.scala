@@ -48,4 +48,33 @@ class HeavyHittersSpec extends SparkSpecBase {
       .sortBy { case (w, c) => (-c, w) }.take(5).toSeq
     assert(got === want)
   }
+
+  test("hll state: parquet round trip is bit-exact, straddling batches " +
+      "merge without double count, estimate within bound") {
+    val rows = (0 until 12000).map(i => ("g" + (i % 2), (i % 8000).toLong))
+    // split so ~2000 values per group appear in BOTH batches — the union
+    // must dedupe them, not add counts
+    val a = rows.take(7000).toDF("g", "v")
+    val b = rows.drop(5000).toDF("g", "v")
+    val sa = HeavyHitters.buildHllState(a, Seq("g"), "v")
+    val sb = HeavyHitters.buildHllState(b, Seq("g"), "v")
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    sa.write.mode("overwrite").parquet(s"$dir/state")
+    val saBack = spark.read.parquet(s"$dir/state")
+    // sketch bytes survive the parquet round trip bit-identically
+    def bytes(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("hll").toSeq).toMap
+    assert(bytes(saBack) === bytes(sa))
+    val est = HeavyHitters.estimateHll(
+        HeavyHitters.mergeHllStates(Seq("g"), saBack, sb))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct_est"))
+      .toMap
+    val exact = rows.distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    Seq("g0", "g1").foreach { g =>
+      val (e, x) = (est(g).toDouble, exact(g).toDouble)
+      assert(math.abs(e - x) <= 5 * 1.04 / math.sqrt(4096) * x,
+        s"$g: est $e vs exact $x")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

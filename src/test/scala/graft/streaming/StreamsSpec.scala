@@ -417,4 +417,36 @@ class StreamsSpec extends SparkSpecBase {
       .select("step", "n_users").as[(Int, Long)].collect().toMap
     assert(streamCounts === batch)
   }
+
+  test("streaming cdc apply: a changelog stream maintains the " +
+      "keyed-bucket table across micro-batches via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scdc").toString
+    val dir = s"$root/table"
+    val init = (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    graft.pipeline.Sinks.writeKeyedBuckets(init, dir, "k", 8)
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = input.toDF().toDF("k", "v", "op", "seq")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.pipeline.Sinks.applyCdc(
+          batch.sparkSession, dir, batch, "k", "op", "seq", 8)
+      }
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    // micro-batch 1: update + insert; micro-batch 2 must see batch 1's
+    // result (the later seq on k=1 wins WITHIN a batch; across batches
+    // the later BATCH wins)
+    input.addData((1L, "x1", "U", 1L), (200L, "new", "I", 1L))
+    q.processAllAvailable()
+    input.addData((1L, "x2", "U", 2L), (2L, "gone", "D", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(dir).drop("bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (0L until 100L).map(k => k -> s"v$k").toMap -
+      2L + (1L -> "x2") + (200L -> "new")
+    assert(got === expected)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
