@@ -115,10 +115,15 @@ object Sinks {
     * of it, and key lookups prune to one directory (PartitionFilters on
     * the bucket column — spec-pinned). */
   def writeKeyedBuckets(df: DataFrame, dir: String, key: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
     df.withColumn("bucket", bucketId(col(key), numBuckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
+    // self-describing layout: the sidecar lets InjectBucketPruning derive
+    // bucket partition filters from plain key predicates at plan time
+    graft.plans.KeyedBucketMeta.write(
+      df.sparkSession.sparkContext.hadoopConfiguration, dir, key, numBuckets)
+  }
 
   /** CDC merge into a [[writeKeyedBuckets]] table: `batch` carries one
     * row per change with an op column ('I'/'U' upsert, 'D' delete) and a

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, InSet, Literal, Pmod, PredicateHelper, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Automatic bucket pruning for
+  * [[graft.pipeline.Sinks.writeKeyedBuckets]] tables — the engine's one
+  * custom `Rule[LogicalPlan]`, and the case that genuinely needs one: a
+  * user filtering a keyed-bucket table by KEY writes
+  * `table.filter($"k" === 5)`, but the layout's selectivity lives in the
+  * DERIVED directory column (`bucket = pmod(xxhash64(k), n)`), which no
+  * built-in optimization can conjure because the key→bucket function is
+  * a storage-layout convention, not a catalog fact. This rule reads the
+  * layout's sidecar metadata and conjoins the implied bucket predicate,
+  * which `FileSourceStrategy` then turns into a partition filter — the
+  * scan lists |distinct keys| directories instead of all `n`.
+  *
+  * Semantics-preserving by construction: the added conjunct is implied
+  * by the key predicate (every row with k=5 IS in bucket(5)), so it can
+  * only remove directories that cannot contain matches. Injection is
+  * skipped when the condition already references `bucket` (also what
+  * stops the fixed-point optimizer re-injecting), when no top-level
+  * conjunct is a key equality/IN over literals, or when the relation
+  * carries no sidecar.
+  *
+  * Register per session: production via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`; an already-built
+  * session via `spark.experimental.extraOptimizations` (the spec path —
+  * both land in optimizer batches that run before physical planning).
+  */
+case class InjectBucketPruning(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, rel: LogicalRelation) =>
+      tryInject(cond, rel)
+        .map(extra => f.copy(condition = And(cond, extra)))
+        .getOrElse(f)
+  }
+
+  private def tryInject(cond: Expression,
+      rel: LogicalRelation): Option[Expression] = {
+    val fsRel = rel.relation match {
+      case h: HadoopFsRelation
+        if h.partitionSchema.fieldNames.contains("bucket") => h
+      case _ => return None
+    }
+    val bucketAttr = rel.output.collectFirst {
+      case a: AttributeReference if a.name == "bucket" => a
+    }.getOrElse(return None)
+    val root = fsRel.location.rootPaths.headOption.getOrElse(return None)
+    val meta = KeyedBucketMeta.read(
+      spark.sparkContext.hadoopConfiguration, root).getOrElse(return None)
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.exists(_.references.exists(_.name == "bucket")))
+      return None // already constrained (or already injected)
+    val keyLits: Option[Seq[Literal]] = conjuncts.collectFirst {
+      case EqualTo(a: AttributeReference, l: Literal)
+        if a.name == meta.key => Seq(l)
+      case EqualTo(l: Literal, a: AttributeReference)
+        if a.name == meta.key => Seq(l)
+      case In(a: AttributeReference, ls)
+        if a.name == meta.key && ls.forall(_.isInstanceOf[Literal]) =>
+        ls.map(_.asInstanceOf[Literal])
+      case InSet(a: AttributeReference, vs) if a.name == meta.key =>
+        vs.toSeq.map(v => Literal.create(v, a.dataType))
+    }
+    keyLits.map(_.filter(_.value != null)).filter(_.nonEmpty).map { lits =>
+      val buckets = lits.map(bucketOf(_, meta.numBuckets)).distinct
+      In(bucketAttr, buckets.map(b => Literal(b)))
+    }
+  }
+
+  /** Driver-side eval of the writer's own bucket function on a literal —
+    * the SAME Catalyst expressions (`pmod(xxhash64(_))`, seed 42) the
+    * Column API builds, so the mapping cannot drift from the write
+    * path. */
+  private def bucketOf(l: Literal, numBuckets: Int): Int =
+    Pmod(new XxHash64(Seq(l)), Literal(numBuckets.toLong))
+      .eval().asInstanceOf[Long].toInt
+}
+
+/** Sidecar metadata (`_graft_keyed_buckets.json` in the table root — the
+  * leading underscore keeps it invisible to parquet file listing) that
+  * makes a keyed-bucket table self-describing: key column + bucket
+  * count. Reads memoize per root path, including absence — the optimizer
+  * must not re-stat the filesystem on every plan. */
+object KeyedBucketMeta {
+  val SidecarName = "_graft_keyed_buckets.json"
+  final case class Meta(key: String, numBuckets: Int)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Meta]]()
+
+  private val Pattern =
+    """\{\s*"key"\s*:\s*"([^"]+)"\s*,\s*"numBuckets"\s*:\s*(\d+)\s*\}""".r
+
+  def write(conf: org.apache.hadoop.conf.Configuration, dir: String,
+      key: String, numBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, SidecarName)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"key": "$key", "numBuckets": $numBuckets}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    cache.remove(new org.apache.hadoop.fs.Path(dir).toString)
+    cache.remove(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString)
+  }
+
+  def read(conf: org.apache.hadoop.conf.Configuration,
+      root: org.apache.hadoop.fs.Path): Option[Meta] =
+    cache.computeIfAbsent(root.toString, _ => {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root, SidecarName)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.trim match {
+            case Pattern(k, n) => Some(Meta(k, n.toInt))
+            case _ => None
+          }
+        }
+      } catch { case _: Throwable => None }
+    })
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(InjectBucketPruning)
+}
