@@ -130,7 +130,8 @@ object Bench {
     // round-9: the multi-join optimizer showcase (TPC-H Q3/Q5 shapes)
     "q_j8_tpch_q3",
     "q_j9_tpch_q5",
-    "q_sk_hll_state")
+    "q_sk_hll_state",
+    "q_s_graph_rank")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -194,7 +195,7 @@ object Bench {
     "q_d_bloom_decon" -> 4.0, "q_p21_weighted_reservoir" -> 2.0,
     "q_s_sq8" -> 4.0, "q_d_exact_spans" -> 6.0, "q_d_exact_scrub" -> 6.0,
     "q_p19_zorder" -> 2.0, "q_j8_tpch_q3" -> 2.0, "q_j9_tpch_q5" -> 2.0,
-    "q_sk_hll_state" -> 2.0)
+    "q_sk_hll_state" -> 2.0, "q_s_graph_rank" -> 8.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

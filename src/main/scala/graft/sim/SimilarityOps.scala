@@ -600,6 +600,108 @@ object SimilarityOps {
             SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
             FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** PageRank over the [[knnGraph]] edge set — centrality-based
+    * representative selection for curation: a document whose semantic
+    * neighborhood keeps choosing it as a nearest neighbor accumulates
+    * rank, so the top of this score is the canonical exemplar of each
+    * dense region (and the bottom is the isolated tail). Power iteration,
+    * unrolled a FIXED `iters` times so the result is a deterministic
+    * function of the edge set (no convergence-threshold nondeterminism).
+    *
+    * EXACT INTEGER arithmetic, not floats: with damping 17/20 and
+    * out-degrees ≤ k, scaling rank by n·C^i (C = 20·lcm(1..k)) keeps
+    * every step integral —
+    *
+    *   R_0 = 1,   R_{i+1}(v) = 3·L·C^i  +  Σ_{u→v} (17·L / deg_u)·R_i(u)
+    *
+    * (L = lcm(1..k); 17·L is divisible by every deg ≤ k, so the per-edge
+    * coefficient is an exact integer). A float version was tried first
+    * and FAILED the cross-engine gate: these ranks are terminating
+    * decimals that land exactly on rounding boundaries (e.g.
+    * 0.0002839045 at sf0.1), where no float rounding convention is
+    * engine-portable. True pr = R_iters / (n·C^iters), emitted alongside
+    * as a display double. Dangling nodes (possible in principle, none in
+    * a kNN graph dense enough to probe-share) contribute nothing — the
+    * evaporating-mass variant; ranks remain comparable.
+    *
+    * Scale: each iteration is one src-keyed equi-join (edges+degrees
+    * persisted once — loop invariants) and one dst-keyed
+    * partial-aggregated integer sum. Long headroom: n·C^iters must fit
+    * 2⁶³ (required); beyond ~5M nodes at (k=5, iters=3) swap the rank
+    * column to DECIMAL(38,0) — same plan, 38-digit headroom. */
+  def graphRank(emb: DataFrame, idCol: String, vecCol: String,
+      nList: Int, nProbe: Int, k: Int, iters: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 10 && iters >= 1, "need 1 <= k <= 10, iters >= 1")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k).reduce((a, b) => a / gcd(a, b) * b)
+    val c = 20L * lcmK
+    val nodes = prep(emb, idCol, vecCol).select(col("id"))
+    val n = nodes.count()
+    require(BigInt(n) * BigInt(c).pow(iters) < BigInt(Long.MaxValue),
+      s"rank scale n*$c^$iters overflows long — use the DECIMAL(38,0) " +
+        "variant at this node count")
+    val edges = knnGraph(emb, idCol, vecCol, nList, nProbe, k)
+      .select(col("qid").as("src"), col("neighbor").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"),
+        (lit(17L * lcmK) / col("outdeg")).cast("long").as("coef"))
+      .persist()
+    var ranks = nodes.select(col("id"), lit(1L).as("R"))
+    (1 to iters).foreach { i =>
+      val base = (BigInt(3L * lcmK) * BigInt(c).pow(i - 1)).toLong
+      val inSum = ed
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"), (col("R") * col("coef")).as("m"))
+        .groupBy("dst").agg(sum("m").as("msum"))
+      ranks = nodes
+        .join(inSum, nodes("id") === inSum("dst"), "left")
+        .select(nodes("id"),
+          (lit(base) + coalesce(col("msum"), lit(0L))).as("R"))
+    }
+    val scale = BigInt(n) * BigInt(c).pow(iters)
+    ranks.select(col("id").as(idCol), col("R").as("pr_scaled"),
+      (col("R") / lit(scale.toDouble)).as("pr"))
+  }
+
+  /** Generated exact-integer power-iteration oracle: the knn edge CTE
+    * chain, then one rank CTE per iteration — all BIGINT, so the hash
+    * compares exact values with zero float tolerance. */
+  private def pageRankSql(iters: Int, k: Int): String = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k).reduce((a, b) => a / gcd(a, b) * b)
+    val c = 20L * lcmK
+    val header = knnGraphSql + s""",
+            e AS (SELECT qid AS src, id AS dst FROM r WHERE rank <= $k),
+            deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                    FROM e GROUP BY src),
+            ec AS (SELECT src, dst,
+                     CAST(${17L * lcmK} / outdeg AS BIGINT) AS coef
+                   FROM e JOIN deg USING (src)),
+            pr0 AS (SELECT vec_id AS id, CAST(1 AS BIGINT) AS R FROM v)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"pr${i - 1}"
+      val base = 3L * lcmK * BigInt(c).pow(i - 1)
+      s""",
+            pr$i AS (SELECT v.vec_id AS id,
+                CAST($base + COALESCE(s.msum, 0) AS BIGINT) AS R
+              FROM v
+              LEFT JOIN (SELECT ec.dst, SUM($p.R * ec.coef) AS msum
+                         FROM ec JOIN $p ON ec.src = $p.id
+                         GROUP BY ec.dst) s
+                ON v.vec_id = s.dst)"""
+    }.mkString
+    "WITH " + header + iterCtes + s"""
+            SELECT id AS vec_id, R AS pr_scaled FROM pr$iters
+            ORDER BY vec_id"""
+  }
+
+  private val sGraphRank = Q(
+    (s, d) => graphRank(Tables.embeddings(s, d), "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 5).select("vec_id", "pr_scaled")
+      .orderBy("vec_id"),
+    Some(pageRankSql(iters = 3, k = 5)))
+
   /** Seeded IVF-PQ, hash-replayed end to end: coarse lists, per-subspace
     * codes, the query LUTs, the fixed-order ADC sums, the shortlist, and
     * the exact rerank are all rebuilt in DuckDB. */
@@ -936,6 +1038,7 @@ object SimilarityOps {
     "q_s_ann_lsh" -> sAnn,
     "q_s_ann_ivf" -> sIvf,
     "q_s_knn_graph" -> sKnnGraph,
+    "q_s_graph_rank" -> sGraphRank,
     "q_s_semantic_clusters" -> sSemClusters,
     "q_s_ann_ivf_seeded" -> sIvfSeeded,
     "q_s_ivf_pq" -> sIvfPq,

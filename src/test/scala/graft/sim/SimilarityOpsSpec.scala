@@ -227,6 +227,33 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(recall >= 0.7, f"knn-graph recall@3 $recall%.2f") // measured 0.91
   }
 
+  test("graph rank: matches an exact BigInt power-iteration reference, " +
+      "conserves total mass") {
+    val got = SimilarityOps.graphRank(emb, "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 5, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+      nList = 16, nProbe = 4, k = 5)
+      .select("qid", "neighbor").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = emb.count()
+    // independent reference: arbitrary-precision integers, plain Scala
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val L = 60L; val c = 1200L
+    var r = (0L until n).map(_ -> BigInt(1)).toMap
+    (1 to 3).foreach { i =>
+      val base = BigInt(3 * L) * BigInt(c).pow(i - 1)
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        r(u) * (17 * L / deg(u)) }.sum).toMap
+      r = (0L until n).map(v => v -> (base + in.getOrElse(v, BigInt(0)))).toMap
+    }
+    assert(got.size.toLong === n)
+    (0L until n).foreach(v => assert(BigInt(got(v)) === r(v), s"node $v"))
+    // no dangling nodes in this graph -> mass is conserved exactly:
+    // sum R_3 = n * C^3 (the scaled invariant sum(pr) == 1)
+    assert(got.values.map(BigInt(_)).sum === BigInt(n) * BigInt(c).pow(3))
+  }
+
   test("semantic clusters: strong pairs merge, the rest stay singletons") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
