@@ -126,7 +126,7 @@ object Bench {
     // window shuffle) and the Morton-key layout computation
     "q_d_exact_spans",
     "q_d_exact_scrub",
-    "q_p19_zorder",
+    "q_p23_zorder",
     // round-9: the multi-join optimizer showcase (TPC-H Q3/Q5 shapes)
     "q_j8_tpch_q3",
     "q_j9_tpch_q5",
@@ -194,7 +194,7 @@ object Bench {
     "q_p19_temperature_mix" -> 2.0, "q_p20_reservoir" -> 2.0,
     "q_d_bloom_decon" -> 4.0, "q_p21_weighted_reservoir" -> 2.0,
     "q_s_sq8" -> 4.0, "q_d_exact_spans" -> 6.0, "q_d_exact_scrub" -> 6.0,
-    "q_p19_zorder" -> 2.0, "q_j8_tpch_q3" -> 2.0, "q_j9_tpch_q5" -> 2.0,
+    "q_p23_zorder" -> 2.0, "q_j8_tpch_q3" -> 2.0, "q_j9_tpch_q5" -> 2.0,
     "q_sk_hll_state" -> 2.0, "q_s_graph_rank" -> 8.0)
 
   def main(args: Array[String]): Unit = {

@@ -123,5 +123,5 @@ object ZOrder {
               CAST(${oracleZ("bc", "bd", 8)} AS BIGINT) AS zkey
             FROM binned ORDER BY o_orderkey"""))
 
-  val queries: Map[String, Q] = Map("q_p19_zorder" -> pZOrder)
+  val queries: Map[String, Q] = Map("q_p23_zorder" -> pZOrder)
 }

@@ -587,7 +587,7 @@ object ExplainAudit {
           !p.contains("CartesianProduct")),
       "island closure partial-aggregates map-side" ->
         (_.contains("partial_min")))
-    audit("q_p19_zorder",
+    audit("q_p23_zorder",
       "1-row min/max bounds attach by broadcast (never a shuffle)" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")),
