@@ -145,6 +145,43 @@ object CorpusPipelineDemo {
     println(s"[stream] near-dup candidate pairs emitted: ${pairs.count()}" +
       s" (planted near-dups surfaced)")
 
+    // 8. MAINTENANCE act: the curated corpus becomes a LIVING table.
+    //    (a) exact duplicated spans >= 40 chars scrubbed corpus-wide (the
+    //    suffix-array-exact pass, one occurrence kept); (b) the result
+    //    lands as a keyed-bucket table; (c) a simulated recrawl batch
+    //    (update + delete + insert) CDC-merges in, rewriting only the
+    //    touched buckets; (d) a key lookup through the bucket-pruning
+    //    optimizer rule reads one directory, not sixteen.
+    val scrubbed = graft.dedup.DupClusters.scrubExactSpans(
+      mixed.select("doc_id", "text"), "doc_id", "text", minLen = 40)
+    val table = s"$outDir/corpus_table"
+    graft.pipeline.Sinks.writeKeyedBuckets(
+      scrubbed.withColumnRenamed("clean_text", "text")
+        .select("doc_id", "text"), table, "doc_id", 16)
+    val someId = mixed.select(min("doc_id")).head().getLong(0)
+    val recrawl = Seq(
+      (someId, "recrawled text for the first doc", "U", 1L),
+      (someId + 1, "", "D", 1L),
+      (9999999L, "a brand new doc from the recrawl", "I", 1L))
+    import spark.implicits._
+    graft.pipeline.Sinks.applyCdc(spark, table,
+      recrawl.toDF("doc_id", "text", "op", "seq"),
+      "doc_id", "op", "seq", 16)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.InjectBucketPruning(spark)
+    // a PLAIN key predicate — the optimizer rule derives the bucket
+    // partition filter from the table's sidecar on its own
+    val hit = spark.read.parquet(table).filter(col("doc_id") === someId)
+    // collect() (not head) so the metric belongs to THIS plan's execution
+    val lookedUp = hit.collect().head.getAs[String]("text")
+    val files = hit.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head.metrics("numFiles").value
+    println(s"[table] cdc-merged corpus table; key lookup read $files " +
+      s"file(s) of 16 buckets -> '${lookedUp.take(30)}'")
+    require(lookedUp.startsWith("recrawled"), "cdc update must win")
+
     println("[corpus] OK")
     spark.stop()
   }

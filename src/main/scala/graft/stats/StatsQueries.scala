@@ -591,7 +591,130 @@ object StatsQueries {
         ") ORDER BY col_a, col_b")))
   }
 
+  /** A14 (beyond ref): robust per-group outlier gate — median + MAD
+    * (median absolute deviation), the curation-grade alternative to
+    * mean±kσ that one fat-tailed value cannot drag. EXACT medians,
+    * computed distributively: a per-GROUP window ranks values (sorted
+    * shuffle keyed on the group — no per-group buffering aggregate, no
+    * single-partition exchange), the middle one-or-two rows average.
+    * Same machinery again on |x − median| for the MAD. Outlier = |x −
+    * median| > 3·MAD (the raw-MAD gate; multiply by 1.4826 for the
+    * normal-consistent σ̂ convention).
+    *
+    * Cross-engine exactness: median/MAD are single values or two-value
+    * averages of input doubles — no accumulation — so both engines
+    * compute bit-identical numbers and the 3·MAD comparison cannot
+    * straddle. */
+  private val a14 = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      def medianOf(df: DataFrame, valueCol: String, as: String) = {
+        val w = Window.partitionBy("g").orderBy(col(valueCol))
+        val cw = Window.partitionBy("g")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          // integer middles: floor-div, not Spark's double `/`
+          .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long") ||
+            col("rn") === floor(col("cnt") / 2).cast("long") + 1)
+          .groupBy("g").agg(avg(valueCol).as(as))
+      }
+      val med = medianOf(li, "x", "med")
+      val dev = li.join(med, Seq("g"))
+        .withColumn("adev", abs(col("x") - col("med")))
+      val mad = medianOf(dev.select(col("g"), col("adev")), "adev", "mad")
+      dev.join(mad, Seq("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          round(first("med"), 6).as("median"),
+          round(first("mad"), 6).as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("g").as("l_returnflag"), col("n"), col("median"),
+          col("mad"), col("n_outliers"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x
+                        FROM lineitem),
+            med AS (SELECT g, MEDIAN(x) AS med FROM li GROUP BY g),
+            dev AS (SELECT li.g, li.x, ABS(li.x - med.med) AS adev, med.med
+                    FROM li JOIN med USING (g)),
+            mad AS (SELECT g, MEDIAN(adev) AS mad FROM dev GROUP BY g)
+            SELECT dev.g AS l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(ANY_VALUE(dev.med), 6) AS median,
+              ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+              CAST(SUM(CASE WHEN dev.adev > 3.0 * mad.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad USING (g)
+            GROUP BY dev.g ORDER BY dev.g"""))
+
+  /** A15 (beyond ref): equi-width histogram — the profiling primitive.
+    * One min/max pass (1-row broadcast), then a pure map-side bucket
+    * expression and a 10-row aggregate; the float bucket arithmetic is
+    * the IDENTICAL op sequence in both engines, so no boundary can
+    * straddle. */
+  private val a15 = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val bounds = li.agg(min("x").as("mn"), max("x").as("mx"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket", least(lit(9L),
+          floor((col("x") - col("mn")) * lit(10.0) /
+            (col("mx") - col("mn")))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("x"), 2).as("lo"), round(max("x"), 2).as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (SELECT MIN(l_extendedprice) AS mn,
+                              MAX(l_extendedprice) AS mx FROM lineitem)
+            SELECT CAST(LEAST(9, FLOOR((l_extendedprice - mn) * 10.0
+                                       / (mx - mn))) AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(MIN(l_extendedprice), 2) AS lo,
+              ROUND(MAX(l_extendedprice), 2) AS hi
+            FROM lineitem, b GROUP BY 1 ORDER BY 1"""))
+
+  /** M36 (beyond ref): deterministic exact-quantile discretizer — the
+    * QuantileDiscretizer shape without MLlib's approximation and without
+    * the single-partition `ntile` window: bucket = floor(global_rank ·
+    * B / n) over the distributed [[graft.etl.GlobalIndex]] (total order
+    * (x, orderkey, linenumber)). Summarized per bin: counts differ by at
+    * most 1 between bins by construction, bounds are exact order
+    * statistics. */
+  private val m36 = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("x"),
+          col("l_orderkey"), col("l_linenumber"))
+      val n = li.count()
+      val (idx, release) = graft.etl.GlobalIndex.withGlobalIndexReleasable(
+        li, Seq(col("x"), col("l_orderkey"), col("l_linenumber")))
+      val out = idx
+        .withColumn("qbin", floor((col("rn") - 1) * 8 / lit(n)).cast("long"))
+        .groupBy("qbin")
+        .agg(count(lit(1)).as("n"),
+          round(min("x"), 2).as("lo"), round(max("x"), 2).as("hi"))
+        .orderBy("qbin")
+      val collected = out.localCheckpoint(eager = true)
+      release()
+      collected
+    },
+    Some("""WITH r AS (SELECT l_extendedprice AS x,
+                CAST(row_number() OVER (ORDER BY l_extendedprice,
+                  l_orderkey, l_linenumber) AS BIGINT) AS rn
+              FROM lineitem),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+            SELECT (rn - 1) * 8 // n.n AS qbin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(MIN(x), 2) AS lo, ROUND(MAX(x), 2) AS hi
+            FROM r, n GROUP BY 1 ORDER BY 1"""))
+
   val queries: Map[String, Q] = Map(
+    "q_a14_mad_outliers" -> a14,
+    "q_a15_histogram" -> a15,
+    "q_m36_quantile_bins" -> m36,
     "q_a13_corr_matrix" -> a13,
     "q_m20_chi2" -> m20,
     "q_m21_expected" -> m21,
