@@ -136,7 +136,9 @@ object Bench {
     // exact quantile discretizer on the global index)
     "q_a14_mad_outliers",
     "q_a15_histogram",
-    "q_m36_quantile_bins")
+    "q_m36_quantile_bins",
+    "q_d_exact_spans_incr",
+    "q_d_prefix_jaccard")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -202,7 +204,8 @@ object Bench {
     "q_p23_zorder" -> 2.0, "q_j8_tpch_q3" -> 2.0, "q_j9_tpch_q5" -> 2.0,
     "q_sk_hll_state" -> 2.0, "q_s_graph_rank" -> 8.0,
     "q_a14_mad_outliers" -> 3.0, "q_a15_histogram" -> 2.0,
-    "q_m36_quantile_bins" -> 3.0)
+    "q_m36_quantile_bins" -> 3.0, "q_d_exact_spans_incr" -> 5.0,
+    "q_d_prefix_jaccard" -> 6.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,6 +77,67 @@ object DedupOps {
     (out, () => { sh.unpersist(blocking = false); () })
   }
 
+  /** Prefix-filtered EXACT Jaccard-threshold self-join — the AllPairs /
+    * PPJoin prefix principle (Bayardo et al. WWW'07; Xiao et al.
+    * ICDE'08, both public literature): under ANY fixed global ordering
+    * of shingles, two sets with J(A,B) >= t must share a shingle among
+    * each set's FIRST `sz − ⌈t·sz⌉ + 1` shingles, so only PREFIX
+    * shingles need to generate candidates. Ordering rare-first (document
+    * frequency asc, shingle asc as the total-order tie-break) puts the
+    * least common shingles in the prefix, which collapses candidate
+    * volume exactly where every-shared-shingle blocking
+    * ([[ngramJaccardPairsReleasable]] — the recall-oriented low-t path)
+    * explodes: a stopword shingle shared by half the corpus generates
+    * zero candidates here unless it lands in someone's prefix.
+    *
+    * LOSSLESS: the output equals the full exact Jaccard join filtered at
+    * `t` — pinned cross-engine by the oracle, which computes the
+    * brute-force blocked join in DuckDB and must hash-match. (Use a
+    * threshold with an exact binary representation, e.g. 0.5: the prefix
+    * bound takes `ceil(t·sz)` in doubles, and a t like 0.3 whose product
+    * rounds UP past the true integer would shorten a prefix by one.)
+    *
+    * Scale: one df-keyed join attaches frequencies, one per-doc window
+    * ranks, candidates join on the (rare) prefix-shingle key, and the
+    * exact verify touches candidate pairs only — never all pairs. */
+  def prefixJaccardPairsReleasable(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.5)
+      : (DataFrame, () => Unit) = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sh = shingles(df.withColumn("__blk", lit(1)), idCol, textCol,
+      "__blk", k).select("id", "shingle").cache()
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val szW = Window.partitionBy("id")
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(szW))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "shingle")
+    val cands = prefix.toDF("ida", "shingle")
+      .join(prefix.toDF("idb", "shingle"), Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shared = cands
+      .join(sh.toDF("ida", "shingle"), Seq("ida"))
+      .join(sh.toDF("idb", "shingle"), Seq("idb", "shingle"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.toDF("ida", "sza"), "ida")
+      .join(sizes.toDF("idb", "szb"), "idb")
+      .withColumn("jaccard", round(col("shared") /
+        (col("sza") + col("szb") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "shared", "jaccard")
+    (out, () => { sh.unpersist(blocking = false); () })
+  }
+
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame =
+    prefixJaccardPairsReleasable(df, idCol, textCol, k, threshold)._1
+
   /** Asymmetric n-gram CONTAINMENT pairs: c(A→B) = |A∩B| / |A|. Jaccard
     * misses the quote/syndication case — a short document wholly embedded
     * in a much longer one scores |∩|/|union| ≈ |A|/|B| (low) but
@@ -584,6 +645,33 @@ object DedupOps {
     Some("""SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h,
                    MIN(doc_id) AS keep, COUNT(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY keep"""))
+
+  /** The prefix filter is lossless, so the oracle is the BRUTE-FORCE
+    * exact Jaccard join at the same threshold — hash equality IS the
+    * losslessness proof, cross-engine. */
+  private val dPrefixJaccard = Q(
+    (s, d) => prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 3, threshold = 0.5).orderBy("ida", "idb"),
+    Some("""WITH t AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+              FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                array_to_string(tk[CAST(i AS INT) + 1:CAST(i AS INT) + 3],
+                  ' ') AS s
+              FROM t, LATERAL (SELECT unnest(range(len(tk) - 2)) AS i) ii
+              WHERE len(tk) >= 3),
+            sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+                   FROM sh GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(COUNT(*) AS BIGINT) AS shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT ida, idb, shared,
+              ROUND(shared * 1.0 / (x.sz + y.sz - shared), 6) AS jaccard
+            FROM pairs JOIN sz x ON ida = x.doc_id
+                       JOIN sz y ON idb = y.doc_id
+            WHERE shared * 1.0 / (x.sz + y.sz - shared) >= 0.5
+            ORDER BY ida, idb"""))
 
   private val dNgram = Q(
     (s, d) => ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -1303,6 +1391,7 @@ object DedupOps {
     "q_d_decontaminate_scored" -> dDecontamScored,
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
+    "q_d_prefix_jaccard" -> dPrefixJaccard,
     "q_d_minhash_lsh" -> dMinhash,
     "q_d_minhash_banded" -> dMinhashBanded,
     "q_d_simhash" -> dSimhash,

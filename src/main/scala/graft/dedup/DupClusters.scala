@@ -559,11 +559,13 @@ object DupClusters {
     * the gram rows), and spans reassemble in a per-doc gaps-and-islands
     * window. Repeats WITHIN one doc count too (count(*), not
     * countDistinct doc), matching suffix-array semantics. */
-  def exactCharSpans(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, minOcc: Int = 2): DataFrame = {
-    require(minLen >= 2 && minOcc >= 2, "need minLen >= 2, minOcc >= 2")
+  /** (id, pos, h1, h2) gram-key rows for every `minLen`-char position —
+    * the shared front end of the exact-span family (detect / scrub /
+    * incremental). */
+  private def charGramKeys(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
     import graft.functions.RollingGramHash
-    val grams = docs
+    docs
       .where(length(col(textCol)) >= minLen)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
       .select(col("id"),
@@ -575,10 +577,12 @@ object DupClusters {
         posexplode(arrays_zip(col("__ha"), col("__hb"))).as(Seq("pos", "h")))
       .select(col("id"), col("pos"),
         col("h.__ha").as("h1"), col("h.__hb").as("h2"))
-    val occ = Window.partitionBy("h1", "h2")
-    val dupPos = grams
-      .withColumn("occ", count(lit(1)).over(occ))
-      .filter(col("occ") >= minOcc)
+  }
+
+  /** Per-doc gaps-and-islands closure of duplicated gram-start positions
+    * into (span_start, span_end, span_len) rows. */
+  private def spanIslands(dupPos: DataFrame, idCol: String,
+      minLen: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
     dupPos
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -587,6 +591,42 @@ object DupClusters {
         (max("pos") + (minLen - 1)).cast("long").as("span_end"))
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  def exactCharSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, minOcc: Int = 2): DataFrame = {
+    require(minLen >= 2 && minOcc >= 2, "need minLen >= 2, minOcc >= 2")
+    val grams = charGramKeys(docs, idCol, textCol, minLen)
+    val occ = Window.partitionBy("h1", "h2")
+    val dupPos = grams
+      .withColumn("occ", count(lit(1)).over(occ))
+      .filter(col("occ") >= minOcc)
+    spanIslands(dupPos, idCol, minLen)
+  }
+
+  /** Persisted gram INDEX for incremental exact-span detection: one row
+    * per DISTINCT corpus gram key — 16 bytes each, so the index is
+    * bounded by distinct grams, carries no text, and round-trips parquet
+    * bit-exactly. The incremental twin of the hash/simhash/embedding
+    * index lifecycles in [[DedupOps]], at character granularity. */
+  def buildSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50): DataFrame =
+    charGramKeys(corpus, idCol, textCol, minLen)
+      .select("h1", "h2").distinct()
+
+  /** Exact duplicated spans of a NEW batch against a [[buildSpanIndex]]
+    * corpus index — contamination detection without re-reading the
+    * corpus: batch gram keys left-semi-join the index (the only shuffle
+    * is keyed on the 16-byte gram key; at 100 TB the index side is the
+    * small one and the join is the classic big-probe/small-build), then
+    * the usual per-doc island closure. Within-BATCH repeats are NOT
+    * flagged (run [[exactCharSpans]] on the batch for those) — this
+    * reports only text the corpus has already seen. */
+  def exactSpansVsIndex(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 50): DataFrame = {
+    val hits = charGramKeys(batch, idCol, textCol, minLen)
+      .join(index, Seq("h1", "h2"), "left_semi")
+    spanIslands(hits, idCol, minLen)
   }
 
   /** Lee et al.'s canonical 50-char threshold; any second occurrence
@@ -633,20 +673,9 @@ object DupClusters {
   def scrubExactSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 50, minOcc: Int = 2): DataFrame = {
     require(minLen >= 2 && minOcc >= 2, "need minLen >= 2, minOcc >= 2")
-    import graft.functions.RollingGramHash
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__t"))
-    val grams = base
-      .where(length(col("__t")) >= minLen)
-      .select(col("id"),
-        RollingGramHash.hashes(col("__t"), minLen,
-          RollingGramHash.Mult1).as("__ha"),
-        RollingGramHash.hashes(col("__t"), minLen,
-          RollingGramHash.Mult2).as("__hb"))
-      .select(col("id"),
-        posexplode(arrays_zip(col("__ha"), col("__hb"))).as(Seq("pos", "h")))
-      .select(col("id"), col("pos"),
-        col("h.__ha").as("h1"), col("h.__hb").as("h2"))
+    val grams = charGramKeys(docs, idCol, textCol, minLen)
     val occ = Window.partitionBy("h1", "h2")
     val removePos = grams
       .withColumn("occ", count(lit(1)).over(occ))
@@ -732,6 +761,39 @@ object DupClusters {
               FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Even doc_ids play the historical corpus (index built from them),
+    * odd the new batch; reported spans are batch text the corpus already
+    * contains. The oracle replays literal distinct corpus grams and the
+    * semi-join island closure. */
+  private val dExactSpansIncr = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      exactSpansVsIndex(
+        docs.filter(col("doc_id") % 2 === 1),
+        buildSpanIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                substr(text, CAST(i AS INT) + 1, 50) AS gram
+              FROM documents,
+                LATERAL (SELECT unnest(range(length(text) - 49)) AS i) ii
+              WHERE length(text) >= 50),
+            cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+            bg AS (SELECT doc_id, pos FROM g
+                   WHERE doc_id % 2 = 1 AND gram IN (SELECT gram FROM cg)),
+            runs AS (SELECT doc_id, pos,
+                pos - CAST(row_number() OVER
+                  (PARTITION BY doc_id ORDER BY pos) AS INT) AS grp
+              FROM bg)
+            SELECT doc_id,
+              CAST(MIN(pos) AS BIGINT) AS span_start,
+              CAST(MAX(pos) + 49 AS BIGINT) AS span_end,
+              CAST(MAX(pos) - MIN(pos) + 50 AS BIGINT) AS span_len
+            FROM runs GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start"""))
+
   val queries: Map[String, Q] = Map(
     "q_d_dup_clusters" -> dClusters,
     "q_d_line_dedup" -> dLineDedup,
@@ -739,5 +801,6 @@ object DupClusters {
     "q_d_dup_spans" -> dDupSpans,
     "q_d_exact_spans" -> dExactSpans,
     "q_d_exact_scrub" -> dExactScrub,
+    "q_d_exact_spans_incr" -> dExactSpansIncr,
     "q_d_span_scrub" -> dSpanScrub)
 }

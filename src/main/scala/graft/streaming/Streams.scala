@@ -33,6 +33,23 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("v"))
 
+  /** Watermarked per-window approximate DISTINCT users — the streaming
+    * face of the mergeable HLL state
+    * ([[graft.sketch.HeavyHitters.buildHllState]]): a streaming
+    * `countDistinct` would need unbounded per-window user sets; the HLL
+    * register array is fixed-size (~2^lgK bytes per window×type group)
+    * and max-merges, so state stays bounded AND the estimate is
+    * ORDER-INSENSITIVE — a stream drained in any batching produces the
+    * exact same estimate as the batch build (spec-pinned equality, not
+    * just closeness). */
+  def windowedDistinctUsers(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("hll"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        hll_sketch_estimate(col("hll")).as("n_users_est"))
+
   /** Stream-STREAM event-time interval join: purchases matched to the same
     * user's views from the trailing `lookback` — both sides are unbounded
     * streams, so the watermark + the time-range predicate are what let

@@ -316,4 +316,26 @@ class DedupOpsSpec extends SparkSpecBase {
     // only (a, b) overlaps: shared=1, |a|=2, |b|=1 -> J=1/2, c_b=1.0
     assert(rows === Seq(("a", "b", 1L, 0.5, 1.0)))
   }
+
+  test("prefixJaccardPairs: lossless — equals the every-shared-shingle " +
+      "join at the same threshold on the real corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    val (pj, rel1) = DedupOps.prefixJaccardPairsReleasable(
+      docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val got = pairs(pj)
+    rel1()
+    // brute force: every shared shingle is a candidate (single block)
+    val (bf, rel2) = DedupOps.ngramJaccardPairsReleasable(
+      docs.withColumn("__b", lit(1)), "doc_id", "text", "__b",
+      k = 3, threshold = 0.5)
+    val want = pairs(bf)
+    rel2()
+    assert(got === want, "prefix filter must lose nothing at t=0.5")
+    assert(got.nonEmpty, "fixture must exercise the join")
+    got.foreach { case (_, _, _, j) => assert(j >= 0.5) }
+    spark.catalog.clearCache()
+  }
 }

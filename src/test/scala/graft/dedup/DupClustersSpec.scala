@@ -229,6 +229,32 @@ class DupClustersSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("exactSpansVsIndex: corpus-seen spans flagged, batch-internal " +
+      "repeats silent, index round-trips parquet bit-exactly") {
+    val rnd = new scala.util.Random(13)
+    def rs(n: Int) = rnd.alphanumeric.take(n).mkString
+    val S = rs(60); val T = rs(60)
+    val corpus = Seq(100L -> (rs(30) + S + rs(30))).toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> (rs(25) + S + rs(30)), // corpus-contaminated at [25, 84]
+      2L -> (rs(30) + T + rs(30)), // T repeats only WITHIN the batch:
+      3L -> (rs(35) + T + rs(30))) // not in the index -> silent
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spanidx").toString
+    val idx = DupClusters.buildSpanIndex(corpus, "doc_id", "text")
+    idx.write.mode("overwrite").parquet(s"$dir/idx")
+    val idxBack = spark.read.parquet(s"$dir/idx")
+    assert(idxBack.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === idx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val got = DupClusters.exactSpansVsIndex(
+        batch, idxBack, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((1L, 25L, 84L, 60L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("scrubExactSpans: non-keeper occurrences cut, keeper survives, " +
       "overlapping extended spans merge into one surgical cut") {
     val rnd = new scala.util.Random(5)

@@ -418,6 +418,36 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamCounts === batch)
   }
 
+  test("windowed distinct users: bounded HLL state; the stream's final " +
+      "estimate equals the batch sketch EXACTLY (order-insensitive merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.windowedDistinctUsers(input.toDF())
+      .writeStream.format("memory").queryName("wdu_out")
+      .outputMode("update").start()
+    // 40 events, 25 distinct users, one hour-0 'click' window; users
+    // repeat ACROSS the two micro-batches, so the merge must dedupe
+    val evs = (0 until 40).map(i =>
+      Streams.Event(i.toLong, ts(i % 50), (i % 25).toLong, "click", 1.0))
+    input.addData(evs.take(20): _*)
+    q.processAllAvailable()
+    input.addData(evs.drop(20): _*)
+    q.processAllAvailable()
+    // update mode re-emits the window as it grows: the final state is the
+    // row with the largest estimate (HLL registers only ever fill up)
+    val streamEst = spark.table("wdu_out")
+      .groupBy("window_start", "event_type")
+      .agg(max("n_users_est").as("est"))
+      .collect().map(_.getAs[Long]("est")).toSeq
+    q.stop()
+    val batchEst = Streams.windowedDistinctUsers(evs.toDF())
+      .collect().map(_.getAs[Long]("n_users_est")).toSeq
+    assert(streamEst === batchEst, "stream must equal batch bit-exactly")
+    assert(batchEst.size === 1 &&
+      math.abs(batchEst.head - 25L) <= (25 * 0.10).ceil.toLong,
+      s"estimate ${batchEst.head} vs exact 25")
+  }
+
   test("streaming cdc apply: a changelog stream maintains the " +
       "keyed-bucket table across micro-batches via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
