@@ -562,6 +562,36 @@ object ExplainAudit {
       "scan pruned to id+text (no lang/source/n_chars)" ->
         (p => p.linesIterator.exists(l => l.contains("ReadSchema") &&
           l.contains("text") && !l.contains("lang"))))
+    audit("q_d_prefix_jaccard",
+      "candidates come from keyed joins only (no cartesian fallback)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "prefix ranking windows are per-doc (no global window)" ->
+        (p => p.contains("hashpartitioning(id")))
+    audit("q_d_exact_spans_incr",
+      "batch keys probe the index by left-semi join" ->
+        (_.contains("LeftSemi")),
+      "gram rows shuffle on the dual-hash key" ->
+        (_.contains("hashpartitioning(h1")))
+    audit("q_a14_mad_outliers",
+      "median windows are group-partitioned (no single-partition sort)" ->
+        (p => !p.contains("SinglePartition,") &&
+          p.contains("hashpartitioning(g")))
+    audit("q_m36_quantile_bins",
+      "global rank rides range partitioning, never one partition" ->
+        (p => p.contains("rangepartitioning") &&
+          !p.contains("SinglePartition,")))
+    audit("q_s_graph_rank",
+      // knnGraph's centroid attach IS a BroadcastNestedLoopJoin by design
+      // (config-sized centroids against every vector); the iterations
+      // themselves must never go cartesian
+      "no cartesian product anywhere in the unrolled iterations" ->
+        (p => !p.contains("CartesianProduct")),
+      "rank joins are keyed equi-joins (hash-partitioned src/dst)" ->
+        (p => p.contains("hashpartitioning(src") ||
+          p.contains("hashpartitioning(dst")),
+      "per-iteration in-sums partial-aggregate map-side" ->
+        (_.contains("partial_sum")))
     audit("q_j8_tpch_q3",
       "segment filter pushed into the customer scan" ->
         (_.contains("EqualTo(c_mktsegment,BUILDING)")),
