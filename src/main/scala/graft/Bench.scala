@@ -138,7 +138,9 @@ object Bench {
     "q_a15_histogram",
     "q_m36_quantile_bins",
     "q_d_exact_spans_incr",
-    "q_d_prefix_jaccard")
+    "q_d_prefix_jaccard",
+    "q_a16_rollup",
+    "q_e_wow")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -205,7 +207,7 @@ object Bench {
     "q_sk_hll_state" -> 2.0, "q_s_graph_rank" -> 8.0,
     "q_a14_mad_outliers" -> 3.0, "q_a15_histogram" -> 2.0,
     "q_m36_quantile_bins" -> 3.0, "q_d_exact_spans_incr" -> 5.0,
-    "q_d_prefix_jaccard" -> 6.0)
+    "q_d_prefix_jaccard" -> 6.0, "q_a16_rollup" -> 2.0, "q_e_wow" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

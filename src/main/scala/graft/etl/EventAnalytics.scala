@@ -294,7 +294,43 @@ object EventAnalytics {
               RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
             ORDER BY event_id"""))
 
+  /** Period-over-period volume deltas per event type — the reporting
+    * primitive behind every "WoW" dashboard number. Weekly buckets via
+    * `date_trunc` (ISO Monday weeks in both engines), one lag window per
+    * type over WEEK rows (config-sized — the window never sees events).
+    * Counts and deltas are integers; only the ratio is floating. */
+  def periodOverPeriod(events: DataFrame): DataFrame = {
+    val weekly = events
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("wk")
+    weekly.withColumn("prev", lag("n", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n"), col("prev"),
+        (col("n") - col("prev")).as("delta"),
+        round((col("n") - col("prev")) / col("prev"), 6).as("pct_change"))
+  }
+
+  private val eWow = Q(
+    (s, d) => periodOverPeriod(Tables.events(s, d))
+      .orderBy("event_type", "week"),
+    Some("""WITH wk AS (SELECT event_type, date_trunc('week', ts) AS wk,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            l AS (SELECT event_type, wk, n,
+                lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+              FROM wk)
+            SELECT event_type,
+              strftime(CAST(wk AS DATE), '%Y-%m-%d') AS week,
+              n, prev, n - prev AS delta,
+              ROUND((n - prev) * 1.0 / prev, 6) AS pct_change
+            FROM l WHERE prev IS NOT NULL
+            ORDER BY event_type, week"""))
+
   val queries: Map[String, Q] = Map(
+    "q_e_wow" -> eWow,
     "q_e_funnel" -> eFunnel,
     "q_e_attribution" -> eAttribution,
     "q_e_moving_avg" -> eMovingAvg,

@@ -711,7 +711,27 @@ object StatsQueries {
               ROUND(MIN(x), 2) AS lo, ROUND(MAX(x), 2) AS hi
             FROM r, n GROUP BY 1 ORDER BY 1"""))
 
+  /** A16 (beyond ref): ROLLUP subtotals — priority × status totals with
+    * per-priority and grand-total rows in ONE pass (Spark expands the
+    * grouping sets inside a single aggregation; no self-union of
+    * aggregates). Null grouping markers surface as 'ALL'. */
+  private val a16 = Q(
+    (s, d) => Tables.orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy("priority", "status"),
+    Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+              COALESCE(o_orderstatus, 'ALL') AS status,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2"""))
+
   val queries: Map[String, Q] = Map(
+    "q_a16_rollup" -> a16,
     "q_a14_mad_outliers" -> a14,
     "q_a15_histogram" -> a15,
     "q_m36_quantile_bins" -> m36,
