@@ -646,6 +646,52 @@ object DedupOps {
                    MIN(doc_id) AS keep, COUNT(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY keep"""))
 
+  /** Corpus snapshot diff — the audit between two crawls/exports: FULL
+    * OUTER join on the doc id comparing CONTENT (sha2 digests, so the
+    * join ships 32 bytes a side, not documents), emitting
+    * added / removed / changed / unchanged per id. The id is the shuffle
+    * key; at 100 TB both sides sort-merge on it and nothing else moves. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def digest(df: DataFrame, h: String) = df.select(
+      col(idCol).cast("long").as("id"),
+      sha2(col(textCol).cast("binary"), 256).as(h))
+    digest(before, "ha").join(digest(after, "hb"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Snapshot A drops every 7th doc, snapshot B revises every 5th — so
+    * the diff must report added (7s), changed (5s surviving in A),
+    * unchanged (the rest), with nothing removed. The oracle replays the
+    * digests and the same precedence. */
+  private val dSnapshotDiff = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val before = docs.filter(col("doc_id") % 7 =!= 0)
+      val after = docs.withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      snapshotDiff(before, after, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH a AS (SELECT doc_id, sha256(text) AS h FROM documents
+                       WHERE doc_id % 7 <> 0),
+            b AS (SELECT doc_id,
+                sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END) AS h
+              FROM documents)
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+              CASE WHEN a.h IS NULL THEN 'added'
+                   WHEN b.h IS NULL THEN 'removed'
+                   WHEN a.h = b.h THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            ORDER BY doc_id"""))
+
   /** The prefix filter is lossless, so the oracle is the BRUTE-FORCE
     * exact Jaccard join at the same threshold — hash equality IS the
     * losslessness proof, cross-engine. */
@@ -1392,6 +1438,7 @@ object DedupOps {
     "q_d_exact" -> dExact,
     "q_d_ngram_jaccard" -> dNgram,
     "q_d_prefix_jaccard" -> dPrefixJaccard,
+    "q_d_snapshot_diff" -> dSnapshotDiff,
     "q_d_minhash_lsh" -> dMinhash,
     "q_d_minhash_banded" -> dMinhashBanded,
     "q_d_simhash" -> dSimhash,

@@ -329,8 +329,43 @@ object EventAnalytics {
             FROM l WHERE prev IS NOT NULL
             ORDER BY event_type, week"""))
 
+  /** Per-user event-transition matrix — the Markov view of user paths
+    * (what follows what, and how often): consecutive event pairs within
+    * each user's (ts, event_id)-ordered stream, reduced to transition
+    * counts and row-normalized probabilities. One per-user lag window
+    * (user-keyed shuffle), one (from, to) aggregate; the matrix is
+    * |event types|² rows — config-sized at any scale. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .withColumn("next", lead("event_type", 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromW = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p", round(col("n") / sum("n").over(fromW), 6))
+      .select("from_type", "to_type", "n", "p")
+  }
+
+  private val eTransitions = Q(
+    (s, d) => transitionMatrix(Tables.events(s, d))
+      .orderBy("from_type", "to_type"),
+    Some("""WITH seq AS (SELECT user_id, event_type,
+                lead(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS next
+              FROM events),
+            tc AS (SELECT event_type AS from_type, next AS to_type,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE next IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+              ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+            FROM tc ORDER BY from_type, to_type"""))
+
   val queries: Map[String, Q] = Map(
     "q_e_wow" -> eWow,
+    "q_e_transitions" -> eTransitions,
     "q_e_funnel" -> eFunnel,
     "q_e_attribution" -> eAttribution,
     "q_e_moving_avg" -> eMovingAvg,
