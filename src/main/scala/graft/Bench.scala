@@ -143,7 +143,8 @@ object Bench {
     "q_e_wow",
     "q_p24_expectations",
     "q_e_transitions",
-    "q_d_snapshot_diff")
+    "q_d_snapshot_diff",
+    "q_w6_grouped_topk")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -212,7 +213,7 @@ object Bench {
     "q_m36_quantile_bins" -> 3.0, "q_d_exact_spans_incr" -> 5.0,
     "q_d_prefix_jaccard" -> 6.0, "q_a16_rollup" -> 2.0, "q_e_wow" -> 2.0,
     "q_p24_expectations" -> 3.0, "q_e_transitions" -> 2.0,
-    "q_d_snapshot_diff" -> 2.0)
+    "q_d_snapshot_diff" -> 2.0, "q_w6_grouped_topk" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

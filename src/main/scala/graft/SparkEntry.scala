@@ -18,7 +18,7 @@ object SparkEntry {
     etl.Relational.queries ++ etl.DataMix.queries ++
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
-      etl.Expectations.queries ++
+      etl.Expectations.queries ++ plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++

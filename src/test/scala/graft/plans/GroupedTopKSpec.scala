@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GroupedTopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sample(n: Int) = {
+    val rnd = new scala.util.Random(31)
+    // duplicated values planted so the trailing id tie-break matters
+    (0 until n).map(i =>
+      (s"g${rnd.nextInt(50)}", rnd.nextInt(500).toDouble, i.toLong))
+      .toDF("g", "v", "id").repartition(7)
+  }
+
+  test("exact equality with the window encoding, ties broken by the " +
+      "trailing total-order column") {
+    val df = sample(40000).cache()
+    val got = GroupedTopK.topK(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(got === want)
+    assert(got.size === 250) // 50 groups x 5
+    df.unpersist()
+  }
+
+  test("k larger than the group keeps whole groups; single-row groups " +
+      "survive") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 9.0, 3L))
+      .toDF("g", "v", "id").repartition(3)
+    val got = GroupedTopK.topK(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), 5)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got === Set(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
+
+  test("plan shape: partial before the exchange, final after, exchange " +
+      "keyed on the group") {
+    val plan = GroupedTopK.topK(sample(1000), Seq("g"),
+        Seq("v" -> true, "id" -> false), 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("GroupedTopKPartial"), plan)
+    assert(plan.contains("GroupedTopKFinal"), plan)
+    assert(plan.contains("hashpartitioning(g"), plan)
+    // partial must appear BELOW the exchange (later in the tree print)
+    assert(plan.indexOf("GroupedTopKFinal") <
+      plan.indexOf("GroupedTopKPartial"), plan)
+  }
+}
