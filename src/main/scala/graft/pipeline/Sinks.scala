@@ -156,13 +156,20 @@ object Sinks {
     try {
       val touched = latest.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted
-      val existing = spark.read.parquet(dir)
+      // mergeSchema: after an evolving batch, only TOUCHED buckets carry
+      // the widened schema on disk — a plain read would adopt whichever
+      // file it sampled first and could drop the new column
+      val existing = spark.read.option("mergeSchema", "true").parquet(dir)
         .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
       val survivors = existing
         .join(latest.select(col(key)), Seq(key), "left_anti")
       val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
       val stage = dir.stripSuffix("/") + "__cdc_stage"
-      survivors.unionByName(upserts)
+      // allowMissingColumns: CDC batches EVOLVE schemas — a batch with a
+      // new column widens the table (survivors read back null there), a
+      // batch missing a column leaves nulls; a hard unionByName would
+      // reject the first evolved batch a real changelog ships
+      survivors.unionByName(upserts, allowMissingColumns = true)
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stage)
       val fs = new org.apache.hadoop.fs.Path(dir)

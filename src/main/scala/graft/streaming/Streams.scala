@@ -33,6 +33,23 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("v"))
 
+  /** Declarative session windows (the built-in `session_window` — gap
+    * starts a new window) — the twin of the stateful [[sessionize]]:
+    * when the per-session output is plain aggregates, this form needs NO
+    * custom state code, gets watermark-driven eviction for free, and
+    * stays whole-stage-planned. [[sessionize]] remains the shape for
+    * custom state (running session ids, mid-session emission). The spec
+    * pins that both produce the SAME (user, session-event-count)
+    * multiset on a shared fixture. */
+  def sessionWindowCounts(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Watermarked per-window approximate DISTINCT users — the streaming
     * face of the mergeable HLL state
     * ([[graft.sketch.HeavyHitters.buildHllState]]): a streaming

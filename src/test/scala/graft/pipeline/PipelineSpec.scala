@@ -216,6 +216,32 @@ class PipelineSpec extends SparkSpecBase {
       new java.io.File(dir).getParentFile)
   }
 
+  test("cdc schema evolution: a batch with a NEW column widens the " +
+      "table; later batches keep working against the mixed layout") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcev").toString + "/t"
+    Sinks.writeKeyedBuckets(
+      (0L until 64L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", 8)
+    // evolved batch: adds column v2
+    Sinks.applyCdc(spark,
+      dir, Seq((1L, "upd", "yes", "U", 1L), (200L, "new", "yes", "I", 1L))
+        .toDF("k", "v", "v2", "op", "seq"), "k", "op", "seq", 8)
+    val t1 = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(t1.columns.contains("v2"))
+    val m1 = t1.collect().map(r => r.getAs[Long]("k") ->
+      Option(r.getAs[String]("v2"))).toMap
+    assert(m1(1L) === Some("yes") && m1(200L) === Some("yes"))
+    assert(m1(2L) === None) // untouched rows read null in the new column
+    // a later NON-evolved batch against the mixed layout still merges
+    Sinks.applyCdc(spark,
+      dir, Seq((2L, "upd2", "U", 1L)).toDF("k", "v", "op", "seq"),
+      "k", "op", "seq", 8)
+    val t2 = spark.read.option("mergeSchema", "true").parquet(dir)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(t2(2L) === "upd2" && t2(1L) === "upd" && t2.size === 65)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("end-to-end segmentation battery on a planted survey") {
     val rows = (0 until 240).map { i =>
       val seg = i % 3

@@ -418,6 +418,43 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamCounts === batch)
   }
 
+  test("session_window twin: declarative sessions equal the stateful " +
+      "sessionize's per-session event counts") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: events at minutes 0, 10, 55 (gap 45 > 30 splits) -> 2, 1;
+    // user 2: 5, 20 -> one session of 2
+    val evs = Seq(
+      Streams.Event(1, ts(0), 1, "a", 1.0),
+      Streams.Event(2, ts(10), 1, "a", 1.0),
+      Streams.Event(3, ts(55), 1, "a", 1.0),
+      Streams.Event(4, ts(5), 2, "a", 1.0),
+      Streams.Event(5, ts(20), 2, "a", 1.0))
+    // declarative: batch evaluation of the same aggregation
+    val declarative = Streams.sessionWindowCounts(evs.toDF())
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // stateful: drain the same events as a stream, count events per
+    // (user, session id)
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sw_twin")
+      .outputMode("append").start()
+    input.addData(evs: _*)
+    q.processAllAvailable()
+    input.addData(Streams.Event(99, ts(600), 9, "flush", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val stateful = spark.table("sw_twin")
+      .filter(col("userId").isin(1L, 2L))
+      .collect().map(r => (r.getAs[Long]("userId"),
+        r.getAs[Long]("nEvents")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(declarative === Map((1L, 2L) -> 1, (1L, 1L) -> 1,
+      (2L, 2L) -> 1))
+    assert(stateful === declarative)
+  }
+
   test("windowed distinct users: bounded HLL state; the stream's final " +
       "estimate equals the batch sketch EXACTLY (order-insensitive merge)") {
     implicit val sqlCtx = spark.sqlContext
