@@ -144,7 +144,8 @@ object Bench {
     "q_p24_expectations",
     "q_e_transitions",
     "q_d_snapshot_diff",
-    "q_w6_grouped_topk")
+    "q_w6_grouped_topk",
+    "q_p25_hilbert")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -213,7 +214,8 @@ object Bench {
     "q_m36_quantile_bins" -> 3.0, "q_d_exact_spans_incr" -> 5.0,
     "q_d_prefix_jaccard" -> 6.0, "q_a16_rollup" -> 2.0, "q_e_wow" -> 2.0,
     "q_p24_expectations" -> 3.0, "q_e_transitions" -> 2.0,
-    "q_d_snapshot_diff" -> 2.0, "q_w6_grouped_topk" -> 2.0)
+    "q_d_snapshot_diff" -> 2.0, "q_w6_grouped_topk" -> 2.0,
+    "q_p25_hilbert" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -123,5 +123,87 @@ object ZOrder {
               CAST(${oracleZ("bc", "bd", 8)} AS BIGINT) AS zkey
             FROM binned ORDER BY o_orderkey"""))
 
-  val queries: Map[String, Q] = Map("q_p23_zorder" -> pZOrder)
+  /** Hilbert-keyed variant of [[withMortonKey]] — same 1-row bounds
+    * broadcast and map-side binning, the codegen'd
+    * [[graft.functions.HilbertIndex]] in place of the bit interleave.
+    * Use when box-query locality matters most: the Hilbert curve has no
+    * quadrant jumps, so contiguous index ranges are tighter rectangles
+    * (ZOrderSpec measures it against Morton on the same workload). */
+  def withHilbertKey(df: DataFrame, cols: Seq[String], bits: Int,
+      keyCol: String = "hkey"): DataFrame = {
+    require(cols.size == 2, "hilbert layout is 2-D")
+    val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
+      Seq(min(col(c)).as(s"__mn$j"), max(col(c)).as(s"__mx$j")) }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val bins = cols.zipWithIndex.map { case (c, j) =>
+      equiWidthBin(col(c), col(s"__mn$j"), col(s"__mx$j"), bits) }
+    df.crossJoin(broadcast(bounds))
+      .withColumn(keyCol,
+        graft.functions.HilbertIndex.index(bins(0), bins(1), bits))
+      .drop(cols.indices.flatMap(j => Seq(s"__mn$j", s"__mx$j")): _*)
+  }
+
+  def hilbertLayout(df: DataFrame, cols: Seq[String], bits: Int,
+      numFiles: Int): DataFrame =
+    withHilbertKey(df, cols, bits)
+      .repartitionByRange(numFiles, col("hkey"))
+      .sortWithinPartitions("hkey")
+
+  /** Generated SQL replica of the iterated-rotation construction: one
+    * CTE stage per bit plane carrying (x, y, d); pure integer CASE/XOR
+    * arithmetic, so the key is bit-identical across engines. */
+  private def oracleHilbert(bits: Int): String = {
+    val stages = (bits - 1 to 0 by -1).zipWithIndex.map { case (p, i) =>
+      val s = 1L << p
+      val prev = if (i == 0) "binned" else s"h${i - 1}"
+      val (x, y, d) = if (i == 0) ("bc", "bd", "CAST(0 AS BIGINT)")
+        else ("x", "y", "d")
+      s""",
+            h$i AS (SELECT o_orderkey,
+                CASE WHEN ($y & $s) = 0
+                     THEN (CASE WHEN ($x & $s) > 0
+                                THEN $s - 1 - $y ELSE $y END)
+                     ELSE $x END AS x,
+                CASE WHEN ($y & $s) = 0
+                     THEN (CASE WHEN ($x & $s) > 0
+                                THEN $s - 1 - $x ELSE $x END)
+                     ELSE $y END AS y,
+                $d + ${s * s} * xor(
+                  3 * (CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END),
+                  CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END) AS d
+              FROM $prev)"""
+    }.mkString
+    stages
+  }
+
+  /** Hilbert keys over the same (customer × order day) plane as
+    * q_p23_zorder — the two layout queries share binning, so their keys
+    * are directly comparable. */
+  private val pHilbert = Q(
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).cast("long").as("dy"))
+      withHilbertKey(o, Seq("ck", "dy"), bits = 8)
+        .select(col("o_orderkey"), col("hkey"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey,
+               CAST(o_custkey AS BIGINT) AS ck,
+               date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS dy
+             FROM orders),
+            b AS (SELECT MIN(ck) AS mnc, MAX(ck) AS mxc,
+                         MIN(dy) AS mnd, MAX(dy) AS mxd FROM o),
+            binned AS (SELECT o_orderkey,
+                ((ck - mnc) * 256) // (mxc - mnc + 1) AS bc,
+                ((dy - mnd) * 256) // (mxd - mnd + 1) AS bd
+              FROM o, b)${oracleHilbert(8)}
+            SELECT o_orderkey, CAST(d AS BIGINT) AS hkey
+            FROM h7 ORDER BY o_orderkey"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_p23_zorder" -> pZOrder,
+    "q_p25_hilbert" -> pHilbert)
 }

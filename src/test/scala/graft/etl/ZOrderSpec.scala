@@ -47,6 +47,22 @@ class ZOrderSpec extends SparkSpecBase {
     }
   }
 
+  test("hilbert index: exhaustive bijection and the adjacency property " +
+      "(consecutive indices are grid neighbors — the curve never jumps)") {
+    val cells = for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong)
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.HilbertIndex.index(col("x"), col("y"), 4).as("h"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got.keySet === (0L until 256L).toSet, "must be a bijection")
+    (0L until 255L).foreach { i =>
+      val (x0, y0) = got(i); val (x1, y1) = got(i + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"jump between $i and ${i + 1}: ($x0,$y0) -> ($x1,$y1)")
+    }
+  }
+
   test("z-order layout skips more files than a 1-D sort on a mixed " +
       "2-D predicate workload (footer-stats simulation)") {
     val rnd = new scala.util.Random(7)
@@ -56,6 +72,8 @@ class ZOrderSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     ZOrder.layout(pts, Seq("x", "y"), bits = 8, numFiles = 64)
       .write.mode("overwrite").parquet(s"$dir/z")
+    ZOrder.hilbertLayout(pts, Seq("x", "y"), bits = 8, numFiles = 64)
+      .write.mode("overwrite").parquet(s"$dir/h")
     pts.repartitionByRange(64, col("x")).sortWithinPartitions("x")
       .write.mode("overwrite").parquet(s"$dir/linear")
     // per-file (x, y) min/max — exactly what a parquet footer publishes
@@ -66,15 +84,17 @@ class ZOrderSpec extends SparkSpecBase {
       .collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val (zs, ls) = (stats(s"$dir/z"), stats(s"$dir/linear"))
-    assert(zs.length === 64 && ls.length === 64)
+    val hs = stats(s"$dir/h")
+    assert(zs.length === 64 && ls.length === 64 && hs.length === 64)
     // workload: x-only, y-only, and x-and-y 10%-wide range predicates; a
     // file must be OPENED iff its stats rectangle intersects the box
     val qrnd = new scala.util.Random(99)
     def opened(st: Array[(Long, Long, Long, Long)],
         box: (Long, Long, Long, Long)) = st.count { case (a, b, c, d) =>
       b >= box._1 && a <= box._2 && d >= box._3 && c <= box._4 }
-    val tot = Array.fill(3)(0) // per shape: z, then linear offset by 10
+    val tot = Array.fill(3)(0)
     val ltot = Array.fill(3)(0)
+    val htot = Array.fill(3)(0)
     (1 to 60).foreach { i =>
       val (x0, y0) = (qrnd.nextInt(900).toLong, qrnd.nextInt(900).toLong)
       val shape = i % 3
@@ -84,6 +104,7 @@ class ZOrderSpec extends SparkSpecBase {
         case _ => (x0, x0 + 99L, y0, y0 + 99L) // both
       }
       tot(shape) += opened(zs, box); ltot(shape) += opened(ls, box)
+      htot(shape) += opened(hs, box)
     }
     // the sharp contract: the 1-D layout CANNOT prune on the second
     // dimension (every file spans all of y), the curve layout must
@@ -93,9 +114,16 @@ class ZOrderSpec extends SparkSpecBase {
       s"y-only: z opened ${tot(1)} vs linear ${ltot(1)}")
     // and across the mixed workload the curve still wins overall, even
     // though linear is better on its one good shape (x-only)
-    val (zTot, lTot) = (tot.sum, ltot.sum)
+    val (zTot, lTot, hTot) = (tot.sum, ltot.sum, htot.sum)
     assert(zTot < (lTot * 7) / 10,
       s"z-order opened $zTot files vs linear $lTot — expected < 0.7x")
+    // the hilbert curve prunes at least as well as morton on the same
+    // workload (no quadrant jumps -> tighter file rectangles); small
+    // slack for workload noise
+    assert(hTot <= (zTot * 11) / 10,
+      s"hilbert opened $hTot vs morton $zTot — expected <= 1.1x")
+    assert(hTot < (lTot * 7) / 10,
+      s"hilbert opened $hTot files vs linear $lTot — expected < 0.7x")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
