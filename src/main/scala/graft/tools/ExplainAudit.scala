@@ -608,6 +608,12 @@ object ExplainAudit {
         (_.contains("EqualTo(r_name,ASIA)")),
       "revenue partial-aggregates map-side" ->
         (_.contains("partial_sum")))
+    audit("q_p25_hilbert",
+      "1-row bounds attach by broadcast; curve key is map-side" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("hashpartitioning(")),
+      "bounds reduce is the only SinglePartition exchange" ->
+        scalarReducesOnly)
     audit("q_d_exact_scrub",
       "anchor generation shuffles once on the dual-hash key" ->
         (_.contains("hashpartitioning(h1")),
