@@ -215,9 +215,30 @@ object Bench {
     "q_d_prefix_jaccard" -> 6.0, "q_a16_rollup" -> 2.0, "q_e_wow" -> 2.0,
     "q_p24_expectations" -> 3.0, "q_e_transitions" -> 2.0,
     "q_d_snapshot_diff" -> 2.0, "q_w6_grouped_topk" -> 2.0,
-    "q_p25_hilbert" -> 2.0)
+    "q_p25_hilbert" -> 2.0,
+    // round-10 backfill (verdict r9 #3): every BenchSet member carries a
+    // measured warm reference — SCALESWEEP_r09 sf0.1 sweep time x ~3
+    // harness headroom, floored at 2 s (below the 5 s noise floor the
+    // value is inert anyway). Bench aborts at startup on a missing entry
+    // so a future addition can't silently opt out of the rerun defense.
+    "q_e_funnel" -> 2.5, "q_e_retention" -> 2.0,
+    "q_d_corpus_overlap" -> 7.5, "q_a13_corr_matrix" -> 3.5,
+    "q_t_entropy" -> 2.0, "q_e_session_stats" -> 2.5,
+    "q_s_hard_negatives" -> 2.0, "q_d_cdc_chunks" -> 8.0,
+    "q_s_knn_graph" -> 20.0, "q_s_semantic_clusters" -> 33.0,
+    "q_p22_stratified_split" -> 2.0, "q_t_trigram_sb" -> 2.0,
+    "q_pipeline_corpus_card" -> 2.0, "q_t_quality_norm" -> 2.0,
+    "q_e_moving_avg" -> 2.0, "q_j7_interval" -> 2.0,
+    "q_e_attribution" -> 2.0, "q_e_asof_fwd" -> 2.0,
+    "q_t_boilerplate" -> 7.5)
 
   def main(args: Array[String]): Unit = {
+    // every benched query must carry a measured reference, or the
+    // min-of-two outlier defense silently doesn't apply to it — exactly
+    // the queries whose numbers most need defending (round-9 verdict #3)
+    val noRef = BenchSet.filterNot(RefSec.contains)
+    require(noRef.isEmpty,
+      s"BenchSet entries missing a RefSec reference: ${noRef.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -291,7 +312,7 @@ object Bench {
       // Outlier defense: >3x the warm-machine reference (and above a 5 s
       // noise floor) → one re-run, keep the min. A genuine regression
       // reproduces on the re-run; a contention spike does not.
-      val ref = RefSec.getOrElse(name, 10.0)
+      val ref = RefSec(name) // total coverage enforced at startup
       val (t, ok) =
         if (ok1 && t1 > 3.0 * ref && t1 > 5.0) {
           System.err.println(

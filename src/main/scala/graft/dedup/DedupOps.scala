@@ -70,9 +70,13 @@ object DedupOps {
     val out = shared
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
+      // threshold on the UNROUNDED ratio — the oracle's WHERE clause does
+      // the same, and filtering on the rounded display value would admit
+      // pairs with true J in [t - 5e-7, t) that the oracle rejects
+      .filter(col("shared") /
+        (col("sza") + col("szb") - col("shared")) >= threshold)
       .withColumn("jaccard", round(col("shared") /
         (col("sza") + col("szb") - col("shared")), 6))
-      .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "shared", "jaccard")
     (out, () => { sh.unpersist(blocking = false); () })
   }
@@ -134,9 +138,13 @@ object DedupOps {
     val out = shared
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
+      // threshold on the UNROUNDED ratio — the oracle's WHERE clause does
+      // the same, and filtering on the rounded display value would admit
+      // pairs with true J in [t - 5e-7, t) that the oracle rejects
+      .filter(col("shared") /
+        (col("sza") + col("szb") - col("shared")) >= threshold)
       .withColumn("jaccard", round(col("shared") /
         (col("sza") + col("szb") - col("shared")), 6))
-      .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "shared", "jaccard")
     (out, () => { sh.unpersist(blocking = false); () })
   }
@@ -166,10 +174,14 @@ object DedupOps {
     val out = shared
       .join(sizes.toDF("ida", "sza"), "ida")
       .join(sizes.toDF("idb", "szb"), "idb")
+      // threshold on the UNROUNDED ratios (oracle WHERE matches): the
+      // rounded display value admits pairs in [t - 5e-7, t) that the
+      // exact filter rejects — plus Spark/DuckDB round() diverge on
+      // terminating decimals at the cut digit
+      .filter(col("shared") / col("sza") >= threshold ||
+        col("shared") / col("szb") >= threshold)
       .withColumn("containment_a", round(col("shared") / col("sza"), 6))
       .withColumn("containment_b", round(col("shared") / col("szb"), 6))
-      .filter(col("containment_a") >= threshold ||
-        col("containment_b") >= threshold)
       .select("ida", "idb", "shared", "containment_a", "containment_b")
     (out, () => { sh.unpersist(blocking = false); () })
   }
@@ -774,8 +786,8 @@ object DedupOps {
             FROM shared
             JOIN sizes sa ON sa.doc_id = ida
             JOIN sizes sb ON sb.doc_id = idb
-            WHERE ROUND(CAST(shared AS DOUBLE) / sa.sz, 6) >= 0.5
-               OR ROUND(CAST(shared AS DOUBLE) / sb.sz, 6) >= 0.5
+            WHERE CAST(shared AS DOUBLE) / sa.sz >= 0.5
+               OR CAST(shared AS DOUBLE) / sb.sz >= 0.5
             ORDER BY ida, idb"""))
 
   /** Source-level overlap audit over the same 3-gram vocabulary: every

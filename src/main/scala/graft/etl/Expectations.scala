@@ -19,11 +19,14 @@ object Expectations {
   sealed trait Check
   /** Fraction of non-null values in `col` must reach `minRate`. */
   final case class NonNullRate(col: String, minRate: Double) extends Check
-  /** Fraction of (non-null) values inside [lo, hi] must reach `minRate`. */
+  /** Fraction of ALL rows whose `col` lies inside [lo, hi] must reach
+    * `minRate` — a null counts as a MISS (pair with [[NonNullRate]] when
+    * nullity should be gated separately from range). */
   final case class InRange(col: String, lo: Double, hi: Double,
       minRate: Double) extends Check
-  /** Fraction of (non-null) values in the accepted set must reach
-    * `minRate`. */
+  /** Fraction of ALL rows whose `col` is in the accepted set must reach
+    * `minRate` — a null counts as a MISS, same denominator rule as
+    * [[InRange]]. */
   final case class InSet(col: String, accepted: Seq[String],
       minRate: Double) extends Check
   /** The column tuple must be a candidate key: zero duplicated tuples. */

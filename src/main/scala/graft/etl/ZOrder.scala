@@ -50,12 +50,19 @@ object ZOrder {
     * broadcast min/max row, see [[withMortonKey]]). */
   def equiWidthBin(x: Column, minC: Column, maxC: Column,
       bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
     val b = lit(1L << bits)
-    // floor of a double ratio of integers == integer floor-div here: the
-    // true quotient is either exactly integral or >= 1/denominator away
-    // from one, which dwarfs double rounding for any denominator < 2^50
-    floor(((x.cast("long") - minC.cast("long")) * b) /
-      (maxC.cast("long") - minC.cast("long") + lit(1L))).cast("long")
+    val width = maxC.cast("long") - minC.cast("long") + lit(1L)
+    // exact integer floor-div (SQL `div`), never a double ratio: both
+    // operands are non-negative longs, so the quotient is the true bin
+    // for ANY domain — no 2^52 mantissa assumption to silently violate.
+    // The only failure mode left is long overflow of (x-min)*2^bits,
+    // which the assert makes LOUD instead of a silent mis-bin.
+    val guard = assert_true(width <= lit(Long.MaxValue >> bits),
+      concat(lit(s"equiWidthBin: domain width "), width.cast("string"),
+        lit(s" * 2^$bits overflows a long — reduce bits")))
+    when(guard.isNull, call_function("div",
+      (x.cast("long") - minC.cast("long")) * b, width)).cast("long")
   }
 
   /** Attach a Morton key over integer-valued `cols`: one global min/max

@@ -137,10 +137,12 @@ object Sinks {
     *  3. read ONLY those bucket dirs (partition pruning), anti-join out
     *     the changed keys, union the upserts;
     *  4. stage the rewritten buckets to a temp dir, then swap each
-    *     bucket dir by rename — never an in-place overwrite of a path
-    *     being read (Spark refuses it, and a mid-job crash would
-    *     otherwise destroy the table: rename-swap keeps the old bucket
-    *     until its replacement is fully committed).
+    *     bucket dir by CHECKED renames with a backup-aside step — never
+    *     an in-place overwrite of a path being read (Spark refuses it),
+    *     never delete-before-rename (a crash between the two would lose
+    *     the bucket): the old bucket is renamed to a sibling backup dir
+    *     first, the staged dir renamed in, the backup dropped last, and
+    *     any rename returning false aborts the commit loudly.
     *
     * Untouched buckets are never read, never rewritten. */
   def applyCdc(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -174,14 +176,31 @@ object Sinks {
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stage)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Backup-aside commit: the old bucket is renamed OUT (to a sibling
+      // dir, never inside the table root — partition discovery must not
+      // see it) before the staged bucket is renamed IN, so a crash
+      // between the two leaves the data recoverable in the backup dir
+      // instead of gone, and every rename's boolean result is checked —
+      // a failed rename (cross-FS, permissions) aborts loudly instead of
+      // silently committing data loss.
+      def mustRename(from: org.apache.hadoop.fs.Path,
+          to: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(from, to)) throw new java.io.IOException(
+          s"applyCdc commit: rename $from -> $to failed")
+      val backup = dir.stripSuffix("/") + "__cdc_backup"
+      val backupPath = new org.apache.hadoop.fs.Path(backup)
+      fs.delete(backupPath, true) // leftover from a prior crashed commit
+      fs.mkdirs(backupPath)
       touched.foreach { b =>
         val from = new org.apache.hadoop.fs.Path(s"$stage/bucket=$b")
         val to = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
-        fs.delete(to, true)
+        val bak = new org.apache.hadoop.fs.Path(s"$backup/bucket=$b")
+        if (fs.exists(to)) mustRename(to, bak)
         // a touched bucket can vanish entirely (every row deleted):
         // staged dir absent is a valid commit of an empty bucket
-        if (fs.exists(from)) fs.rename(from, to)
+        if (fs.exists(from)) mustRename(from, to)
       }
+      fs.delete(backupPath, true)
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     } finally latest.unpersist(blocking = false)
   }

@@ -111,24 +111,49 @@ object KeyedBucketMeta {
     cache.remove(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString)
   }
 
+  /** Memoizes only DEFINITIVE answers — sidecar present (Some) or
+    * genuinely absent / unparseable (None). A transient IO failure
+    * returns None for THIS plan but is NOT cached, so one filesystem
+    * hiccup can't silently disable pruning for the JVM lifetime; it is
+    * logged so the performance regression is visible, not silent. */
   def read(conf: org.apache.hadoop.conf.Configuration,
-      root: org.apache.hadoop.fs.Path): Option[Meta] =
-    cache.computeIfAbsent(root.toString, _ => {
+      root: org.apache.hadoop.fs.Path): Option[Meta] = {
+    val key = root.toString
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val resolved: Option[Option[Meta]] =
       try {
         val p = new org.apache.hadoop.fs.Path(root, SidecarName)
         val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) None
+        if (!fs.exists(p)) Some(None) // genuine absence: cacheable
         else {
           val in = fs.open(p)
           val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
           txt.trim match {
-            case Pattern(k, n) => Some(Meta(k, n.toInt))
-            case _ => None
+            case Pattern(k, n) => Some(Some(Meta(k, n.toInt)))
+            case _ =>
+              System.err.println(
+                s"[graft] $SidecarName at $root unparseable — bucket " +
+                  "pruning disabled for this table")
+              Some(None) // malformed sidecar: definitive, cacheable
           }
         }
-      } catch { case _: Throwable => None }
-    })
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[graft] transient $SidecarName read failure at $root " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) — bucket " +
+              "pruning skipped for this plan only, will retry")
+          None // transient: NOT cached
+      }
+    resolved match {
+      case Some(answer) =>
+        val prev = cache.putIfAbsent(key, answer)
+        if (prev != null) prev else answer
+      case None => None
+    }
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
