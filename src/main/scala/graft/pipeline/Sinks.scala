@@ -125,30 +125,119 @@ object Sinks {
       df.sparkSession.sparkContext.hadoopConfiguration, dir, key, numBuckets)
   }
 
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to)) throw new java.io.IOException(
+      s"cdc commit: rename $from -> $to failed")
+
+  /** Crash recovery for the backup-aside commit, run on ENTRY of every
+    * [[applyCdc]]/[[compactCdc]] — BEFORE the table is read. A non-empty
+    * `<dir>__cdc_backup` means a prior commit crashed mid-swap; for each
+    * `bucket=b` it holds there are exactly two cases:
+    *
+    *  - absent from the table root → the crash hit between rename-out
+    *    and rename-in, so the backup holds the ONLY copy of that bucket
+    *    (or the commit was validly retiring an emptied bucket — both are
+    *    indistinguishable here). The pre-batch content is RESTORED; the
+    *    conservative choice never loses rows, and re-applying the
+    *    crashed batch (idempotent, see below) re-deletes what an
+    *    emptied-bucket commit meant to drop.
+    *  - present in the table root → that bucket's swap completed before
+    *    the crash; the table copy is the committed one and the backup
+    *    copy is the superseded pre-batch state — dropped.
+    *
+    * Only after every bucket is resolved is the backup dir deleted, so a
+    * crash DURING recovery re-enters the same (idempotent) resolution. */
+  private def recoverCdcBackup(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val backupPath = new org.apache.hadoop.fs.Path(
+      dir.stripSuffix("/") + "__cdc_backup")
+    if (!fs.exists(backupPath)) return
+    fs.listStatus(backupPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .foreach { st =>
+        val tableSide = new org.apache.hadoop.fs.Path(
+          dir.stripSuffix("/"), st.getPath.getName)
+        if (!fs.exists(tableSide)) {
+          System.err.println(s"[graft] cdc recovery: restoring " +
+            s"${st.getPath.getName} from crashed commit backup at $backupPath")
+          mustRename(fs, st.getPath, tableSide)
+        }
+      }
+    fs.delete(backupPath, true)
+  }
+
+  /** Backup-aside bucket swap shared by [[applyCdc]] and [[compactCdc]]:
+    * each old bucket is renamed OUT (to a sibling backup dir, never
+    * inside the table root — partition discovery must not see it) before
+    * the staged bucket is renamed IN, so a crash between the two leaves
+    * the data recoverable in the backup instead of gone; every rename's
+    * boolean result is checked — a failed rename (cross-FS, permissions)
+    * aborts loudly instead of silently committing data loss. The backup
+    * dir is deleted only after ALL swaps complete. */
+  private def commitBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, stage: String, buckets: Seq[Int]): Unit = {
+    val backup = dir.stripSuffix("/") + "__cdc_backup"
+    val backupPath = new org.apache.hadoop.fs.Path(backup)
+    fs.mkdirs(backupPath)
+    buckets.foreach { b =>
+      val from = new org.apache.hadoop.fs.Path(s"$stage/bucket=$b")
+      val to = new org.apache.hadoop.fs.Path(s"${dir.stripSuffix("/")}/bucket=$b")
+      val bak = new org.apache.hadoop.fs.Path(s"$backup/bucket=$b")
+      if (fs.exists(to)) mustRename(fs, to, bak)
+      // a touched bucket can vanish entirely (every row deleted):
+      // staged dir absent is a valid commit of an empty bucket
+      if (fs.exists(from)) mustRename(fs, from, to)
+    }
+    fs.delete(backupPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   /** CDC merge into a [[writeKeyedBuckets]] table: `batch` carries one
     * row per change with an op column ('I'/'U' upsert, 'D' delete) and a
     * sequence column ordering changes to the same key (the latest wins —
     * a debezium-style changelog collapse). At-scale shape:
     *
-    *  1. collapse the batch per key (window over the BATCH, which is
+    *  1. recover any crashed prior commit ([[recoverCdcBackup]]) so the
+    *     table read below never silently misses a bucket stranded in the
+    *     backup dir;
+    *  2. collapse the batch per key (window over the BATCH, which is
     *     change-sized, never table-sized);
-    *  2. list the touched buckets (distinct over the collapsed batch —
+    *  3. list the touched buckets (distinct over the collapsed batch —
     *     config-sized driver list);
-    *  3. read ONLY those bucket dirs (partition pruning), anti-join out
+    *  4. read ONLY those bucket dirs (partition pruning), anti-join out
     *     the changed keys, union the upserts;
-    *  4. stage the rewritten buckets to a temp dir, then swap each
-    *     bucket dir by CHECKED renames with a backup-aside step — never
-    *     an in-place overwrite of a path being read (Spark refuses it),
-    *     never delete-before-rename (a crash between the two would lose
-    *     the bucket): the old bucket is renamed to a sibling backup dir
-    *     first, the staged dir renamed in, the backup dropped last, and
-    *     any rename returning false aborts the commit loudly.
+    *  5. stage the rewritten buckets to a temp dir, then swap each
+    *     bucket dir via the checked backup-aside protocol
+    *     ([[commitBuckets]]) — never an in-place overwrite of a path
+    *     being read (Spark refuses it), never delete-before-rename (a
+    *     crash between the two would lose the bucket).
     *
-    * Untouched buckets are never read, never rewritten. */
+    * Untouched buckets are never read, never rewritten.
+    *
+    * Crash contract: applying a batch is IDEMPOTENT (changed keys are
+    * anti-joined out before the upserts go back in, deletes of absent
+    * keys are no-ops), so after any crash the recovery rule is simply
+    * "re-apply the same batch, then continue" — recovery on entry
+    * restores any bucket whose swap didn't complete to its pre-batch
+    * content, and the re-apply brings every bucket to the post-batch
+    * state a never-crashed run would have produced (spec-pinned with a
+    * simulated mid-swap crash in PipelineSpec).
+    *
+    * Concurrency contract: SINGLE WRITER per table dir. The stage and
+    * backup dirs are fixed siblings of `dir`, so two concurrent
+    * applyCdc/compactCdc calls on the same table would corrupt each
+    * other's commit state; serialize writers externally (one changelog
+    * consumer per table — the natural CDC topology). Readers are safe
+    * concurrently EXCEPT in the swap window of a bucket they scan. */
   def applyCdc(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, key: String, opCol: String, seqCol: String,
       numBuckets: Int): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCdcBackup(fs, dir)
     val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
     val latest = batch
       .withColumn("__rn", row_number().over(w))
@@ -157,7 +246,7 @@ object Sinks {
       .cache()
     try {
       val touched = latest.select("bucket").distinct()
-        .collect().map(_.getInt(0)).sorted
+        .collect().map(_.getInt(0)).sorted.toSeq
       // mergeSchema: after an evolving batch, only TOUCHED buckets carry
       // the widened schema on disk — a plain read would adopt whichever
       // file it sampled first and could drop the new column
@@ -174,35 +263,42 @@ object Sinks {
       survivors.unionByName(upserts, allowMissingColumns = true)
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stage)
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Backup-aside commit: the old bucket is renamed OUT (to a sibling
-      // dir, never inside the table root — partition discovery must not
-      // see it) before the staged bucket is renamed IN, so a crash
-      // between the two leaves the data recoverable in the backup dir
-      // instead of gone, and every rename's boolean result is checked —
-      // a failed rename (cross-FS, permissions) aborts loudly instead of
-      // silently committing data loss.
-      def mustRename(from: org.apache.hadoop.fs.Path,
-          to: org.apache.hadoop.fs.Path): Unit =
-        if (!fs.rename(from, to)) throw new java.io.IOException(
-          s"applyCdc commit: rename $from -> $to failed")
-      val backup = dir.stripSuffix("/") + "__cdc_backup"
-      val backupPath = new org.apache.hadoop.fs.Path(backup)
-      fs.delete(backupPath, true) // leftover from a prior crashed commit
-      fs.mkdirs(backupPath)
-      touched.foreach { b =>
-        val from = new org.apache.hadoop.fs.Path(s"$stage/bucket=$b")
-        val to = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
-        val bak = new org.apache.hadoop.fs.Path(s"$backup/bucket=$b")
-        if (fs.exists(to)) mustRename(to, bak)
-        // a touched bucket can vanish entirely (every row deleted):
-        // staged dir absent is a valid commit of an empty bucket
-        if (fs.exists(from)) mustRename(from, to)
-      }
-      fs.delete(backupPath, true)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      commitBuckets(fs, dir, stage, touched)
     } finally latest.unpersist(blocking = false)
+  }
+
+  /** Compaction for a [[applyCdc]]-maintained table. applyCdc itself
+    * keeps one file per touched bucket, but two kinds of debt still
+    * accrete in a long-lived changelog loop: (a) SCHEMA-WIDTH STRAGGLERS
+    * — after an evolving batch, only touched buckets carry the widened
+    * footer, so every read forever after needs mergeSchema (which walks
+    * ALL footers — at 100 TB that is a full-listing metadata pass per
+    * query); (b) out-of-band appends/backfills that land extra files in
+    * a bucket dir. Rewrites EVERY bucket to the widest (merged) schema
+    * with exactly one file per non-empty bucket, committed through the
+    * same checked backup-aside protocol as applyCdc — crash-safe and
+    * never observed half-compacted. Bucket membership, the sidecar
+    * ([[writeKeyedBuckets]]) and row content are unchanged: reads before
+    * and after are identical, and a plain (no-mergeSchema) read is
+    * sufficient afterwards. Same single-writer contract as [[applyCdc]]. */
+  def compactCdc(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCdcBackup(fs, dir)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt).sorted.toSeq
+    if (buckets.isEmpty) return
+    val stage = dir.stripSuffix("/") + "__cdc_stage"
+    // repartition on the bucket value puts each bucket's rows in exactly
+    // one shuffle partition, so partitionBy emits exactly one file per
+    // bucket; mergeSchema widens every row to the union schema so the
+    // compacted footers are uniform
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stage)
+    commitBuckets(fs, dir, stage, buckets)
   }
 
   /** Pruned point/key lookup against a keyed-bucket table: the bucket

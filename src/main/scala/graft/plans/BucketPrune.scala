@@ -140,7 +140,15 @@ object KeyedBucketMeta {
           }
         }
       } catch {
-        case e: Throwable =>
+        // NonFatal only: OutOfMemoryError and friends must propagate, and
+        // an interrupt must not be swallowed as a "transient IO failure"
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          System.err.println(
+            s"[graft] $SidecarName read interrupted at $root — bucket " +
+              "pruning skipped for this plan only")
+          None // NOT cached
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[graft] transient $SidecarName read failure at $root " +
               s"(${e.getClass.getSimpleName}: ${e.getMessage}) — bucket " +

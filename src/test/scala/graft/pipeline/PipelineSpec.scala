@@ -216,6 +216,119 @@ class PipelineSpec extends SparkSpecBase {
       new java.io.File(dir).getParentFile)
   }
 
+  test("cdc crash recovery: a commit crashed mid-swap (rename-out done, " +
+      "rename-in skipped) is restored on the next applyCdc; re-applying " +
+      "the batch equals a never-crashed sequence") {
+    def table(dir: String): Map[Long, String] =
+      spark.read.parquet(dir).drop("bucket")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val root = java.nio.file.Files.createTempDirectory("cdccr").toString
+    val init = (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v")
+    val b1 = Seq((3L, "b1", "U", 1L), (7L, "x", "D", 1L),
+      (500L, "new", "I", 1L)).toDF("k", "v", "op", "seq")
+    val b2 = Seq((3L, "b2", "U", 1L), (501L, "new2", "I", 1L))
+      .toDF("k", "v", "op", "seq")
+    // control: the never-crashed sequence
+    val ctl = s"$root/ctl"
+    Sinks.writeKeyedBuckets(init, ctl, "k", 8)
+    Sinks.applyCdc(spark, ctl, b1, "k", "op", "seq", 8)
+    Sinks.applyCdc(spark, ctl, b2, "k", "op", "seq", 8)
+    val expected = table(ctl)
+    // crashed run: apply b1, then SIMULATE the crash window commitBuckets
+    // protects — one touched bucket renamed out to the backup, its staged
+    // replacement never renamed in
+    val t = s"$root/t"
+    Sinks.writeKeyedBuckets(init, t, "k", 8)
+    Sinks.applyCdc(spark, t, b1, "k", "op", "seq", 8)
+    val goodAfterB1 = table(t)
+    val bucketOfK3 = spark.range(1)
+      .select(Sinks.bucketId(lit(3L), 8)).head().getInt(0)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${t}__cdc_backup"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$t/bucket=$bucketOfK3"),
+      new org.apache.hadoop.fs.Path(s"${t}__cdc_backup/bucket=$bucketOfK3")))
+    // the crash contract: re-apply the SAME batch, then continue. The
+    // entry recovery must first restore the stranded bucket (without it,
+    // the rewrite would read zero survivors for that bucket and drop
+    // every unchanged key in it — the round-10 data-loss hole).
+    Sinks.applyCdc(spark, t, b1, "k", "op", "seq", 8)
+    assert(table(t) === goodAfterB1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t}__cdc_backup")))
+    Sinks.applyCdc(spark, t, b2, "k", "op", "seq", 8)
+    assert(table(t) === expected)
+    // completed-swap crash state: bucket present in BOTH table and backup
+    // (crash after rename-in, before backup delete) → recovery keeps the
+    // table copy and drops the stale backup
+    val stale = s"${t}__cdc_backup/bucket=$bucketOfK3"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${t}__cdc_backup"))
+    init.filter(col("k") === 3L)
+      .withColumn("v", lit("STALE"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stale)
+    Sinks.applyCdc(spark, t,
+      Seq((502L, "n3", "I", 1L)).toDF("k", "v", "op", "seq"),
+      "k", "op", "seq", 8)
+    assert(table(t) === expected + (502L -> "n3"))
+    assert(table(t)(3L) === "b2") // the stale backup copy did NOT win
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("cdc compaction: after N small batches + schema evolution the " +
+      "table reads identically with one file per bucket and uniform " +
+      "widest-schema footers") {
+    val root = java.nio.file.Files.createTempDirectory("cdccomp").toString
+    val dir = s"$root/t"
+    Sinks.writeKeyedBuckets(
+      (0L until 300L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", 8)
+    // five small batches, one of which evolves the schema
+    (1 to 5).foreach { i =>
+      val b =
+        if (i == 3) Seq((i.toLong, s"u$i", "extra", "U", 1L),
+          (1000L + i, s"n$i", "extra", "I", 1L))
+          .toDF("k", "v", "v2", "op", "seq")
+        else Seq((i.toLong, s"u$i", "U", 1L), (1000L + i, s"n$i", "I", 1L))
+          .toDF("k", "v", "op", "seq")
+            .withColumn("v2", lit(null).cast("string"))
+      Sinks.applyCdc(spark, dir, b, "k", "op", "seq", 8)
+    }
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    // out-of-band backfill: a second file lands in one bucket dir (the
+    // generic small-file case compaction collapses — applyCdc itself
+    // keeps one file per touched bucket)
+    val bfBucket = spark.range(1)
+      .select(Sinks.bucketId(lit(2000L), 8)).head().getInt(0)
+    Seq((2000L, "bf")).toDF("k", "v")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/bucket=$bfBucket")
+    assert(parquetFiles().groupBy(_.getParentFile.getName)
+      .values.exists(_.size > 1))
+    val before = spark.read.option("mergeSchema", "true").parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        Option(r.getAs[String]("v2")))).toSet
+    val filesBefore = parquetFiles().size
+    Sinks.compactCdc(spark, dir)
+    val after = spark.read.parquet(dir) // no mergeSchema needed anymore
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        Option(r.getAs[String]("v2")))).toSet
+    assert(after === before)
+    val byBucket = parquetFiles().groupBy(_.getParentFile.getName)
+    assert(byBucket.values.forall(_.size == 1),
+      s"expected 1 file/bucket, got ${byBucket.view.mapValues(_.size).toMap}")
+    assert(parquetFiles().size < filesBefore)
+    // every footer carries the widest schema (uniform v2 column)
+    assert(parquetFiles().forall { f =>
+      spark.read.parquet(f.getAbsolutePath).columns.contains("v2") })
+    // the sidecar survives compaction — pruned lookups still work
+    val lk = Sinks.lookupKeys(spark, dir, "k", Seq(3L), 8)
+    assert(lk.collect().map(_.getAs[String]("v")).toSeq === Seq("u3"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("cdc schema evolution: a batch with a NEW column widens the " +
       "table; later batches keep working against the mixed layout") {
     val dir = java.nio.file.Files.createTempDirectory("cdcev").toString + "/t"
