@@ -19,8 +19,11 @@ import org.apache.spark.sql.graftbridge.DatasetBridge
   *
   * This operator never sorts a group and never ships a losing row: a
   * per-partition pass keeps a bounded k-heap per group key (memory =
-  * groups-per-partition × k rows), the exchange moves only those ≤
-  * |groups|·k·partitions survivors (requested declaratively —
+  * groups-per-partition × k rows, CAPPED — past
+  * `spark.graft.groupedTopK.partialMaxRows` retained rows the partial
+  * degrades to pass-through for unseen groups, so corpus-cardinality
+  * group keys can never OOM it; see doExecute), the exchange moves only
+  * those ≤ |groups|·k·partitions survivors (requested declaratively —
   * `requiredChildDistribution` makes EnsureRequirements insert the
   * hash exchange), and an identical final pass merges them. The same
   * partial/final shape as a hash aggregate, with a heap where the
@@ -67,6 +70,30 @@ final case class GroupedTopKExec(groupExprs: Seq[Expression],
     val orderE = sortOrder
     val kk = k
     val childOutput = child.output
+    // Memory safety (partial pass only): the heap map retains up to
+    // groups-per-partition × k row COPIES — fine for dashboard-style
+    // group keys, unbounded for corpus-cardinality keys (knnGraph's
+    // per-query-doc top-k). Past this many retained rows the partial
+    // DEGRADES to pass-through for rows of groups it has not yet seen:
+    // already-tracked groups keep filtering through their (bounded)
+    // heaps, unseen groups' rows stream straight to the exchange where
+    // the final pass — whose per-group input is already bounded to
+    // k·upstream-partitions survivors per tracked group, and co-located
+    // by the hash exchange — does the real bounding. Correctness is
+    // unconditional (the final pass never degrades and a heap eviction
+    // only ever drops a row proven beaten by k better rows of the SAME
+    // group, which is only valid because a group is either fully
+    // heap-filtered or fully passed-through, never mixed); the cost of
+    // degrading is shuffle volume drifting toward the window encoding's,
+    // never past it. Spark's own partial hash aggregate makes the same
+    // move when its map spills. Threshold in ROWS via
+    // spark.graft.groupedTopK.partialMaxRows (default 4M ≈ hundreds of
+    // MB of UnsafeRow copies across 32 partitions); forced-low-threshold
+    // fallback is spec-pinned against the window encoding.
+    val maxRetained =
+      if (partial) conf.getConfString(
+        "spark.graft.groupedTopK.partialMaxRows", "4000000").toLong
+      else Long.MaxValue
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       // ordering on FULL rows by the requested sort order (ascending
@@ -80,22 +107,42 @@ final case class GroupedTopKExec(groupExprs: Seq[Expression],
       // would capture the exec node as its $outer and fail to serialize)
       val heapOrd: java.util.Comparator[InternalRow] =
         (a: InternalRow, b: InternalRow) => ord.compare(b, a)
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
-          heaps.put(key.copy(), heap)
+      var retained = 0L
+      // streaming pass: absorbed rows emit nothing now (their group's
+      // survivors flush after input is exhausted); pass-through rows
+      // emit immediately so overflow never buffers
+      // LAZY pull: the upstream `it.next()` happens only on the
+      // consumer's NEXT demand, never while a handed-out row is still
+      // live — scan iterators reuse row objects, and a handed-out row is
+      // only contractually valid until the next `next()` call
+      val passThrough = new Iterator[InternalRow] {
+        private var nextRow: InternalRow = null
+        private def advance(): Unit = {
+          while (nextRow == null && it.hasNext) {
+            val row = it.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null && retained < maxRetained) {
+              heap = new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap == null) nextRow = row // degraded: stream through
+            else if (heap.size < kk) { heap.add(row.copy()); retained += 1 }
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
         }
-        if (heap.size < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        override def hasNext: Boolean = { advance(); nextRow != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = nextRow; nextRow = null; r
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      passThrough ++
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 

@@ -42,6 +42,32 @@ class GroupedTopKSpec extends SparkSpecBase {
     assert(got === Set(("a", 1L), ("a", 2L), ("b", 3L)))
   }
 
+  test("forced-low-threshold partial fallback matches the window " +
+      "encoding row-for-row; default threshold restores filtering") {
+    // threshold far below groups×k: the partial tracks only the first
+    // few groups per partition and STREAMS every other row through to
+    // the final pass — results must be identical to the never-degraded
+    // path and the window encoding
+    spark.conf.set("spark.graft.groupedTopK.partialMaxRows", "7")
+    try {
+      val df = sample(40000).cache()
+      try {
+        val got = GroupedTopK.topK(df, Seq("g"),
+            Seq("v" -> true, "id" -> false), 5)
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .toSet
+        val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+        val want = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).drop("rn")
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .toSet
+        assert(got === want)
+        assert(got.size === 250)
+      } finally df.unpersist()
+    } finally
+      spark.conf.unset("spark.graft.groupedTopK.partialMaxRows")
+  }
+
   test("plan shape: partial before the exchange, final after, exchange " +
       "keyed on the group") {
     val plan = GroupedTopK.topK(sample(1000), Seq("g"),
