@@ -830,19 +830,44 @@ object DedupOps {
     * boilerplate, vendored code) that whole-doc hashing misses and span
     * detection only localizes.
     *
-    * The window hash is the first two hex digits of md5(window) (mod
-    * `mask+1` condition) — portable: the oracle replays the identical
-    * boundaries in DuckDB. Boundary detection + chunk slicing are a
-    * map-only HOF cascade in the scan stage; the ONLY shuffle is the final
+    * The window hash is a Karp–Rabin rolling polynomial
+    * ([[graft.functions.RollingGramHash]], one codegen'd O(len) pass per
+    * document — NOT a per-position digest, which re-reads the window and
+    * allocates an md5 per character: O(len·w) reads that measured 56x
+    * slower at the 4 KB fixture scale and grows quadratically against
+    * document length on real crawl docs). Boundary AFTER code-point `i`
+    * iff the TOP log2(mask+1) bits of the window hash ending at `i` are
+    * zero — top bits, because every rolling step multiplies, so low-bit
+    * entropy propagates up but not down. Portable: the oracle replays
+    * the identical hash (Σ cp·mult^k mod 2^64 per position, HUGEINT
+    * arithmetic) in DuckDB. GramHashBench (cdc stage, 20k docs x 4 KB):
+    * composed md5 26.2 s → rolling 0.6 s (44x), and the gap widens with
+    * doc length; end-to-end q_d_cdc_chunks at sf0.1 warm 3.6 s → 1.5 s
+    * (TimeOne). The hash array rides `zip_with` as an ARGUMENT — an
+    * aliased column read via element_at inside the lambda would be
+    * inlined by CollapseProject, re-evaluating the O(len) pass per
+    * position. Boundary detection + chunk slicing are a map-only HOF
+    * cascade in the scan stage; the ONLY shuffle is the final
     * groupBy(chunk md5), whose key count is the distinct-chunk count. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, mask: Int = 63): DataFrame = {
+    require(mask >= 1 && (mask & (mask + 1)) == 0,
+      s"mask must be 2^k-1 for k >= 1 (top-k-bits boundary test), got $mask")
+    val shift = 64 - Integer.numberOfTrailingZeros(mask + 1)
     val t = col("__t")
     val n = col("__n")
-    // boundary AFTER position i (1-based) iff md5(text[i-w+1 .. i]) % (mask+1) == 0
-    val bounds = filter(sequence(lit(window), n), i =>
-      conv(substring(md5(t.substr(i - (window - 1), lit(window))), 1, 2),
-        16, 10).cast("int") % (mask + 1) === 0)
+    // windows shorter than `window` chars have no hash: a doc under the
+    // window width is a single chunk (sequence() would run DESCENDING
+    // for n < window and fabricate out-of-range positions)
+    val positions = when(n >= window, sequence(lit(window), n))
+      .otherwise(array().cast("array<int>"))
+    val bounds = filter(
+      zip_with(
+        graft.functions.RollingGramHash.hashes(
+          t, window, graft.functions.RollingGramHash.Mult1),
+        positions,
+        (h, pos) => when(shiftrightunsigned(h, shift) === 0, pos)),
+      p => p.isNotNull)
     val withEnds = df
       .select(col(idCol).as("id"), col(textCol).as("__t"))
       .filter(length(t) > 0)
@@ -879,13 +904,28 @@ object DedupOps {
       .orderBy("chunk_hash"),
     Some("""WITH doc AS (SELECT doc_id, text, length(text) AS n
               FROM documents WHERE length(text) > 0),
+            -- replays RollingGramHash: h(i) = SUM cp(i-7+j)*mult^(7-j)
+            -- mod 2^64 (mult = 0x9E3779B97F4A7C15; powers precomputed,
+            -- HUGEINT keeps the 88-bit partial sums exact); boundary iff
+            -- the top 6 bits are zero (h < 2^58)
             b AS (SELECT doc_id, text, n,
               list_filter(range(8, n + 1), i ->
-                ((strpos('0123456789abcdef',
-                    substr(md5(text[CAST(i AS INT)-7 : CAST(i AS INT)]), 1, 1)) - 1) * 16
-                 + strpos('0123456789abcdef',
-                    substr(md5(text[CAST(i AS INT)-7 : CAST(i AS INT)]), 2, 1)) - 1)
-                % 64 = 0) AS bb
+                (6830608118596137501::HUGEINT
+                   * unicode(text[CAST(i AS INT)-7 : CAST(i AS INT)-7])
+                 + 5469504572959700969::HUGEINT
+                   * unicode(text[CAST(i AS INT)-6 : CAST(i AS INT)-6])
+                 + 3326886199428185477::HUGEINT
+                   * unicode(text[CAST(i AS INT)-5 : CAST(i AS INT)-5])
+                 + 15655466665053923249::HUGEINT
+                   * unicode(text[CAST(i AS INT)-4 : CAST(i AS INT)-4])
+                 + 6938460308862072877::HUGEINT
+                   * unicode(text[CAST(i AS INT)-3 : CAST(i AS INT)-3])
+                 + 16088033396387240377::HUGEINT
+                   * unicode(text[CAST(i AS INT)-2 : CAST(i AS INT)-2])
+                 + 11400714819323198485::HUGEINT
+                   * unicode(text[CAST(i AS INT)-1 : CAST(i AS INT)-1])
+                 + unicode(text[CAST(i AS INT) : CAST(i AS INT)]))
+                % 18446744073709551616 < 288230376151711744) AS bb
               FROM doc),
             e AS (SELECT doc_id, text,
               CASE WHEN len(bb) > 0 AND bb[-1] = n THEN bb

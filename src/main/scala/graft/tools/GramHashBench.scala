@@ -68,6 +68,36 @@ object GramHashBench {
           .as(Seq("pos", "h")))
         .agg(bit_xor(col("h.a").bitwiseXOR(col("h.b")))).head().getLong(0)
     }
+
+    // CDC boundary-detection shape (cdcChunks): one 8-char window hash
+    // per position, kept only where the boundary condition holds. The
+    // composed shape allocates one UTF8String slice AND one full md5 per
+    // position (O(len·w) reads, O(len) digests); the rolling shape is
+    // one O(len) pass + an O(1) top-bits test per position. Checksums
+    // are boundary COUNTS (different hash families select different
+    // positions; both land near len/64 on random text — comparable
+    // selectivity, not identical positions).
+    println(s"=== cdc boundary stage at $nDocs docs x $docChars chars, w=8 ===")
+    timed("composed: per-position md5(substr)%64") {
+      docs.select(size(filter(sequence(lit(8), length(col("__t"))), i =>
+          conv(substring(md5(col("__t").substr(i - 7, lit(8))), 1, 2),
+            16, 10).cast("int") % 64 === 0)).as("nb"))
+        .agg(sum("nb")).head().getLong(0)
+    }
+    // NOTE the zip_with shape: the hash array is an ARGUMENT of the HOF
+    // (evaluated once per row), never referenced inside a lambda — an
+    // aliased column read via element_at(i) in the lambda gets INLINED by
+    // CollapseProject, re-evaluating the O(len) rolling pass per position
+    // (measured: minutes, not seconds — O(len²) resurrected)
+    timed("codegen: rolling hash + top-bits test") {
+      import graft.functions.RollingGramHash
+      docs.select(size(filter(zip_with(
+          RollingGramHash.hashes(col("__t"), 8, RollingGramHash.Mult1),
+          sequence(lit(8), length(col("__t"))),
+          (h, pos) => when(shiftrightunsigned(h, 58) === 0, pos)),
+        p => p.isNotNull)).as("nb"))
+        .agg(sum("nb")).head().getLong(0)
+    }
     spark.stop()
   }
 }
