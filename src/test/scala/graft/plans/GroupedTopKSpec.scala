@@ -68,6 +68,17 @@ class GroupedTopKSpec extends SparkSpecBase {
       spark.conf.unset("spark.graft.groupedTopK.partialMaxRows")
   }
 
+  test("q_a10's native routing equals the flatMapGroups grouped-" +
+      "iteration surface row-for-row") {
+    val native = graft.etl.Relational.queries("q_a10_grouped_topn")
+      .fn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val iterate = graft.etl.Relational.groupedTopNIterate(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(native === iterate)
+    assert(native.nonEmpty)
+  }
+
   test("plan shape: partial before the exchange, final after, exchange " +
       "keyed on the group") {
     val plan = GroupedTopK.topK(sample(1000), Seq("g"),
