@@ -1,10 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, InSet, Literal, Pmod, PredicateHelper, XxHash64}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, DynamicPruning, DynamicPruningSubquery, EqualTo, Expression, In, InSet, Literal, Pmod, PredicateHelper, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.{InnerLike, JoinType, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.IntegerType
 
 /** Automatic bucket pruning for
   * [[graft.pipeline.Sinks.writeKeyedBuckets]] tables — the engine's one
@@ -16,7 +18,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * a storage-layout convention, not a catalog fact. This rule reads the
   * layout's sidecar metadata and conjoins the implied bucket predicate,
   * which `FileSourceStrategy` then turns into a partition filter — the
-  * scan lists |distinct keys| directories instead of all `n`.
+  * scan lists |distinct keys| directories instead of all `n`. Key
+  * equality against a dimension-sized JOIN side gets the dynamic twin:
+  * a stock `DynamicPruningSubquery` whose build key is the writer's
+  * bucket function over the dim keys (see [[tryInjectJoin]]).
   *
   * Semantics-preserving by construction: the added conjunct is implied
   * by the key predicate (every row with k=5 IS in bucket(5)), so it can
@@ -34,12 +39,123 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 case class InjectBucketPruning(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, rel: LogicalRelation) =>
-      tryInject(cond, rel)
-        .map(extra => f.copy(condition = And(cond, extra)))
-        .getOrElse(f)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val withLiterals = plan.transformUp {
+      case f @ Filter(cond, rel: LogicalRelation) =>
+        tryInject(cond, rel)
+          .map(extra => f.copy(condition = And(cond, extra)))
+          .getOrElse(f)
+    }
+    withLiterals.transformUp {
+      case j: Join => tryInjectJoin(j)
+    }
   }
+
+  /** DPP-style bucket pruning for KEY-EQUALITY JOINS (the dynamic twin
+    * of the literal path): `bucketTable JOIN dim ON bucketTable.k =
+    * dim.k` implies every surviving bucket-table row has
+    * `bucket ∈ { pmod(xxhash64(dim.k), n) }` — a set only known at
+    * RUNTIME. Injects Spark's own `DynamicPruningSubquery` with the
+    * bucket partition attribute as the pruning key and the writer's
+    * bucket function over the dim-side join key as the build key —
+    * exactly the `Filter(DynamicPruningSubquery(partitionAttr, ...),
+    * LogicalRelation)` shape the built-in PartitionPruning rule emits,
+    * so the whole downstream machinery (subquery reuse against a
+    * broadcast exchange, `dynamicallySelectedPartitions` on the file
+    * scan) is the stock DPP path. The built-in rule can never fire here
+    * on its own: it requires the JOIN key to be the partition column,
+    * and this layout's selectivity lives in the DERIVED `bucket` dir
+    * column, not in `k`.
+    *
+    * Guards: only when the dim side's plan-time size estimate is within
+    * `autoBroadcastJoinThreshold` (the subquery re-executes the dim when
+    * no broadcast exchange is reusable — `onlyInBroadcast = false` — so
+    * it must be dimension-sized); only join types where pruning the
+    * bucket side is semantics-preserving (the same sidedness rules as
+    * Spark's `PartitionPruning.canPruneLeft/Right`); skipped when DPP is
+    * globally disabled (the physical planner would strand the subquery)
+    * or when the bucket side already carries a dynamic-pruning filter
+    * (fixed-point idempotence). */
+  private def tryInjectJoin(j: Join): Join = {
+    if (!spark.sessionState.conf.dynamicPartitionPruningEnabled) return j
+    val cond = j.condition.getOrElse(return j)
+    def canPruneLeft(t: JoinType) = t match {
+      case _: InnerLike | LeftSemi | RightOuter => true; case _ => false
+    }
+    def canPruneRight(t: JoinType) = t match {
+      case _: InnerLike | LeftSemi | LeftOuter => true; case _ => false
+    }
+    val equi = splitConjunctivePredicates(cond).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+    }
+    def trySide(prune: LogicalPlan, other: LogicalPlan): Option[LogicalPlan] = {
+      val (rel, meta, bucketAttr) = bucketRelationIn(prune).getOrElse(return None)
+      if (alreadyDynamicallyPruned(prune)) return None
+      val dimKey = equi.collectFirst {
+        case (a, b) if a.name == meta.key &&
+          rel.outputSet.contains(a) && other.outputSet.contains(b) => b
+        case (a, b) if b.name == meta.key &&
+          rel.outputSet.contains(b) && other.outputSet.contains(a) => a
+      }.getOrElse(return None)
+      val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+      if (threshold <= 0 || other.stats.sizeInBytes > threshold) return None
+      val buildKey = Cast(
+        Pmod(new XxHash64(Seq(dimKey)), Literal(meta.numBuckets.toLong)),
+        IntegerType)
+      val pruning = DynamicPruningSubquery(
+        pruningKey = bucketAttr,
+        buildQuery = other,
+        buildKeys = Seq(buildKey),
+        broadcastKeyIndices = Seq(0),
+        onlyInBroadcast = false)
+      Some(prune.transformUp {
+        case r: LogicalRelation if r.eq(rel) => Filter(pruning, r)
+      })
+    }
+    if (canPruneLeft(j.joinType)) {
+      trySide(j.left, j.right) match {
+        case Some(newLeft) => return j.copy(left = newLeft)
+        case None =>
+      }
+    }
+    if (canPruneRight(j.joinType)) {
+      trySide(j.right, j.left) match {
+        case Some(newRight) => return j.copy(right = newRight)
+        case None =>
+      }
+    }
+    j
+  }
+
+  /** The unique keyed-bucket relation reachable through
+    * projection/filter/alias nodes only — injecting a filter directly
+    * above it is then equivalent to filtering the side's output. */
+  private def bucketRelationIn(side: LogicalPlan)
+      : Option[(LogicalRelation, KeyedBucketMeta.Meta, Attribute)] =
+    side match {
+      case rel: LogicalRelation =>
+        val fsRel = rel.relation match {
+          case h: HadoopFsRelation
+            if h.partitionSchema.fieldNames.contains("bucket") => h
+          case _ => return None
+        }
+        val bucketAttr = rel.output.collectFirst {
+          case a: AttributeReference if a.name == "bucket" => a
+        }.getOrElse(return None)
+        val root = fsRel.location.rootPaths.headOption.getOrElse(return None)
+        KeyedBucketMeta.read(spark.sparkContext.hadoopConfiguration, root)
+          .map(meta => (rel, meta, bucketAttr))
+      case Project(_, child) => bucketRelationIn(child)
+      case Filter(_, child) => bucketRelationIn(child)
+      case SubqueryAlias(_, child) => bucketRelationIn(child)
+      case _ => None
+    }
+
+  private def alreadyDynamicallyPruned(side: LogicalPlan): Boolean =
+    side.exists {
+      case Filter(c, _) => c.exists(_.isInstanceOf[DynamicPruning])
+      case _ => false
+    }
 
   private def tryInject(cond: Expression,
       rel: LogicalRelation): Option[Expression] = {
