@@ -145,7 +145,9 @@ object Bench {
     "q_e_transitions",
     "q_d_snapshot_diff",
     "q_w6_grouped_topk",
-    "q_p25_hilbert")
+    "q_p25_hilbert",
+    // round-11: trained-PQ codebook induction (exact-integer Lloyd)
+    "q_s_pq_train")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -230,7 +232,9 @@ object Bench {
     "q_pipeline_corpus_card" -> 2.0, "q_t_quality_norm" -> 2.0,
     "q_e_moving_avg" -> 2.0, "q_j7_interval" -> 2.0,
     "q_e_attribution" -> 2.0, "q_e_asof_fwd" -> 2.0,
-    "q_t_boilerplate" -> 7.5)
+    "q_t_boilerplate" -> 7.5,
+    // round-11 (TimeOne warm, sf0.1)
+    "q_s_pq_train" -> 2.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -82,6 +82,37 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("trained PQ codebook: well-formed training output, and recall " +
+      "through ivfPqTopK at least matches the seeded codebook") {
+    val trained = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, kSub = 16, iters = 2).collect()
+    // every subspace keeps <= kSub NON-EMPTY clusters covering the corpus
+    val n = emb.count()
+    (0 until 8).foreach { s =>
+      val rows = trained.filter(_.getAs[Int]("s") == s)
+      assert(rows.nonEmpty && rows.length <= 16)
+      assert(rows.map(_.getAs[Long]("n")).sum === n, s"subspace $s coverage")
+      rows.foreach(r => assert(r.getAs[Seq[Long]]("sum_v").size === 8))
+    }
+    def recallOf(cb: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val exactPairs = SimilarityOps.bruteForceTopK(emb,
+          emb.filter($"vec_id" < 5), "vec_id", "embedding", 3).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+      val pq = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+        dim = 64, nList = 16, nProbe = 4, m = 8, kSub = 16,
+        shortlist = 32, k = 3, col("id") < 5, codebook = cb).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+      (pq intersect exactPairs).size.toDouble / exactPairs.size
+    }
+    val seeded = recallOf(None)
+    val trainedRecall = recallOf(Some(SimilarityOps.pqTrainedCbv(
+      emb, "vec_id", "embedding", dim = 64, m = 8, kSub = 16, iters = 2)))
+    info(f"recall@3 seeded $seeded%.2f -> trained $trainedRecall%.2f")
+    assert(trainedRecall >= seeded,
+      f"training must not lose recall: seeded $seeded%.2f vs trained $trainedRecall%.2f")
+    assert(trainedRecall >= 0.6)
+  }
+
   test("IVF with nProbe == nList degenerates to exact brute force") {
     val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
       "vec_id", "embedding", 3).collect()
