@@ -146,8 +146,11 @@ object Bench {
     "q_d_snapshot_diff",
     "q_w6_grouped_topk",
     "q_p25_hilbert",
-    // round-11: trained-PQ codebook induction (exact-integer Lloyd)
-    "q_s_pq_train")
+    // round-11: trained-PQ codebook induction (exact-integer Lloyd) and
+    // incremental union-find cluster maintenance (root-contracted batch CC
+    // + broadcast remap of the persisted index)
+    "q_s_pq_train",
+    "q_d_cc_incremental")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -234,7 +237,7 @@ object Bench {
     "q_e_attribution" -> 2.0, "q_e_asof_fwd" -> 2.0,
     "q_t_boilerplate" -> 7.5,
     // round-11 (TimeOne warm, sf0.1)
-    "q_s_pq_train" -> 2.8)
+    "q_s_pq_train" -> 2.8, "q_d_cc_incremental" -> 11.5)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -185,6 +185,61 @@ object DupClusters {
     * groupBy on doc id with an in-memory per-doc sort (docs are bounded).
     * Nothing is all-pairs; both shuffle keys (segment text, doc id) are the
     * natural partition keys at 100 TB. */
+  /** Incremental duplicate-cluster maintenance — the union-find view of a
+    * persisted assignment. The (id, comp) frame [[connectedComponents]]
+    * emits IS a fully path-compressed union-find forest (every node
+    * points directly at its root, roots are cluster minima), so folding a
+    * new batch of candidate pairs in never needs the historical edge
+    * list:
+    *
+    *  1. map each batch endpoint to its current root (one join against
+    *     the index; unseen nodes root themselves);
+    *  2. contract the batch edges to ROOT level and drop self-loops —
+    *     a batch-sized graph, whatever the corpus size;
+    *  3. close THAT with [[connectedComponents]] (log-diameter rounds
+    *     over batch-sized state) → a root remap table (old root → new
+    *     min root), bounded by 2·|batch edges| rows;
+    *  4. relabel the persisted index through ONE broadcast join on the
+    *     remap (map-side — the corpus-sized assignment never shuffles
+    *     and is read once), and root the new nodes through the same
+    *     remap.
+    *
+    * The result is EXACTLY the from-scratch min-label assignment over
+    * (historical ∪ batch) pairs — a new node with a smaller id than an
+    * existing cluster's minimum becomes the new root through the same
+    * remap row, and untouched clusters pass through unchanged
+    * (spec-pinned both ways: hand-built forests and from-scratch
+    * equality; the registered q_d_cc_incremental hash-checks against the
+    * recursive-CTE closure of the FULL pair set). This is the streaming
+    * / batch-loop companion to the persisted dedup indexes
+    * ([[DedupOps]]' incremental gram/minhash paths): detectors probe the
+    * index for candidate pairs, this folds the verdicts back in. */
+  def updateClusters(assign: DataFrame, newEdges: DataFrame): DataFrame = {
+    val edges = newEdges.select(col("ida").cast("long").as("a"),
+      col("idb").cast("long").as("b"))
+    val index = assign.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val ends = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+    val roots = ends.join(index, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("root"))
+    val rootEdges = edges
+      .join(roots.select(col("id").as("a"), col("root").as("ra")), Seq("a"))
+      .join(roots.select(col("id").as("b"), col("root").as("rb")), Seq("b"))
+      .select(col("ra").as("ida"), col("rb").as("idb"))
+      .filter(col("ida") =!= col("idb"))
+    val remap = connectedComponents(rootEdges)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("old_root"), col("comp").as("new_root"))
+    val updated = index
+      .join(broadcast(remap), col("comp") === col("old_root"), "left")
+      .select(col("id"), coalesce(col("new_root"), col("comp")).as("comp"))
+    val newNodes = roots.join(index.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(remap), col("root") === col("old_root"), "left")
+      .select(col("id"), coalesce(col("new_root"), col("root")).as("comp"))
+    updated.unionByName(newNodes)
+  }
+
   def corpusSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
       segWords: Int = 5, minDocs: Int = 2): DataFrame =
     corpusSegmentDedupReleasable(docs, idCol, textCol, segWords, minDocs)._1
@@ -794,7 +849,46 @@ object DupClusters {
             FROM runs GROUP BY doc_id, grp
             ORDER BY doc_id, span_start"""))
 
+  /** Incremental fold of the pairs TOUCHING "new" docs (doc_id ≡ 0 mod
+    * 5 plays the arriving batch) into the persisted assignment built
+    * from the old-only pairs. The oracle knows nothing of the two-phase
+    * split: it closes the FULL pair set with a recursive CTE, so a hash
+    * match proves the incremental path lands on the exact from-scratch
+    * min-label assignment — including clusters whose minimum changes
+    * when a smaller-id new doc joins them. */
+  private val dCcIncr = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // deliberately NOT cached: the two consumers re-derive the pair
+      // frame, but the base branch's conjunctive id filter pushes INTO
+      // both sides of the banded self-join (0.8² of the pair work),
+      // which a materialized cache would forfeit — measured 11.4 s
+      // uncached vs 16.0 s cached warm at sf0.1 (TimeOne)
+      val all = DedupOps.simhashPairs(docs, "doc_id", "text")
+      def isNew(c: org.apache.spark.sql.Column) = c % 5 === 0
+      val base = all.filter(!isNew(col("ida")) && !isNew(col("idb")))
+      val batch = all.filter(isNew(col("ida")) || isNew(col("idb")))
+      updateClusters(connectedComponents(base), batch).orderBy("id")
+    },
+    Some(DedupOps.simhashSigSql.replaceFirst("WITH toks", "WITH RECURSIVE toks") + """,
+        p AS (SELECT a.id AS ida, b.id AS idb
+          FROM sig a JOIN sig b ON a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+            AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+              OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+              OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+              OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)),
+        e AS (SELECT ida AS a, idb AS b FROM p
+              UNION SELECT idb AS a, ida AS b FROM p),
+        reach AS (SELECT a, b FROM e
+                  UNION
+                  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+                  WHERE e2.b <> r.a),
+        comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+        SELECT id, comp FROM comp ORDER BY id"""))
+
   val queries: Map[String, Q] = Map(
+    "q_d_cc_incremental" -> dCcIncr,
     "q_d_dup_clusters" -> dClusters,
     "q_d_line_dedup" -> dLineDedup,
     "q_d_leak_split" -> dLeakSplit,

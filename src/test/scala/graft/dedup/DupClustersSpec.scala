@@ -59,6 +59,47 @@ class DupClustersSpec extends SparkSpecBase {
     assert(DupClusters.connectedComponents(pairs).collect().isEmpty)
   }
 
+  test("updateClusters: batch merges relabel via root remap — cluster " +
+      "unions, smaller-id newcomer takes over as root, untouched " +
+      "clusters pass through, new singleton edges appear") {
+    // persisted forest: {1,2,3} rooted at 1, {10,11} at 10, {20,21} at 20
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("id", "comp")
+    // batch: bridge the two first clusters (3-11), a NEW node 0 (smaller
+    // than every existing id) joins cluster 1 via node 2, and a brand-new
+    // pair 40-41; cluster {20,21} is untouched
+    val batch = Seq((3L, 11L), (0L, 2L), (40L, 41L)).toDF("ida", "idb")
+    val got = DupClusters.updateClusters(assign, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L, 20L -> 20L, 21L -> 20L, 40L -> 40L, 41L -> 40L))
+    // empty batch: the index passes through byte-identical
+    val none = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    val same = DupClusters.updateClusters(assign, none)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("updateClusters equals from-scratch CC on a random graph split " +
+      "into base + batch; the index relabel is a broadcast join") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(200)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
+      .filter { case (a, b) => a != b }
+    val (base, batch) = edges.partition { case (a, b) => a % 3 != 0 && b % 3 != 0 }
+    assert(base.nonEmpty && batch.nonEmpty)
+    val assign = DupClusters.connectedComponents(base.toDF("ida", "idb"))
+    val incr = DupClusters.updateClusters(assign, batch.toDF("ida", "idb"))
+    val scratch = DupClusters.connectedComponents(edges.toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === scratch)
+    // the corpus-sized index must be relabeled map-side: its join against
+    // the root remap is a BroadcastHashJoin (no shuffle of the index)
+    val plan = incr.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("canonicalize: no candidate pairs → every doc is its own singleton") {
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
     val pairs = Seq.empty[(Long, Long)].toDF("ida", "idb")
