@@ -312,6 +312,23 @@ object ExplainAudit {
         (p => p.contains("Join") && !p.contains("CartesianProduct")),
       "verdict rollup partial-aggregates before its shuffle" ->
         (_.contains("HashAggregate")))
+    audit("q_s_pq_train",
+      // training = broadcast codebook joins + hash aggregations; a window
+      // or cartesian would mean the corpus-scale encode path regressed
+      "codebook attaches by broadcast every sweep" ->
+        (_.contains("BroadcastHashJoin")),
+      "assignment argmin + cluster sums are map-side-combined aggregations" ->
+        (_.contains("HashAggregate")),
+      "no corpus-sized window, no cartesian" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("SinglePartition,")))
+    audit("q_d_cc_incremental",
+      // the corpus-sized index relabel must be map-side: its only join
+      // against the root remap is a broadcast hash join
+      "persisted-index relabel is a broadcast join (index never shuffles)" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian anywhere in the closure or remap" ->
+        (p => !p.contains("CartesianProduct")))
     audit("q_j_salted_adaptive",
       "the join stays a (key, salt) equi-join" ->
         (p => p.contains("Join") && !p.contains("CartesianProduct") &&
