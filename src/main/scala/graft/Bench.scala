@@ -178,66 +178,60 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => Array.fill(6)(-1L) }
 
-  /** Per-query warm-machine reference seconds: BENCH_r07 (the last bench
-    * recorded rc=0 on a quiet machine) for its 24 queries; for queries
-    * benched only since round 8, the three-SF warm-sweep sf0.1 time with
-    * ~3x headroom for the bench harness's colder per-query path. A run
-    * exceeding 3x its reference is re-run once and the MIN kept — real
-    * regressions reproduce, contention artifacts don't (round-8's recorded
-    * q_d_exact 26.8 s vs 2.0 s isolated minutes later). */
+  /** Per-query warm-machine reference seconds — MEASURED, not padded:
+    * one TimeOne warm pass over the full BenchSet at sf0.1 on a quiet
+    * machine (round 11; load1 0.15 at start, 95 queries in 417 s wall).
+    * Replaces the former sweep-time-x3 backfill whose headroom let a
+    * round-10 contention spike (q_s_semantic_clusters 95.8 s vs 9.9 s
+    * real) escape the rerun defense by 3%. A run exceeding 3x its
+    * reference (above a 5 s noise floor) is re-run once and the MIN
+    * kept — real regressions reproduce, contention artifacts don't.
+    * q_d_cc_incremental pins its ISOLATED TimeOne warm (11.5 s; its
+    * in-sweep reading of 20.6 s was position noise). */
   private val RefSec: Map[String, Double] = Map(
-    "q_p12_derived" -> 2.5, "q_j1_left_broadcast" -> 1.7,
-    "q_j2_inner_multikey" -> 1.7, "q_a2_crosstab" -> 0.9,
-    "q_w5_cumsum" -> 1.0, "q_u3_explode_wordcount" -> 0.5,
-    "q_e_sessionize" -> 1.0, "q_m20_chi2" -> 0.8, "q_d_exact" -> 2.0,
-    "q_d_minhash_banded" -> 4.4, "q_s_cosine_topk" -> 2.0,
-    "q_t_quality" -> 4.9, "q_e_asof" -> 1.5, "q_e_range_join" -> 0.9,
-    "q_sk_heavy_hitters" -> 0.7, "q_d_embed_neardup" -> 4.8,
-    "q_j3_positional" -> 2.0, "q_t_tfidf" -> 2.9,
-    "q_d_dup_clusters" -> 16.0, "q_d_decontaminate" -> 2.4,
-    "q_pipeline_corpus" -> 39.0, "q_pipeline_survey" -> 4.1,
-    "q_d_semdedup" -> 3.3, "q_t_pack" -> 1.8,
-    "q_d_incremental" -> 2.5, "q_d_incremental_indexed" -> 6.0,
-    "q_d_dup_spans" -> 2.0, "q_d_span_scrub" -> 2.0,
-    "q_t_perplexity" -> 2.0, "q_t_bpe_merges" -> 3.0,
-    "q_mm_image_neardup" -> 6.0, "q_t_quality_clf_transfer" -> 8.0,
-    "q_t_bpe_encode" -> 5.0, "q_s_ivf_pq" -> 4.0,
-    "q_t_ppl_buckets" -> 10.0, "q_d_decontaminate_scored" -> 2.0,
-    "q_pipeline_tokenize" -> 8.0, "q_j_salted_adaptive" -> 3.0,
-    "q_t_pack_grouped" -> 3.0, "q_d_embed_incremental" -> 2.0,
-    "q_t_html_strip" -> 3.0, "q_sk_cms" -> 3.0,
-    "q_t_dsir" -> 12.0, "q_p17_token_shards" -> 4.0,
-    "q_s_cluster_sample" -> 4.0, "q_d_containment" -> 8.0,
-    "q_p18_shuffle" -> 3.0, "q_t_pack_curriculum" -> 3.0,
-    "q_t_gopher_rules" -> 4.0, "q_t_diversity" -> 4.0,
-    "q_p19_temperature_mix" -> 2.0, "q_p20_reservoir" -> 2.0,
-    "q_d_bloom_decon" -> 4.0, "q_p21_weighted_reservoir" -> 2.0,
-    "q_s_sq8" -> 4.0, "q_d_exact_spans" -> 6.0, "q_d_exact_scrub" -> 6.0,
-    "q_p23_zorder" -> 2.0, "q_j8_tpch_q3" -> 2.0, "q_j9_tpch_q5" -> 2.0,
-    "q_sk_hll_state" -> 2.0, "q_s_graph_rank" -> 8.0,
-    "q_a14_mad_outliers" -> 3.0, "q_a15_histogram" -> 2.0,
-    "q_m36_quantile_bins" -> 3.0, "q_d_exact_spans_incr" -> 5.0,
-    "q_d_prefix_jaccard" -> 6.0, "q_a16_rollup" -> 2.0, "q_e_wow" -> 2.0,
-    "q_p24_expectations" -> 3.0, "q_e_transitions" -> 2.0,
-    "q_d_snapshot_diff" -> 2.0, "q_w6_grouped_topk" -> 2.0,
-    "q_p25_hilbert" -> 2.0,
-    // round-10 backfill (verdict r9 #3): every BenchSet member carries a
-    // measured warm reference — SCALESWEEP_r09 sf0.1 sweep time x ~3
-    // harness headroom, floored at 2 s (below the 5 s noise floor the
-    // value is inert anyway). Bench aborts at startup on a missing entry
-    // so a future addition can't silently opt out of the rerun defense.
-    "q_e_funnel" -> 2.5, "q_e_retention" -> 2.0,
-    "q_d_corpus_overlap" -> 7.5, "q_a13_corr_matrix" -> 3.5,
-    "q_t_entropy" -> 2.0, "q_e_session_stats" -> 2.5,
-    "q_s_hard_negatives" -> 2.0, "q_d_cdc_chunks" -> 8.0,
-    "q_s_knn_graph" -> 20.0, "q_s_semantic_clusters" -> 33.0,
-    "q_p22_stratified_split" -> 2.0, "q_t_trigram_sb" -> 2.0,
-    "q_pipeline_corpus_card" -> 2.0, "q_t_quality_norm" -> 2.0,
-    "q_e_moving_avg" -> 2.0, "q_j7_interval" -> 2.0,
-    "q_e_attribution" -> 2.0, "q_e_asof_fwd" -> 2.0,
-    "q_t_boilerplate" -> 7.5,
-    // round-11 (TimeOne warm, sf0.1)
-    "q_s_pq_train" -> 2.8, "q_d_cc_incremental" -> 11.5)
+    "q_p12_derived" -> 1.9, "q_j1_left_broadcast" -> 1.2,
+    "q_j2_inner_multikey" -> 1.3, "q_a2_crosstab" -> 0.5,
+    "q_w5_cumsum" -> 0.7, "q_u3_explode_wordcount" -> 0.4,
+    "q_e_sessionize" -> 0.8, "q_m20_chi2" -> 0.5, "q_d_exact" -> 0.5,
+    "q_d_minhash_banded" -> 1.9, "q_s_cosine_topk" -> 0.4,
+    "q_t_quality" -> 0.9, "q_e_asof" -> 0.8, "q_e_range_join" -> 0.6,
+    "q_sk_heavy_hitters" -> 0.5, "q_d_embed_neardup" -> 1.4,
+    "q_j3_positional" -> 1.6, "q_t_tfidf" -> 1.4, "q_d_dup_clusters" -> 4.1,
+    "q_d_decontaminate" -> 1.0, "q_pipeline_corpus" -> 10.3,
+    "q_pipeline_survey" -> 0.7, "q_d_semdedup" -> 0.8, "q_t_pack" -> 0.7,
+    "q_d_incremental" -> 0.6, "q_d_incremental_indexed" -> 1.3,
+    "q_d_dup_spans" -> 2.4, "q_d_span_scrub" -> 2.6, "q_t_perplexity" -> 1.4,
+    "q_t_bpe_merges" -> 1.3, "q_mm_image_neardup" -> 5.6,
+    "q_t_quality_clf_transfer" -> 2.8, "q_t_bpe_encode" -> 1.8,
+    "q_s_ivf_pq" -> 1.1, "q_t_ppl_buckets" -> 3.7,
+    "q_d_decontaminate_scored" -> 1.1, "q_pipeline_tokenize" -> 3.2,
+    "q_j_salted_adaptive" -> 0.6, "q_t_pack_grouped" -> 1.1,
+    "q_d_embed_incremental" -> 1.2, "q_t_html_strip" -> 0.7,
+    "q_sk_cms" -> 0.4, "q_t_dsir" -> 5.2, "q_p17_token_shards" -> 0.9,
+    "q_s_cluster_sample" -> 0.6, "q_d_containment" -> 2.6,
+    "q_p18_shuffle" -> 0.6, "q_t_pack_curriculum" -> 0.7,
+    "q_t_gopher_rules" -> 0.8, "q_t_diversity" -> 1.2,
+    "q_p19_temperature_mix" -> 0.4, "q_p20_reservoir" -> 0.3,
+    "q_d_bloom_decon" -> 7.0, "q_p21_weighted_reservoir" -> 0.2,
+    "q_s_sq8" -> 1.8, "q_e_funnel" -> 0.7, "q_e_retention" -> 0.7,
+    "q_d_corpus_overlap" -> 2.3, "q_a13_corr_matrix" -> 0.3,
+    "q_t_entropy" -> 0.4, "q_e_session_stats" -> 3.8,
+    "q_s_hard_negatives" -> 0.3, "q_d_cdc_chunks" -> 0.9,
+    "q_s_knn_graph" -> 6.0, "q_s_semantic_clusters" -> 9.3,
+    "q_p22_stratified_split" -> 0.3, "q_t_trigram_sb" -> 1.9,
+    "q_pipeline_corpus_card" -> 0.5, "q_t_quality_norm" -> 0.5,
+    "q_e_moving_avg" -> 0.6, "q_j7_interval" -> 0.3,
+    "q_e_attribution" -> 0.6, "q_e_asof_fwd" -> 0.6,
+    "q_t_boilerplate" -> 1.8, "q_d_exact_spans" -> 1.5,
+    "q_d_exact_scrub" -> 1.4, "q_p23_zorder" -> 0.8, "q_j8_tpch_q3" -> 0.8,
+    "q_j9_tpch_q5" -> 1.2, "q_sk_hll_state" -> 0.8, "q_s_graph_rank" -> 6.7,
+    "q_a14_mad_outliers" -> 4.2, "q_a15_histogram" -> 0.6,
+    "q_m36_quantile_bins" -> 1.4, "q_d_exact_spans_incr" -> 1.9,
+    "q_d_prefix_jaccard" -> 14.2, "q_a16_rollup" -> 0.3, "q_e_wow" -> 0.4,
+    "q_p24_expectations" -> 1.3, "q_e_transitions" -> 0.5,
+    "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
+    "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
+    "q_d_cc_incremental" -> 11.5)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -516,4 +516,51 @@ class StreamsSpec extends SparkSpecBase {
     assert(got === expected)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming cluster maintenance: candidate-pair micro-batches fold " +
+      "into the persisted union-find index via foreachBatch; final index " +
+      "equals from-scratch CC over every edge ever seen") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scc").toString
+    val dir = s"$root/clusters"
+    // persisted index seeded from an initial corpus closure
+    val initEdges = Seq((10L, 11L), (20L, 21L), (21L, 22L))
+    graft.dedup.DupClusters.connectedComponents(
+        initEdges.toDF("ida", "idb"))
+      .write.parquet(dir)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("ida", "idb")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        // read-modify-swap: updateClusters only broadcast-remaps the
+        // index, so the batch cost is CC over root-contracted batch
+        // edges + one map-side rewrite of the index — the history's
+        // edge list is never kept, never rescanned
+        val assign = s.read.parquet(dir)
+        val updated = graft.dedup.DupClusters
+          .updateClusters(assign, batch).localCheckpoint(eager = true)
+        updated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(dir)
+      }
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    // batch 1 bridges the two initial clusters through new node 15;
+    // batch 2 brings a smaller-id newcomer (5) that takes over as root,
+    // plus an unrelated new pair
+    input.addData((11L, 15L), (15L, 20L))
+    q.processAllAvailable()
+    input.addData((5L, 22L), (40L, 41L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allEdges = initEdges ++ Seq((11L, 15L), (15L, 20L), (5L, 22L), (40L, 41L))
+    val scratch = graft.dedup.DupClusters.connectedComponents(
+        allEdges.toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === scratch)
+    assert(got(10L) === 5L && got(40L) === 40L) // takeover + new singleton pair
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
