@@ -150,7 +150,9 @@ object Bench {
     // incremental union-find cluster maintenance (root-contracted batch CC
     // + broadcast remap of the persisted index)
     "q_s_pq_train",
-    "q_d_cc_incremental")
+    "q_d_cc_incremental",
+    // round-11: persisted IVF postings lifecycle (append vs frozen quantizer)
+    "q_s_ivf_append")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -231,7 +233,8 @@ object Bench {
     "q_p24_expectations" -> 1.3, "q_e_transitions" -> 0.5,
     "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
     "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
-    "q_d_cc_incremental" -> 11.5)
+    "q_d_cc_incremental" -> 11.5,
+    "q_s_ivf_append" -> 2.4)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

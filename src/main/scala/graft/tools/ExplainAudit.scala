@@ -322,6 +322,16 @@ object ExplainAudit {
       "no corpus-sized window, no cartesian" ->
         (p => !p.contains("CartesianProduct") &&
           !p.contains("SinglePartition,")))
+    audit("q_s_ivf_append",
+      // assignment inlines the config-sized quantizer as literals — a
+      // pure map pass (an agg carrying the vector column would fall to
+      // SortAggregate); probing = broadcast centroid window + ONE list
+      // equi-join
+      "assignment is a map-side literal argmin (no sort aggregate)" ->
+        (p => !p.contains("SortAggregate")),
+      "probe side attaches by broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_d_cc_incremental",
       // the corpus-sized index relabel must be map-side: its only join
       // against the root remap is a broadcast hash join

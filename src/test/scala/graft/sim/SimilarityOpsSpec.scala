@@ -82,6 +82,40 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF lifecycle: append never touches existing postings, the " +
+      "merged index round-trips through parquet, and probing it equals " +
+      "probing a from-scratch full build") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val cent = SimilarityOps.ivfCentroids(base, "vec_id", "embedding", 16)
+    val idx0 = SimilarityOps.buildIvfIndex(base, "vec_id", "embedding", 16)
+    val merged = SimilarityOps.appendToIvf(idx0, cent, batch,
+      "vec_id", "embedding")
+    // existing postings byte-identical under append
+    val before = idx0.select("id", "list").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = merged.select("id", "list").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.forall { case (id, l) => after(id) == l })
+    assert(after.size === emb.count())
+    // persisted postings: parquet round trip, probe equality with a
+    // from-scratch assignment of the full corpus to the same quantizer
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/i"
+    merged.write.parquet(dir)
+    val reread = spark.read.parquet(dir)
+    def probe(i: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.probeIvf(i, cent, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", nProbe = 4, k = 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor"))).toSet
+    val scratch = SimilarityOps.assignToLists(
+      emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")), cent)
+    assert(probe(reread) === probe(scratch))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("trained PQ codebook: well-formed training output, and recall " +
       "through ivfPqTopK at least matches the seeded codebook") {
     val trained = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
