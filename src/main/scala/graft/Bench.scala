@@ -152,7 +152,9 @@ object Bench {
     "q_s_pq_train",
     "q_d_cc_incremental",
     // round-11: persisted IVF postings lifecycle (append vs frozen quantizer)
-    "q_s_ivf_append")
+    // and the KMV/theta distinct sketch with set algebra
+    "q_s_ivf_append",
+    "q_sk_kmv_theta")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -234,7 +236,7 @@ object Bench {
     "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
     "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
     "q_d_cc_incremental" -> 11.5,
-    "q_s_ivf_append" -> 2.4)
+    "q_s_ivf_append" -> 2.4, "q_sk_kmv_theta" -> 1.7)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -28,7 +28,7 @@ object SparkEntry {
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
-      sketch.CountMin.queries ++
+      sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++
       pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries ++
       pipeline.TokenizerPipeline.queries
 

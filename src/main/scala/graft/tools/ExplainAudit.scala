@@ -332,6 +332,13 @@ object ExplainAudit {
       "probe side attaches by broadcast" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_sk_kmv_theta",
+      // the sketch property AS a plan property: per-partition state is
+      // k-bounded because the build rides the GroupedTopK operator
+      "state build rides GroupedTopK (bounded per-partition k-heaps)" ->
+        (_.contains("GroupedTopK")),
+      "digest dedup + state assembly partial-aggregate" ->
+        (_.contains("HashAggregate")))
     audit("q_d_cc_incremental",
       // the corpus-sized index relabel must be map-side: its only join
       // against the root remap is a broadcast hash join
