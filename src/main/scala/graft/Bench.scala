@@ -154,7 +154,13 @@ object Bench {
     // round-11: persisted IVF postings lifecycle (append vs frozen quantizer)
     // and the KMV/theta distinct sketch with set algebra
     "q_s_ivf_append",
-    "q_sk_kmv_theta")
+    "q_sk_kmv_theta",
+    // round-11: BM25 retrieval (inverted-postings broadcast plan),
+    // calendar gap-fill (distributed grid + ffill window), blocked fuzzy
+    // linkage (distinct-name canonicalization, 33x over record pairing)
+    "q_t_bm25",
+    "q_e_gapfill",
+    "q_d_fuzzy_link")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -236,7 +242,8 @@ object Bench {
     "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
     "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
     "q_d_cc_incremental" -> 11.5,
-    "q_s_ivf_append" -> 2.4, "q_sk_kmv_theta" -> 1.7)
+    "q_s_ivf_append" -> 2.4, "q_sk_kmv_theta" -> 1.7,
+    "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

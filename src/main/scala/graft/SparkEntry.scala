@@ -17,6 +17,9 @@ object SparkEntry {
   def registry: Map[String, Q] =
     etl.Relational.queries ++ etl.DataMix.queries ++
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
+      etl.GapFill.queries ++ text.Bm25.queries ++
+      dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
+      text.Collocations.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++

@@ -665,6 +665,37 @@ object ExplainAudit {
         "partial-aggregated map-side)" -> scalarReducesOnly,
       "morton key is pure map-side: zero hash exchanges" ->
         (p => !p.contains("hashpartitioning(")))
+    audit("q_t_bm25",
+      // the inverted-index shape: query table, idf and corpus stats are
+      // all config-sized broadcasts onto the postings — the only
+      // doc-scale shuffles are the (doc,term) aggregation and the dl join
+      "query/idf/stats attach by broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "per-query ranking rides the bounded GroupedTopK heap" ->
+        (_.contains("GroupedTopK")),
+      "no cartesian (corpus stats ride BroadcastNestedLoop, not a " +
+        "cross product)" -> (p => !p.contains("CartesianProduct")),
+      "corpus stats are the only SinglePartition reduce (scalar, " +
+        "partial map-side)" -> scalarReducesOnly)
+    audit("q_e_gapfill",
+      // the dense grid is generated DISTRIBUTED (per-key sequence +
+      // explode after the span agg), never driver-built
+      "grid explode is a Generate node in the plan" ->
+        (_.contains("Generate")),
+      "every stage is user-keyed: no data-sized SinglePartition funnel" ->
+        scalarReducesOnly,
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_d_fuzzy_link",
+      // blocking IS the shuffle key: candidate pairs form under a
+      // block-keyed equi-join, never an all-pairs product
+      "candidates join on the blocking key (broadcast at audit scale, " +
+        "block-keyed exchange at data scale)" ->
+        (p => p.contains("hashpartitioning(__blk") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian — the blocked join bounds the pair space" ->
+        (p => !p.contains("CartesianProduct")),
+      "per-record emit bounded by the GroupedTopK heap" ->
+        (_.contains("GroupedTopK")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

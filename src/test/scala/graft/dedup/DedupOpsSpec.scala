@@ -273,8 +273,15 @@ class DedupOpsSpec extends SparkSpecBase {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val edited = "XXX " + base // early insertion
+    // mask = 15 (1-in-16 boundary density): the fixture is a 62-char
+    // PERIODIC sentence, so it has only 62 distinct windows — at the
+    // default 1-in-64 density the rolling hash lands zero boundaries on
+    // it and the whole doc is one chunk (correct, but nothing to
+    // re-sync). Density is the operator's parameter, not its property;
+    // the re-sync invariant under test holds at any density that yields
+    // boundaries at all.
     val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
-    val ch = DedupOps.cdcChunks(docs, "doc_id", "text").collect()
+    val ch = DedupOps.cdcChunks(docs, "doc_id", "text", 8, 15).collect()
     // coverage: per doc, chunk lengths sum to text length
     val lens = ch.groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(3)).sum).toMap
@@ -286,7 +293,7 @@ class DedupOpsSpec extends SparkSpecBase {
     assert((h1 & h2).nonEmpty,
       "no shared chunk after an early insertion — boundaries did not re-sync")
     // and the duplicate-group roll-up reports those shared chunks
-    val dups = DedupOps.cdcDuplicateChunks(docs, "doc_id", "text")
+    val dups = DedupOps.cdcDuplicateChunks(docs, "doc_id", "text", 8, 15)
       .filter(col("n_docs") === 2).count()
     assert(dups >= 1)
   }
