@@ -160,7 +160,11 @@ object Bench {
     // linkage (distinct-name canonicalization, 33x over record pairing)
     "q_t_bm25",
     "q_e_gapfill",
-    "q_d_fuzzy_link")
+    "q_d_fuzzy_link",
+    // round-11: PMI collocations (gram-keyed aggs + TakeOrdered) and
+    // trailing-window burst detection (one keyed RANGE-frame pass)
+    "q_t_pmi",
+    "q_e_burst")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -243,7 +247,8 @@ object Bench {
     "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
     "q_d_cc_incremental" -> 11.5,
     "q_s_ivf_append" -> 2.4, "q_sk_kmv_theta" -> 1.7,
-    "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7)
+    "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7,
+    "q_t_pmi" -> 1.9, "q_e_burst" -> 1.1)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

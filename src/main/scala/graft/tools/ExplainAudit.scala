@@ -696,6 +696,25 @@ object ExplainAudit {
         (p => !p.contains("CartesianProduct")),
       "per-record emit bounded by the GroupedTopK heap" ->
         (_.contains("GroupedTopK")))
+    audit("q_t_pmi",
+      // the global top-k plans as TakeOrdered (per-partition heaps) —
+      // never a full sort; the only unkeyed window is the rank labeler
+      // over the already-limited k rows
+      "global top-k is TakeOrdered, not a global sort" ->
+        (_.contains("TakeOrderedAndProject")),
+      "gram aggregations partial map-side" ->
+        (_.contains("partial_count")),
+      "no cartesian (corpus totals ride broadcast)" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("q_e_burst",
+      // one user-keyed window pass — the naive time-band self-join
+      // (events x events) never appears
+      "single keyed window, no self-join" ->
+        (p => p.contains("hashpartitioning(user_id") &&
+          !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")),
+      "range frame on integer epoch-micros (RunningWindowFunction or " +
+        "Window node present)" -> (_.contains("Window")),
+      "no data-sized SinglePartition funnel" -> scalarReducesOnly)
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
