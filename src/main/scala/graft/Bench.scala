@@ -164,7 +164,12 @@ object Bench {
     // round-11: PMI collocations (gram-keyed aggs + TakeOrdered) and
     // trailing-window burst detection (one keyed RANGE-frame pass)
     "q_t_pmi",
-    "q_e_burst")
+    "q_e_burst",
+    // round-11: basket-keyed association rules, single-pass ANOVA, and
+    // ColBERT-style MaxSim late interaction
+    "q_a17_basket_lift",
+    "q_m37_anova",
+    "q_s_maxsim")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -248,7 +253,9 @@ object Bench {
     "q_d_cc_incremental" -> 11.5,
     "q_s_ivf_append" -> 2.4, "q_sk_kmv_theta" -> 1.7,
     "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7,
-    "q_t_pmi" -> 1.9, "q_e_burst" -> 1.1)
+    "q_t_pmi" -> 1.9, "q_e_burst" -> 1.1,
+    "q_a17_basket_lift" -> 2.7, "q_m37_anova" -> 0.9,
+    "q_s_maxsim" -> 0.6)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -19,7 +19,8 @@ object SparkEntry {
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
       etl.GapFill.queries ++ text.Bm25.queries ++
       dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
-      text.Collocations.queries ++
+      text.Collocations.queries ++ etl.MarketBasket.queries ++
+      stats.Anova.queries ++ sim.MaxSim.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++

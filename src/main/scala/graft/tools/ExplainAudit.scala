@@ -715,6 +715,38 @@ object ExplainAudit {
       "range frame on integer epoch-micros (RunningWindowFunction or " +
         "Window node present)" -> (_.contains("Window")),
       "no data-sized SinglePartition funnel" -> scalarReducesOnly)
+    audit("q_a17_basket_lift",
+      // pair generation shuffles on the BASKET key: each basket emits
+      // C(|basket|,2) pairs — never an item-domain cross product
+      "pair space forms under the basket-keyed self-join" ->
+        (p => p.contains("hashpartitioning(__b") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian (basket total rides broadcast)" ->
+        (p => !p.contains("CartesianProduct")),
+      "global top-k is TakeOrdered" ->
+        (_.contains("TakeOrderedAndProject")),
+      "pair/marginal counts partial map-side" ->
+        (_.contains("partial_count")))
+    audit("q_m37_anova",
+      // the whole data pass is ONE map-side-combined aggregation of
+      // exact integer sufficient statistics; everything after runs on
+      // k group rows per variable
+      "sufficient statistics partial-aggregate map-side" ->
+        (p => p.contains("partial_count") || p.contains("partial_sum")),
+      "no join anywhere (single-pass sufficient statistics)" ->
+        (p => !p.contains("Join")),
+      "no data-sized SinglePartition funnel" -> scalarReducesOnly)
+    audit("q_s_maxsim",
+      // query tokens broadcast onto the corpus; per-pair cosine is the
+      // codegen'd expression; ranking rides the GroupedTopK heap
+      "query tokens attach by broadcast" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "per-query ranking rides GroupedTopK" ->
+        (_.contains("GroupedTopK")),
+      "max-per-token reduction partial map-side" ->
+        (_.contains("partial_max")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
