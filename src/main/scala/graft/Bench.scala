@@ -169,7 +169,10 @@ object Bench {
     // ColBERT-style MaxSim late interaction
     "q_a17_basket_lift",
     "q_m37_anova",
-    "q_s_maxsim")
+    "q_s_maxsim",
+    // round-11: session-path mining and the SCD2 history build
+    "q_e_paths",
+    "q_e_scd2")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -255,7 +258,7 @@ object Bench {
     "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7,
     "q_t_pmi" -> 1.9, "q_e_burst" -> 1.1,
     "q_a17_basket_lift" -> 2.7, "q_m37_anova" -> 0.9,
-    "q_s_maxsim" -> 0.6)
+    "q_s_maxsim" -> 0.6, "q_e_paths" -> 1.5, "q_e_scd2" -> 0.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

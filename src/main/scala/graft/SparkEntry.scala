@@ -21,6 +21,7 @@ object SparkEntry {
       dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
       text.Collocations.queries ++ etl.MarketBasket.queries ++
       stats.Anova.queries ++ sim.MaxSim.queries ++
+      etl.SessionPaths.queries ++ etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++

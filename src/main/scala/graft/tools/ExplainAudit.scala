@@ -747,6 +747,22 @@ object ExplainAudit {
         (_.contains("GroupedTopK")),
       "max-per-token reduction partial map-side" ->
         (_.contains("partial_max")))
+    audit("q_e_paths",
+      // session assembly + path build are all user-keyed; only the
+      // path-count agg re-keys (gram-keyed), and the global top-k is
+      // TakeOrdered over it
+      "session windows keyed on the user" ->
+        (_.contains("hashpartitioning(user_id")),
+      "global top-k is TakeOrdered" ->
+        (_.contains("TakeOrderedAndProject")),
+      "no cartesian / no self-join" ->
+        (p => !p.contains("CartesianProduct") && !p.contains("Join")))
+    audit("q_e_scd2",
+      // ONE key-partitioned window pass builds the whole history table
+      "single keyed window pass (row_number + lead share one sort)" ->
+        (_.contains("hashpartitioning(user_id")),
+      "no join, no data-sized SinglePartition funnel" ->
+        (p => !p.contains("Join") && scalarReducesOnly(p)))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
