@@ -172,7 +172,14 @@ object Bench {
     "q_s_maxsim",
     // round-11: session-path mining and the SCD2 history build
     "q_e_paths",
-    "q_e_scd2")
+    "q_e_scd2",
+    // round-11: two-sample distribution tests (KS drift + Mann-Whitney U)
+    // off one shared exact-integer value-counts pass
+    "q_m38_ks",
+    "q_m39_mwu",
+    // round-11: BM25+dense reciprocal-rank fusion (integer 1e12 div
+    // (60+rank) contributions — no float anywhere in the fusion)
+    "q_s_rrf")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -258,7 +265,8 @@ object Bench {
     "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7,
     "q_t_pmi" -> 1.9, "q_e_burst" -> 1.1,
     "q_a17_basket_lift" -> 2.7, "q_m37_anova" -> 0.9,
-    "q_s_maxsim" -> 0.6, "q_e_paths" -> 1.5, "q_e_scd2" -> 0.8)
+    "q_s_maxsim" -> 0.6, "q_e_paths" -> 1.5, "q_e_scd2" -> 0.8,
+    "q_m38_ks" -> 1.8, "q_m39_mwu" -> 1.4, "q_s_rrf" -> 1.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

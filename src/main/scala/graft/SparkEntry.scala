@@ -20,7 +20,8 @@ object SparkEntry {
       etl.GapFill.queries ++ text.Bm25.queries ++
       dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
       text.Collocations.queries ++ etl.MarketBasket.queries ++
-      stats.Anova.queries ++ sim.MaxSim.queries ++
+      stats.Anova.queries ++ stats.TwoSample.queries ++
+      sim.MaxSim.queries ++ sim.HybridRrf.queries ++
       etl.SessionPaths.queries ++ etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++

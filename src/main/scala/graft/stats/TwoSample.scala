@@ -1,0 +1,228 @@
+package graft.stats
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution tests — Kolmogorov–Smirnov (drift) and
+  * Mann–Whitney U (rank shift) — the distribution-level sisters of the
+  * mean-level [[Anova]]: a corpus pipeline asks not only "did the mean
+  * move?" but "did the DISTRIBUTION move?" (quality-score drift between
+  * crawl snapshots, doc-length drift between sources, latency drift
+  * between releases). KS answers with the maximum ECDF gap, MWU with the
+  * tie-corrected rank statistic — both here computed EXACTLY in integer
+  * arithmetic from one shared aggregation.
+  *
+  * Scale shape: the only data-scale pass is one map-side-combined
+  * `groupBy(variable, value)` producing per-value counts for both
+  * samples. Everything downstream — cumulative ECDFs, rank sums, tie
+  * terms — runs over DISTINCT VALUES per variable, which for the
+  * quantized metrics a pipeline monitors (cents, token counts, integer
+  * scores) is bounded by value cardinality, not row count; for genuinely
+  * continuous unbounded metrics, quantize first (the standard binned-KS
+  * move — one `div` on the way in). The per-variable window therefore
+  * orders a counts table, never rows.
+  *
+  * Cross-engine determinism: counts and cumulative counts are exact
+  * longs, so the KS numerator `max |n_b·cumA − n_a·cumB|` and the MWU
+  * statistics (doubled rank sum, tie term) are bit-exact integers on
+  * any engine; the single float step (MWU's z against the normal
+  * approximation) is computed from those exact integers with an
+  * identical expression tree in both engines and FLOORED to micro-units
+  * (floor of identical IEEE doubles is engine-independent; `round`'s
+  * decimal-string semantics are not). Long-range caveat: the products
+  * `n_a·n_b·1e6` cap the two sample sizes at ~3·10⁶ rows each in long
+  * arithmetic — monitoring at true 100 TB scale widens the final ratio
+  * columns to decimal(38), the counts pass is unaffected. */
+object TwoSample {
+
+  /** Shared per-(variable, value) sample counts: `ca`/`cb` = occurrences
+    * of the value in sample a / b. THE data pass; map-side partial
+    * aggregation, no window, no join. */
+  private def valueCounts(rows: DataFrame, varCol: String, grpCol: String,
+      valCol: String): DataFrame =
+    rows.groupBy(col(varCol).as("__var"), col(valCol).as("__v"))
+      .agg(sum(when(col(grpCol) === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col(grpCol) === "b", 1L).otherwise(0L)).as("cb"))
+
+  private def totals(cnt: DataFrame): DataFrame =
+    cnt.groupBy("__var").agg(sum("ca").as("na"), sum("cb").as("nb"))
+
+  /** In-variable cumulative window over distinct values — total order
+    * (values are distinct after [[valueCounts]]), explicit ROWS frame. */
+  private def cumWindow = Window.partitionBy("__var").orderBy("__v")
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Two-sample Kolmogorov–Smirnov per variable over rows tagged
+    * (variable, grp ∈ {a,b}, value). Output per variable: sample sizes,
+    * the exact integer ECDF-gap numerator `d_num` (D = d_num/(na·nb)),
+    * and `d_micro` = floor(D·1e6). */
+  def ks(rows: DataFrame, varCol: String, grpCol: String,
+      valCol: String): DataFrame = {
+    val cnt = valueCounts(rows, varCol, grpCol, valCol)
+    cnt
+      .withColumn("cuma", sum("ca").over(cumWindow))
+      .withColumn("cumb", sum("cb").over(cumWindow))
+      .join(broadcast(totals(cnt)), Seq("__var"))
+      .withColumn("__d",
+        abs(col("nb") * col("cuma") - col("na") * col("cumb")))
+      .groupBy(col("__var"), col("na"), col("nb"))
+      .agg(max("__d").as("d_num"))
+      .select(col("__var").as("variable"), col("na"), col("nb"),
+        col("d_num"),
+        expr("(d_num * 1000000L) div (na * nb)").as("d_micro"))
+  }
+
+  /** Two-sample Mann–Whitney U (average-rank ties, tie-corrected normal
+    * z) over the same tagged-row shape. Emits exact integers —
+    * `u2` = 2·U_a (doubled so average ranks at ties stay integral) and
+    * the tie term Σ(t³−t) — plus `z_micro` = floor(z·1e6) against the
+    * normal approximation; degenerate variables (every value identical →
+    * zero variance) report null z. */
+  def mannWhitney(rows: DataFrame, varCol: String, grpCol: String,
+      valCol: String): DataFrame = {
+    val cnt = valueCounts(rows, varCol, grpCol, valCol)
+      .withColumn("c", col("ca") + col("cb"))
+    val agg = cnt
+      // exclusive cumulative total count = ranks preceding this value
+      .withColumn("cumx", sum("c").over(cumWindow) - col("c"))
+      .groupBy("__var")
+      // 2·R_a = Σ ca·(2·preceding + t + 1): each tied value contributes
+      // its average rank (preceding + (t+1)/2), doubled to stay integral
+      .agg(sum(col("ca") * (col("cumx") * 2 + col("c") + 1)).as("r2a"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+      .join(broadcast(totals(cnt)), Seq("__var"))
+      .withColumn("u2", col("r2a") - col("na") * (col("na") + 1))
+      .withColumn("n", col("na") + col("nb"))
+    // the one float computation, identical tree in the oracle SQL:
+    // z = ((2U − na·nb)/2) / sqrt(na·nb/12 · ((n+1) − tie/(n(n−1))))
+    val dna = col("na").cast("double")
+    val dnb = col("nb").cast("double")
+    val dn = col("n").cast("double")
+    val varTerm = dna * dnb / lit(12.0) *
+      ((dn + lit(1.0)) - col("tie").cast("double") / (dn * (dn - lit(1.0))))
+    val z = (col("u2").cast("double") - dna * dnb) / lit(2.0) /
+      sqrt(varTerm)
+    agg.select(col("__var").as("variable"), col("na"), col("nb"),
+      col("u2"), col("tie"),
+      when(varTerm > 0, floor(z * lit(1e6))).as("z_micro"))
+  }
+
+  /** The registered drift workload: four (variable, sample-pair) slices
+    * across all four fact tables, values as exact integer cents /
+    * counts. */
+  private def workload(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val docs = Tables.documents(s, d)
+    val li = Tables.lineitem(s, d)
+    val ev = Tables.events(s, d)
+    def slice(v: String, df: DataFrame, grpExpr: Column, valExpr: Column) =
+      df.select(lit(v).as("v"), grpExpr.as("g"), valExpr.as("x"))
+        .filter(col("g").isNotNull && col("x").isNotNull)
+    slice("acctbal_bld_mach", cust,
+        when(col("c_mktsegment") === "BUILDING", "a")
+          .when(col("c_mktsegment") === "MACHINERY", "b"),
+        Anova.cents(col("c_acctbal")))
+      .unionAll(slice("nchars_en_zh", docs,
+        when(col("lang") === "en", "a").when(col("lang") === "zh", "b"),
+        col("n_chars")))
+      .unionAll(slice("quantity_A_R", li,
+        when(col("l_returnflag") === "A", "a")
+          .when(col("l_returnflag") === "R", "b"),
+        Anova.cents(col("l_quantity"))))
+      .unionAll(slice("value_click_purchase", ev,
+        when(col("event_type") === "click", "a")
+          .when(col("event_type") === "purchase", "b"),
+        Anova.cents(col("value"))))
+  }
+
+  private val oracleRows = """rows0 AS (
+              SELECT 'acctbal_bld_mach' AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 'a'
+                          WHEN c_mktsegment = 'MACHINERY' THEN 'b' END AS g,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS x
+              FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+              UNION ALL
+              SELECT 'nchars_en_zh',
+                     CASE WHEN lang = 'en' THEN 'a'
+                          WHEN lang = 'zh' THEN 'b' END,
+                     n_chars
+              FROM documents WHERE lang IN ('en', 'zh')
+              UNION ALL
+              SELECT 'quantity_A_R',
+                     CASE WHEN l_returnflag = 'A' THEN 'a'
+                          WHEN l_returnflag = 'R' THEN 'b' END,
+                     CAST(round(l_quantity * 100) AS BIGINT)
+              FROM lineitem WHERE l_returnflag IN ('A', 'R')
+              UNION ALL
+              SELECT 'value_click_purchase',
+                     CASE WHEN event_type = 'click' THEN 'a'
+                          WHEN event_type = 'purchase' THEN 'b' END,
+                     CAST(round(value * 100) AS BIGINT)
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+                AND value IS NOT NULL),
+            cnt AS (SELECT v, x,
+                CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM rows0 GROUP BY 1, 2),
+            tot AS (SELECT v, CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb
+              FROM cnt GROUP BY 1)"""
+
+  private val mKs = Q(
+    (s, d) => ks(workload(s, d), "v", "g", "x").orderBy("variable"),
+    Some(s"""WITH $oracleRows,
+            cum AS (SELECT v, x, ca, cb,
+                CAST(SUM(ca) OVER (PARTITION BY v ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cuma,
+                CAST(SUM(cb) OVER (PARTITION BY v ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumb
+              FROM cnt)
+            SELECT cum.v AS variable, tot.na, tot.nb,
+                   CAST(MAX(abs(tot.nb * cum.cuma - tot.na * cum.cumb))
+                     AS BIGINT) AS d_num,
+                   CAST(MAX(abs(tot.nb * cum.cuma - tot.na * cum.cumb))
+                     AS BIGINT) * 1000000 // (tot.na * tot.nb) AS d_micro
+            FROM cum JOIN tot ON cum.v = tot.v
+            GROUP BY 1, 2, 3 ORDER BY variable"""))
+
+  private val mMwu = Q(
+    (s, d) => mannWhitney(workload(s, d), "v", "g", "x")
+      .orderBy("variable"),
+    Some(s"""WITH $oracleRows,
+            cum AS (SELECT v, x, ca, cb, ca + cb AS c,
+                CAST(SUM(ca + cb) OVER (PARTITION BY v ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - (ca + cb) AS cumx
+              FROM cnt),
+            agg AS (SELECT v,
+                CAST(SUM(ca * (cumx * 2 + c + 1)) AS BIGINT) AS r2a,
+                CAST(SUM(c * c * c - c) AS BIGINT) AS tie
+              FROM cum GROUP BY 1),
+            fin AS (SELECT agg.v, tot.na, tot.nb,
+                agg.r2a - tot.na * (tot.na + 1) AS u2, agg.tie,
+                tot.na + tot.nb AS n
+              FROM agg JOIN tot ON agg.v = tot.v)
+            SELECT v AS variable, na, nb, CAST(u2 AS BIGINT) AS u2, tie,
+                   CASE WHEN CAST(na AS DOUBLE) * nb / 12.0 *
+                       ((CAST(n AS DOUBLE) + 1.0) - CAST(tie AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                       > 0
+                     THEN CAST(floor(
+                       (CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb) / 2.0
+                       / sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+                         ((CAST(n AS DOUBLE) + 1.0) - CAST(tie AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+                       * 1000000.0) AS BIGINT)
+                   END AS z_micro
+            FROM fin ORDER BY variable"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_m38_ks" -> mKs,
+    "q_m39_mwu" -> mMwu)
+}

@@ -83,27 +83,29 @@ object Bm25 {
   }
 
   /** The registered retrieval workload: three multi-term queries over
-    * the corpus vocabulary, mixing high-df and mid-df terms. */
-  private val queryWorkload = Seq(
+    * the corpus vocabulary, mixing high-df and mid-df terms. Shared with
+    * the [[graft.sim.HybridRrf]] fusion operator (its lexical leg). */
+  val queryWorkload: Seq[(Int, String)] = Seq(
     0 -> "join", 0 -> "merge",
     1 -> "vector", 1 -> "scan", 1 -> "batch",
     2 -> "slow", 2 -> "filter")
 
-  private val tBm25 = Q(
-    (s, d) => bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        queryWorkload, 10)
-      .orderBy("query_id", "rank"),
-    Some("""WITH toks AS (
+  /** SQL VALUES literal for [[queryWorkload]] — the oracle twin. */
+  def workloadValues: String =
+    queryWorkload.map { case (q, t) => s"($q,'$t')" }.mkString(",")
+
+  /** DuckDB oracle CTE chain for [[bm25TopK]], ending in
+    * `ranked(query_id, doc_id, score_micro, rank)` (unbounded rank —
+    * consumers append their own `rank <= k` cut). A def, not a val:
+    * shared SQL fragments as vals hit object-init-order nulls. */
+  def oracleRankedCtes(queryValues: String): String = s"""toks AS (
               SELECT doc_id, list_filter(string_split(lower(text), ' '),
                   x -> x <> '') AS ts
               FROM documents),
             dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
             stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                 AVG(dl) AS avgdl FROM dl),
-            q(query_id, term) AS (VALUES
-              (0,'join'),(0,'merge'),
-              (1,'vector'),(1,'scan'),(1,'batch'),
-              (2,'slow'),(2,'filter')),
+            q(query_id, term) AS (VALUES $queryValues),
             post AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
               FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
               WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
@@ -124,7 +126,13 @@ object Bm25 {
             ranked AS (SELECT query_id, doc_id, score_micro,
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY score_micro DESC, doc_id) AS rank
-              FROM scored)
+              FROM scored)"""
+
+  private val tBm25 = Q(
+    (s, d) => bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryWorkload, 10)
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH ${oracleRankedCtes(workloadValues)}
             SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
                    score_micro
             FROM ranked WHERE rank <= 10

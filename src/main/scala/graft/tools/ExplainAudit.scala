@@ -763,6 +763,34 @@ object ExplainAudit {
         (_.contains("hashpartitioning(user_id")),
       "no join, no data-sized SinglePartition funnel" ->
         (p => !p.contains("Join") && scalarReducesOnly(p)))
+    audit("q_m38_ks",
+      // the data pass is ONE map-side-combined (variable, value) counts
+      // agg; the ECDF window runs over distinct values per variable and
+      // the totals attach by broadcast
+      "value-counts aggregation partial map-side" ->
+        (p => p.contains("partial_sum") || p.contains("partial_count")),
+      "per-variable totals attach by broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "ECDF window keyed per variable (no global sort funnel)" ->
+        (p => !p.contains("Sort [") ||
+          !p.contains("SinglePartition, ENSURE_REQUIREMENTS")))
+    audit("q_m39_mwu",
+      "value-counts aggregation partial map-side" ->
+        (p => p.contains("partial_sum") || p.contains("partial_count")),
+      "per-variable totals attach by broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_rrf",
+      // both input rankers keep their own at-scale plans; the fusion
+      // itself is query-keyed over bounded candidates and the final cut
+      // rides the bounded-heap operator
+      "lexical leg prunes postings before aggregation (term IN-list " +
+        "filter present in the plan)" -> (_.contains(" IN (")),
+      "dense probes broadcast onto the corpus" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "fused cut rides GroupedTopK" -> (_.contains("GroupedTopK")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
