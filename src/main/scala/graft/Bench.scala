@@ -179,7 +179,9 @@ object Bench {
     "q_m39_mwu",
     // round-11: BM25+dense reciprocal-rank fusion (integer 1e12 div
     // (60+rank) contributions — no float anywhere in the fusion)
-    "q_s_rrf")
+    "q_s_rrf",
+    // round-11: degree-oriented triangle counting over the kNN graph
+    "q_s_triangles")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -266,7 +268,8 @@ object Bench {
     "q_t_pmi" -> 1.9, "q_e_burst" -> 1.1,
     "q_a17_basket_lift" -> 2.7, "q_m37_anova" -> 0.9,
     "q_s_maxsim" -> 0.6, "q_e_paths" -> 1.5, "q_e_scd2" -> 0.8,
-    "q_m38_ks" -> 1.8, "q_m39_mwu" -> 1.4, "q_s_rrf" -> 1.9)
+    "q_m38_ks" -> 1.8, "q_m39_mwu" -> 1.4, "q_s_rrf" -> 1.9,
+    "q_s_triangles" -> 8.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

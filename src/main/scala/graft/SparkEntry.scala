@@ -22,6 +22,7 @@ object SparkEntry {
       text.Collocations.queries ++ etl.MarketBasket.queries ++
       stats.Anova.queries ++ stats.TwoSample.queries ++
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
+      sim.GraphTriangles.queries ++
       etl.SessionPaths.queries ++ etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++

@@ -744,7 +744,7 @@ object SimilarityOps {
     * centroids, squared-distance argmin probes, symmetric probe-list
     * candidates, exact cosine, per-qid rank. Ends at CTE `r`. */
   // def, not val: referenced by queries declared ABOVE it in init order
-  private def knnGraphSql: String =
+  private[sim] def knnGraphSql: String =
     """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
               FROM embeddings),
             cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),

@@ -791,6 +791,17 @@ object ExplainAudit {
           p.contains("BroadcastHashJoin")),
       "fused cut rides GroupedTopK" -> (_.contains("GroupedTopK")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_triangles",
+      // degree-ordered orientation: the wedge self-join and the closing
+      // edge lookup are both keyed equi-joins (sort-merge or hash), and
+      // nothing in the plan is an unkeyed product
+      "wedge + closing joins are keyed equi-joins" ->
+        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+          || p.contains("BroadcastHashJoin")),
+      // (the knnGraph input legitimately broadcasts centroids via
+      // BroadcastNestedLoop; only an unkeyed shuffled product is banned)
+      "no cartesian anywhere" -> (p => !p.contains("CartesianProduct")),
+      "per-node counts partial map-side" -> (_.contains("partial_count")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
