@@ -181,7 +181,11 @@ object Bench {
     // (60+rank) contributions — no float anywhere in the fusion)
     "q_s_rrf",
     // round-11: degree-oriented triangle counting over the kNN graph
-    "q_s_triangles")
+    "q_s_triangles",
+    // round-11: exact nearest-rank winsorization off the value-counts
+    // pass, and the one-pass CUBE subtotal expansion
+    "q_a19_winsorize",
+    "q_a18_cube")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -269,7 +273,8 @@ object Bench {
     "q_a17_basket_lift" -> 2.7, "q_m37_anova" -> 0.9,
     "q_s_maxsim" -> 0.6, "q_e_paths" -> 1.5, "q_e_scd2" -> 0.8,
     "q_m38_ks" -> 1.8, "q_m39_mwu" -> 1.4, "q_s_rrf" -> 1.9,
-    "q_s_triangles" -> 8.8)
+    "q_s_triangles" -> 8.8, "q_a19_winsorize" -> 2.5,
+    "q_a18_cube" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -730,8 +730,30 @@ object StatsQueries {
             FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
             ORDER BY 1, 2"""))
 
+  /** A18 (beyond ref): CUBE — all 2^k grouping-set subtotals in one
+    * pass, ROLLUP's sibling (q_a16). Spark expands the grouping sets
+    * into one Expand node feeding a SINGLE hash aggregate, so the 2^k
+    * subtotal combinations cost one data pass, not 2^k scans; the same
+    * plan shape DuckDB uses for GROUPING SETS. Sums stay exact 2-dp
+    * decimals under round(2). */
+  private val a18 = Q(
+    (s, d) => Tables.orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy("priority", "status"),
+    Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+              COALESCE(o_orderstatus, 'ALL') AS status,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2"""))
+
   val queries: Map[String, Q] = Map(
     "q_a16_rollup" -> a16,
+    "q_a18_cube" -> a18,
     "q_a14_mad_outliers" -> a14,
     "q_a15_histogram" -> a15,
     "q_m36_quantile_bins" -> m36,

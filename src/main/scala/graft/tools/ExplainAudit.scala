@@ -802,6 +802,23 @@ object ExplainAudit {
       // BroadcastNestedLoop; only an unkeyed shuffled product is banned)
       "no cartesian anywhere" -> (p => !p.contains("CartesianProduct")),
       "per-node counts partial map-side" -> (_.contains("partial_count")))
+    audit("q_a19_winsorize",
+      // the data pass is the (group, value) counts agg; bounds and the
+      // winsorized sum run over the counts table with broadcast bounds
+      "value-counts aggregation partial map-side" ->
+        (_.contains("partial_count")),
+      "bounds attach by broadcast" -> (_.contains("BroadcastHashJoin")),
+      "no data-sized SinglePartition funnel" -> scalarReducesOnly)
+    audit("q_a18_cube",
+      // 2^k grouping sets ride ONE Expand into ONE hash aggregate —
+      // subtotals are not separate scans
+      "grouping sets expand in-plan" -> (_.contains("Expand")),
+      "single aggregate pass (partial map-side)" ->
+        (p => p.contains("partial_count") || p.contains("partial_sum")),
+      // formatted mode prints each scan once in the tree and once in the
+      // detail section — one physical scan = one Location: line
+      "one parquet scan only" ->
+        (p => "Location:".r.findAllIn(p).length == 1))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
