@@ -17,7 +17,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     etl.Relational.queries ++ etl.DataMix.queries ++
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
-      etl.GapFill.queries ++ text.Bm25.queries ++
+      etl.GapFill.queries ++ text.Bm25.queries ++ text.Rake.queries ++
       dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
       text.Collocations.queries ++ etl.MarketBasket.queries ++
       stats.Anova.queries ++ stats.TwoSample.queries ++

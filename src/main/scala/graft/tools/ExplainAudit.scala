@@ -819,6 +819,14 @@ object ExplainAudit {
       // detail section — one physical scan = one Location: line
       "one parquet scan only" ->
         (p => "Location:".r.findAllIn(p).length == 1))
+    audit("q_t_rake",
+      // extraction is a map-side regex chain; freq/deg and phrase
+      // scoring are keyed aggs; the cut is a bounded global top-k
+      "word aggregates partial map-side" ->
+        (p => p.contains("partial_count") || p.contains("partial_sum")),
+      "global cut is TakeOrdered" ->
+        (_.contains("TakeOrderedAndProject")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
