@@ -73,12 +73,16 @@ object QualityClassifier {
     // (the LloydOracleSql lesson, same failure mode)
     oracleSqlRaw(iters, lr, featureCtes).replace(" AS (", " AS MATERIALIZED (")
 
-  private def oracleSqlRaw(iters: Int, lr: Double,
+  private def z(wt: String) =
+    s"($wt.w0 + $wt.w1 * f1 + $wt.w2 * f2 + $wt.w3 * f3)"
+
+  /** CTE chain through the fitted weights `wt{iters}` (plus `f`, `n0`,
+    * `p0`) WITHOUT a final SELECT — shared by the fit oracles and the
+    * calibration oracle. */
+  private def weightCtes(iters: Int, lr: Double,
       featureCtes: String): String = {
     val d = 3
     def wRefs(t: Int) = (0 to d).map(j => s"w$j")
-    def z(wt: String) =
-      s"($wt.w0 + $wt.w1 * f1 + $wt.w2 * f2 + $wt.w3 * f3)"
     val xs = Seq("", " * f1", " * f2", " * f3")
     def iteration(t: Int): String = {
       val prev = s"wt${t - 1}"
@@ -97,12 +101,17 @@ object QualityClassifier {
               FROM gt$t CROSS JOIN wt${t - 1} CROSS JOIN n0)"""
     }
     val zeros = (0 to d).map(j => s"0e0 AS w$j").mkString(", ")
-    s"""WITH $featureCtes,
+    s"""$featureCtes,
             n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
             p0 AS (SELECT CAST(COALESCE(SUM(CASE WHEN y = 1e0 THEN 1
                      ELSE 0 END), 0) AS BIGINT) AS n_pos FROM f),
             wt0 AS (SELECT $zeros),
-            ${(1 to iters).map(iteration).mkString(",\n            ")}
+            ${(1 to iters).map(iteration).mkString(",\n            ")}"""
+  }
+
+  private def oracleSqlRaw(iters: Int, lr: Double,
+      featureCtes: String): String = {
+    s"""WITH ${weightCtes(iters, lr, featureCtes)}
             SELECT n0.n AS n, p0.n_pos AS n_pos,
               CAST(ROUND(w0 * 1e6) AS BIGINT) AS w0_micro,
               CAST(ROUND(w1 * 1e6) AS BIGINT) AS w1_micro,
@@ -252,7 +261,87 @@ object QualityClassifier {
     },
     Some(oracleSql(20, 1.0, charClassFeatureCtes)))
 
+  /** Reliability (calibration) table for a fitted classifier: rows
+    * scored with the QUANTIZED micro weights, ranked into `bins`
+    * equal-population score bins, and per bin the empirical positive
+    * rate — the table a calibration curve / ECE audit reads. A quality
+    * classifier that gates a corpus must be calibrated, not just
+    * accurate: over-confident scores skew every downstream
+    * quality-weighted mix.
+    *
+    * Scale shape: one map-side-combined `groupBy(score)` counts pass;
+    * the bin assignment runs over DISTINCT scores through the two-pass
+    * distributed prefix sum ([[graft.etl.GlobalIndex]] — no global
+    * window funnel); per-bin aggregation is bins-sized. Ties share one
+    * score value and land in ONE bin (value-level assignment).
+    *
+    * Cross-engine determinism: scores are computed from integer micro
+    * weights with an identical expression tree (bit-identical doubles,
+    * the GD-unroll guarantee), bin ids and positive rates are integer
+    * arithmetic, and the bin score range is FLOORED from identical
+    * doubles. */
+  def calibrationTable(scored: DataFrame, yCol: String, zCol: String,
+      bins: Int): DataFrame = {
+    val cnt = scored.groupBy(col(zCol).as("z"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col(yCol) === 1.0, 1L).otherwise(0L)).as("p"))
+    val cum = graft.etl.GlobalIndex.withGlobalCumsum(
+      cnt, Seq(col("z")), col("c"), "cx")
+    val tot = cnt.agg(sum("c").as("n"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"(cx * ${bins}L) div n"))
+      .groupBy("bin")
+      .agg(sum("c").as("n"), sum("p").as("n_pos"),
+        min("z").as("zmin"), max("z").as("zmax"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000L) div n").as("pos_rate_micro"),
+        floor(col("zmin")).cast("long").as("z_lo"),
+        floor(col("zmax")).cast("long").as("z_hi"))
+  }
+
+  /** Calibration of the transfer fit (q_t_quality_clf_transfer's
+    * weights) into 10 score deciles. */
+  private val tCalibration = Q(
+    (s, d) => {
+      val feats = charClassFeatures(Tables.documents(s, d), "doc_id", "text")
+      val r = fit(feats, Seq("f1", "f2", "f3"), col("y_sw"),
+        iters = 20, lr = 1.0)
+      val wm = r.weights.map(x => math.round(x * 1e6).toDouble)
+      val scored = feats.select(col("y_sw").cast("double").as("y"),
+        (lit(wm(0)) + lit(wm(1)) * col("f1") + lit(wm(2)) * col("f2") +
+          lit(wm(3)) * col("f3")).as("z"))
+      calibrationTable(scored, "y", "z", 10).orderBy("bin")
+    },
+    Some((s"""WITH ${weightCtes(20, 1.0, charClassFeatureCtes)},
+            wq AS (SELECT CAST(ROUND(w0 * 1e6) AS BIGINT) AS m0,
+                CAST(ROUND(w1 * 1e6) AS BIGINT) AS m1,
+                CAST(ROUND(w2 * 1e6) AS BIGINT) AS m2,
+                CAST(ROUND(w3 * 1e6) AS BIGINT) AS m3 FROM wt20),
+            zt AS (SELECT f.y,
+                (CAST(m0 AS DOUBLE) + m1 * f1 + m2 * f2 + m3 * f3) AS z
+              FROM f CROSS JOIN wq),
+            cntz AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN y = 1e0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS p
+              FROM zt GROUP BY 1),
+            cumz AS (SELECT z, c, p,
+                CAST(SUM(c) OVER (ORDER BY z
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - c AS cx
+              FROM cntz),
+            binz AS (SELECT (cx * 10) // n AS bin, c, p, z
+              FROM cumz CROSS JOIN n0)
+            SELECT bin, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(p) AS BIGINT) AS n_pos,
+                   CAST(SUM(p) AS BIGINT) * 1000000
+                     // CAST(SUM(c) AS BIGINT) AS pos_rate_micro,
+                   CAST(floor(MIN(z)) AS BIGINT) AS z_lo,
+                   CAST(floor(MAX(z)) AS BIGINT) AS z_hi
+            FROM binz GROUP BY 1 ORDER BY bin""")
+      .replace(" AS (", " AS MATERIALIZED (")))
+
   val queries: Map[String, Q] = Map(
     "q_t_quality_clf" -> tClf,
-    "q_t_quality_clf_transfer" -> tClfTransfer)
+    "q_t_quality_clf_transfer" -> tClfTransfer,
+    "q_t_calibration" -> tCalibration)
 }

@@ -827,6 +827,15 @@ object ExplainAudit {
       "global cut is TakeOrdered" ->
         (_.contains("TakeOrderedAndProject")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_t_calibration",
+      // score counts aggregate map-side; the decile assignment rides the
+      // two-pass distributed prefix sum, never a global-order window
+      "score counts partial map-side" -> (_.contains("partial_count")),
+      "prefix-sum window is partition-local (keyed on the physical " +
+        "partition id, never a global order)" ->
+        (p => p.contains("windowspecdefinition(__pid")),
+      "only scalar totals reduce to a single partition" ->
+        scalarReducesOnly)
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
