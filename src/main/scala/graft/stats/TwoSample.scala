@@ -59,8 +59,30 @@ object TwoSample {
     * the exact integer ECDF-gap numerator `d_num` (D = d_num/(na·nb)),
     * and `d_micro` = floor(D·1e6). */
   def ks(rows: DataFrame, varCol: String, grpCol: String,
-      valCol: String): DataFrame = {
-    val cnt = valueCounts(rows, varCol, grpCol, valCol)
+      valCol: String): DataFrame =
+    ksFromCounts(valueCounts(rows, varCol, grpCol, valCol))
+
+  /** KS between a live sample and a FROZEN reference counts table
+    * (value, count) — the drift-monitoring form: the reference
+    * distribution is aggregated ONCE (at train/launch time) and
+    * persisted; each comparison aggregates only the new sample and
+    * joins the counts, so a micro-batch gate costs |batch| + |distinct
+    * reference values|, never a rescan of the reference data. Rides the
+    * streaming battery via foreachBatch (StreamsSpec). */
+  def ksVsReference(sample: DataFrame, valCol: String,
+      refCounts: DataFrame, refValCol: String, refCntCol: String)
+      : DataFrame = {
+    val a = sample.groupBy(col(valCol).as("__v"))
+      .agg(count(lit(1)).as("ca"))
+    val b = refCounts.select(col(refValCol).as("__v"),
+      col(refCntCol).cast("long").as("cb"))
+    ksFromCounts(a.join(b, Seq("__v"), "full_outer")
+      .select(lit("drift").as("__var"), col("__v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+  }
+
+  private def ksFromCounts(cnt: DataFrame): DataFrame = {
     cnt
       .withColumn("cuma", sum("ca").over(cumWindow))
       .withColumn("cumb", sum("cb").over(cumWindow))

@@ -563,4 +563,46 @@ class StreamsSpec extends SparkSpecBase {
     assert(got(10L) === 5L && got(40L) === 40L) // takeover + new singleton pair
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming drift gate: per-micro-batch KS against a frozen " +
+      "reference distribution; in-family batch reads D=0, disjoint " +
+      "batch trips at D=1") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sdrift").toString
+    val refDir = s"$root/ref"
+    val logDir = s"$root/log"
+    // frozen reference: values 1..100, 5 observations each — aggregated
+    // once, persisted as counts, never rescanned as rows
+    (1L to 100L).map(v => (v, 5L)).toDF("v", "c").write.parquet(refDir)
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("x")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val s = batch.sparkSession
+        graft.stats.TwoSample
+          .ksVsReference(batch, "x", s.read.parquet(refDir), "v", "c")
+          .withColumn("batch_id", lit(bid))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(logDir)
+      }
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    input.addData(1L to 100L: _*)   // same shape as the reference
+    q.processAllAvailable()
+    input.addData(201L to 300L: _*) // fully shifted above the reference
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(logDir).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("d_micro"))).toMap
+    assert(log(0L) === ((100L, 500L, 0L)))
+    assert(log(1L) === ((100L, 500L, 1000000L)))
+    // the stream log row equals the batch-side computation exactly
+    val direct = graft.stats.TwoSample.ksVsReference(
+        (201L to 300L).toDF("x"), "x",
+        spark.read.parquet(refDir), "v", "c").collect().head
+    assert(direct.getAs[Long]("d_num") === 100L * 500L &&
+      direct.getAs[Long]("d_micro") === 1000000L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
