@@ -191,7 +191,9 @@ object Bench {
     "q_t_rake",
     // round-11: classifier reliability table (quantized-weight scoring,
     // decile bins on the distributed prefix sum)
-    "q_t_calibration")
+    "q_t_calibration",
+    // round-11: categorical MI/NMI off one joint-counts pass
+    "q_m40_mutual_info")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -280,7 +282,8 @@ object Bench {
     "q_s_maxsim" -> 0.6, "q_e_paths" -> 1.5, "q_e_scd2" -> 0.8,
     "q_m38_ks" -> 1.8, "q_m39_mwu" -> 1.4, "q_s_rrf" -> 1.9,
     "q_s_triangles" -> 8.8, "q_a19_winsorize" -> 2.5,
-    "q_a18_cube" -> 0.4, "q_t_rake" -> 1.9, "q_t_calibration" -> 5.9)
+    "q_a18_cube" -> 0.4, "q_t_rake" -> 1.9, "q_t_calibration" -> 5.9,
+    "q_m40_mutual_info" -> 3.1)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -21,7 +21,7 @@ object SparkEntry {
       dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
       text.Collocations.queries ++ etl.MarketBasket.queries ++
       stats.Anova.queries ++ stats.TwoSample.queries ++
-      stats.Winsorize.queries ++
+      stats.Winsorize.queries ++ stats.MutualInfo.queries ++
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
       sim.GraphTriangles.queries ++
       etl.SessionPaths.queries ++ etl.Scd.queries ++

@@ -836,6 +836,13 @@ object ExplainAudit {
         (p => p.contains("windowspecdefinition(__pid")),
       "only scalar totals reduce to a single partition" ->
         scalarReducesOnly)
+    audit("q_m40_mutual_info",
+      // one data-scale pass (the joint-counts agg); marginals derive
+      // from cells; totals broadcast; no data-sized funnel
+      "joint counts partial map-side" -> (_.contains("partial_count")),
+      "per-variable totals attach by broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "no data-sized SinglePartition funnel" -> scalarReducesOnly)
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
