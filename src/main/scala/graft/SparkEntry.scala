@@ -24,7 +24,8 @@ object SparkEntry {
       stats.Winsorize.queries ++ stats.MutualInfo.queries ++
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
       sim.GraphTriangles.queries ++
-      etl.SessionPaths.queries ++ etl.Scd.queries ++
+      etl.SessionPaths.queries ++ etl.SeqPatterns.queries ++
+      etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++

@@ -27,22 +27,32 @@ import org.apache.spark.sql.functions._
   * tie-break on the path. */
 object SessionPaths {
 
-  /** Top-k session event-type paths. Output: (rank, path, n_sessions)
-    * by (count desc, path); sessions cut at `gapUs` idle. */
-  def topPaths(events: DataFrame, gapUs: Long, k: Int,
-      userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type", idCol: String = "event_id")
-      : DataFrame = {
+  /** Gap-cut session assembly shared with [[SeqPatterns]]: appends
+    * exact epoch-micros `__m` and the per-user session id `__sid` in one
+    * user-keyed window pass (lag + running sum over (ts, event id) —
+    * total order even under same-microsecond ties). */
+  def sessionized(events: DataFrame, gapUs: Long, userCol: String,
+      tsCol: String, idCol: String): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(tsCol, idCol)
     val cum = byUser.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val sessions = events
+    events
       .withColumn("__m", unix_micros(col(tsCol)))
       .withColumn("__prev", lag(col("__m"), 1).over(byUser))
       .withColumn("__new",
         when(col("__prev").isNull || col("__m") - col("__prev") > gapUs, 1)
           .otherwise(0))
       .withColumn("__sid", sum("__new").over(cum).cast("long"))
+      .drop("__prev", "__new")
+  }
+
+  /** Top-k session event-type paths. Output: (rank, path, n_sessions)
+    * by (count desc, path); sessions cut at `gapUs` idle. */
+  def topPaths(events: DataFrame, gapUs: Long, k: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id")
+      : DataFrame = {
+    val sessions = sessionized(events, gapUs, userCol, tsCol, idCol)
     val paths = sessions.groupBy(col(userCol), col("__sid"))
       .agg(concat_ws(">", transform(
         array_sort(collect_list(struct(col("__m").as("m"),

@@ -843,6 +843,15 @@ object ExplainAudit {
       "per-variable totals attach by broadcast" ->
         (_.contains("BroadcastHashJoin")),
       "no data-sized SinglePartition funnel" -> scalarReducesOnly)
+    audit("q_e_seqpat",
+      // pair extraction self-joins WITHIN the session key — work is
+      // bounded by session length, never user x user
+      "pair self-join keyed on (user, session)" ->
+        (p => p.contains("hashpartitioning(u") ||
+          p.contains("SortMergeJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "global cut is TakeOrdered" ->
+        (_.contains("TakeOrderedAndProject")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
