@@ -23,7 +23,7 @@ object SparkEntry {
       stats.Anova.queries ++ stats.TwoSample.queries ++
       stats.Winsorize.queries ++ stats.MutualInfo.queries ++
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
-      sim.GraphTriangles.queries ++
+      sim.GraphTriangles.queries ++ sim.KCore.queries ++
       etl.SessionPaths.queries ++ etl.SeqPatterns.queries ++
       etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++

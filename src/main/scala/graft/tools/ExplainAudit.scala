@@ -852,6 +852,12 @@ object ExplainAudit {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "global cut is TakeOrdered" ->
         (_.contains("TakeOrderedAndProject")))
+    audit("q_s_kcore",
+      // the final round's plan: a degree agg over the checkpointed edge
+      // set — earlier rounds are materialized behind the lineage cut
+      "per-node degree count partial map-side" ->
+        (_.contains("partial_count")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
