@@ -244,7 +244,72 @@ object TwoSample {
                    END AS z_micro
             FROM fin ORDER BY variable"""))
 
+  /** Two-proportion z-test (pooled) — the A/B conversion read-out next
+    * to the distribution tests: per variant the USER-level conversion
+    * counts (one groupBy(user) collapse, then conditional sums — two
+    * map-side passes, output is one row), z from the pooled standard
+    * error. Exact integer counts; the one float step is an identical
+    * tree both engines, floored to micro. */
+  def twoProportion(users: DataFrame, variantCol: String,
+      convCol: String): DataFrame = {
+    val agg = users.agg(
+      sum(when(col(variantCol) === "a", 1L).otherwise(0L)).as("n1"),
+      sum(when(col(variantCol) === "a" && col(convCol) === 1L, 1L)
+        .otherwise(0L)).as("x1"),
+      sum(when(col(variantCol) === "b", 1L).otherwise(0L)).as("n2"),
+      sum(when(col(variantCol) === "b" && col(convCol) === 1L, 1L)
+        .otherwise(0L)).as("x2"))
+    val p1 = col("x1").cast("double") / col("n1")
+    val p2 = col("x2").cast("double") / col("n2")
+    val pp = (col("x1") + col("x2")).cast("double") /
+      (col("n1") + col("n2"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      floor((p1 - p2) * lit(1e6)).cast("long").as("delta_micro"),
+      when(pp > 0 && pp < 1,
+        floor((p1 - p2) / se * lit(1e6)).cast("long")).as("z_micro"))
+  }
+
+  private val mAb = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "a").otherwise("b"))
+      twoProportion(users, "variant", "conv")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS conv,
+                CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant
+              FROM events GROUP BY 1),
+            agg AS (SELECT
+                CAST(SUM(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN variant = 'a' AND conv = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                CAST(SUM(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN variant = 'b' AND conv = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x2
+              FROM u)
+            SELECT n1, x1, n2, x2,
+              CAST(floor((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                * 1000000.0) AS BIGINT) AS delta_micro,
+              CASE WHEN CAST(x1 + x2 AS DOUBLE) / (n1 + n2) > 0
+                    AND CAST(x1 + x2 AS DOUBLE) / (n1 + n2) < 1 THEN
+                CAST(floor((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                  / sqrt(CAST(x1 + x2 AS DOUBLE) / (n1 + n2)
+                    * (1e0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1e0 / n1 + 1e0 / n2)) * 1000000.0) AS BIGINT)
+              END AS z_micro
+            FROM agg"""))
+
   val queries: Map[String, Q] = Map(
     "q_m38_ks" -> mKs,
-    "q_m39_mwu" -> mMwu)
+    "q_m39_mwu" -> mMwu,
+    "q_m41_ab_test" -> mAb)
 }

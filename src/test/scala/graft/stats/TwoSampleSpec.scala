@@ -50,6 +50,24 @@ class TwoSampleSpec extends SparkSpecBase {
     assert(r.getLong(5) === math.floor(z * 1e6).toLong)
   }
 
+  test("two-proportion z: pooled SE hand computation; degenerate " +
+      "all-convert pool reports null z") {
+    // a: 3 users, 2 convert; b: 2 users, 0 convert
+    val users = Seq(("a", 1L), ("a", 1L), ("a", 0L), ("b", 0L), ("b", 0L))
+      .toDF("variant", "conv")
+    val r = TwoSample.twoProportion(users, "variant", "conv")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 2L, 0L)))
+    val p1 = 2.0 / 3; val pp = 2.0 / 5
+    val z = p1 / math.sqrt(pp * (1 - pp) * (1.0 / 3 + 1.0 / 2))
+    assert(r.getLong(4) === math.floor(p1 * 1e6).toLong)
+    assert(r.getLong(5) === math.floor(z * 1e6).toLong)
+    val all = Seq(("a", 1L), ("b", 1L)).toDF("variant", "conv")
+    assert(TwoSample.twoProportion(all, "variant", "conv")
+      .collect().head.isNullAt(5))
+  }
+
   test("MWU: zero-variance variable reports null z, exact integers stay") {
     val rows = Seq(
       ("flat", "a", 5L), ("flat", "a", 5L),
