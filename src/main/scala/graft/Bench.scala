@@ -199,7 +199,9 @@ object Bench {
     // round-11: k-core peel over the mutual kNN graph
     "q_s_kcore",
     // round-11: two-proportion A/B z-test (user-collapsed conversions)
-    "q_m41_ab_test")
+    "q_m41_ab_test",
+    // round-11: grouped OLS trendlines off one sufficient-stats pass
+    "q_m42_grouped_ols")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -290,7 +292,8 @@ object Bench {
     "q_s_triangles" -> 8.8, "q_a19_winsorize" -> 2.5,
     "q_a18_cube" -> 0.4, "q_t_rake" -> 1.9, "q_t_calibration" -> 5.9,
     "q_m40_mutual_info" -> 3.1, "q_e_seqpat" -> 2.4,
-    "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6)
+    "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6,
+    "q_m42_grouped_ols" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -858,6 +858,14 @@ object ExplainAudit {
       "per-node degree count partial map-side" ->
         (_.contains("partial_count")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m42_grouped_ols",
+      // ONE map-side pass of integer sufficient statistics; the closed
+      // form runs on group rows — same shape as q_m37_anova
+      "sufficient statistics partial-aggregate map-side" ->
+        (p => p.contains("partial_count") && p.contains("partial_sum")),
+      "no join anywhere (single-pass closed form)" ->
+        (p => !p.contains("Join")),
+      "no data-sized SinglePartition funnel" -> scalarReducesOnly)
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
