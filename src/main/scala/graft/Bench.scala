@@ -201,7 +201,9 @@ object Bench {
     // round-11: two-proportion A/B z-test (user-collapsed conversions)
     "q_m41_ab_test",
     // round-11: grouped OLS trendlines off one sufficient-stats pass
-    "q_m42_grouped_ols")
+    "q_m42_grouped_ols",
+    // round-11: per-source tokenizer fertility audit (BPE encode rollup)
+    "q_t_fertility")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -293,7 +295,7 @@ object Bench {
     "q_a18_cube" -> 0.4, "q_t_rake" -> 1.9, "q_t_calibration" -> 5.9,
     "q_m40_mutual_info" -> 3.1, "q_e_seqpat" -> 2.4,
     "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6,
-    "q_m42_grouped_ols" -> 2.0)
+    "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -284,7 +284,60 @@ object BpeMerge {
     },
     Some(encodeOracleSql(3)))
 
+  /** Per-source tokenizer fertility audit — the question a tokenizer
+    * card answers: "how many BPE pieces does a word cost, per corpus
+    * source?" High fertility on a source flags vocabulary mismatch
+    * (the tokenizer under-serves that slice, inflating its effective
+    * token budget). Pure composition: the per-doc encode counts
+    * ([[encodeCorpus]]) rolled up by the document's source — integer
+    * sums, ratios in floor micro-units by integer division.
+    * Scale: the learn+encode passes dominate (vocab-sized merge
+    * application, q_t_bpe_encode's plan); the rollup adds one
+    * broadcast-joined source attach + a sources-sized aggregation. */
+  private val tFertility = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (out, release) = encodeCorpusReleasable(docs, "doc_id", "text", 3)
+      val mat = out.localCheckpoint(eager = true)
+      release()
+      mat.join(broadcast(docs.select(col("doc_id"), col("source"))),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("words"),
+          sum("n_bpe_tokens").as("bpe_tokens"),
+          sum("n_chars").as("chars"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("bpe_tokens"),
+          expr("(bpe_tokens * 1000000L) div words").as("fertility_micro"),
+          expr("(chars * 1000000L) div bpe_tokens")
+            .as("chars_per_token_micro"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${iterCtes(3)},
+       |enc AS (SELECT doc_id, w
+       |        FROM (SELECT doc_id, unnest(list_filter(
+       |                string_split(text, ' '), x -> x <> '')) AS w
+       |              FROM documents)),
+       |perdoc AS (SELECT e.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(SUM(length(e.w)) AS BIGINT) AS n_chars
+       |  FROM enc e JOIN s3 s ON e.w = s.w
+       |  GROUP BY e.doc_id),
+       |bysrc AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(p.n_words) AS BIGINT) AS words,
+       |    CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |    CAST(SUM(p.n_chars) AS BIGINT) AS chars
+       |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+       |  GROUP BY 1)
+       |SELECT source, n_docs, words, bpe_tokens,
+       |  (bpe_tokens * 1000000) // words AS fertility_micro,
+       |  (chars * 1000000) // bpe_tokens AS chars_per_token_micro
+       |FROM bysrc ORDER BY source""".stripMargin))
+
   val queries: Map[String, Q] = Map(
     "q_t_bpe_merges" -> tBpe,
-    "q_t_bpe_encode" -> tBpeEncode)
+    "q_t_bpe_encode" -> tBpeEncode,
+    "q_t_fertility" -> tFertility)
 }
