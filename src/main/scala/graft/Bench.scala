@@ -203,7 +203,9 @@ object Bench {
     // round-11: grouped OLS trendlines off one sufficient-stats pass
     "q_m42_grouped_ols",
     // round-11: per-source tokenizer fertility audit (BPE encode rollup)
-    "q_t_fertility")
+    "q_t_fertility",
+    // round-11: positional-postings exact phrase search
+    "q_t_phrase_search")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -295,7 +297,8 @@ object Bench {
     "q_a18_cube" -> 0.4, "q_t_rake" -> 1.9, "q_t_calibration" -> 5.9,
     "q_m40_mutual_info" -> 3.1, "q_e_seqpat" -> 2.4,
     "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6,
-    "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0)
+    "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0,
+    "q_t_phrase_search" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -18,6 +18,7 @@ object SparkEntry {
     etl.Relational.queries ++ etl.DataMix.queries ++
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
       etl.GapFill.queries ++ text.Bm25.queries ++ text.Rake.queries ++
+      text.PhraseSearch.queries ++
       dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
       text.Collocations.queries ++ etl.MarketBasket.queries ++
       stats.Anova.queries ++ stats.TwoSample.queries ++

@@ -866,6 +866,15 @@ object ExplainAudit {
       "no join anywhere (single-pass closed form)" ->
         (p => !p.contains("Join")),
       "no data-sized SinglePartition funnel" -> scalarReducesOnly)
+    audit("q_t_phrase_search",
+      // postings prune to the query terms BEFORE any shuffle; the
+      // adjacency constraint is a doc-keyed equi-join
+      "postings pruned by term IN-list" -> (_.contains(" IN (")),
+      "adjacency is a keyed equi-join (no cartesian)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "occurrence counts partial map-side" ->
+        (_.contains("partial_count")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
