@@ -205,7 +205,9 @@ object Bench {
     // round-11: per-source tokenizer fertility audit (BPE encode rollup)
     "q_t_fertility",
     // round-11: positional-postings exact phrase search
-    "q_t_phrase_search")
+    "q_t_phrase_search",
+    // round-11: quantile mapping (drift remediation by rank matching)
+    "q_m43_quantile_map")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -298,7 +300,7 @@ object Bench {
     "q_m40_mutual_info" -> 3.1, "q_e_seqpat" -> 2.4,
     "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6,
     "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0,
-    "q_t_phrase_search" -> 1.2)
+    "q_t_phrase_search" -> 1.2, "q_m43_quantile_map" -> 2.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

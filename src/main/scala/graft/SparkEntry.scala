@@ -23,7 +23,7 @@ object SparkEntry {
       text.Collocations.queries ++ etl.MarketBasket.queries ++
       stats.Anova.queries ++ stats.TwoSample.queries ++
       stats.Winsorize.queries ++ stats.MutualInfo.queries ++
-      stats.GroupedOls.queries ++
+      stats.GroupedOls.queries ++ stats.QuantileMap.queries ++
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
       sim.GraphTriangles.queries ++ sim.KCore.queries ++
       etl.SessionPaths.queries ++ etl.SeqPatterns.queries ++

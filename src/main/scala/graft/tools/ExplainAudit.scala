@@ -875,6 +875,15 @@ object ExplainAudit {
           !p.contains("BroadcastNestedLoopJoin")),
       "occurrence counts partial map-side" ->
         (_.contains("partial_count")))
+    audit("q_m43_quantile_map",
+      // both sides collapse to counts map-side; ranks ride the two-pass
+      // prefix sum; the rank lookup broadcasts the reference cum table
+      "value counts partial map-side" -> (_.contains("partial_count")),
+      "prefix-sum window is partition-local" ->
+        (_.contains("windowspecdefinition(__pid")),
+      "rank lookup broadcasts the reference table" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
