@@ -1037,7 +1037,22 @@ object MultimodalOps {
       graft.dedup.DedupOps.bandedHammingPairs(sig, maxHamming = 4)
         .orderBy("ida", "idb")
     },
-    Some("""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+    Some("WITH " + imageSigCtes + """
+        SELECT a.id AS ida, b.id AS idb,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+          AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+            OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+            OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+            OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)
+        ORDER BY ida, idb"""))
+
+  /** Oracle CTE chain ending in `sig(id, simhash)` — the synthetic-PNG
+    * dHash replay shared by the pair and cluster oracles. A def (the
+    * object-init-order convention for shared SQL). */
+  private def imageSigCtes: String =
+    """ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         px AS (SELECT id, r, c,
             CASE WHEN r = id % 8 AND c = (id // 8) % 9
                  THEN 250 - (((id % 251) * 37 + r * 19 + c * 11)
@@ -1057,19 +1072,74 @@ object MultimodalOps {
               AS BIGINT) AS simhash
           FROM bits GROUP BY 1),
         sig AS (SELECT i.id, COALESCE(s.simhash, 0) AS simhash
-          FROM ids i LEFT JOIN rawsig s ON i.id = s.id)
-        SELECT a.id AS ida, b.id AS idb,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        FROM sig a JOIN sig b ON a.id < b.id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
-          AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
-            OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
-            OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
-            OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)
-        ORDER BY ida, idb"""))
+          FROM ids i LEFT JOIN rawsig s ON i.id = s.id)"""
+
+  /** CC closure + canonical labeling over a media near-dup pair set:
+    * every id keeps a row (singletons are their own component), the
+    * minimum id canonicalizes its component. */
+  def visualClusters(ids: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    val cc = graft.dedup.DupClusters.connectedComponents(
+      pairs.select(col("ida"), col("idb")))
+    val all = ids.select(col(idCol).as("__id"))
+      .join(cc.withColumnRenamed("id", "__id"), Seq("__id"), "left")
+      .withColumn("component", coalesce(col("comp"), col("__id")))
+    val sizes = all.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("component"))
+      .select(col("__id").as("media_id"), col("component"),
+        col("cluster_size"),
+        (col("__id") === col("component")).cast("int").as("is_canonical"))
+  }
+
+  /** Visual duplicate CLUSTERS: the dHash near-dup pair set closed into
+    * connected components — the image twin of q_d_dup_clusters /
+    * q_s_semantic_clusters (exact text, embedding, and now visual
+    * duplicate grouping all share the CC closure): a crawl's resized /
+    * re-encoded image copies collapse to one canonical media id per
+    * component. Pure composition of proven pieces — the banded-Hamming
+    * pair plan + pointer-jumping CC; singletons keep their own id. */
+  private val mmImageClusters = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map(r =>
+        Row(r.getLong(0), synthGrayPng(r.getLong(0))))
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      val sig = dHashImages(withBlob, "doc_id", "blob")
+        .select(col("media_id").as("id"), col("dhash").as("simhash"))
+      val pairs = graft.dedup.DedupOps.bandedHammingPairs(sig, maxHamming = 4)
+      visualClusters(docs, "doc_id", pairs).orderBy("media_id")
+    },
+    Some("WITH RECURSIVE " + imageSigCtes + """,
+        p AS (SELECT a.id AS ida, b.id AS idb
+          FROM sig a JOIN sig b ON a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+            AND ((a.simhash >> 0)  & 65535 = (b.simhash >> 0)  & 65535
+              OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+              OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+              OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535)),
+        e AS (SELECT ida AS a, idb AS b FROM p
+              UNION SELECT idb AS a, ida AS b FROM p),
+        reach AS (SELECT a, b FROM e
+                  UNION
+                  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+                  WHERE e2.b <> r.a),
+        comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
+                 FROM reach GROUP BY a),
+        allc AS (SELECT i.id, COALESCE(c.comp, i.id) AS component
+                 FROM ids i LEFT JOIN comp c ON i.id = c.id),
+        sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM allc GROUP BY 1)
+        SELECT allc.id AS media_id, allc.component, sz.cluster_size,
+               CAST(allc.id = allc.component AS INT) AS is_canonical
+        FROM allc JOIN sz ON allc.component = sz.component
+        ORDER BY media_id"""))
 
   val queries: Map[String, Q] = Map(
     "q_mm_image_neardup" -> mmImageNearDup,
+    "q_mm_image_clusters" -> mmImageClusters,
     "q_mm_binary_meta" -> mmBinary,
     "q_mm_stub_decode" -> mmDecode,
     "q_mm_decode_dims" -> mmDecodeDims,
