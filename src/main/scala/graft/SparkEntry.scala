@@ -19,7 +19,8 @@ object SparkEntry {
       etl.Sharding.queries ++ etl.EventAnalytics.queries ++
       etl.GapFill.queries ++ text.Bm25.queries ++ text.Rake.queries ++
       text.PhraseSearch.queries ++
-      dedup.FuzzyLink.queries ++ etl.RateWindows.queries ++
+      dedup.FuzzyLink.queries ++ dedup.EmbedDecon.queries ++
+      etl.RateWindows.queries ++
       text.Collocations.queries ++ etl.MarketBasket.queries ++
       stats.Anova.queries ++ stats.TwoSample.queries ++
       stats.Winsorize.queries ++ stats.MutualInfo.queries ++

@@ -884,6 +884,14 @@ object ExplainAudit {
       "rank lookup broadcasts the reference table" ->
         (_.contains("BroadcastNestedLoopJoin")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_d_embed_decon",
+      // the bench side broadcasts; cosines fuse into the corpus scan
+      // stage and the per-item max collapses map-side
+      "benchmark vectors broadcast onto the corpus" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "per-item max partial map-side" -> (_.contains("partial_max")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
