@@ -28,6 +28,7 @@ object SparkEntry {
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
       sim.GraphTriangles.queries ++ sim.KCore.queries ++
       etl.SessionPaths.queries ++ etl.SeqPatterns.queries ++
+      etl.SessionFunnel.queries ++
       etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++

@@ -892,6 +892,11 @@ object ExplainAudit {
           p.contains("BroadcastHashJoin")),
       "per-item max partial map-side" -> (_.contains("partial_max")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    // q_e_session_funnel carries no audit entry: its returned frame is a
+    // driver-built k-row local relation (the per-step counts run as
+    // internal jobs over the session-keyed frames), so the final plan is
+    // a LocalTableScan with nothing to assert — the scale shape is
+    // spec- and SURVEY-documented instead.
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
