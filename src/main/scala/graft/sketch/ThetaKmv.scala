@@ -46,6 +46,19 @@ object ThetaKmv {
   private def theta48(h: Column): Column =
     greatest(conv(substring(h, 1, 12), 16, 10).cast("long"), lit(1L))
 
+  /** Pure-Scala twin of [[kmvEstimate]] for stateful streaming
+    * consumers ([[graft.streaming.Streams.streamingKmvDistinct]]): the
+    * identical arithmetic ((k−1)·2^48 / θ in doubles, floored), so a
+    * stream-maintained state estimates bit-identically to the batch
+    * column expression. */
+  def estimateFromDigests(sortedKmv: Seq[String], k: Int): Long =
+    if (sortedKmv.size < k) sortedKmv.size.toLong
+    else {
+      val theta = math.max(
+        java.lang.Long.parseLong(sortedKmv(k - 1).substring(0, 12), 16), 1L)
+      math.floor((k - 1).toDouble * 281474976710656.0 / theta).toLong
+    }
+
   /** Distinct-count estimate: exact when the whole set fit (fewer than k
     * digests retained, θ = 1), else (k−1)/θ with θ = kth-min/2^48. */
   def kmvEstimate(kmv: Column, k: Int): Column =

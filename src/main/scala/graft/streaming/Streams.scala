@@ -127,6 +127,44 @@ object Streams {
       }
   }
 
+  final case class KmvUpdate(key: String, est: Long, retained: Int)
+
+  /** Streaming KMV/theta distinct state — the stream twin of
+    * [[graft.sketch.ThetaKmv]] (as [[windowedDistinctUsers]] is for
+    * HLL, but with the INTERSECT-capable state): per key the k
+    * lexicographically smallest md5 digests of the values seen so far
+    * live in group state (bounded: k hex strings per key, however many
+    * values stream through), and each micro-batch emits the refreshed
+    * estimate. KMV union is a commutative, idempotent min-merge, so
+    * the stream-maintained state equals the batch sketch over all data
+    * EXACTLY regardless of batch boundaries or arrival order — the
+    * spec pins stream == batch against [[graft.sketch.ThetaKmv]]'s
+    * column-expression estimate, digest for digest. */
+  def streamingKmvDistinct(pairs: Dataset[(String, Long)], k: Int)
+      : Dataset[KmvUpdate] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Seq[String]]) =>
+          // identical digest to the batch sketch: md5 over the UTF-8
+          // string form of the value (Spark's md5(cast(v as string)))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val fresh = rows.map { case (_, v) =>
+            md.reset()
+            md.digest(v.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+          }
+          val merged = (state.getOption.getOrElse(Nil) ++ fresh)
+            .distinct.sorted.take(k)
+          state.update(merged)
+          KmvUpdate(key,
+            graft.sketch.ThetaKmv.estimateFromDigests(merged, k),
+            merged.size)
+      }
+  }
+
   /** Streaming twin of [[graft.dedup.DedupOps.exactDedup]]: keep the FIRST
     * document per normalized content hash. A training-data ingest pipeline
     * runs this at the stream edge so duplicates never reach storage. State

@@ -564,6 +564,48 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("streaming KMV distinct state: bounded per-key k-min digests " +
+      "across micro-batches equal the batch sketch EXACTLY") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("skmv").toString
+    val k = 16
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.streamingKmvDistinct(input.toDS(), k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_updates")
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    // two batches, overlapping values, two keys — arrival order and
+    // batch boundaries must not matter (min-merge is commutative)
+    val b1 = (1L to 40L).map(("click", _)) ++ (1L to 5L).map(("view", _))
+    val b2 = (30L to 80L).map(("click", _)) ++ Seq(("view", 3L))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val last = spark.table("kmv_updates")
+      .groupBy("key").agg(org.apache.spark.sql.functions
+        .max_by(org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("est"),
+          org.apache.spark.sql.functions.col("retained")),
+          org.apache.spark.sql.functions.col("retained")).as("b"))
+      .select(col("key"), col("b.est").as("est"),
+        col("b.retained").as("retained"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2))).toMap
+    // batch twin over ALL the data
+    val all = (b1 ++ b2).toDF("key", "v")
+    val batch = graft.sketch.ThetaKmv.kmvState(all, "key", "v", k)
+    val est = batch.select(col("grp"),
+        graft.sketch.ThetaKmv.kmvEstimate(col("kmv"), k).as("est"),
+        org.apache.spark.sql.functions.size(col("kmv")).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2))).toMap
+    assert(last === est)
+    // the small key fit entirely -> exact count 5
+    assert(last("view")._1 === 5L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming drift gate: per-micro-batch KS against a frozen " +
       "reference distribution; in-family batch reads D=0, disjoint " +
       "batch trips at D=1") {
