@@ -213,7 +213,9 @@ object Bench {
     // round-11: embedding-based benchmark decontamination
     "q_d_embed_decon",
     // round-11: within-session conversion funnel
-    "q_e_session_funnel")
+    "q_e_session_funnel",
+    // round-11: 2-D equi-width histogram (joint density grid)
+    "q_a20_hist2d")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -308,7 +310,7 @@ object Bench {
     "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0,
     "q_t_phrase_search" -> 1.2, "q_m43_quantile_map" -> 2.9,
     "q_mm_image_clusters" -> 6.4, "q_d_embed_decon" -> 1.0,
-    "q_e_session_funnel" -> 2.9)
+    "q_e_session_funnel" -> 2.9, "q_a20_hist2d" -> 1.0)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -676,6 +676,41 @@ object StatsQueries {
               ROUND(MAX(l_extendedprice), 2) AS hi
             FROM lineitem, b GROUP BY 1 ORDER BY 1"""))
 
+  /** A20 (beyond ref): 2-D equi-width histogram — the JOINT profile
+    * (q_a15's second dimension): correlation coefficients (q_a13)
+    * summarize a relationship to one number; the 2-D density grid is
+    * what an analyst actually looks at to see nonlinearity, clusters,
+    * and outlier pockets. Same shape as a15: one min/max pass per
+    * dimension (a single 1-row broadcast), pure map-side bucket
+    * arithmetic — the IDENTICAL float op sequence both engines, so no
+    * boundary can straddle — and an ≤ B² row aggregate. */
+  private val a20 = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val bounds = li.agg(min("x").as("mnx"), max("x").as("mxx"),
+        min("y").as("mny"), max("y").as("mxy"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bx", least(lit(7L),
+          floor((col("x") - col("mnx")) * lit(8.0) /
+            (col("mxx") - col("mnx")))).cast("long"))
+        .withColumn("by", least(lit(7L),
+          floor((col("y") - col("mny")) * lit(8.0) /
+            (col("mxy") - col("mny")))).cast("long"))
+        .groupBy("bx", "by")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bx", "by")
+    },
+    Some("""WITH b AS (SELECT MIN(l_quantity) AS mnx, MAX(l_quantity) AS mxx,
+                              MIN(l_extendedprice) AS mny,
+                              MAX(l_extendedprice) AS mxy FROM lineitem)
+            SELECT CAST(LEAST(7, FLOOR((l_quantity - mnx) * 8.0
+                                       / (mxx - mnx))) AS BIGINT) AS bx,
+                   CAST(LEAST(7, FLOOR((l_extendedprice - mny) * 8.0
+                                       / (mxy - mny))) AS BIGINT) AS by,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem, b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** M36 (beyond ref): deterministic exact-quantile discretizer — the
     * QuantileDiscretizer shape without MLlib's approximation and without
     * the single-partition `ntile` window: bucket = floor(global_rank ·
@@ -754,6 +789,7 @@ object StatsQueries {
   val queries: Map[String, Q] = Map(
     "q_a16_rollup" -> a16,
     "q_a18_cube" -> a18,
+    "q_a20_hist2d" -> a20,
     "q_a14_mad_outliers" -> a14,
     "q_a15_histogram" -> a15,
     "q_m36_quantile_bins" -> m36,

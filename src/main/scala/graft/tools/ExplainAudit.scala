@@ -892,6 +892,14 @@ object ExplainAudit {
           p.contains("BroadcastHashJoin")),
       "per-item max partial map-side" -> (_.contains("partial_max")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_a20_hist2d",
+      // bucket arithmetic is pure map-side on the scan; the only
+      // reduce-side work is the bounds row and the B^2 cell aggregate
+      "cell counts partial map-side" -> (_.contains("partial_count")),
+      "bounds attach by broadcast" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "scalar bounds are the only SinglePartition reduce" ->
+        scalarReducesOnly)
     // q_e_session_funnel carries no audit entry: its returned frame is a
     // driver-built k-row local relation (the per-step counts run as
     // internal jobs over the session-keyed frames), so the final plan is
