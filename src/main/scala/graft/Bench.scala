@@ -215,7 +215,9 @@ object Bench {
     // round-11: within-session conversion funnel
     "q_e_session_funnel",
     // round-11: 2-D equi-width histogram (joint density grid)
-    "q_a20_hist2d")
+    "q_a20_hist2d",
+    // round-11: c-TF-IDF semantic-cluster labeling
+    "q_s_cluster_labels")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -310,7 +312,8 @@ object Bench {
     "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0,
     "q_t_phrase_search" -> 1.2, "q_m43_quantile_map" -> 2.9,
     "q_mm_image_clusters" -> 6.4, "q_d_embed_decon" -> 1.0,
-    "q_e_session_funnel" -> 2.9, "q_a20_hist2d" -> 1.0)
+    "q_e_session_funnel" -> 2.9, "q_a20_hist2d" -> 1.0,
+    "q_s_cluster_labels" -> 18.0)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -27,6 +27,7 @@ object SparkEntry {
       stats.GroupedOls.queries ++ stats.QuantileMap.queries ++
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
       sim.GraphTriangles.queries ++ sim.KCore.queries ++
+      sim.ClusterLabels.queries ++
       etl.SessionPaths.queries ++ etl.SeqPatterns.queries ++
       etl.SessionFunnel.queries ++
       etl.Scd.queries ++
