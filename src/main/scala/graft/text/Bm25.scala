@@ -22,12 +22,23 @@ import org.apache.spark.sql.functions._
   * the postings build is the one big pass and everything downstream is
   * |matching postings|-sized.
   *
-  * Cross-engine determinism: each per-term contribution is computed with
-  * an identical literal expression tree in both engines, rounded to
-  * integer MICRO-UNITS (the [[Dsir]] micro-nat convention,
-  * `round(c*1e6)` as bigint) before the per-doc sum — so scores are
-  * exact integers, the sum is order-free, and ranking ties break on
-  * doc_id with no float-comparison hazard. */
+  * Cross-engine determinism (the q_m38_ks integer-cross-multiplication
+  * convention; see stats/TwoSample.scala): the ONLY float step is the
+  * per-term idf, floored once to integer micro-nats over the
+  * config-sized term table (`floor` of a double is the binary-value
+  * floor in both engines, unlike `round`, whose Spark decimal-repr
+  * HALF_UP vs DuckDB C-level semantics diverge — the round-11
+  * q_t_bm25 hash flip happened exactly there, a contribution landing
+  * 4e-4 micro from the .5 boundary). The tf/length saturation is then
+  * pure integer arithmetic: with Σdl the exact corpus token count and
+  * n the doc count, `c = (idf_micro·tf·22·Σdl) div
+  * (10·tf·Σdl + 3·Σdl + 9·dl·n)` — algebraically `idf·tf·2.2 /
+  * (tf + 1.2·(0.25 + 0.75·dl/avgdl))` with numerator and denominator
+  * multiplied by `10·Σdl`. All operands non-negative, so Spark's
+  * truncating `div` and DuckDB's flooring `//` agree; the
+  * cross-multiplication runs in decimal(38,0) (DuckDB: HUGEINT) so it
+  * cannot overflow at any corpus size. Scores are exact integers, the
+  * per-doc sum is order-free, ties break on doc_id. */
 object Bm25 {
 
   /** Top-k docs per query. `queryTerms`: (query_id, term) pairs —
@@ -43,34 +54,36 @@ object Bm25 {
     val toks = df.select(col(idCol),
       TextOps.tokens(lower(col(textCol))).as("__ts"))
     val dl = toks.select(col(idCol),
-      size(col("__ts")).cast("double").as("__dl"))
-    // one-row corpus stats frame; exact: doc lengths are integer-valued
-    // doubles, so avg = exact-sum / n is bit-stable across partitionings
-    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
-      avg("__dl").as("__avgdl"))
+      size(col("__ts")).cast("long").as("__dl"))
+    // one-row corpus stats frame; exact integers: doc count and the
+    // total token count (Σdl) — the avgdl denominator is carried as the
+    // (n, Σdl) pair so the saturation stays integer-pure downstream
+    val stats = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
     val post = toks.select(col(idCol), explode(col("__ts")).as("term"))
       .filter(col("term").isin(terms.map(x => x: Any): _*))
       .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).as("tf"))
+    // the single float step: idf floored to micro-nats per TERM (a
+    // config-sized, auditable table) — floor, never round (see scaladoc)
     val idf = post.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
       .crossJoin(broadcast(stats))
-      .select(col("term"), log(lit(1.0) +
-        (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-        .as("idf"))
+      .select(col("term"), floor(log(lit(1.0) +
+        (col("__n").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * lit(1e6)).as("__idfm"))
     val scored = post
       .join(broadcast(qdf), "term")
       .join(broadcast(idf), "term")
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      // literal 2.2 / 1.2 / 0.25 / 0.75 and this association order are
-      // mirrored character-for-character in the oracle SQL — double ops
-      // are IEEE-exact, so identical trees give identical bits
+      // integer cross-multiplication in decimal(38,0); operands are all
+      // non-negative so truncating div == DuckDB's flooring `//`
       .select(col("query_id"), col(idCol),
-        round(col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * col("__dl") / col("__avgdl"))) * lit(1e6))
-          .cast("long").as("__c"))
+        expr("""cast((cast(__idfm as decimal(38,0)) * tf * 22 * __sumdl)
+                div (cast(tf as decimal(38,0)) * 10 * __sumdl
+                     + cast(__sumdl as decimal(38,0)) * 3
+                     + cast(__dl as decimal(38,0)) * 9 * __n)
+                as long)""").as("__c"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum("__c").as("score_micro"))
     val top = graft.plans.GroupedTopK.topK(scored, Seq("query_id"),
@@ -102,21 +115,26 @@ object Bm25 {
               SELECT doc_id, list_filter(string_split(lower(text), ' '),
                   x -> x <> '') AS ts
               FROM documents),
-            dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
-            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                AVG(dl) AS avgdl FROM dl),
+            dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+            stats AS (SELECT COUNT(*) AS n,
+                CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
             q(query_id, term) AS (VALUES $queryValues),
-            post AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            post AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
               FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
               WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
-            idf AS (SELECT term, ln(1.0 +
-                ((SELECT n FROM stats) - CAST(COUNT(*) AS DOUBLE) + 0.5)
-                / (CAST(COUNT(*) AS DOUBLE) + 0.5)) AS idf
+            idf AS (SELECT term, CAST(floor(ln(1.0 +
+                (CAST((SELECT n FROM stats) AS DOUBLE)
+                   - CAST(COUNT(*) AS DOUBLE) + 0.5)
+                / (CAST(COUNT(*) AS DOUBLE) + 0.5)) * 1000000.0)
+                AS BIGINT) AS idf_micro
               FROM post GROUP BY term),
             contrib AS (SELECT q.query_id, post.doc_id,
-                CAST(round(idf.idf * (post.tf * 2.2) /
-                  (post.tf + 1.2 * (0.25 +
-                    0.75 * dl.dl / (SELECT avgdl FROM stats))) * 1000000.0)
+                CAST((CAST(idf.idf_micro AS HUGEINT) * post.tf * 22
+                      * (SELECT sumdl FROM stats))
+                  // (CAST(post.tf AS HUGEINT) * 10
+                        * (SELECT sumdl FROM stats)
+                      + CAST((SELECT sumdl FROM stats) AS HUGEINT) * 3
+                      + CAST(dl.dl AS HUGEINT) * 9 * (SELECT n FROM stats))
                   AS BIGINT) AS c
               FROM q JOIN post ON q.term = post.term
               JOIN idf ON idf.term = q.term

@@ -17,6 +17,24 @@ class HybridRrfSpec extends SparkSpecBase {
     assert(out(2).getLong(3) === 1000000000000L / 62)
   }
 
+  test("registered lexical leg is integer-pure end-to-end: every bm25TopK " +
+      "output column the fusion consumes is integral (no float ever " +
+      "reaches the fused hash)") {
+    // Guards the round-11 q_s_rrf inheritance hazard: the fusion arithmetic
+    // is integer (1e12 div (K+rank)), so its hash is engine-robust exactly
+    // when its INPUT ranks are — i.e. when bm25 scores are exact integers
+    // computed by the floor/cross-multiplication convention, not round().
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "beta"))
+      .toDF("doc_id", "text")
+    val lex = graft.text.Bm25.bm25TopK(docs, "doc_id", "text",
+      Seq(0 -> "alpha", 0 -> "beta"), 10)
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    lex.schema.fields.foreach { f =>
+      assert(f.dataType == LongType || f.dataType == IntegerType,
+        s"${f.name} must be integral, was ${f.dataType}")
+    }
+  }
+
   test("fuse: equal-score ties break on id ascending; k bounds output") {
     val l1 = Seq((7, 5L, 1L), (7, 3L, 2L), (7, 9L, 3L))
       .toDF("query_id", "id", "rank")

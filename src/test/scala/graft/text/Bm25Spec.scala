@@ -13,12 +13,16 @@ class Bm25Spec extends SparkSpecBase {
     (3L, "spark cluster spark cluster spark cluster query plan"),
     (4L, "no match")).toDF("doc_id", "text")
 
-  /** Independent reference implementation in plain Scala (same formula,
-    * different execution path — no Spark expressions). */
-  private def refScore(tf: Double, df: Double, n: Double, dl: Double,
-      avgdl: Double): Long = {
-    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-    math.round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+  /** Independent reference implementation in plain Scala (same integer
+    * cross-multiplication, different execution path — BigInt instead of
+    * Spark decimal(38,0) expressions). */
+  private def refScore(tf: Long, df: Long, n: Long, dl: Long,
+      sumdl: Long): Long = {
+    val idfMicro = math.floor(math.log(1.0 +
+      (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) * 1e6).toLong
+    ((BigInt(idfMicro) * tf * 22 * sumdl) /
+      (BigInt(tf) * 10 * sumdl + BigInt(sumdl) * 3 + BigInt(dl) * 9 * n))
+      .toLong
   }
 
   test("scores equal the plain-Scala BM25 reference and rank by score") {
@@ -26,14 +30,14 @@ class Bm25Spec extends SparkSpecBase {
       Seq(0 -> "spark", 0 -> "cluster"), 10)
       .orderBy("query_id", "rank").collect()
     // postings: spark -> docs 1 (tf 2), 3 (tf 3); cluster -> 2 (tf 1), 3 (tf 3)
-    val n = 4.0
-    val dls = Map(1L -> 4.0, 2L -> 5.0, 3L -> 8.0, 4L -> 2.0)
-    val avgdl = dls.values.sum / n
+    val n = 4L
+    val dls = Map(1L -> 4L, 2L -> 5L, 3L -> 8L, 4L -> 2L)
+    val sumdl = dls.values.sum
     val expected = Map(
-      1L -> refScore(2, 2, n, dls(1L), avgdl),
-      2L -> refScore(1, 2, n, dls(2L), avgdl),
-      3L -> (refScore(3, 2, n, dls(3L), avgdl)
-        + refScore(3, 2, n, dls(3L), avgdl)))
+      1L -> refScore(2, 2, n, dls(1L), sumdl),
+      2L -> refScore(1, 2, n, dls(2L), sumdl),
+      3L -> (refScore(3, 2, n, dls(3L), sumdl)
+        + refScore(3, 2, n, dls(3L), sumdl)))
     val got = out.map(r => r.getLong(2) -> r.getLong(3)).toMap
     assert(got === expected)
     // doc 3 matches both terms -> highest score; doc 4 matches nothing
