@@ -348,9 +348,9 @@ object DataMix {
     * sample without replacement. We order by the equivalent
     * −ln(u)/w ASCENDING (monotone transform — avoids the pow whose
     * rounding differs across libms) and, per the engine's integer
-    * discipline, round the key to integer NANOUNITS before ranking so the
-    * order is reproducible cross-engine (ties broken by id; the same
-    * round-before-compare move as [[graft.text.Dsir]]). u is the md5
+    * discipline, FLOOR the key to integer NANOUNITS before ranking so the
+    * order is reproducible cross-engine (ties broken by id; floor, not
+    * round — the half-way semantics hazard, see [[graft.text.Dsir]]). u is the md5
     * uniform shifted to the open interval ((h+0.5)/2³² — u = 0 would put
     * −ln(u) at +∞ regardless of weight).
     *
@@ -366,7 +366,7 @@ object DataMix {
     val keyed = df
       .filter(col(weightCol) > 0)
       .withColumn("key_nano",
-        round(-log(u) / col(weightCol).cast("double") * 1e9).cast("long"))
+        floor(-log(u) / col(weightCol).cast("double") * 1e9).cast("long"))
       .withColumn("__pid", spark_partition_id())
     val local = Window.partitionBy("__pid")
       .orderBy(col("key_nano"), col(idCol))
@@ -378,13 +378,13 @@ object DataMix {
   }
 
   /** 25 documents sampled ∝ n_chars under seed "wrsv0". The oracle replays
-    * u, the nano-rounded A-ES key, and one global window. */
+    * u, the nano-floored A-ES key, and one global window. */
   private val pWeightedReservoir = Q(
     (s, d) => weightedReservoir(Tables.documents(s, d)
       .select("doc_id", "n_chars"), "doc_id", "n_chars", k = 25,
       seed = "wrsv0").orderBy("doc_id"),
     Some("""WITH key AS (SELECT doc_id, n_chars,
-              CAST(round(-ln((
+              CAST(floor(-ln((
               """ + uniformSqlExpr("'wrsv0:' || CAST(doc_id AS VARCHAR)") +
       """ * 4294967296.0 + 0.5) / 4294967296.0)
                 / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano

@@ -1131,13 +1131,16 @@ object SimilarityOps {
 
   /** Int8 scalar quantization (SQ8 — the FAISS storage-compression
     * baseline, Jégou et al. TPAMI'11 §II): per-dimension min/max over the
-    * corpus, each component stored as code = round(255·(x−mn)/(mx−mn)),
-    * i.e. 4× smaller than float32. Returns per vector: n_dims, the integer
-    * code checksum, and the reconstruction error under dequantization
-    * mn + code·(mx−mn)/255, scaled to integer picounits
-    * (round(Σ(x−x̂)²·1e12)) — the per-term rounding happens BEFORE the sum,
-    * so the total is an exact integer reproducible under any partitioning
-    * and in DuckDB.
+    * corpus, each component stored as code = ⌊255·(x−mn)/(mx−mn) + 0.5⌋
+    * (round-to-nearest expressed as a binary-value floor — `floor(x+0.5)`
+    * is the same IEEE computation in both engines, where `round`'s
+    * half-way semantics diverge; the [[pqTrainCodebooks]] quantizer uses
+    * the identical form), i.e. 4× smaller than float32. Returns per
+    * vector: n_dims, the integer code checksum, and the reconstruction
+    * error under dequantization mn + code·(mx−mn)/255, scaled to integer
+    * picounits (⌊Σ(x−x̂)²·1e12 + 0.5⌋ per term) — the per-term floor
+    * happens BEFORE the sum, so the total is an exact integer
+    * reproducible under any partitioning and in DuckDB.
     *
     * Scale: the ONLY shuffle is the dim-keyed min/max aggregation over the
     * exploded (pos, x) slice (dims rows out, map-side combined). The
@@ -1162,14 +1165,15 @@ object SimilarityOps {
     // posexplode is 0-based, element_at 1-based
     def code(i: org.apache.spark.sql.Column) = {
       val (x, mn, mx) = (at("v", i), at("mins", i), at("maxs", i))
-      when(mx > mn, round(lit(255.0) * (x - mn) / (mx - mn)).cast("long"))
+      when(mx > mn, floor(lit(255.0) * (x - mn) / (mx - mn) + lit(0.5))
+        .cast("long"))
         .otherwise(0L)
     }
     def errPico(i: org.apache.spark.sql.Column) = {
       val (x, mn, mx) = (at("v", i), at("mins", i), at("maxs", i))
       val dq = when(mx > mn,
         mn + (code(i).cast("double") * (mx - mn)) / 255.0).otherwise(mn)
-      round(((x - dq) * (x - dq)) * 1e12).cast("long")
+      floor(((x - dq) * (x - dq)) * 1e12 + lit(0.5)).cast("long")
     }
     v.crossJoin(broadcast(statsRow))
       .select(col("id").as(idCol),
@@ -1192,8 +1196,8 @@ object SimilarityOps {
                    FROM ex GROUP BY pos),
             c AS (SELECT ex.vec_id,
                 CASE WHEN st.mx > st.mn
-                  THEN CAST(round(255.0 * (ex.x - st.mn) / (st.mx - st.mn))
-                    AS BIGINT) ELSE 0 END AS code,
+                  THEN CAST(floor(255.0 * (ex.x - st.mn) / (st.mx - st.mn)
+                    + 0.5) AS BIGINT) ELSE 0 END AS code,
                 st.mn, st.mx, ex.x
               FROM ex JOIN st USING (pos)),
             t AS (SELECT vec_id, code,
@@ -1203,8 +1207,8 @@ object SimilarityOps {
               FROM c)
             SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
               CAST(SUM(code) AS BIGINT) AS code_sum,
-              CAST(SUM(CAST(round(((x - dq) * (x - dq)) * 1e12) AS BIGINT))
-                AS BIGINT) AS err_pico
+              CAST(SUM(CAST(floor(((x - dq) * (x - dq)) * 1e12 + 0.5)
+                AS BIGINT)) AS BIGINT) AS err_pico
             FROM t GROUP BY vec_id ORDER BY vec_id"""))
 
   /** q_s_pq_train: the full 2-sweep training trajectory, hash-checked —

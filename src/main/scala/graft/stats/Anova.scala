@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * group rows sorted by group key (`aggregate` over a sorted array in
   * Spark, `list_reduce(list(term ORDER BY g))` in DuckDB), so the
   * addition order is pinned on both engines and the F statistic is
-  * bit-replayable; outputs round to integer micro-units. Long-range
-  * caveat: Σv² in a long caps values·rows at ~3·10⁹·√rows — at true
-  * 100 TB scale widen the statistics to decimal(38). */
+  * bit-replayable; outputs FLOOR to integer micro-units (floor is the
+  * binary-value floor in both engines, where `round`'s half-way
+  * semantics diverge — the round-11 q_t_bm25 hazard). The Σv and Σv²
+  * sufficient statistics accumulate in decimal(38,0) (oracle:
+  * HUGEINT), so there is NO long-overflow cap at any corpus size —
+  * the former ~3·10⁹·√rows scaladoc caveat is retired by construction. */
 object Anova {
 
   /** One F-test row per variable over a pre-unpivoted frame of
@@ -37,8 +40,8 @@ object Anova {
       centsCol: String): DataFrame = {
     val grp = rows.groupBy(col(varCol).as("__var"), col(groupCol).as("__g"))
       .agg(count(lit(1)).as("ng"),
-        sum(col(centsCol)).as("sg"),
-        sum(col(centsCol) * col(centsCol)).as("qg"))
+        sum(col(centsCol).cast("decimal(38,0)")).as("sg"),
+        sum(col(centsCol).cast("decimal(38,0)") * col(centsCol)).as("qg"))
       .withColumn("term",
         col("sg").cast("double") * col("sg") / col("ng"))
     val agg = grp.groupBy("__var").agg(
@@ -57,17 +60,19 @@ object Anova {
       // zero within-group variance -> F undefined: explicit null (ANSI
       // sessions raise on the 0-divide; the guard is the semantics)
       when(col("ssw") > 0,
-        round(col("ssb") / (col("k") - 1) /
+        floor(col("ssb") / (col("k") - 1) /
           (col("ssw") / (col("n") - col("k"))) * lit(1e6)).cast("long"))
         .as("f_micro"),
       when(col("ssb") + col("ssw") > 0,
-        round(col("ssb") / (col("ssb") + col("ssw")) * lit(1e6))
+        floor(col("ssb") / (col("ssb") + col("ssw")) * lit(1e6))
           .cast("long"))
         .as("eta2_micro"))
   }
 
-  /** Exact integer cents from a 2-decimal double column (same product,
-    * same round, both engines). */
+  /** Exact integer cents from a 2-decimal double column. `round` is SAFE
+    * here (unlike on transcendental-derived values): x·100 for a
+    * 2-decimal x lands within an ulp of an integer — ~0.5 away from the
+    * half-way boundary where the engines' round semantics diverge. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
   private val mAnova = Q(
@@ -96,15 +101,15 @@ object Anova {
                      CAST(round(l_quantity * 100) AS BIGINT)
               FROM lineitem),
             grp AS (SELECT var, g, COUNT(*) AS ng,
-                CAST(SUM(v) AS BIGINT) AS sg,
-                CAST(SUM(v * v) AS BIGINT) AS qg
+                CAST(SUM(v) AS HUGEINT) AS sg,
+                SUM(CAST(v AS HUGEINT) * v) AS qg
               FROM rows0 GROUP BY 1, 2),
             terms AS (SELECT var, g, ng, sg, qg,
                 CAST(sg AS DOUBLE) * sg / ng AS term FROM grp),
             agg AS (SELECT var, COUNT(*) AS k,
                 CAST(SUM(ng) AS BIGINT) AS n,
-                CAST(SUM(sg) AS BIGINT) AS s,
-                CAST(SUM(qg) AS BIGINT) AS q,
+                SUM(sg) AS s,
+                SUM(qg) AS q,
                 list_reduce(list(term ORDER BY g),
                   (acc, x) -> acc + x) AS t
               FROM terms GROUP BY 1),
@@ -114,10 +119,10 @@ object Anova {
               FROM agg)
             SELECT var AS variable, CAST(k AS BIGINT) AS k, n,
                    CASE WHEN ssw > 0 THEN
-                     CAST(round(ssb / (k - 1) / (ssw / (n - k)) * 1000000.0)
+                     CAST(floor(ssb / (k - 1) / (ssw / (n - k)) * 1000000.0)
                        AS BIGINT) END AS f_micro,
                    CASE WHEN ssb + ssw > 0 THEN
-                     CAST(round(ssb / (ssb + ssw) * 1000000.0) AS BIGINT)
+                     CAST(floor(ssb / (ssb + ssw) * 1000000.0) AS BIGINT)
                      END AS eta2_micro
             FROM fin ORDER BY variable"""))
 

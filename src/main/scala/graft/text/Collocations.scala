@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * Cross-engine determinism: all counts are exact integers; the single
   * `ln` runs on an identical literal expression tree in both engines
   * (the double products inside may round — identically, since IEEE ops
-  * are deterministic given the same tree), and the score is rounded to
-  * integer micro-nats ([[Dsir]] convention) so ordering ties break on
-  * the bigram itself, never on float compares. */
+  * are deterministic given the same tree), and the score is FLOORED to
+  * integer micro-nats — floor is the binary-value floor in both
+  * engines, where `round`'s half-way semantics diverge (Spark HALF_UP
+  * on the decimal repr vs DuckDB on the binary value; the round-11
+  * q_t_bm25 flip). Ordering ties break on the bigram itself, never on
+  * float compares. */
 object Collocations {
 
   /** Top-k adjacent-pair collocations by PMI. Output: (rank, x, y,
@@ -47,7 +50,7 @@ object Collocations {
       .join(ucnt.select(col("tok").as("y"), col("c1").as("cy")), "y")
       .crossJoin(broadcast(totals))
       .select(col("x"), col("y"), col("c_xy"),
-        round(log((col("c_xy").cast("double") * col("nt") * col("nt")) /
+        floor(log((col("c_xy").cast("double") * col("nt") * col("nt")) /
           (col("cx").cast("double") * col("cy") * col("nb"))) * lit(1e6))
           .cast("long").as("pmi_micro"))
     scored.orderBy(col("pmi_micro").desc, col("x"), col("y")).limit(k)
@@ -84,7 +87,7 @@ object Collocations {
                   AS i) ii)
               GROUP BY 1, 2 HAVING COUNT(*) >= 5),
             scored AS (SELECT b.x, b.y, b.c_xy,
-                CAST(round(ln((CAST(b.c_xy AS DOUBLE)
+                CAST(floor(ln((CAST(b.c_xy AS DOUBLE)
                     * (SELECT nt FROM nt) * (SELECT nt FROM nt)) /
                   (CAST(cx.c1 AS DOUBLE) * cy.c1 * (SELECT nb FROM nb)))
                   * 1000000.0) AS BIGINT) AS pmi_micro

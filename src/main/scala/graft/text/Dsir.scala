@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *          = nlp_raw − nlp_target            (in negative-log space)
   *
   * Numeric contract (the [[NgramLm]] discipline): each per-bigram negative
-  * log-prob is rounded to integer micro-nats BEFORE the per-doc sum, so
+  * log-prob is floored to integer micro-nats BEFORE the per-doc sum, so
   * weights are exact integers — reproducible under any partitioning and
   * replayable in DuckDB with zero float tolerance. Selection is a pure
   * integer rank test: rank ≤ ceil(n·num/den) over (weight desc, id).
@@ -79,7 +79,7 @@ object Dsir {
   /** The per-bigram negative log-prob in integer micro-nats. */
   private[graft] def nlMicroExpr(cxy: String, cx: String, v: String,
       k: Double): org.apache.spark.sql.Column =
-    round(-log((coalesce(col(cxy), lit(0L)) + lit(k)) /
+    floor(-log((coalesce(col(cxy), lit(0L)) + lit(k)) /
       (coalesce(col(cx), lit(0L)) + lit(k) * col(v))) * 1e6).cast("long")
 
   def weightsMicroReleasable(docs: DataFrame, idCol: String, textCol: String,
@@ -194,11 +194,11 @@ object Dsir {
             bc_t AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy_t
                      FROM bg_t GROUP BY 1, 2),
             sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                     CAST(SUM(CAST(ROUND(-ln(
+                     CAST(SUM(CAST(FLOOR(-ln(
                          CAST(COALESCE(r.cxy_r, 0) + 1.0 AS DOUBLE)
                        / CAST(COALESCE(ur.cx_r, 0) + 1.0 * vr.v_r AS DOUBLE))
                        * 1000000.0) AS BIGINT)) AS BIGINT) AS nlp_raw_micro,
-                     CAST(SUM(CAST(ROUND(-ln(
+                     CAST(SUM(CAST(FLOOR(-ln(
                          CAST(COALESCE(t.cxy_t, 0) + 1.0 AS DOUBLE)
                        / CAST(COALESCE(ut.cx_t, 0) + 1.0 * vt.v_t AS DOUBLE))
                        * 1000000.0) AS BIGINT)) AS BIGINT) AS nlp_tgt_micro

@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   *   p(y|x) = (c(x,y) + k) / (c(x) + k·V)      (add-k smoothing)
   *   ppl(doc) = exp( −(1/n) · Σ ln p(yᵢ|xᵢ) )  over the doc's n bigrams
   *
-  * Numeric contract: the per-bigram negative log-prob is rounded to
+  * Numeric contract: the per-bigram negative log-prob is FLOORED to
   * integer MICRO-nats immediately (each is a deterministic per-row
   * function of exact counts — no aggregation order involved), so the
   * per-doc reduction is an exact integer sum, reproducible bit-for-bit
   * under any partitioning and replayable in DuckDB with no float-sum
   * tolerance at all (the [[graft.sim.SimilarityOps.meanPool]] micro-units
-  * trick).
+  * trick). Floor, not round: `round`'s half-way semantics diverge
+  * across engines (Spark decimal-repr HALF_UP vs DuckDB binary — the
+  * round-11 q_t_bm25 flip), floor is the binary-value floor in both.
   * Perplexity derives from the exact integers at the end.
   *
   * Scale: two corpus aggregations (bigram counts, token counts) keyed on
@@ -46,7 +48,7 @@ object NgramLm {
       .select(col("__id"), col("b.x").as("x"), col("b.y").as("y"))
 
   /** Exact integer core: (idCol, n_bigrams, nlp_micro) where nlp_micro is
-    * the doc's Σ round(−ln p · 1e6) in micro-nats. */
+    * the doc's Σ floor(−ln p · 1e6) in micro-nats. */
   def negLogMicro(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, modelTextCol: String, k: Double = 1.0): DataFrame = {
     require(k > 0, "smoothing k must be positive")
@@ -59,7 +61,7 @@ object NgramLm {
       .join(bigramCounts, Seq("x", "y"), "left")
       .join(unigrams.withColumnRenamed("tok", "x"), Seq("x"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("nlp_micro", round(-log(
+      .withColumn("nlp_micro", floor(-log(
         (coalesce(col("cxy"), lit(0L)) + lit(k)) /
           (coalesce(col("cx"), lit(0L)) + lit(k) * col("v"))) * 1e6)
         .cast("long"))
@@ -154,7 +156,7 @@ object NgramLm {
             bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
                    FROM bg GROUP BY x, y),
             sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                     CAST(SUM(CAST(ROUND(-ln(
+                     CAST(SUM(CAST(FLOOR(-ln(
                          CAST(COALESCE(c.cxy, 0) + 1.0 AS DOUBLE)
                        / CAST(COALESCE(u.cx, 0) + 1.0 * v.v AS DOUBLE))
                        * 1000000.0) AS BIGINT)) AS BIGINT) AS nlp_micro

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * ([[TextOps.langId]]) into a linear model of its profile scores.
   *
   * QUANTIZED-gradient parameterization, deliberately: each row's
-  * per-feature gradient contribution (σ(w·x) − y)·xⱼ rounds to integer
-  * MICRO-units before the reduction, so every gradient sum is an exact
+  * per-feature gradient contribution (σ(w·x) − y)·xⱼ FLOORS to integer
+  * MICRO-units before the reduction (floor of a double is the binary
+  * value floor in BOTH engines; `round`'s half-way semantics diverge —
+  * Spark decimal-repr HALF_UP, DuckDB C round, JVM math.round
+  * half-toward-+inf — the round-11 q_t_bm25 hazard class), so every
+  * gradient sum is an exact
   * integer under any partitioning and the whole fit — per-iteration
   * weights included — is bit-for-bit replayable in DuckDB CTEs (the
   * seeded-unroll family of the KMeans/KModes/BGMM oracles; the
@@ -46,7 +50,7 @@ object QualityClassifier {
     (1 to iters).foreach { _ =>
       val err = lit(1.0) / (lit(1.0) + exp(-zCol(w, featureCols))) - col("y")
       val gs = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
-        case (x, j) => sum(round(err * x * 1e6).cast("long")).as(s"g$j")
+        case (x, j) => sum(floor(err * x * 1e6).cast("long")).as(s"g$j")
       }
       val g = feats.agg(gs.head, gs.tail: _*).collect()(0)
       w = w.indices.map(j =>
@@ -88,7 +92,7 @@ object QualityClassifier {
       val prev = s"wt${t - 1}"
       val sig = s"(1e0 / (1e0 + exp(-${z(prev)})) - y)"
       val grads = xs.zipWithIndex.map { case (x, j) =>
-        s"SUM(CAST(ROUND($sig$x * 1e6) AS BIGINT)) AS g$j"
+        s"SUM(CAST(FLOOR($sig$x * 1e6) AS BIGINT)) AS g$j"
       }.mkString(",\n              ")
       val ws = wRefs(t).zipWithIndex.map { case (wn, j) =>
         s"$prev.$wn - ${lr}e0 * ((CAST(g$j AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)) AS $wn"
@@ -113,10 +117,10 @@ object QualityClassifier {
       featureCtes: String): String = {
     s"""WITH ${weightCtes(iters, lr, featureCtes)}
             SELECT n0.n AS n, p0.n_pos AS n_pos,
-              CAST(ROUND(w0 * 1e6) AS BIGINT) AS w0_micro,
-              CAST(ROUND(w1 * 1e6) AS BIGINT) AS w1_micro,
-              CAST(ROUND(w2 * 1e6) AS BIGINT) AS w2_micro,
-              CAST(ROUND(w3 * 1e6) AS BIGINT) AS w3_micro,
+              CAST(FLOOR(w0 * 1e6) AS BIGINT) AS w0_micro,
+              CAST(FLOOR(w1 * 1e6) AS BIGINT) AS w1_micro,
+              CAST(FLOOR(w2 * 1e6) AS BIGINT) AS w2_micro,
+              CAST(FLOOR(w3 * 1e6) AS BIGINT) AS w3_micro,
               (SELECT CAST(SUM(CASE WHEN (${z(s"wt$iters")} >= 0e0)
                      = (y = 1e0) THEN 1 ELSE 0 END) AS BIGINT)
                FROM f CROSS JOIN wt$iters) AS n_correct
@@ -217,10 +221,15 @@ object QualityClassifier {
         ((expr("(vowels * 1000000) div greatest(alphas, 1)").cast("double")
           - lit(347700.0)) / lit(1e4)).as("f3"))
 
+  /** Weight quantization by FLOOR: JVM math.round is floor(x+0.5)
+    * (half-toward-+inf on negatives) while DuckDB ROUND is half-away-
+    * from-zero — a trained weight landing on an exact representable
+    * half would diverge; floor is identical in both. */
+  private def wMicro(x: Double): Long = math.floor(x * 1e6).toLong
+
   private def fitRow(r: Fit) =
-    (r.n, r.pos, math.round(r.weights(0) * 1e6),
-      math.round(r.weights(1) * 1e6), math.round(r.weights(2) * 1e6),
-      math.round(r.weights(3) * 1e6), r.correct)
+    (r.n, r.pos, wMicro(r.weights(0)), wMicro(r.weights(1)),
+      wMicro(r.weights(2)), wMicro(r.weights(3)), r.correct)
 
   private val fitCols = Seq("n", "n_pos", "w0_micro", "w1_micro",
     "w2_micro", "w3_micro", "n_correct")
@@ -306,17 +315,17 @@ object QualityClassifier {
       val feats = charClassFeatures(Tables.documents(s, d), "doc_id", "text")
       val r = fit(feats, Seq("f1", "f2", "f3"), col("y_sw"),
         iters = 20, lr = 1.0)
-      val wm = r.weights.map(x => math.round(x * 1e6).toDouble)
+      val wm = r.weights.map(x => wMicro(x).toDouble)
       val scored = feats.select(col("y_sw").cast("double").as("y"),
         (lit(wm(0)) + lit(wm(1)) * col("f1") + lit(wm(2)) * col("f2") +
           lit(wm(3)) * col("f3")).as("z"))
       calibrationTable(scored, "y", "z", 10).orderBy("bin")
     },
     Some((s"""WITH ${weightCtes(20, 1.0, charClassFeatureCtes)},
-            wq AS (SELECT CAST(ROUND(w0 * 1e6) AS BIGINT) AS m0,
-                CAST(ROUND(w1 * 1e6) AS BIGINT) AS m1,
-                CAST(ROUND(w2 * 1e6) AS BIGINT) AS m2,
-                CAST(ROUND(w3 * 1e6) AS BIGINT) AS m3 FROM wt20),
+            wq AS (SELECT CAST(FLOOR(w0 * 1e6) AS BIGINT) AS m0,
+                CAST(FLOOR(w1 * 1e6) AS BIGINT) AS m1,
+                CAST(FLOOR(w2 * 1e6) AS BIGINT) AS m2,
+                CAST(FLOOR(w3 * 1e6) AS BIGINT) AS m3 FROM wt20),
             zt AS (SELECT f.y,
                 (CAST(m0 AS DOUBLE) + m1 * f1 + m2 * f2 + m3 * f3) AS z
               FROM f CROSS JOIN wq),

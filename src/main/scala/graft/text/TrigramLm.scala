@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * distribution — which is irrelevant for the ranking/filtering uses a
   * curation pipeline has — but every level is a deterministic ratio of
   * exact integer counts, so the whole model rides the [[NgramLm]] numeric
-  * contract: per-trigram −ln S rounded to integer micro-nats immediately
+  * contract: per-trigram −ln S floored to integer micro-nats immediately
   * (no aggregation-order float), per-doc reduction an exact integer sum,
   * bit-replayable in DuckDB.
   *
@@ -50,7 +50,8 @@ object TrigramLm {
         col("g.w3").as("w3"))
 
   /** Exact integer core: (idCol, n_trigrams, sb_micro) with sb_micro the
-    * doc's Σ round(−ln S · 1e6) in micro-nats. Every float expression is
+    * doc's Σ floor(−ln S · 1e6) in micro-nats (floor, not round — the
+    * cross-engine half-way hazard; see [[NgramLm]]). Every float expression is
     * parenthesized exactly as the oracle SQL writes it. */
   def stupidBackoffMicro(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, modelTextCol: String,
@@ -78,7 +79,7 @@ object TrigramLm {
           .otherwise(lit(alpha) * (lit(alpha) *
             ((coalesce(col("c3"), lit(0L)) + lit(1.0)) /
               (col("n") + col("v"))))))
-      .withColumn("sb_micro", round(-log(col("s")) * 1e6).cast("long"))
+      .withColumn("sb_micro", floor(-log(col("s")) * 1e6).cast("long"))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_trigrams"), sum("sb_micro").as("sb_micro"))
     docs.select(col(idCol))
@@ -126,7 +127,7 @@ object TrigramLm {
                      t[CAST(i AS INT) + 3] AS w3
                    FROM db, LATERAL (SELECT unnest(range(len(t) - 2)) AS i) ii),
             sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-                     CAST(SUM(CAST(ROUND(-ln(
+                     CAST(SUM(CAST(FLOOR(-ln(
                          CASE WHEN t3.c IS NOT NULL
                               THEN CAST(t3.c AS DOUBLE) / CAST(b12.c AS DOUBLE)
                               WHEN b23.c IS NOT NULL

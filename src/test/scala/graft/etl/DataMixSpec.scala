@@ -146,7 +146,7 @@ class DataMixSpec extends SparkSpecBase {
         col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long") + lit(0.5)) / lit(4294967296.0)
     val direct = df.withColumn("key_nano",
-        round(-log(u) / col("wt").cast("double") * 1e9).cast("long"))
+        floor(-log(u) / col("wt").cast("double") * 1e9).cast("long"))
       .withColumn("r", row_number().over(
         Window.orderBy(col("key_nano"), col("id"))))
       .filter(col("r") <= 25).select("id").as[Long].collect().toSet

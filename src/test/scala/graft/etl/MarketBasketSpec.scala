@@ -17,7 +17,8 @@ class MarketBasketSpec extends SparkSpecBase {
     (6L, "D")
   ).toDF("basket", "item")
 
-  private def micro(x: Double): Long = math.round(x * 1e6)
+  // exact-rational reference: the operator computes (num·1e6) div den
+  private def micro(num: Long, den: Long): Long = num * 1000000L / den
 
   test("supports, confidence, and lift match hand counts; duplicate " +
       "basket lines count once") {
@@ -28,9 +29,9 @@ class MarketBasketSpec extends SparkSpecBase {
     // lifts: AB 3*6/16=1.125, AC 2*6/12=1.0, BC 2*6/12=1.0
     // order: AB first, then AC before BC lexically (equal lift)
     assert(out.toSeq === Seq(
-      ("A", "B", 3L, 4L, 4L, micro(3.0 / 4), micro(1.125)),
-      ("A", "C", 2L, 4L, 3L, micro(2.0 / 4), micro(1.0)),
-      ("B", "C", 2L, 4L, 3L, micro(2.0 / 4), micro(1.0))))
+      ("A", "B", 3L, 4L, 4L, micro(3, 4), micro(3 * 6, 4 * 4)),
+      ("A", "C", 2L, 4L, 3L, micro(2, 4), micro(2 * 6, 4 * 3)),
+      ("B", "C", 2L, 4L, 3L, micro(2, 4), micro(2 * 6, 4 * 3))))
   }
 
   test("min-support floors singleton pairs and k truncates") {

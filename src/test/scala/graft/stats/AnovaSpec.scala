@@ -20,7 +20,7 @@ class AnovaSpec extends SparkSpecBase {
     assert(r.getString(0) === "v1" && r.getLong(1) === 2L &&
       r.getLong(2) === 6L)
     assert(r.getLong(3) === 13500000L)
-    assert(r.getLong(4) === math.round(13.5 / 17.5 * 1e6))
+    assert(r.getLong(4) === math.floor(13.5 / 17.5 * 1e6).toLong)
   }
 
   test("identical group means give F == 0; two variables stay " +

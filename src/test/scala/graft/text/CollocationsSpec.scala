@@ -12,8 +12,8 @@ class CollocationsSpec extends SparkSpecBase {
     (1L, "a b a b c d"), (2L, "a b e e")).toDF("doc_id", "text")
 
   private def refMicro(cxy: Long, cx: Long, cy: Long): Long =
-    math.round(math.log((cxy.toDouble * 10 * 10) /
-      (cx.toDouble * cy * 8)) * 1e6)
+    math.floor(math.log((cxy.toDouble * 10 * 10) /
+      (cx.toDouble * cy * 8)) * 1e6).toLong
 
   test("PMI matches the plain-Scala reference; min-count floors hapax " +
       "pairs") {

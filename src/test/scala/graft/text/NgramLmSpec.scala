@@ -15,7 +15,7 @@ class NgramLmSpec extends SparkSpecBase {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_bigrams"),
          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
-    val nlp = (p: Double) => math.round(-math.log(p) * 1e6)
+    val nlp = (p: Double) => math.floor(-math.log(p) * 1e6).toLong
     // doc 1: bigrams (a,b), (b,a) → nlp(0.8) + nlp(0.4)
     assert(out(1L) === ((2L, Some(nlp(0.8) + nlp(0.4)))))
     // docs with < 2 tokens are emitted unscored

@@ -23,7 +23,7 @@ class TrigramLmSpec extends SparkSpecBase {
       model, "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
-    def micro(s: Double): Long = math.round(-math.log(s) * 1e6)
+    def micro(s: Double): Long = math.floor(-math.log(s) * 1e6).toLong
     assert(out(10L) === ((1L, Some(micro(1.0)))))
     assert(out(11L) === ((1L, Some(micro(alpha * 1.0)))))
     assert(out(12L) === ((1L, Some(micro(alpha * (alpha * (2.0 / 8.0)))))))
