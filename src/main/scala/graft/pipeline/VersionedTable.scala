@@ -95,12 +95,37 @@ object VersionedTable {
     fc.rename(tmp, new Path(s"$dir/_LATEST"), Options.Rename.OVERWRITE)
   }
 
+  /** Delete any data files already stamped with the (unpublished)
+    * version `v` — orphans of a crashed prior attempt at this same
+    * commit. Under the single-writer contract no reader can reference
+    * them (the pointer never swapped), so deletion is safe; without it
+    * the retry regenerates the same deterministic names and the
+    * adopt-rename fails on HDFS (rename onto an existing destination)
+    * or silently overwrites on a local FS. */
+  private def clearCrashedAttempt(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val f = fs(spark, dir)
+    val dataRoot = new Path(s"$dir/data")
+    val stamp = f"part-v$v%08d-"
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        .foreach { bd =>
+          f.listStatus(bd.getPath)
+            .filter(st => st.isFile && st.getPath.getName.startsWith(stamp))
+            .foreach(st => f.delete(st.getPath, false))
+        }
+  }
+
   /** Move the staged bucket files (a partitionBy("bucket") output) into
     * the immutable data area under fresh version-stamped names; returns
-    * the new (bucket, relative path) entries. */
+    * the new (bucket, relative path) entries. Clears same-version
+    * orphans of a crashed prior attempt first, so the retry's renames
+    * never collide. */
   private def adoptStaged(spark: SparkSession, dir: String, stage: String,
       v: Long): Seq[(Int, String)] = {
     val f = fs(spark, dir)
+    clearCrashedAttempt(spark, dir, v)
     val stagePath = new Path(stage)
     if (!f.exists(stagePath)) return Nil
     f.listStatus(stagePath)
@@ -136,35 +161,65 @@ object VersionedTable {
     swapPointer(spark, dir, 0L)
   }
 
+  /** An EMPTY frame carrying the table schema — the legitimate result
+    * of reading a version whose (filtered) file list is empty (all keys
+    * of a bucket deleted, or a fully-deleted table). Schema is borrowed
+    * from any data file still on disk (read with `limit 0`, one footer);
+    * a table that never adopted a single data file has no schema to
+    * offer and fails loudly. */
+  private def emptySnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val dataRoot = new Path(s"$dir/data")
+    val any: Option[String] =
+      if (!f.exists(dataRoot)) None
+      else f.listStatus(dataRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        .iterator.flatMap(bd => f.listStatus(bd.getPath)
+          .filter(_.isFile).map(_.getPath.toString))
+        .nextOption()
+    require(any.nonEmpty,
+      s"versioned table $dir holds no data files at all — cannot " +
+        "construct the schema of an empty snapshot")
+    spark.read.option("basePath", s"$dir/data")
+      .option("mergeSchema", "true").parquet(any.get).limit(0)
+  }
+
   /** Read a snapshot — the latest by default, any retained `version`
     * for time travel. The scan is the manifest's explicit file list
     * (basePath keeps the bucket partition column), so it is immune to
     * concurrent commits AND naturally pruned when callers pre-filter
-    * the entries ([[lookupKeys]]). */
+    * the entries ([[lookupKeys]]). A version that legitimately lists no
+    * files (every row deleted) reads as an EMPTY frame with the table
+    * schema — only a missing version is an error. */
   def read(spark: SparkSession, dir: String, version: Long = -1L)
       : DataFrame = {
     val v = if (version >= 0) version else latestVersion(spark, dir)
     require(v >= 0, s"versioned table $dir has no committed version")
     val files = readManifest(spark, dir, v).map(e => s"$dir/data/${e._2}")
-    require(files.nonEmpty, s"version $v of $dir lists no files")
-    spark.read.option("basePath", s"$dir/data")
+    if (files.isEmpty) emptySnapshot(spark, dir)
+    else spark.read.option("basePath", s"$dir/data")
       .option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Key lookup that prunes AT THE MANIFEST: only files of the buckets
-    * the probed keys hash to are handed to the scan. */
+    * the probed keys hash to are handed to the scan. Keys hashing to
+    * buckets with no retained files (e.g. emptied by deletes) return an
+    * EMPTY frame, not an exception — an empty lookup is a valid
+    * answer. */
   def lookupKeys(spark: SparkSession, dir: String, key: String,
       keys: Seq[Any], numBuckets: Int, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(spark, dir)
+    require(v >= 0, s"versioned table $dir has no committed version")
     val hashed = spark.range(1)
       .select(keys.map(k => Sinks.bucketId(lit(k), numBuckets)): _*)
       .head().toSeq.map(_.asInstanceOf[Int]).toSet
     val files = readManifest(spark, dir, v)
       .filter(e => hashed.contains(e._1)).map(e => s"$dir/data/${e._2}")
-    require(files.nonEmpty, s"no retained files for buckets $hashed in $dir")
-    spark.read.option("basePath", s"$dir/data")
-      .option("mergeSchema", "true").parquet(files: _*)
-      .filter(col(key).isin(keys: _*))
+    val snap =
+      if (files.isEmpty) emptySnapshot(spark, dir)
+      else spark.read.option("basePath", s"$dir/data")
+        .option("mergeSchema", "true").parquet(files: _*)
+    snap.filter(col(key).isin(keys: _*))
   }
 
   /** CDC merge committing a new snapshot: same changelog collapse and

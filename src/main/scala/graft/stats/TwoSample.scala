@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * approximation) is computed from those exact integers with an
   * identical expression tree in both engines and FLOORED to micro-units
   * (floor of identical IEEE doubles is engine-independent; `round`'s
-  * decimal-string semantics are not). Long-range caveat: the products
-  * `n_a·n_b·1e6` cap the two sample sizes at ~3·10⁶ rows each in long
-  * arithmetic — monitoring at true 100 TB scale widens the final ratio
-  * columns to decimal(38), the counts pass is unaffected. */
+  * decimal-string semantics are not). The cross-products (KS's
+  * `n_b·cum_a`, `d_num·1e6`, MWU's rank/tie sums) run in decimal(38,0)
+  * (oracle: HUGEINT), so no sample size silently wraps a long — only
+  * the final OUTPUT columns narrow back to bigint, where a decimal→long
+  * overflow surfaces as null (visible), never as a wrong value. */
 object TwoSample {
 
   /** Shared per-(variable, value) sample counts: `ca`/`cb` = occurrences
@@ -87,13 +88,17 @@ object TwoSample {
       .withColumn("cuma", sum("ca").over(cumWindow))
       .withColumn("cumb", sum("cb").over(cumWindow))
       .join(broadcast(totals(cnt)), Seq("__var"))
+      // decimal(38,0) cross-products: no long wraparound at any n
       .withColumn("__d",
-        abs(col("nb") * col("cuma") - col("na") * col("cumb")))
+        abs(col("nb").cast("decimal(38,0)") * col("cuma") -
+          col("na").cast("decimal(38,0)") * col("cumb")))
       .groupBy(col("__var"), col("na"), col("nb"))
-      .agg(max("__d").as("d_num"))
+      .agg(max("__d").as("__dnum"))
       .select(col("__var").as("variable"), col("na"), col("nb"),
-        col("d_num"),
-        expr("(d_num * 1000000L) div (na * nb)").as("d_micro"))
+        col("__dnum").cast("long").as("d_num"),
+        expr("""cast((__dnum * 1000000)
+              div (cast(na as decimal(38,0)) * nb) as long)""")
+          .as("d_micro"))
   }
 
   /** Two-sample Mann–Whitney U (average-rank ties, tie-corrected normal
@@ -112,10 +117,13 @@ object TwoSample {
       .groupBy("__var")
       // 2·R_a = Σ ca·(2·preceding + t + 1): each tied value contributes
       // its average rank (preceding + (t+1)/2), doubled to stay integral
-      .agg(sum(col("ca") * (col("cumx") * 2 + col("c") + 1)).as("r2a"),
-        sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+      .agg(sum(col("ca").cast("decimal(38,0)") *
+          (col("cumx") * 2 + col("c") + 1)).as("r2a"),
+        sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+          .as("tie"))
       .join(broadcast(totals(cnt)), Seq("__var"))
-      .withColumn("u2", col("r2a") - col("na") * (col("na") + 1))
+      .withColumn("u2",
+        col("r2a") - col("na").cast("decimal(38,0)") * (col("na") + 1))
       .withColumn("n", col("na") + col("nb"))
     // the one float computation, identical tree in the oracle SQL:
     // z = ((2U − na·nb)/2) / sqrt(na·nb/12 · ((n+1) − tie/(n(n−1))))
@@ -127,7 +135,7 @@ object TwoSample {
     val z = (col("u2").cast("double") - dna * dnb) / lit(2.0) /
       sqrt(varTerm)
     agg.select(col("__var").as("variable"), col("na"), col("nb"),
-      col("u2"), col("tie"),
+      col("u2").cast("long").as("u2"), col("tie").cast("long").as("tie"),
       when(varTerm > 0, floor(z * lit(1e6))).as("z_micro"))
   }
 
@@ -206,10 +214,13 @@ object TwoSample {
                   AS BIGINT) AS cumb
               FROM cnt)
             SELECT cum.v AS variable, tot.na, tot.nb,
-                   CAST(MAX(abs(tot.nb * cum.cuma - tot.na * cum.cumb))
+                   CAST(MAX(abs(CAST(tot.nb AS HUGEINT) * cum.cuma
+                       - CAST(tot.na AS HUGEINT) * cum.cumb))
                      AS BIGINT) AS d_num,
-                   CAST(MAX(abs(tot.nb * cum.cuma - tot.na * cum.cumb))
-                     AS BIGINT) * 1000000 // (tot.na * tot.nb) AS d_micro
+                   CAST(MAX(abs(CAST(tot.nb AS HUGEINT) * cum.cuma
+                       - CAST(tot.na AS HUGEINT) * cum.cumb))
+                     * 1000000 // (CAST(tot.na AS HUGEINT) * tot.nb)
+                     AS BIGINT) AS d_micro
             FROM cum JOIN tot ON cum.v = tot.v
             GROUP BY 1, 2, 3 ORDER BY variable"""))
 
@@ -223,11 +234,12 @@ object TwoSample {
                   AS BIGINT) - (ca + cb) AS cumx
               FROM cnt),
             agg AS (SELECT v,
-                CAST(SUM(ca * (cumx * 2 + c + 1)) AS BIGINT) AS r2a,
-                CAST(SUM(c * c * c - c) AS BIGINT) AS tie
+                SUM(CAST(ca AS HUGEINT) * (cumx * 2 + c + 1)) AS r2a,
+                SUM(CAST(c AS HUGEINT) * c * c - c) AS tie
               FROM cum GROUP BY 1),
             fin AS (SELECT agg.v, tot.na, tot.nb,
-                agg.r2a - tot.na * (tot.na + 1) AS u2, agg.tie,
+                agg.r2a - CAST(tot.na AS HUGEINT) * (tot.na + 1) AS u2,
+                CAST(agg.tie AS BIGINT) AS tie,
                 tot.na + tot.nb AS n
               FROM agg JOIN tot ON agg.v = tot.v)
             SELECT v AS variable, na, nb, CAST(u2 AS BIGINT) AS u2, tie,

@@ -86,6 +86,79 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(tbl(dir) === expect)
   }
 
+  test("crash AFTER data-file adoption (pointer never swapped): the " +
+      "retry's deterministic names do not collide and same-version " +
+      "orphans of the crashed attempt are swept") {
+    val dir = java.nio.file.Files.createTempDirectory("vadopt").toString + "/t"
+    VersionedTable.create(
+      (0L until 50L).map(k => (k, s"a$k")).toDF("k", "v"), dir, "k", 4)
+    // crashed attempt at v1: a multi-bucket batch runs to completion...
+    val crashed = Seq((3L, "crashA", "U", 1L), (4L, "crashB", "U", 1L),
+      (60L, "neverlanded", "I", 1L)).toDF("k", "v", "op", "seq")
+    VersionedTable.applyCdc(spark, dir, crashed, "k", "op", "seq", 4)
+    // ...then we rewind manifest+pointer, leaving ONLY the adopted
+    // part-v00000001-* data files — the exact crash-between-adoptStaged-
+    // and-writeManifest state
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/manifests/v00000001"))
+    // drop the checksum sidecar too — the raw rewind below would
+    // otherwise trip LocalFileSystem's CRC verification
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/._LATEST.crc"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_LATEST"), "0\n".getBytes)
+    assert(VersionedTable.latestVersion(spark, dir) === 0L)
+    // the retry commits a DIFFERENT (narrower) batch at the same v1
+    val retry = Seq((3L, "fresh", "U", 1L)).toDF("k", "v", "op", "seq")
+    VersionedTable.applyCdc(spark, dir, retry, "k", "op", "seq", 4)
+    assert(VersionedTable.latestVersion(spark, dir) === 1L)
+    val state = tbl(dir)
+    assert(state(3L) === "fresh")
+    assert(state(4L) === "a4", "crashed attempt's update must not leak")
+    assert(!state.contains(60L), "crashed attempt's insert must not leak")
+    // every v1-stamped file on disk is referenced by the v1 manifest —
+    // the crashed attempt's same-version orphans were cleared, so no
+    // rename collision and no unreachable files wearing a published stamp
+    val manifest = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$dir/manifests/v00000001"))
+      .toArray.map(_.toString.split("\t")(1)).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val v1OnDisk = walk(new java.io.File(s"$dir/data"))
+      .filter(_.getName.startsWith("part-v00000001-"))
+      .map(f => s"${f.getParentFile.getName}/${f.getName}").toSet
+    assert(v1OnDisk === manifest.filter(_.contains("part-v00000001-")))
+  }
+
+  test("empty states read as empty frames with the table schema: a " +
+      "bucket emptied by deletes (lookupKeys) and a fully-deleted " +
+      "table (read)") {
+    val dir = java.nio.file.Files.createTempDirectory("vempty").toString + "/t"
+    val keys = 0L until 20L
+    VersionedTable.create(
+      keys.map(k => (k, s"a$k")).toDF("k", "v"), dir, "k", 4)
+    // empty the whole bucket key 5 hashes to
+    val b5 = spark.range(1)
+      .select(Sinks.bucketId(lit(5L), 4)).head().getInt(0)
+    val sameBucket = keys.filter(k => spark.range(1)
+      .select(Sinks.bucketId(lit(k), 4)).head().getInt(0) == b5)
+    VersionedTable.applyCdc(spark, dir,
+      sameBucket.map(k => (k, "", "D", 1L)).toDF("k", "v", "op", "seq"),
+      "k", "op", "seq", 4)
+    val lk = VersionedTable.lookupKeys(spark, dir, "k", Seq(5L), 4)
+    assert(lk.count() === 0L, "a valid empty lookup, not an exception")
+    assert(lk.columns.contains("k") && lk.columns.contains("v"))
+    // now delete everything: the table's latest version lists no files
+    VersionedTable.applyCdc(spark, dir,
+      keys.map(k => (k, "", "D", 1L)).toDF("k", "v", "op", "seq"),
+      "k", "op", "seq", 4)
+    val empty = VersionedTable.read(spark, dir)
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("k") && empty.columns.contains("v"))
+    // time travel below the deletes still replays the full state
+    assert(tbl(dir, 0L).keySet === keys.toSet)
+  }
+
   test("vacuum keeps the retention window readable, drops older " +
       "versions loudly, and sweeps unreferenced files") {
     val dir = java.nio.file.Files.createTempDirectory("vvac").toString + "/t"
