@@ -391,6 +391,11 @@ object Bench {
 
     var reruns = List.empty[String]
     val results = BenchSet.map { name =>
+      // stamp the load right before the query: a polluted run becomes
+      // machine-readable per query, not just per run (round-11 bench was
+      // contention-polluted end to end — load1 4 → 16 — and the artifact
+      // could only say so globally)
+      val load1AtQuery = loadAvg()._1
       val (t1, ok1) = timeOnce(name)
       // Outlier defense: >3x the warm-machine reference (and above a 5 s
       // noise floor) → one re-run, keep the min. A genuine regression
@@ -402,18 +407,40 @@ object Bench {
             f"[bench] $name%s took $t1%.1f s vs reference $ref%.1f s — re-running once")
           reruns ::= name
           val (t2, ok2) = timeOnce(name)
-          if (ok2) (math.min(t1, t2), true) else (t1, ok1)
+          val tMin = if (ok2) math.min(t1, t2) else t1
+          // Round-11 failure mode: BOTH runs sat inside one contended
+          // window, so min-of-two still overstated 8 queries by 3–15×.
+          // When the min is still an outlier AND there is CONTENTION
+          // EVIDENCE (runnable-queue depth > 2 now or at query start, or
+          // a calibration probe that started ≥3× slow), spend a third
+          // attempt — a real regression survives it, a loaded window
+          // usually doesn't, and either way the load stamps make the
+          // artifact self-describing.
+          if (ok2 && tMin > 3.0 * ref && tMin > 5.0 &&
+              (load1AtQuery > 2.0 || loadAvg()._1 > 2.0 ||
+                calibStart > 3.0)) {
+            System.err.println(
+              f"[bench] $name%s still $tMin%.1f s under measured contention — third attempt")
+            reruns ::= name
+            val (t3, ok3) = timeOnce(name)
+            if (ok3) (math.min(tMin, t3), true) else (tMin, true)
+          } else if (ok2) (tMin, true) else (t1, ok1)
         } else (t1, ok1)
       // a failed query reports -1, not its partial elapsed time — a broken
       // query must not produce a plausible-looking number
-      (name, if (ok) t else -1.0, ok)
+      (name, if (ok) t else -1.0, ok, load1AtQuery)
     }
     val calibEnd = calibrate()
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val rerunJson = reruns.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query load1 at start: lets a reader discount exactly the
+    // queries that ran under load instead of the whole artifact
+    val loadPerQuery = results
+      .map { case (k, _, _, l) => "\"" + k + "\":" + f"$l%.2f" }
+      .mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
     val (loadEnd, load5End) = loadAvg()
     val dt = ticksStart.zip(cpuTicks()).map { case (a, b) => b - a }
@@ -422,7 +449,7 @@ object Bench {
       if (ticksStart(0) < 0) (-1.0, -1.0, -1.0)
       else (dt(1).toDouble / totTicks, dt(3).toDouble / totTicks,
         dt(4).toDouble / totTicks)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"reruns":$rerunJson%s,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"cpu_sys_frac":$sysF%.3f,"cpu_iowait_frac":$iowF%.3f,"cpu_steal_frac":$stealF%.3f,"load1_start":$loadStart%.2f,"load5_start":$load5Start%.2f,"load1_end":$loadEnd%.2f,"load5_end":$load5End%.2f,"sf":"$sfDir%s"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"reruns":$rerunJson%s,"load1_per_query":$loadPerQuery%s,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"cpu_sys_frac":$sysF%.3f,"cpu_iowait_frac":$iowF%.3f,"cpu_steal_frac":$stealF%.3f,"load1_start":$loadStart%.2f,"load5_start":$load5Start%.2f,"load1_end":$loadEnd%.2f,"load5_end":$load5End%.2f,"sf":"$sfDir%s"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -40,7 +40,9 @@ object SparkEntry {
       text.Dsir.queries ++
       dedup.DedupOps.queries ++
       dedup.DupClusters.queries ++
-      sim.SimilarityOps.queries ++ multimodal.MultimodalOps.queries ++
+      sim.SimilarityOps.queries ++ sim.VersionedIvf.queries ++
+      sim.RerankFusion.queries ++ text.Novelty.queries ++
+      multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
       sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++
       pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries ++

@@ -52,13 +52,29 @@ object DupClusters {
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
-        val cached = df.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        roundCaches += cached
-        cached.checkpoint(eager = false)
-      } else df.localCheckpoint(eager = false)
+    // Checkpoint each round, then RE-WRAP the result as a fresh LogicalRDD
+    // with DEFAULT stats (createDataFrame over the truncated RDD). Without
+    // the wrap, Dataset.checkpoint's rewriteStatsAndConstraints copies the
+    // CHILD plan's size-in-bytes onto the LogicalRDD, and Catalyst's
+    // size-only join estimate is a PRODUCT of children's sizes — so the
+    // stats' bit-length roughly DOUBLES per round (prop inherits
+    // edges×labels, the jump squares prop). By round ~12 the driver spins
+    // minutes per checkpoint multiplying 100M-bit BigIntegers (observed:
+    // the adaptive semantic-cluster edge set at sf0.001 hung Verify).
+    // Cost of the wrap: two narrow row-conversion maps per round over the
+    // label frame — no shuffle, negligible against the round's two joins.
+    // Default stats also mean the loop's joins never mis-broadcast a
+    // label frame Catalyst believes is tiny from a stale product.
+    def truncate(df: DataFrame): DataFrame = {
+      val cp =
+        if (checkpointDir.isDefined) {
+          val cached = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          roundCaches += cached
+          cached.checkpoint(eager = false)
+        } else df.localCheckpoint(eager = false)
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     // drop caches from rounds before the one that just materialized —
     // the checkpointed files carry the state from here on
     def releaseOldRounds(keep: Int): Unit =

@@ -222,6 +222,31 @@ object VersionedTable {
     snap.filter(col(key).isin(keys: _*))
   }
 
+  /** Append-only commit: ADD the batch's files to the table without
+    * touching (or even reading) any existing file — the manifest for the
+    * new version is the previous manifest plus the fresh entries. This
+    * is the commit shape for LOG/POSTINGS semantics, where a batch only
+    * ever contributes NEW rows (an IVF postings append, an event log):
+    * no bucket rewrite, no survivors scan — at 100 TB the commit cost is
+    * exactly |batch| bytes written + one manifest + one pointer rename,
+    * independent of table size. The caller owns the no-duplicate-keys
+    * guarantee ([[applyCdc]] is the path for upsert semantics); readers
+    * get the same snapshot isolation as every other commit. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      key: String, numBuckets: Int): Unit = {
+    val prev = latestVersion(spark, dir)
+    require(prev >= 0, s"versioned table $dir must be create()d first")
+    val next = prev + 1
+    val stage = s"$dir/__stage"
+    batch.withColumn("bucket", Sinks.bucketId(col(key), numBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stage)
+    val fresh = adoptStaged(spark, dir, stage, next)
+    fs(spark, dir).delete(new Path(stage), true)
+    writeManifest(spark, dir, next, readManifest(spark, dir, prev) ++ fresh)
+    swapPointer(spark, dir, next)
+  }
+
   /** CDC merge committing a new snapshot: same changelog collapse and
     * touched-bucket rewrite as [[Sinks.applyCdc]], but the commit is the
     * manifest+pointer protocol — untouched buckets travel by reference,

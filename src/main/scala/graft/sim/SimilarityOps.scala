@@ -19,7 +19,7 @@ object SimilarityOps {
 
   import graft.functions.CosineSimilarity.cosineSim
 
-  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[sim] def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
 
   /** Exact cosine top-k: `queries` joined (broadcast) against the corpus.
@@ -597,6 +597,56 @@ object SimilarityOps {
       .select("vec_id", "cluster", "cluster_size")
   }
 
+  /** [[semanticClusters]] with the edge threshold DERIVED FROM THE DATA:
+    * the cosine at the `pctNum/pctDen` nearest-rank percentile of the
+    * observed kNN-edge distribution, instead of a fixture-tuned constant
+    * (the round-11 verdict's 0.38 note — a constant tuned to make one SF
+    * fragment nicely is wrong at every other SF; the percentile keeps
+    * the KEPT-EDGE FRACTION invariant as the corpus and its similarity
+    * distribution drift).
+    *
+    * Engine-robust threshold: edge cosines are already 6-dp-rounded, the
+    * percentile is nearest-rank over exact counts (smallest value whose
+    * cumulative count satisfies `cum·pctDen ≥ n·pctNum` — pure integer
+    * comparison, no float division), and the cumulative window runs over
+    * DISTINCT VALUE cells (the KS/quantile-map pattern), never data
+    * rows. The graph is built ONCE (persisted, the [[graphRank]]
+    * loop-invariant pattern) and reused for the threshold and the
+    * closure — [[semanticClusters]] callers that also probe the
+    * distribution would otherwise rebuild it. `persist`, NOT
+    * `localCheckpoint`: an eager checkpoint forces Catalyst's
+    * stats-and-constraints rewrite over the deep IVF join tree for no
+    * reuse benefit an InMemoryRelation doesn't already give. (The
+    * driver-side BigInteger stats blow-up this query first exposed is
+    * fixed at its root in [[graft.dedup.DupClusters.connectedComponents]]'s
+    * per-round truncation.) */
+  def semanticClustersAdaptive(emb: DataFrame, idCol: String,
+      vecCol: String, nList: Int, nProbe: Int, k: Int,
+      pctNum: Int, pctDen: Int): DataFrame = {
+    require(pctNum > 0 && pctNum < pctDen, "percentile must be in (0, 1)")
+    val g = knnGraph(emb, idCol, vecCol, nList, nProbe, k).persist()
+    val hist = g.groupBy("cosine").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum("c").as("n"))
+    val wc = Window.orderBy("cosine")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum", sum("c").over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * lit(pctDen.toLong) >= col("n") * lit(pctNum.toLong))
+      .agg(min("cosine")).head().getDouble(0)
+    val edges = g.filter(col("cosine") >= thr)
+      .select(col("qid").as("ida"), col("neighbor").as("idb"))
+    val cc = graft.dedup.DupClusters.connectedComponents(edges)
+    val labeled = emb.select(col(idCol).as("vec_id"))
+      .join(cc.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster"))
+    val sizes = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster"))
+      .select("vec_id", "cluster", "cluster_size")
+  }
+
   /** Clusters at cosine ≥ 0.3 on the (16, 4, 5) graph; the oracle closes
     * the SAME rounded edge set with a recursive CTE (transitive closure =
     * the SQL specification of connected components, as in
@@ -608,6 +658,45 @@ object SimilarityOps {
     Some("WITH RECURSIVE " + knnGraphSql + """,
             p AS (SELECT qid AS ida, id AS idb FROM r
                   WHERE rank <= 5 AND ROUND(cosine, 6) >= 0.3),
+            e AS (SELECT ida AS a, idb AS b FROM p
+                  UNION SELECT idb AS a, ida AS b FROM p),
+            reach AS (SELECT a, b FROM e
+                      UNION
+                      SELECT rc.a, e2.b FROM reach rc JOIN e e2 ON rc.b = e2.a
+                      WHERE e2.b <> rc.a),
+            comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
+                     FROM reach GROUP BY a),
+            lab AS (SELECT v.vec_id, COALESCE(c.comp, v.vec_id) AS cluster
+                    FROM v LEFT JOIN comp c ON v.vec_id = c.id),
+            sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                   FROM lab GROUP BY 1)
+            SELECT lab.vec_id, lab.cluster, sz.cluster_size
+            FROM lab JOIN sz ON lab.cluster = sz.cluster
+            ORDER BY lab.vec_id"""))
+
+  /** q_s_semantic_adaptive: [[semanticClustersAdaptive]] at the 75th
+    * edge-cosine percentile — the oracle derives the SAME nearest-rank
+    * threshold from the SAME rounded-edge histogram before closing the
+    * kept edges, so the hash gate certifies the derivation, not just the
+    * closure. The kept-edge FRACTION (top quarter) is the invariant that
+    * holds across SFs where a constant threshold would not (the
+    * cross-SF spec pins it at sf0.001 and sf0.01). */
+  private val sSemAdaptive = Q(
+    (s, d) => semanticClustersAdaptive(Tables.embeddings(s, d), "vec_id",
+      "embedding", nList = 16, nProbe = 4, k = 5, pctNum = 3, pctDen = 4)
+      .orderBy("vec_id"),
+    Some("WITH RECURSIVE " + knnGraphSql + """,
+            g AS (SELECT qid, id, ROUND(cosine, 6) AS cosine FROM r
+                  WHERE rank <= 5),
+            hist AS (SELECT cosine, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM g GROUP BY 1),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+            cum AS (SELECT cosine, SUM(c) OVER (ORDER BY cosine) AS cum
+                    FROM hist),
+            thr AS (SELECT MIN(cosine) AS t FROM cum CROSS JOIN tot
+                    WHERE cum * 4 >= n * 3),
+            p AS (SELECT qid AS ida, id AS idb FROM g CROSS JOIN thr
+                  WHERE cosine >= t),
             e AS (SELECT ida AS a, idb AS b FROM p
                   UNION SELECT idb AS a, ida AS b FROM p),
             reach AS (SELECT a, b FROM e
@@ -1326,6 +1415,7 @@ object SimilarityOps {
     "q_s_knn_graph" -> sKnnGraph,
     "q_s_graph_rank" -> sGraphRank,
     "q_s_semantic_clusters" -> sSemClusters,
+    "q_s_semantic_adaptive" -> sSemAdaptive,
     "q_s_ann_ivf_seeded" -> sIvfSeeded,
     "q_s_ivf_pq" -> sIvfPq,
     "q_s_mean_pool" -> sMeanPool,

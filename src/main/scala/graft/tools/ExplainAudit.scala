@@ -905,6 +905,43 @@ object ExplainAudit {
     // internal jobs over the session-keyed frames), so the final plan is
     // a LocalTableScan with nothing to assert — the scale shape is
     // spec- and SURVEY-documented instead.
+    audit("q_t_novelty",
+      // gram build is the tokenize-once shingle explode; the seen-test is
+      // ONE gram-keyed equi-join (deliberately shuffled — the reference
+      // corpus is corpus-scale, unlike decontaminate's broadcast side)
+      "shingle explode generates in-plan" -> (_.contains("Generate")),
+      "seen-test is a keyed equi-join (no nested-loop/cartesian)" ->
+        (p => (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+          || p.contains("BroadcastHashJoin")) &&
+          !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "per-doc roll-up partial map-side" -> (_.contains("partial_count")))
+    audit("q_s_rerank",
+      // three bounded top-k legs union into a candidate set; features
+      // join back per (query, id); normalization windows run per query
+      "lexical leg prunes postings before aggregation (term IN-list)" ->
+        (_.contains(" IN (")),
+      "dense/maxsim probes broadcast onto the corpus" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "normalization windows are query-partitioned (no global window)" ->
+        (p => p.contains("Window") &&
+          p.contains("hashpartitioning(query_id")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_semantic_adaptive",
+      // the threshold derivation and CC closure both truncate through
+      // checkpointed RDDs; the residual plan is the label/size join pair
+      "label and size joins are keyed equi-joins" ->
+        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+          || p.contains("BroadcastHashJoin")),
+      "cluster sizes partial map-side" -> (_.contains("partial_count")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    // q_s_ivf_versioned carries no audit entry: the registered query
+    // builds, appends, probes, and DELETES a scratch versioned index, so
+    // its returned frame is an eager localCheckpoint (a bare RDD scan
+    // with nothing to assert). The probe-side plan shape it rides —
+    // manifest pruning + the probeIvf nProbe-list equi-join — is pinned
+    // by q_s_ivf_append's audit and VersionedIvfSpec.
 
     if (failures.nonEmpty) {
       System.err.println("\nPLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
