@@ -217,7 +217,14 @@ object Bench {
     // round-11: 2-D equi-width histogram (joint density grid)
     "q_a20_hist2d",
     // round-11: c-TF-IDF semantic-cluster labeling
-    "q_s_cluster_labels")
+    "q_s_cluster_labels",
+    // round-12: versioned IVF lifecycle (create+append+probe both
+    // snapshots), three-leg feature-fusion rerank, n-gram novelty
+    // scoring, data-derived semantic-cluster threshold
+    "q_s_ivf_versioned",
+    "q_s_rerank",
+    "q_t_novelty",
+    "q_s_semantic_adaptive")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -313,7 +320,11 @@ object Bench {
     "q_t_phrase_search" -> 1.2, "q_m43_quantile_map" -> 2.9,
     "q_mm_image_clusters" -> 6.4, "q_d_embed_decon" -> 1.0,
     "q_e_session_funnel" -> 2.9, "q_a20_hist2d" -> 1.0,
-    "q_s_cluster_labels" -> 18.0)
+    "q_s_cluster_labels" -> 18.0,
+    // round-12 additions: TimeOne warm, sf0.1, load1 ~4 (documented —
+    // remeasure on a quiet window if they flag)
+    "q_s_ivf_versioned" -> 3.8, "q_s_rerank" -> 2.7,
+    "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 14.3)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the
