@@ -224,7 +224,12 @@ object Bench {
     "q_s_ivf_versioned",
     "q_s_rerank",
     "q_t_novelty",
-    "q_s_semantic_adaptive")
+    "q_s_semantic_adaptive",
+    // round-12: IR-metric evaluation of the engine's own ANN run, MMR
+    // diversified top-k, DoReMi-flavored domain tilt
+    "q_s_retrieval_eval",
+    "q_s_mmr",
+    "q_p26_doremi_tilt")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -324,7 +329,9 @@ object Bench {
     // round-12 additions: TimeOne warm, sf0.1, load1 ~4 (documented —
     // remeasure on a quiet window if they flag)
     "q_s_ivf_versioned" -> 3.8, "q_s_rerank" -> 2.7,
-    "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 14.3)
+    "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 14.3,
+    "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 4.7,
+    "q_p26_doremi_tilt" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -42,6 +42,7 @@ object SparkEntry {
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ sim.VersionedIvf.queries ++
       sim.RerankFusion.queries ++ text.Novelty.queries ++
+      sim.RetrievalEval.queries ++ sim.MmrDiversify.queries ++
       multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
       sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++

@@ -444,7 +444,104 @@ object DataMix {
             FROM r JOIN n ON r.lang = n.lang
             ORDER BY r.doc_id"""))
 
+  /** DoReMi-flavored EXPONENTIAL-TILT domain reweighting (single-round
+    * multiplicative-weights update — Xie et al. 2023's Group-DRO step
+    * with a STATIC proxy loss; the full algorithm re-trains the proxy
+    * under the new mixture, which is out of scope for a data engine, so
+    * the documented divergence is one tilt round instead of T): domains
+    * whose mean proxy loss EXCEEDS the corpus baseline get upweighted
+    * `∝ exp(η·excess)`, so the mixture shifts toward under-learned
+    * domains; at-or-below-baseline domains stay at the uniform tilt 1.
+    *
+    * `scored`: one row per item with an integer loss numerator
+    * (`lossCol`, e.g. micro-nats) and its unit count (`nCol`, e.g.
+    * bigrams). Per-domain mean loss and the corpus baseline are
+    * integer floor-divisions of exact sums; the one float step,
+    * `exp(excess_micro·η_micro/1e12)`, runs on an identical literal
+    * tree both engines (the ln precedent) and FLOORS to micro; the
+    * final normalization `tilt·1e6 div Σtilt` is integer. Domains with
+    * zero scorable units carry no loss evidence → excess 0, tilt
+    * neutral. Output: (groupCol, n_docs, n_units, loss_micro,
+    * excess_micro, tilt_micro, weight_micro).
+    *
+    * Scale: ONE map-side-combined groupBy(domain) over the scored
+    * frame; everything after runs on |domains| rows with the baseline
+    * and Σtilt attached as broadcast 1-row frames. */
+  def exponentialTiltWeights(scored: DataFrame, groupCol: String,
+      nCol: String, lossCol: String, etaMicro: Long): DataFrame = {
+    require(etaMicro > 0, "etaMicro must be positive")
+    val dom = scored.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(coalesce(col(nCol), lit(0L))).as("n_units"),
+      sum(coalesce(col(lossCol), lit(0L))).as("loss_sum"))
+    val base = dom.agg(sum("loss_sum").as("ls"), sum("n_units").as("nu"))
+      .select(expr("ls div nu").as("base_micro"))
+    val tilted = dom.crossJoin(broadcast(base))
+      .withColumn("loss_micro", expr(
+        "case when n_units > 0 then loss_sum div n_units else null end"))
+      .withColumn("excess_micro",
+        greatest(lit(0L), coalesce(col("loss_micro") - col("base_micro"),
+          lit(0L))))
+      .withColumn("tilt_micro",
+        floor(exp(col("excess_micro").cast("double")
+          * lit(etaMicro.toDouble) / lit(1e12)) * lit(1000000.0))
+          .cast("long"))
+    val tot = tilted.agg(sum("tilt_micro").as("tilt_total"))
+    tilted.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_units"),
+        col("loss_micro"), col("excess_micro"), col("tilt_micro"),
+        expr("tilt_micro * 1000000L div tilt_total").as("weight_micro"))
+  }
+
+  /** q_p26_doremi_tilt: the documents corpus self-scored by the bigram
+    * LM ([[graft.text.NgramLm.negLogMicro]]), tilted per SOURCE at
+    * η = 2 — sources whose text the corpus-wide LM finds surprising
+    * (above-baseline micro-nats per bigram) gain mixture weight. The
+    * oracle rebuilds the LM scores AND the whole tilt chain, so the
+    * hash certifies loss aggregation, baseline, exp tilt, and
+    * normalization end to end. */
+  private val pDoremi = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.text.NgramLm
+        .negLogMicro(docs, "doc_id", "text", docs, "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      exponentialTiltWeights(scored, "source", "n_bigrams", "nlp_micro",
+        etaMicro = 2000000L).orderBy("source")
+    },
+    Some(graft.text.NgramLm.negLogCtes + """,
+            src AS (SELECT c.doc_id, c.n_bigrams, c.nlp_micro, d.source
+                    FROM core c JOIN documents d ON c.doc_id = d.doc_id),
+            dom AS (SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(COALESCE(n_bigrams, 0)) AS BIGINT) AS n_units,
+                CAST(SUM(COALESCE(nlp_micro, 0)) AS BIGINT) AS loss_sum
+              FROM src GROUP BY source),
+            b AS (SELECT CAST(SUM(loss_sum) AS BIGINT)
+                    // CAST(SUM(n_units) AS BIGINT) AS base_micro
+                  FROM dom),
+            t AS (SELECT dom.*, b.base_micro,
+                CASE WHEN n_units > 0 THEN loss_sum // n_units
+                     ELSE NULL END AS loss_micro
+              FROM dom CROSS JOIN b),
+            t2 AS (SELECT *,
+                GREATEST(0, COALESCE(loss_micro - base_micro, 0))
+                  AS excess_micro
+              FROM t),
+            t3 AS (SELECT *,
+                CAST(FLOOR(exp(CAST(excess_micro AS DOUBLE) * 2000000.0
+                  / 1e12) * 1000000.0) AS BIGINT) AS tilt_micro
+              FROM t2),
+            tt AS (SELECT CAST(SUM(tilt_micro) AS BIGINT) AS tilt_total
+                   FROM t3)
+            SELECT source, n_docs, n_units, loss_micro, excess_micro,
+                tilt_micro,
+                tilt_micro * 1000000 // tilt_total AS weight_micro
+            FROM t3 CROSS JOIN tt
+            ORDER BY source"""))
+
   val queries: Map[String, Q] = Map(
+    "q_p26_doremi_tilt" -> pDoremi,
     "q_p22_stratified_split" -> pStratified,
     "q_p16_token_budget_mix" -> pTokenMix,
     "q_p14_mix_sample" -> pMix,

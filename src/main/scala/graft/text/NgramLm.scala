@@ -141,7 +141,9 @@ object NgramLm {
     * oracle (self-scored documents at k = 1), ending in `core(doc_id,
     * n_bigrams, nlp_micro)`. */
   // lazy: referenced by tPpl, which is declared earlier in the object
-  private lazy val negLogCtes: String =
+  // private[graft]: the domain-tilt mixing oracle (etl.DataMix) reuses
+  // the self-scored bigram-LM CTE chain verbatim
+  private[graft] lazy val negLogCtes: String =
     """WITH mt AS (SELECT unnest(list_filter(string_split(text, ' '),
               x -> x <> '')) AS tok FROM documents),
             uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cx

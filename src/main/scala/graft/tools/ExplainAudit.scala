@@ -936,6 +936,33 @@ object ExplainAudit {
           || p.contains("BroadcastHashJoin")),
       "cluster sizes partial map-side" -> (_.contains("partial_count")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_retrieval_eval",
+      // run and qrels are per-query bounded; the evaluation is one
+      // (qid, neighbor) equi-join plus two qid-keyed aggregates
+      "hit join and metric aggregates are keyed (no shuffled product)" ->
+        (p => !p.contains("CartesianProduct")),
+      "per-query aggregates partial map-side" ->
+        (p => p.contains("partial_count") && p.contains("partial_min")),
+      "ideal-order window is query-partitioned" ->
+        (p => p.contains("Window") && p.contains("hashpartitioning(qid")))
+    audit("q_s_mmr",
+      // each greedy step is an anti-join + keyed max + per-query argmax
+      // window, all over workload-bounded candidate frames
+      "per-step argmax windows are query-partitioned" ->
+        (p => p.contains("Window") && p.contains("hashpartitioning(qid")),
+      "per-step max-sim aggregates partial map-side" ->
+        (_.contains("partial_max")),
+      "no shuffled product anywhere in the k-step plan" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("q_p26_doremi_tilt",
+      // ONE map-side-combined domain aggregate is the data pass; the
+      // baseline and tilt total attach as broadcast 1-row frames
+      "domain aggregate partial map-side" ->
+        (p => p.contains("partial_count") && p.contains("partial_sum")),
+      "baseline and tilt total attach by broadcast" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "scalar totals are the only SinglePartition reduces" ->
+        scalarReducesOnly)
     // q_s_ivf_versioned carries no audit entry: the registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
     // its returned frame is an eager localCheckpoint (a bare RDD scan
