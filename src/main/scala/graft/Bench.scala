@@ -229,7 +229,9 @@ object Bench {
     // diversified top-k, DoReMi-flavored domain tilt
     "q_s_retrieval_eval",
     "q_s_mmr",
-    "q_p26_doremi_tilt")
+    "q_p26_doremi_tilt",
+    // round-12: PSI drift monitor between corpus snapshots
+    "q_m44_psi")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -331,7 +333,7 @@ object Bench {
     "q_s_ivf_versioned" -> 3.8, "q_s_rerank" -> 2.7,
     "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 14.3,
     "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 4.7,
-    "q_p26_doremi_tilt" -> 1.4)
+    "q_p26_doremi_tilt" -> 1.4, "q_m44_psi" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

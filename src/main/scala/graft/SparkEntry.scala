@@ -33,7 +33,7 @@ object SparkEntry {
       etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++
-      stats.StatsQueries.queries ++
+      stats.StatsQueries.queries ++ stats.Drift.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++

@@ -954,6 +954,15 @@ object ExplainAudit {
         (_.contains("partial_max")),
       "no shuffled product anywhere in the k-step plan" ->
         (p => !p.contains("CartesianProduct")))
+    audit("q_m44_psi",
+      // one (variable, value) counts aggregate per snapshot is the data
+      // pass; the term arithmetic runs over distinct-value cells
+      "bin counts partial map-side" -> (_.contains("partial_count")),
+      "snapshot counts meet in a keyed outer join (no product)" ->
+        (p => (p.contains("SortMergeJoin FullOuter") ||
+          p.contains("ShuffledHashJoin") ||
+          p.contains("SortMergeJoin")) && !p.contains("CartesianProduct")),
+      "no data-sized SinglePartition funnel" -> scalarReducesOnly)
     audit("q_p26_doremi_tilt",
       // ONE map-side-combined domain aggregate is the data pass; the
       // baseline and tilt total attach as broadcast 1-row frames
