@@ -34,6 +34,7 @@ object SparkEntry {
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++ stats.Drift.queries ++
+      stats.Agreement.queries ++ stats.Bootstrap.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++

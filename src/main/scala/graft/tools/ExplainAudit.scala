@@ -963,6 +963,20 @@ object ExplainAudit {
           p.contains("ShuffledHashJoin") ||
           p.contains("SortMergeJoin")) && !p.contains("CartesianProduct")),
       "no data-sized SinglePartition funnel" -> scalarReducesOnly)
+    audit("q_m45_kappa",
+      // one contingency aggregate is the data pass; marginals and the
+      // exact-rational kappa run on |labels|^2 cells
+      "contingency counts partial map-side" -> (_.contains("partial_count")),
+      "scalar totals are the only SinglePartition reduces" ->
+        scalarReducesOnly,
+      "no shuffled product" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m46_bootstrap",
+      // replicate explosion and Poisson weights are map-side in the scan
+      // stage; the only shuffle is the (group, b) keyed aggregation
+      "replicate dimension generates in-plan" -> (_.contains("Generate")),
+      "weighted sums partial map-side" -> (_.contains("partial_sum")),
+      "no join anywhere (pure map + one keyed agg)" ->
+        (p => !p.contains("Join")))
     audit("q_p26_doremi_tilt",
       // ONE map-side-combined domain aggregate is the data pass; the
       // baseline and tilt total attach as broadcast 1-row frames
