@@ -234,7 +234,9 @@ object Bench {
     "q_m44_psi",
     // round-12: Cohen's kappa gate agreement + Poisson bootstrap bands
     "q_m45_kappa",
-    "q_m46_bootstrap")
+    "q_m46_bootstrap",
+    // round-12: matryoshka two-stage retrieval (prefix-dim candidates)
+    "q_s_matryoshka")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -337,7 +339,8 @@ object Bench {
     "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 14.3,
     "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 4.7,
     "q_p26_doremi_tilt" -> 1.4, "q_m44_psi" -> 1.4,
-    "q_m45_kappa" -> 0.7, "q_m46_bootstrap" -> 0.6)
+    "q_m45_kappa" -> 0.7, "q_m46_bootstrap" -> 0.6,
+    "q_s_matryoshka" -> 0.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

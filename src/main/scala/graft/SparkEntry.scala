@@ -44,6 +44,7 @@ object SparkEntry {
       sim.SimilarityOps.queries ++ sim.VersionedIvf.queries ++
       sim.RerankFusion.queries ++ text.Novelty.queries ++
       sim.RetrievalEval.queries ++ sim.MmrDiversify.queries ++
+      sim.Matryoshka.queries ++
       multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
       sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++

@@ -963,6 +963,17 @@ object ExplainAudit {
           p.contains("ShuffledHashJoin") ||
           p.contains("SortMergeJoin")) && !p.contains("CartesianProduct")),
       "no data-sized SinglePartition funnel" -> scalarReducesOnly)
+    audit("q_s_matryoshka",
+      // candidate stage broadcasts queries onto one corpus scan; the
+      // rerank touches only the bounded survivors
+      "queries broadcast onto the corpus scan" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "both ranking windows query-partitioned" ->
+        (p => p.contains("Window") && p.contains("hashpartitioning(qid")),
+      "one parquet scan of the corpus only" ->
+        (p => "Location:".r.findAllIn(p).length <= 2),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m45_kappa",
       // one contingency aggregate is the data pass; marginals and the
       // exact-rational kappa run on |labels|^2 cells
