@@ -35,6 +35,7 @@ object SparkEntry {
       etl.Expectations.queries ++ plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++ stats.Drift.queries ++
       stats.Agreement.queries ++ stats.Bootstrap.queries ++
+      stats.KruskalWallis.queries ++ stats.Cuped.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++
@@ -44,7 +45,8 @@ object SparkEntry {
       sim.SimilarityOps.queries ++ sim.VersionedIvf.queries ++
       sim.RerankFusion.queries ++ text.Novelty.queries ++
       sim.RetrievalEval.queries ++ sim.MmrDiversify.queries ++
-      sim.Matryoshka.queries ++
+      sim.Matryoshka.queries ++ sim.LabelProp.queries ++
+      sim.KCenter.queries ++
       multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
       sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++

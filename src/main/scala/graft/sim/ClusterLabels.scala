@@ -59,7 +59,8 @@ object ClusterLabels {
     (s, d) => {
       val clusters = SimilarityOps.semanticClusters(Tables.embeddings(s, d),
         "vec_id", "embedding", nList = 16, nProbe = 4, k = 5,
-        minCosine = 0.38)
+        minCosine = 0.38,
+        graph = Some(KnnGraphCache.edges(s, d, 16, 4, 5)))
       labelClusters(clusters, Tables.documents(s, d), "doc_id", "text",
         k = 3, minSize = 3).orderBy("cluster", "rank")
     },

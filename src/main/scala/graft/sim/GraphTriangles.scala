@@ -1,6 +1,6 @@
 package graft.sim
 
-import graft.{Q, Tables}
+import graft.Q
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -76,8 +76,7 @@ object GraphTriangles {
 
   private val sTriangles = Q(
     (s, d) => {
-      val edges = SimilarityOps.knnGraph(Tables.embeddings(s, d),
-        "vec_id", "embedding", nList = 16, nProbe = 4, k = 5)
+      val edges = KnnGraphCache.edges(s, d, 16, 4, 5)
       triangleStats(edges, "qid", "neighbor").orderBy("id")
     },
     Some("WITH " + SimilarityOps.knnGraphSql + """,

@@ -1,6 +1,6 @@
 package graft.sim
 
-import graft.{Q, Tables}
+import graft.Q
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -69,8 +69,7 @@ object KCore {
     * structure lives in. */
   private val sKCore = Q(
     (s, d) => {
-      val er = SimilarityOps.knnGraph(Tables.embeddings(s, d),
-          "vec_id", "embedding", nList = 16, nProbe = 4, k = 5)
+      val er = KnnGraphCache.edges(s, d, 16, 4, 5)
         .select(col("qid"), col("neighbor"))
       val mutual = er.join(
         er.select(col("neighbor").as("qid"), col("qid").as("neighbor")),

@@ -1,0 +1,48 @@
+package graft.sim
+
+import scala.collection.concurrent.TrieMap
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped cache of the approximate kNN graph
+  * ([[SimilarityOps.knnGraph]]) over the embeddings table — the shared
+  * input of the whole graph family (q_s_knn_graph, q_s_triangles,
+  * q_s_kcore, q_s_cluster_labels, q_s_graph_rank,
+  * q_s_semantic_clusters, q_s_semantic_adaptive, q_s_lpa): each of
+  * those operators consumes the SAME (nList, nProbe, k) edge set, and
+  * rebuilding it per query multiplied the family's cost by its size
+  * (the round-11 bench read: triangles / k-core / cluster-labels each
+  * paid the full IVF candidate shuffle again).
+  *
+  * This is the same shared-artifact pattern as the persisted IVF
+  * postings ([[SimilarityOps.buildIvfIndex]]) applied at the session
+  * tier: the graph is a corpus-level index, built once per
+  * (session, table, parameters) and persisted MEMORY_AND_DISK (n·k
+  * scalar rows — never vectors), so every downstream operator starts
+  * from the materialized edges. At 100 TB the equivalent move is
+  * writing the edge set once (a [[graft.pipeline.VersionedTable]]
+  * commit) and letting the family read the snapshot; in-session the
+  * InMemoryRelation plays that role. Correctness is untouched — the
+  * cached frame is bit-identical to a fresh [[SimilarityOps.knnGraph]]
+  * call, and every consumer's oracle still rebuilds the graph from
+  * scratch, so the hash gate certifies the reuse.
+  *
+  * Keyed by the SparkSession itself: a stopped session's persisted
+  * blocks die with it, and a new session builds its own entry (old
+  * entries are unreachable micro-frames, not leaks worth a registry). */
+object KnnGraphCache {
+  private val cache =
+    TrieMap.empty[(SparkSession, String, Int, Int, Int), DataFrame]
+
+  /** The (qid, rank, neighbor, cosine) edge frame of
+    * [[SimilarityOps.knnGraph]] over `dir`'s embeddings table,
+    * persisted once per session. */
+  def edges(s: SparkSession, dir: String,
+      nList: Int, nProbe: Int, k: Int): DataFrame =
+    cache.getOrElseUpdate((s, dir, nList, nProbe, k),
+      SimilarityOps.knnGraph(Tables.embeddings(s, dir), "vec_id",
+          "embedding", nList, nProbe, k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+}

@@ -581,8 +581,10 @@ object SimilarityOps {
     * propagation on the edge key; no all-pairs anywhere). Vectors in no
     * strong edge are their own singleton cluster. */
   def semanticClusters(emb: DataFrame, idCol: String, vecCol: String,
-      nList: Int, nProbe: Int, k: Int, minCosine: Double): DataFrame = {
-    val edges = knnGraph(emb, idCol, vecCol, nList, nProbe, k)
+      nList: Int, nProbe: Int, k: Int, minCosine: Double,
+      graph: Option[DataFrame] = None): DataFrame = {
+    val edges = graph.getOrElse(knnGraph(emb, idCol, vecCol, nList,
+        nProbe, k))
       .filter(col("cosine") >= minCosine)
       .select(col("qid").as("ida"), col("neighbor").as("idb"))
     val cc = graft.dedup.DupClusters.connectedComponents(edges)
@@ -622,9 +624,11 @@ object SimilarityOps {
     * per-round truncation.) */
   def semanticClustersAdaptive(emb: DataFrame, idCol: String,
       vecCol: String, nList: Int, nProbe: Int, k: Int,
-      pctNum: Int, pctDen: Int): DataFrame = {
+      pctNum: Int, pctDen: Int, graph: Option[DataFrame] = None): DataFrame = {
     require(pctNum > 0 && pctNum < pctDen, "percentile must be in (0, 1)")
-    val g = knnGraph(emb, idCol, vecCol, nList, nProbe, k).persist()
+    // a caller-provided graph (KnnGraphCache) is already persisted
+    val g = graph.getOrElse(knnGraph(emb, idCol, vecCol, nList, nProbe, k)
+      .persist())
     val hist = g.groupBy("cosine").agg(count(lit(1)).as("c"))
     val tot = hist.agg(sum("c").as("n"))
     val wc = Window.orderBy("cosine")
@@ -653,7 +657,8 @@ object SimilarityOps {
     * q_d_dup_clusters). */
   private val sSemClusters = Q(
     (s, d) => semanticClusters(Tables.embeddings(s, d), "vec_id",
-      "embedding", nList = 16, nProbe = 4, k = 5, minCosine = 0.3)
+      "embedding", nList = 16, nProbe = 4, k = 5, minCosine = 0.3,
+      graph = Some(KnnGraphCache.edges(s, d, 16, 4, 5)))
       .orderBy("vec_id"),
     Some("WITH RECURSIVE " + knnGraphSql + """,
             p AS (SELECT qid AS ida, id AS idb FROM r
@@ -683,7 +688,8 @@ object SimilarityOps {
     * cross-SF spec pins it at sf0.001 and sf0.01). */
   private val sSemAdaptive = Q(
     (s, d) => semanticClustersAdaptive(Tables.embeddings(s, d), "vec_id",
-      "embedding", nList = 16, nProbe = 4, k = 5, pctNum = 3, pctDen = 4)
+      "embedding", nList = 16, nProbe = 4, k = 5, pctNum = 3, pctDen = 4,
+      graph = Some(KnnGraphCache.edges(s, d, 16, 4, 5)))
       .orderBy("vec_id"),
     Some("WITH RECURSIVE " + knnGraphSql + """,
             g AS (SELECT qid, id, ROUND(cosine, 6) AS cosine FROM r
@@ -860,8 +866,7 @@ object SimilarityOps {
                   FROM scored)"""
 
   private val sKnnGraph = Q(
-    (s, d) => knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
-      nList = 16, nProbe = 4, k = 5).orderBy("qid", "rank"),
+    (s, d) => KnnGraphCache.edges(s, d, 16, 4, 5).orderBy("qid", "rank"),
     Some("WITH " + knnGraphSql + """
             SELECT qid, rank, id AS neighbor, ROUND(cosine, 6) AS cosine
             FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
@@ -896,7 +901,8 @@ object SimilarityOps {
     * 2⁶³ (required); beyond ~5M nodes at (k=5, iters=3) swap the rank
     * column to DECIMAL(38,0) — same plan, 38-digit headroom. */
   def graphRank(emb: DataFrame, idCol: String, vecCol: String,
-      nList: Int, nProbe: Int, k: Int, iters: Int = 3): DataFrame = {
+      nList: Int, nProbe: Int, k: Int, iters: Int = 3,
+      graph: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && k <= 10 && iters >= 1, "need 1 <= k <= 10, iters >= 1")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcmK = (1L to k).reduce((a, b) => a / gcd(a, b) * b)
@@ -906,7 +912,8 @@ object SimilarityOps {
     require(BigInt(n) * BigInt(c).pow(iters) < BigInt(Long.MaxValue),
       s"rank scale n*$c^$iters overflows long — use the DECIMAL(38,0) " +
         "variant at this node count")
-    val edges = knnGraph(emb, idCol, vecCol, nList, nProbe, k)
+    val edges = graph.getOrElse(knnGraph(emb, idCol, vecCol, nList,
+        nProbe, k))
       .select(col("qid").as("src"), col("neighbor").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = edges.join(deg, Seq("src"))
@@ -964,7 +971,9 @@ object SimilarityOps {
 
   private val sGraphRank = Q(
     (s, d) => graphRank(Tables.embeddings(s, d), "vec_id", "embedding",
-      nList = 16, nProbe = 4, k = 5).select("vec_id", "pr_scaled")
+      nList = 16, nProbe = 4, k = 5,
+      graph = Some(KnnGraphCache.edges(s, d, 16, 4, 5)))
+      .select("vec_id", "pr_scaled")
       .orderBy("vec_id"),
     Some(pageRankSql(iters = 3, k = 5)))
 

@@ -997,6 +997,42 @@ object ExplainAudit {
         (_.contains("BroadcastNestedLoopJoin")),
       "scalar totals are the only SinglePartition reduces" ->
         scalarReducesOnly)
+    audit("q_s_lpa",
+      // the audited plan is the final label/size stitch over the
+      // per-round checkpointed labels (the q_s_kcore lineage-cut
+      // precedent); rounds themselves are keyed joins + struct-max aggs
+      "community sizes partial map-side" -> (_.contains("partial_count")),
+      "label/size stitch is a keyed equi-join" ->
+        (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+          || p.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_kcenter",
+      // each greedy step: 1-row center broadcast onto the checkpointed
+      // candidate state, argmin as a scalar min(struct) AGGREGATION —
+      // never a global window over the corpus
+      "per-step argmin is a scalar aggregate (partial map-side)" ->
+        (_.contains("partial_min")),
+      "no global window anywhere" -> (p => !p.contains("Window")),
+      "scalar argmins are the only SinglePartition reduces" ->
+        scalarReducesOnly,
+      "no shuffled cartesian (1-row centers broadcast)" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("q_m47_kruskal",
+      // ONE (variable, group, value) counts pass; ranks/ties/H run over
+      // distinct-value cells (the q_m38_ks pattern)
+      "value counts partial map-side" -> (_.contains("partial_count")),
+      "cumulative-rank window keyed per variable (never global)" ->
+        (p => p.contains("hashpartitioning(__var")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m48_cuped",
+      // ONE map-side-combined user collapse, then ONE scalar reduce of
+      // the sufficient statistics; the adjustment is a 1-row select
+      "sufficient statistics partial-aggregate map-side" ->
+        (p => p.contains("partial_sum") && p.contains("partial_count")),
+      "no join anywhere (single-pass closed form)" ->
+        (p => !p.contains("Join")),
+      "scalar totals are the only SinglePartition reduces" ->
+        scalarReducesOnly)
     // q_s_ivf_versioned carries no audit entry: the registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
     // its returned frame is an eager localCheckpoint (a bare RDD scan
