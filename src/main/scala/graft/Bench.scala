@@ -236,7 +236,15 @@ object Bench {
     "q_m45_kappa",
     "q_m46_bootstrap",
     // round-12: matryoshka two-stage retrieval (prefix-dim candidates)
-    "q_s_matryoshka")
+    "q_s_matryoshka",
+    // round-12: label-propagation communities and greedy k-center
+    // coreset (graph family rides the shared KnnGraphCache checkpoint —
+    // first family query in the run pays the one graph build)
+    "q_s_lpa",
+    "q_s_kcenter",
+    // round-12: Kruskal-Wallis rank test and CUPED variance reduction
+    "q_m47_kruskal",
+    "q_m48_cuped")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -340,7 +348,11 @@ object Bench {
     "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 4.7,
     "q_p26_doremi_tilt" -> 1.4, "q_m44_psi" -> 1.4,
     "q_m45_kappa" -> 0.7, "q_m46_bootstrap" -> 0.6,
-    "q_s_matryoshka" -> 0.9)
+    "q_s_matryoshka" -> 0.9,
+    // round-12 batch 2: TimeOne warm, sf0.1, load1 1.75; q_s_lpa's
+    // reference covers the shared-graph build in case it runs first
+    "q_s_lpa" -> 7.6, "q_s_kcenter" -> 2.1,
+    "q_m47_kruskal" -> 0.8, "q_m48_cuped" -> 0.7)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

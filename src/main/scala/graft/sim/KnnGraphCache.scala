@@ -4,7 +4,6 @@ import scala.collection.concurrent.TrieMap
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped cache of the approximate kNN graph
   * ([[SimilarityOps.knnGraph]]) over the embeddings table — the shared
@@ -19,15 +18,22 @@ import org.apache.spark.storage.StorageLevel
   * This is the same shared-artifact pattern as the persisted IVF
   * postings ([[SimilarityOps.buildIvfIndex]]) applied at the session
   * tier: the graph is a corpus-level index, built once per
-  * (session, table, parameters) and persisted MEMORY_AND_DISK (n·k
-  * scalar rows — never vectors), so every downstream operator starts
-  * from the materialized edges. At 100 TB the equivalent move is
-  * writing the edge set once (a [[graft.pipeline.VersionedTable]]
-  * commit) and letting the family read the snapshot; in-session the
-  * InMemoryRelation plays that role. Correctness is untouched — the
-  * cached frame is bit-identical to a fresh [[SimilarityOps.knnGraph]]
-  * call, and every consumer's oracle still rebuilds the graph from
-  * scratch, so the hash gate certifies the reuse.
+  * (session, table, parameters) and materialized by an EAGER
+  * localCheckpoint (n·k scalar rows — never vectors), so every
+  * downstream operator starts from the frozen edges. localCheckpoint,
+  * NOT persist: the registry runners (Verify / Bench / TimeOne) call
+  * `spark.catalog.clearCache()` between queries to bound memory across
+  * the 240-query sweep, which unpersists every catalog-cached frame —
+  * a persist-based cache would silently recompute the graph per query
+  * (measured: zero reuse). Checkpointed RDD blocks live outside the
+  * catalog cache, exactly as long as this map holds the frame. At
+  * 100 TB the equivalent move is writing the edge set once (a
+  * [[graft.pipeline.VersionedTable]] commit) and letting the family
+  * read the snapshot; in-session the checkpoint plays that role.
+  * Correctness is untouched — the frozen frame is bit-identical to a
+  * fresh [[SimilarityOps.knnGraph]] call, and every consumer's oracle
+  * still rebuilds the graph from scratch, so the hash gate certifies
+  * the reuse.
   *
   * Keyed by the SparkSession itself: a stopped session's persisted
   * blocks die with it, and a new session builds its own entry (old
@@ -38,11 +44,11 @@ object KnnGraphCache {
 
   /** The (qid, rank, neighbor, cosine) edge frame of
     * [[SimilarityOps.knnGraph]] over `dir`'s embeddings table,
-    * persisted once per session. */
+    * built and frozen once per session. */
   def edges(s: SparkSession, dir: String,
       nList: Int, nProbe: Int, k: Int): DataFrame =
     cache.getOrElseUpdate((s, dir, nList, nProbe, k),
       SimilarityOps.knnGraph(Tables.embeddings(s, dir), "vec_id",
           "embedding", nList, nProbe, k)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint(true))
 }

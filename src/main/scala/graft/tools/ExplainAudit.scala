@@ -526,11 +526,28 @@ object ExplainAudit {
         (p => "hashpartitioning\\(".r.findAllIn(p).size <= 2),
       "no cartesian" -> (p => !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin")))
-    audit("q_s_knn_graph",
-      // the 16-row centroid attach IS a broadcast nested loop by design
-      "candidate pairs keyed on the coarse list (both sides shuffle on it)" ->
-        (_.contains("hashpartitioning(list")),
-      "no unbroadcast cartesian" -> (p => !p.contains("CartesianProduct")))
+    // q_s_knn_graph registers through the session-shared KnnGraphCache
+    // (an eager localCheckpoint — the registered plan is a bare RDD
+    // scan), so the BUILDER plan is audited directly here
+    section("knn graph (operator form)") {
+      val plan = graft.sim.SimilarityOps.knnGraph(
+          graft.Tables.embeddings(spark, sf), "vec_id", "embedding",
+          nList = 16, nProbe = 4, k = 5)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      println("=== knn graph (operator form) ===")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      Seq[(String, String => Boolean)](
+        // the 16-row centroid attach IS a broadcast nested loop by design
+        "candidate pairs keyed on the coarse list (both sides shuffle on it)" ->
+          (_.contains("hashpartitioning(list")),
+        "no unbroadcast cartesian" -> (p => !p.contains("CartesianProduct"))
+      ).foreach { case (desc, check) =>
+        val ok = check(plan)
+        println(s"  [${if (ok) "OK" else "MISS"}] $desc")
+        if (!ok) failures ::= s"knn graph (operator form): $desc"
+      }
+    }
     // the CC closure runs its convergence actions while the final plan is
     // assembled (q_d_dup_clusters precedent) — the audited plan is the
     // label/size stitch over the converged labels
