@@ -40,7 +40,7 @@ object SparkEntry {
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++
       text.Dsir.queries ++
-      dedup.DedupOps.queries ++
+      dedup.DedupOps.queries ++ dedup.VersionedEmbedIndex.queries ++
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ sim.VersionedIvf.queries ++
       sim.RerankFusion.queries ++ text.Novelty.queries ++

@@ -1437,18 +1437,12 @@ object DedupOps {
     * q_d_embed_neardup). The oracle rebuilds the sha256 hyperplanes,
     * both sides' signatures, the bucket-keyed candidate join, and the
     * exact-cosine arbitration. */
-  private val dEmbedIncremental = Q(
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val idx = buildEmbeddingIndex(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
-        "embedding", dim = 64)
-      incrementalEmbedDedupAgainstIndex(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 1), idx, "vec_id",
-        "embedding", dim = 64, threshold = 0.45)
-        .orderBy("vec_id")
-    },
-    Some("""WITH pl AS (SELECT plane, i,
+  /** Shared oracle CTE chain for the 72-plane sign-LSH signatures over
+    * the embeddings table, ending in `sig(vec_id, tbl, bucket)` (and
+    * `v(vec_id, e)`) — the DuckDB twin of [[buildEmbeddingIndex]]'s
+    * routing keys, shared by q_d_embed_incremental and
+    * q_d_embed_versioned. A def, not a val (object-init-order nulls). */
+  private[dedup] def lshSigSql: String = """pl AS (SELECT plane, i,
               ((  (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 1, 1)) - 1) * 1048576
                 + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 2, 1)) - 1) * 65536
                 + (strpos('0123456789abcdef', substr(sha256('lshp:' || plane || ':' || i), 3, 1)) - 1) * 4096
@@ -1467,7 +1461,20 @@ object DedupOps {
                 SUM(CASE WHEN dot > 0
                     THEN CAST(1 AS BIGINT) << CAST(plane % 6 AS INT)
                     ELSE 0 END) AS bucket
-              FROM dots GROUP BY 1, 2),
+              FROM dots GROUP BY 1, 2)"""
+
+  private val dEmbedIncremental = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = buildEmbeddingIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", dim = 64)
+      incrementalEmbedDedupAgainstIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), idx, "vec_id",
+        "embedding", dim = 64, threshold = 0.45)
+        .orderBy("vec_id")
+    },
+    Some("WITH " + lshSigSql + """,
             cand AS (SELECT DISTINCT b.vec_id AS id, c.vec_id AS idc
               FROM sig b JOIN sig c ON b.tbl = c.tbl AND b.bucket = c.bucket
               WHERE b.vec_id % 2 = 1 AND c.vec_id % 2 = 0

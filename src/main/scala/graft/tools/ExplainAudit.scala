@@ -1050,7 +1050,8 @@ object ExplainAudit {
         (p => !p.contains("Join")),
       "scalar totals are the only SinglePartition reduces" ->
         scalarReducesOnly)
-    // q_s_ivf_versioned carries no audit entry: the registered query
+    // q_s_ivf_versioned and q_d_embed_versioned carry no audit entry:
+    // each registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
     // its returned frame is an eager localCheckpoint (a bare RDD scan
     // with nothing to assert). The probe-side plan shape it rides —
