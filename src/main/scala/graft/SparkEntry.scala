@@ -36,6 +36,7 @@ object SparkEntry {
       stats.StatsQueries.queries ++ stats.Drift.queries ++
       stats.Agreement.queries ++ stats.Bootstrap.queries ++
       stats.KruskalWallis.queries ++ stats.Cuped.queries ++
+      stats.FdrSweep.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++

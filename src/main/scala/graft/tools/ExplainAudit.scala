@@ -1050,6 +1050,16 @@ object ExplainAudit {
         (p => !p.contains("Join")),
       "scalar totals are the only SinglePartition reduces" ->
         scalarReducesOnly)
+    audit("q_m49_bh_fdr",
+      // ONE (group, value) counts pass; the ECDF grid cumulates per
+      // group; the corpus total, group list, and BH frontier attach as
+      // broadcast scalar/V-row frames; the rank window orders m rows
+      "value counts partial map-side" -> (_.contains("partial_count")),
+      "per-group ECDF window keyed on the group" ->
+        (p => p.contains("hashpartitioning(g")),
+      "scalar/V-row attaches broadcast (no shuffled product)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     // q_s_ivf_versioned and q_d_embed_versioned carry no audit entry:
     // each registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
