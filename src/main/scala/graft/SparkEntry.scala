@@ -36,7 +36,8 @@ object SparkEntry {
       stats.StatsQueries.queries ++ stats.Drift.queries ++
       stats.Agreement.queries ++ stats.Bootstrap.queries ++
       stats.KruskalWallis.queries ++ stats.Cuped.queries ++
-      stats.FdrSweep.queries ++
+      stats.FdrSweep.queries ++ stats.Kish.queries ++
+      sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++

@@ -1060,6 +1060,30 @@ object ExplainAudit {
       "scalar/V-row attaches broadcast (no shuffled product)" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_m50_kish",
+      // ONE map-side-combined group pass; the ESS/deff arithmetic runs
+      // on |groups| rows
+      "weight sums partial-aggregate map-side" ->
+        (p => p.contains("partial_sum") && p.contains("partial_count")),
+      "no join anywhere (single-pass closed form)" ->
+        (p => !p.contains("Join")),
+      "balance filter pushed to the parquet scan" ->
+        (_.contains("PushedFilters: [IsNotNull(c_acctbal)")))
+    audit("q_s_rbo",
+      // runs arrive queries-k-bounded; the agreement join is keyed on
+      // (qid, neighbor); the k-row coefficient table broadcasts
+      "per-depth overlap counts partial map-side" ->
+        (_.contains("partial_sum")),
+      "coefficient table attaches by broadcast (no shuffled product)" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_t_zipf",
+      "term counts partial map-side" -> (_.contains("partial_count")),
+      "top-R per source rides the bounded GroupedTopK heap" ->
+        (_.contains("GroupedTopK")),
+      "rank window keyed per source (never global)" ->
+        (p => p.contains("hashpartitioning(g")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     // q_s_ivf_versioned and q_d_embed_versioned carry no audit entry:
     // each registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
