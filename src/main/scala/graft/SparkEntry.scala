@@ -38,6 +38,7 @@ object SparkEntry {
       stats.KruskalWallis.queries ++ stats.Cuped.queries ++
       stats.FdrSweep.queries ++ stats.Kish.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
+      text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++

@@ -49,8 +49,21 @@ object Bm25 {
       queryTerms: Seq[(Int, String)], k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val terms = queryTerms.map(_._2).distinct
-    val qdf = queryTerms.toDF("query_id", "term")
+    bm25TopKFromTerms(df, idCol, textCol,
+      queryTerms.toDF("query_id", "term"), k,
+      literalTerms = Some(queryTerms.map(_._2).distinct))
+  }
+
+  /** [[bm25TopK]] with the query workload as a DATAFRAME
+    * (query_id, term) — the entry point compositions with
+    * data-derived queries use ([[PseudoRelevance]] expansion terms).
+    * `literalTerms`: when the term set is known at plan time, the
+    * postings prune is a literal `isin` (pushable to the scan);
+    * otherwise it is a broadcast semi-join on the distinct query terms
+    * — still config-sized, still BEFORE the (doc, term) aggregation. */
+  def bm25TopKFromTerms(df: DataFrame, idCol: String, textCol: String,
+      qdf: DataFrame, k: Int,
+      literalTerms: Option[Seq[String]] = None): DataFrame = {
     val toks = df.select(col(idCol),
       TextOps.tokens(lower(col(textCol))).as("__ts"))
     val dl = toks.select(col(idCol),
@@ -59,8 +72,14 @@ object Bm25 {
     // total token count (Σdl) — the avgdl denominator is carried as the
     // (n, Σdl) pair so the saturation stays integer-pure downstream
     val stats = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
-    val post = toks.select(col(idCol), explode(col("__ts")).as("term"))
-      .filter(col("term").isin(terms.map(x => x: Any): _*))
+    val rawPost = toks.select(col(idCol), explode(col("__ts")).as("term"))
+    val pruned = literalTerms match {
+      case Some(terms) =>
+        rawPost.filter(col("term").isin(terms.map(x => x: Any): _*))
+      case None => rawPost.join(
+        broadcast(qdf.select("term").distinct()), Seq("term"), "left_semi")
+    }
+    val post = pruned
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     // the single float step: idf floored to micro-nats per TERM (a
@@ -106,6 +125,39 @@ object Bm25 {
   /** SQL VALUES literal for [[queryWorkload]] — the oracle twin. */
   def workloadValues: String =
     queryWorkload.map { case (q, t) => s"($q,'$t')" }.mkString(",")
+
+  /** The scoring half of the oracle chain (postings prune → idf →
+    * integer saturation → per-doc sum → rank), parameterized by a CTE
+    * name suffix and the query CTE to score against — assumes `toks`,
+    * `dl`, `stats` are in scope. Shared by the base ranked chain and
+    * the [[PseudoRelevance]] second pass. */
+  def oracleScoreFrom(sfx: String, qCte: String): String =
+    s"""post$sfx AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+              WHERE term IN (SELECT term FROM $qCte) GROUP BY 1, 2),
+            idf$sfx AS (SELECT term, CAST(floor(ln(1.0 +
+                (CAST((SELECT n FROM stats) AS DOUBLE)
+                   - CAST(COUNT(*) AS DOUBLE) + 0.5)
+                / (CAST(COUNT(*) AS DOUBLE) + 0.5)) * 1000000.0)
+                AS BIGINT) AS idf_micro
+              FROM post$sfx GROUP BY term),
+            contrib$sfx AS (SELECT qq.query_id, post$sfx.doc_id,
+                CAST((CAST(idf$sfx.idf_micro AS HUGEINT) * post$sfx.tf * 22
+                      * (SELECT sumdl FROM stats))
+                  // (CAST(post$sfx.tf AS HUGEINT) * 10
+                        * (SELECT sumdl FROM stats)
+                      + CAST((SELECT sumdl FROM stats) AS HUGEINT) * 3
+                      + CAST(dl.dl AS HUGEINT) * 9 * (SELECT n FROM stats))
+                  AS BIGINT) AS c
+              FROM $qCte qq JOIN post$sfx ON qq.term = post$sfx.term
+              JOIN idf$sfx ON idf$sfx.term = qq.term
+              JOIN dl ON dl.doc_id = post$sfx.doc_id),
+            scored$sfx AS (SELECT query_id, doc_id, SUM(c) AS score_micro
+              FROM contrib$sfx GROUP BY 1, 2),
+            ranked$sfx AS (SELECT query_id, doc_id, score_micro,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, doc_id) AS rank
+              FROM scored$sfx)"""
 
   /** DuckDB oracle CTE chain for [[bm25TopK]], ending in
     * `ranked(query_id, doc_id, score_micro, rank)` (unbounded rank —

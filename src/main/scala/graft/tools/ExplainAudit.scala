@@ -1084,6 +1084,24 @@ object ExplainAudit {
       "rank window keyed per source (never global)" ->
         (p => p.contains("hashpartitioning(g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_t_prf",
+      // two inverted-index BM25 passes; feedback harvesting is a
+      // broadcast prune of the token explode; expansion selection rides
+      // the bounded GroupedTopK heap; corpus stats attach as 1-row
+      // broadcasts (BroadcastNestedLoopJoin by design)
+      "expansion selection rides the bounded GroupedTopK heap" ->
+        (_.contains("GroupedTopK")),
+      "feedback set and query table attach by broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")),
+      "per-(doc,term) postings aggregate map-side" ->
+        (_.contains("partial_count")))
+    audit("q_p27_unimax",
+      "domain token sums partial-aggregate map-side" ->
+        (_.contains("partial_sum")),
+      "fill point attaches as a broadcast 1-row frame" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
     // q_s_ivf_versioned and q_d_embed_versioned carry no audit entry:
     // each registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
