@@ -244,7 +244,19 @@ object Bench {
     "q_s_kcenter",
     // round-12: Kruskal-Wallis rank test and CUPED variance reduction
     "q_m47_kruskal",
-    "q_m48_cuped")
+    "q_m48_cuped",
+    // round-12 batch 3: versioned embedding LSH index lifecycle,
+    // BH-FDR drift sweep, Kish ESS, rank-biased overlap, Zipf fit,
+    // PRF two-pass retrieval, UniMax waterfill
+    "q_d_embed_versioned",
+    "q_m49_bh_fdr",
+    "q_m50_kish",
+    "q_s_rbo",
+    "q_t_zipf",
+    "q_t_prf",
+    "q_p27_unimax",
+    // round-12: dedup saturation curve (per-batch + cumulative novelty)
+    "q_d_saturation")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -352,7 +364,13 @@ object Bench {
     // round-12 batch 2: TimeOne warm, sf0.1, load1 1.75; q_s_lpa's
     // reference covers the shared-graph build in case it runs first
     "q_s_lpa" -> 7.6, "q_s_kcenter" -> 2.1,
-    "q_m47_kruskal" -> 0.8, "q_m48_cuped" -> 0.7)
+    "q_m47_kruskal" -> 0.8, "q_m48_cuped" -> 0.7,
+    // round-12 batch 3: TimeOne warm, sf0.1, load1 1.56 (embed_versioned
+    // and prf carry their cold index/double-pass cost margins)
+    "q_d_embed_versioned" -> 4.5, "q_m49_bh_fdr" -> 1.7,
+    "q_m50_kish" -> 0.4, "q_s_rbo" -> 1.3, "q_t_zipf" -> 1.0,
+    "q_t_prf" -> 3.4, "q_p27_unimax" -> 0.7,
+    "q_d_saturation" -> 0.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -44,6 +44,7 @@ object SparkEntry {
       text.QualityClassifier.queries ++
       text.Dsir.queries ++
       dedup.DedupOps.queries ++ dedup.VersionedEmbedIndex.queries ++
+      dedup.Saturation.queries ++
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ sim.VersionedIvf.queries ++
       sim.RerankFusion.queries ++ text.Novelty.queries ++

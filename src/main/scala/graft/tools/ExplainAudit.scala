@@ -1096,6 +1096,15 @@ object ExplainAudit {
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")),
       "per-(doc,term) postings aggregate map-side" ->
         (_.contains("partial_count")))
+    audit("q_d_saturation",
+      // first occurrences decide in ONE hash-keyed window (the exact-
+      // dedup shuffle key); the batch roll-up partial-aggregates; the
+      // cumulative curve orders |batches| rows
+      "first-occurrence window keyed on the content hash" ->
+        (p => p.contains("hashpartitioning(h")),
+      "per-batch roll-up partial map-side" -> (_.contains("partial_count")),
+      "no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
     audit("q_p27_unimax",
       "domain token sums partial-aggregate map-side" ->
         (_.contains("partial_sum")),

@@ -647,4 +647,40 @@ class StreamsSpec extends SparkSpecBase {
       direct.getAs[Long]("d_micro") === 1000000L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming FDR drift gate: per-micro-batch KS-vs-rest across " +
+      "groups with BH control; uniform batch rejects nothing, a batch " +
+      "with one small shifted group flags exactly that group") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sfdr").toString
+    val logDir = s"$root/log"
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("g", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.stats.FdrSweep.bhStepUp(
+            graft.stats.FdrSweep.ksRestSweep(batch, "g", "v"),
+            "g", alphaMicro = 50000L)
+          .withColumn("batch_id", lit(bid))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(logDir)
+      }
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    // batch 0: three groups, identical distributions
+    input.addData((1 to 30).map(i => (s"g${i % 3}", (i % 5).toLong)): _*)
+    q.processAllAvailable()
+    // batch 1: two healthy groups plus a SMALL fully-shifted one
+    input.addData(((1 to 40).map(i => ("A", (i % 10).toLong)) ++
+      (1 to 40).map(i => ("B", (i % 10).toLong)) ++
+      (1 to 4).map(i => ("C", 1000L + i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(logDir).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("g")) ->
+        r.getAs[Boolean]("rejected")).toMap
+    assert(Seq("g0", "g1", "g2").forall(g => !log((0L, g))))
+    assert(log((1L, "C")))
+    assert(!log((1L, "A")) && !log((1L, "B")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
