@@ -256,7 +256,10 @@ object Bench {
     "q_t_prf",
     "q_p27_unimax",
     // round-12: dedup saturation curve (per-batch + cumulative novelty)
-    "q_d_saturation")
+    "q_d_saturation",
+    // round-12: Gini concentration and Kaplan-Meier survival
+    "q_m51_gini",
+    "q_m52_km")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -370,7 +373,8 @@ object Bench {
     "q_d_embed_versioned" -> 4.5, "q_m49_bh_fdr" -> 1.7,
     "q_m50_kish" -> 0.4, "q_s_rbo" -> 1.3, "q_t_zipf" -> 1.0,
     "q_t_prf" -> 3.4, "q_p27_unimax" -> 0.7,
-    "q_d_saturation" -> 0.9)
+    "q_d_saturation" -> 0.9,
+    "q_m51_gini" -> 1.4, "q_m52_km" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -37,6 +37,7 @@ object SparkEntry {
       stats.Agreement.queries ++ stats.Bootstrap.queries ++
       stats.KruskalWallis.queries ++ stats.Cuped.queries ++
       stats.FdrSweep.queries ++ stats.Kish.queries ++
+      stats.Gini.queries ++ stats.Survival.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++

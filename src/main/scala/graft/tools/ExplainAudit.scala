@@ -1096,6 +1096,23 @@ object ExplainAudit {
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")),
       "per-(doc,term) postings aggregate map-side" ->
         (_.contains("partial_count")))
+    audit("q_m51_gini",
+      // (group, value) cells aggregate map-side; the rank-sum windows
+      // run over distinct-value cells per group
+      "value cells partial map-side" -> (_.contains("partial_count")),
+      "rank-sum window keyed per group" ->
+        (p => p.contains("hashpartitioning(group")),
+      "no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
+    audit("q_m52_km",
+      // the gap derivation is one user-keyed lead window; lifetimes
+      // aggregate to distinct-time cells; the KM recursion orders cells
+      "next-event window keyed per user" ->
+        (p => p.contains("hashpartitioning(user_id")),
+      "lifetime cells partial map-side" -> (_.contains("partial_sum")),
+      "observation edge attaches as a broadcast 1-row frame" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_d_saturation",
       // first occurrences decide in ONE hash-keyed window (the exact-
       // dedup shuffle key); the batch roll-up partial-aggregates; the
