@@ -259,7 +259,11 @@ object Bench {
     "q_d_saturation",
     // round-12: Gini concentration and Kaplan-Meier survival
     "q_m51_gini",
-    "q_m52_km")
+    "q_m52_km",
+    // round-12: vocabulary coverage, CUSUM change point, log-rank
+    "q_t_vocab_coverage",
+    "q_e_cusum",
+    "q_m53_logrank")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -374,7 +378,9 @@ object Bench {
     "q_m50_kish" -> 0.4, "q_s_rbo" -> 1.3, "q_t_zipf" -> 1.0,
     "q_t_prf" -> 3.4, "q_p27_unimax" -> 0.7,
     "q_d_saturation" -> 0.9,
-    "q_m51_gini" -> 1.4, "q_m52_km" -> 1.3)
+    "q_m51_gini" -> 1.4, "q_m52_km" -> 1.3,
+    "q_t_vocab_coverage" -> 1.1, "q_e_cusum" -> 1.1,
+    "q_m53_logrank" -> 1.1)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

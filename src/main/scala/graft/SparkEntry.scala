@@ -38,8 +38,10 @@ object SparkEntry {
       stats.KruskalWallis.queries ++ stats.Cuped.queries ++
       stats.FdrSweep.queries ++ stats.Kish.queries ++
       stats.Gini.queries ++ stats.Survival.queries ++
+      stats.LogRank.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
+      text.VocabCoverage.queries ++ etl.ChangePoint.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++

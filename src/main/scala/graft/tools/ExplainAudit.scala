@@ -1096,6 +1096,26 @@ object ExplainAudit {
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")),
       "per-(doc,term) postings aggregate map-side" ->
         (_.contains("partial_count")))
+    audit("q_t_vocab_coverage",
+      // the two-level cells cascade: (group, term) counts then a
+      // (group) roll-up of frequency-of-frequencies
+      "term counts partial map-side" -> (_.contains("partial_count")),
+      "no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
+    audit("q_e_cusum",
+      // daily cells aggregate map-side; the cumulative window and the
+      // argmax-struct aggregate run over series-day CELLS
+      "daily cells partial map-side" -> (_.contains("partial_count")),
+      "cumulative window keyed per series" ->
+        (p => p.contains("hashpartitioning(series")),
+      "argmax is an aggregate, never a data-sized sort" ->
+        (_.contains("partial_max")))
+    audit("q_m53_logrank",
+      // subject collapse + time cells + one scalar reduce
+      "time cells partial map-side" -> (_.contains("partial_sum")),
+      "totals attach as broadcast 1-row frames" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_m51_gini",
       // (group, value) cells aggregate map-side; the rank-sum windows
       // run over distinct-value cells per group
