@@ -263,7 +263,9 @@ object Bench {
     // round-12: vocabulary coverage, CUSUM change point, log-rank
     "q_t_vocab_coverage",
     "q_e_cusum",
-    "q_m53_logrank")
+    "q_m53_logrank",
+    // round-12: jackknife ratio-metric error bars
+    "q_m54_jackknife")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -380,7 +382,7 @@ object Bench {
     "q_d_saturation" -> 0.9,
     "q_m51_gini" -> 1.4, "q_m52_km" -> 1.3,
     "q_t_vocab_coverage" -> 1.1, "q_e_cusum" -> 1.1,
-    "q_m53_logrank" -> 1.1)
+    "q_m53_logrank" -> 1.1, "q_m54_jackknife" -> 0.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

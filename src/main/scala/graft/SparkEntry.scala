@@ -38,7 +38,7 @@ object SparkEntry {
       stats.KruskalWallis.queries ++ stats.Cuped.queries ++
       stats.FdrSweep.queries ++ stats.Kish.queries ++
       stats.Gini.queries ++ stats.Survival.queries ++
-      stats.LogRank.queries ++
+      stats.LogRank.queries ++ stats.Jackknife.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++

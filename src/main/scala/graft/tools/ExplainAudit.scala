@@ -1116,6 +1116,14 @@ object ExplainAudit {
       "totals attach as broadcast 1-row frames" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_m54_jackknife",
+      // ONE (group, bucket) collapse; totals, leave-one-out ratios and
+      // the variance run over groups-x-B cells
+      "bucket cells partial map-side" ->
+        (p => p.contains("partial_sum") && p.contains("partial_count")),
+      "totals attach by a keyed join (no product)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
     audit("q_m51_gini",
       // (group, value) cells aggregate map-side; the rank-sum windows
       // run over distinct-value cells per group
