@@ -40,10 +40,18 @@ object MmrDiversify {
     * symmetric, self-pairs absent. λ = lamNum/lamDen. Output:
     * (qid, pick, id, mmr_micro) with pick = 1..k in selection order;
     * the first pick's objective counts maxsim as 0. */
-  def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int,
+  def mmrSelect(cands0: DataFrame, sims0: DataFrame, k: Int,
       lamNum: Int, lamDen: Int): DataFrame = {
     require(k >= 1 && lamNum > 0 && lamNum <= lamDen,
       "need k >= 1 and 0 < lamNum <= lamDen")
+    // persist both inputs: the k-step greedy chain references them in
+    // EVERY step's subtree, and without the cut the final plan re-runs
+    // the candidate GENERATOR (a corpus-scale first-stage ranker) and
+    // the pair-sim build once per step — k redundant corpus scans for
+    // the registered brute-force-fed query. Both frames are
+    // workload-bounded (queries*n / queries*n^2), never corpus-scale
+    val cands = cands0.persist()
+    val sims = sims0.persist()
     val w = Window.partitionBy("qid").orderBy(col("mmr").desc, col("id"))
     def argmax(scored: DataFrame, pick: Int): DataFrame =
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
