@@ -39,6 +39,9 @@ object SparkEntry {
       stats.FdrSweep.queries ++ stats.Kish.queries ++
       stats.Gini.queries ++ stats.Survival.queries ++
       stats.LogRank.queries ++ stats.Jackknife.queries ++
+      stats.Fleiss.queries ++ stats.RocAuc.queries ++
+      stats.TrendTest.queries ++ stats.BradleyTerry.queries ++
+      stats.Conformal.queries ++ stats.Isotonic.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * RC = Σ_label row_l·col_l, `κ = (n·D − RC) / (n² − RC)`; the output
   * is that ratio in FLOOR-division micro. The numerator is the one
   * place the repo's `div`-convention needs care: κ < 0 is legitimate
-  * (worse-than-chance agreement), and Spark's truncating `div` differs
-  * from DuckDB's flooring `//` on negatives — so the division goes
-  * through an explicit pmod-based floor div, identical in both engines
-  * for any sign (NUMERIC_CONVENTION rule 1's documented caveat made
-  * executable). Degenerate marginals (both raters constant, n² = RC)
+  * (worse-than-chance agreement), and negative-operand `div`/`//`
+  * semantics are not contractual across engines/versions (measured on
+  * DuckDB 1.x: `//` truncates like Spark's `div`, though docs call it
+  * floor) — so the division goes through an explicit pmod-based floor
+  * div, which divides EXACTLY and is therefore identical in both
+  * engines for any sign (NUMERIC_CONVENTION rule 1's documented
+  * caveat made executable). Degenerate marginals (both raters constant, n² = RC)
   * yield null, not a 0-divide.
   *
   * Scale: ONE map-side-combined groupBy(raterA, raterB) contingency

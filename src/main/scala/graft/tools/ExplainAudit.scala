@@ -1156,6 +1156,62 @@ object ExplainAudit {
       "fill point attaches as a broadcast 1-row frame" ->
         (_.contains("BroadcastNestedLoopJoin")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m55_fleiss",
+      // (item, category) cells aggregate map-side; S, marginals and the
+      // rater-count guard attach as broadcast 1-row frames
+      "assignment cells partial map-side" -> (_.contains("partial_count")),
+      "sufficient statistics attach as broadcast 1-row frames" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_m56_auc",
+      // the MWU value-counts formulation: one (var, value) cells pass,
+      // rank window over distinct-value cells (the single fixture
+      // variable constant-folds, so no key to assert — the q_m39
+      // precedent), broadcast totals
+      "value cells partial map-side" -> (_.contains("partial_sum")),
+      "totals attach as a broadcast 1-row frame" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m57_gains",
+      // the global rank assembles from (strictly-above counts) +
+      // (within-score row_number): no single-partition row window
+      "score cells partial map-side" -> (_.contains("partial_count")),
+      "within-score window partitions BY SCORE, never globally" ->
+        (p => p.contains("hashpartitioning(__s")),
+      "above-counts attach as a broadcast join" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m58_mann_kendall",
+      // the data pass is the per-(type, day) aggregation; the pairwise
+      // self-join and the median window run over series CELLS keyed by
+      // group — bounded by the calendar, not the row count
+      "daily series cells partial map-side" -> (_.contains("partial_count")),
+      "pair join and median window keyed per group" ->
+        (p => p.contains("hashpartitioning(__g")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m59_bradley_terry",
+      // the MM fit collects the k x k comparison matrix (config-sized,
+      // the centroid precedent) and runs on the driver: the returned
+      // frame is a local table; the data pass (matched-pair outcomes +
+      // counts) executed inside fit()
+      "driver-fit leaderboard is a local frame" ->
+        (_.contains("LocalTableScan")))
+    audit("q_m60_conformal",
+      // one means pass + one residual-counts pass; the conformal rank
+      // scan windows over distinct residual values per group
+      "residual cells partial map-side" -> (_.contains("partial_count")),
+      "rank window keyed per group" ->
+        (p => p.contains("hashpartitioning(__g")),
+      "means attach as a broadcast join" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m61_isotonic",
+      // PAV pools on the driver over the collected BIN table
+      // (config-sized); the bins themselves aggregated distributed
+      // inside pavCalibrate's input
+      "driver-PAV calibration is a local frame" ->
+        (_.contains("LocalTableScan")))
     // q_s_ivf_versioned and q_d_embed_versioned carry no audit entry:
     // each registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
