@@ -42,6 +42,8 @@ object SparkEntry {
       stats.Fleiss.queries ++ stats.RocAuc.queries ++
       stats.TrendTest.queries ++ stats.BradleyTerry.queries ++
       stats.Conformal.queries ++ stats.Isotonic.queries ++
+      text.Heaps.queries ++ etl.Privacy.queries ++
+      stats.DawidSkene.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++

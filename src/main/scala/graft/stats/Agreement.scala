@@ -106,8 +106,13 @@ object Agreement {
             SELECT n, sum_diag, sum_rc,
                 sum_diag * 1000000 // n AS po_micro,
                 sum_rc * 1000000000 // (n * n) AS pe_nano,
+                -- pmod floor form: kappa < 0 is legitimate and bare //
+                -- TRUNCATES toward zero on negatives (measured DuckDB 1.x)
                 CASE WHEN n * n = sum_rc THEN NULL
-                     ELSE ((n * sum_diag - sum_rc) * 1000000)
+                     ELSE ((n * sum_diag - sum_rc) * 1000000
+                       - ((((n * sum_diag - sum_rc) * 1000000)
+                           % (n * n - sum_rc)) + (n * n - sum_rc))
+                         % (n * n - sum_rc))
                           // (n * n - sum_rc) END AS kappa_micro
             FROM base CROSS JOIN rc"""))
 

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * floor-division each of those integers — clearing denominators,
   * adjmean_arm = (Σy_a·den·n − num·(Σx_a·n − n_a·Σx)) / (n_a·den·n)
   * with num = nΣxy − ΣxΣy, den = nΣx² − (Σx)² — through the
-  * [[Agreement]] pmod floor-div (numerators can be negative; DuckDB's
-  * `//` floors on any sign, Spark's `div` truncates). The one float
+  * [[Agreement]] pmod floor-div on BOTH sides (numerators can be
+  * negative, and negative-operand `div`/`//` semantics are not
+  * contractual across engines — DuckDB 1.x `//` measured TRUNCATING;
+  * the oracle therefore spells the same pmod form). The one float
   * column, the diagnostic ρ² (the variance-reduction fraction), is an
   * identical literal tree of those exact integers in both engines,
   * floored to micro. Degenerate inputs (constant x or y) emit nulls.
@@ -138,37 +140,52 @@ object Cuped {
                 CAST(n AS HUGEINT) * sxy - sx * sy AS num,
                 CAST(n AS HUGEINT) * sxx - sx * sx AS den,
                 CAST(n AS HUGEINT) * syy - sy * sy AS deny
-              FROM agg)
+              FROM agg),
+            -- every sign-risky division goes through the pmod FLOOR
+            -- form (a − pmod(a,b) is exactly divisible): DuckDB's //
+            -- TRUNCATES toward zero on negatives (measured; the round-12
+            -- sf0.1 sweep caught theta_micro −18671 vs Spark's floored
+            -- −18672), so bare // is only safe on non-negative operands
+            nums AS (SELECT *,
+                num * 1000000 AS th_n,
+                sya * den * n - num * (sxa * n - na * sx) AS a_n,
+                CAST(na AS HUGEINT) * den * n AS a_d,
+                syb * den * n - num * (sxb * n - nb * sx) AS b_n,
+                CAST(nb AS HUGEINT) * den * n AS b_d
+              FROM fin)
             SELECT n, na, nb,
               CASE WHEN den > 0
-                THEN CAST((num * 1000000) // den AS BIGINT) END
+                THEN CAST((th_n - ((th_n % den) + den) % den) // den
+                  AS BIGINT) END
                 AS theta_micro,
               CASE WHEN den > 0 AND na > 0
-                THEN CAST((sya * den * n - num * (sxa * n - na * sx))
-                  // (CAST(na AS HUGEINT) * den * n) AS BIGINT) END
+                THEN CAST((a_n - ((a_n % a_d) + a_d) % a_d) // a_d
+                  AS BIGINT) END
                 AS adj_mean_a_milli,
               CASE WHEN den > 0 AND nb > 0
-                THEN CAST((syb * den * n - num * (sxb * n - nb * sx))
-                  // (CAST(nb AS HUGEINT) * den * n) AS BIGINT) END
+                THEN CAST((b_n - ((b_n % b_d) + b_d) % b_d) // b_d
+                  AS BIGINT) END
                 AS adj_mean_b_milli,
               CASE WHEN den > 0 AND na > 0 AND nb > 0
-                THEN CAST((sya * den * n - num * (sxa * n - na * sx))
-                    // (CAST(na AS HUGEINT) * den * n)
-                  - (syb * den * n - num * (sxb * n - nb * sx))
-                    // (CAST(nb AS HUGEINT) * den * n) AS BIGINT) END
+                THEN CAST((a_n - ((a_n % a_d) + a_d) % a_d) // a_d
+                  - (b_n - ((b_n % b_d) + b_d) % b_d) // b_d AS BIGINT) END
                 AS diff_adj_milli,
               CASE WHEN na > 0
-                THEN CAST(sya // CAST(na AS HUGEINT) AS BIGINT) END
+                THEN CAST((sya - ((sya % CAST(na AS HUGEINT))
+                    + CAST(na AS HUGEINT)) % CAST(na AS HUGEINT))
+                  // CAST(na AS HUGEINT) AS BIGINT) END
                 AS raw_mean_a_milli,
               CASE WHEN nb > 0
-                THEN CAST(syb // CAST(nb AS HUGEINT) AS BIGINT) END
+                THEN CAST((syb - ((syb % CAST(nb AS HUGEINT))
+                    + CAST(nb AS HUGEINT)) % CAST(nb AS HUGEINT))
+                  // CAST(nb AS HUGEINT) AS BIGINT) END
                 AS raw_mean_b_milli,
               CASE WHEN den > 0 AND deny > 0
                 THEN CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
                   * CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)
                   * 1000000.0) AS BIGINT) END
                 AS rho2_micro
-            FROM fin"""))
+            FROM nums"""))
 
   val queries: Map[String, Q] = Map("q_m48_cuped" -> mCuped)
 }

@@ -1,0 +1,230 @@
+package graft.stats
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dawid–Skene label aggregation (Dawid & Skene, JRSS-C 1979) — the
+  * classic EM model for consensus labels from unreliable raters: each
+  * rater r carries a latent confusion matrix π_r[observed | true], and
+  * the consensus posterior weighs each vote by how often ITS RATER is
+  * right about ITS CLASS — so one reliable specialist outvotes two
+  * biased gates, where majority vote (and the agreement diagnostics
+  * q_m45/q_m55, which only MEASURE disagreement) cannot. The
+  * training-data use: fusing an ensemble of cheap quality gates /
+  * judge prompts into calibrated document labels plus per-rater
+  * reliability — THE standard crowd/LLM-judge aggregation step before
+  * training on the labels.
+  *
+  * All-integer EM (the q_m59 discipline extended to EM): posteriors
+  * live on a micro grid, confusion cells and priors are Laplace-
+  * smoothed integral divisions of exact micro-sums (+1 pseudo-item per
+  * cell — smoothing also keeps every E-step product nonzero), and the
+  * E-step score is a PRODUCT of ≤ R+1 micro-scaled integers evaluated
+  * in decimal(38,0)/HUGEINT (R=3 raters: ≤ 10²⁴ — no overflow at 38
+  * digits), renormalized per item by one integral division. No float
+  * exists on either side; the oracle replays the identical recursion
+  * as Scala-GENERATED unrolled CTEs ([[dsOracleSql]], the LCA/Lloyd
+  * seeded-unroll pattern — but exact, with no libm risk to absorb).
+  *
+  * Scale shape: per EM sweep, the M-step is R+1 map-side-combined
+  * aggregations of the posterior table collapsing to R·k² + k cells,
+  * which COLLECT to the driver (config-sized — classes × raters, the
+  * centroid precedent) and re-enter the E-step as broadcast literals;
+  * the E-step is one pass over items × k with broadcast lookups and an
+  * item-keyed normalization window. Because each posterior depends on
+  * the previous one ONLY through those collected literals, the plan
+  * depth stays CONSTANT across sweeps — no lineage growth, no
+  * checkpoint needed. */
+object DawidSkene {
+
+  /** Per-(rater, observed a, class c) smoothed confusion micro and
+    * per-class prior micro, as driver values. */
+  private final case class Model(
+      conf: Map[(Int, String, String), Long], prior: Map[String, Long])
+
+  /** Fit over wide assignments (one row per item, one string label
+    * column per rater). `classes`: the label universe, explicit so the
+    * fit is scale-independent (a level absent at one SF must not
+    * change k). Returns (item, label, conf_micro) — the consensus
+    * label with its posterior in micro. `iters` EM sweeps after the
+    * vote init. */
+  def fit(wide: DataFrame, itemCol: String, raterCols: Seq[String],
+      classes: Seq[String], iters: Int = 5): DataFrame = {
+    val spark = wide.sparkSession
+    import spark.implicits._
+    val r = raterCols.length
+    val k = classes.length
+    require(k >= 2 && r >= 1, "dawidSkene: need >= 2 classes, >= 1 rater")
+    val M = 1000000L
+    val w = wide.select((col(itemCol).as("__i") +:
+      raterCols.zipWithIndex.map { case (c, j) => col(c).as(s"__y$j") }): _*)
+
+    // posterior init: vote shares floored to micro
+    var t: DataFrame = w.select(col("__i"),
+        explode(array(raterCols.indices.map(j => col(s"__y$j")): _*))
+          .as("__c"))
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__v"))
+      .select(col("__i"), col("__c"),
+        expr(s"__v * $M div $r").as("__t"))
+
+    t = t.persist()
+    val clsDf = broadcast(classes.toDF("__c"))
+    for (_ <- 0 until iters) {
+      // ---- M-step: collect confusion + prior sufficient statistics ----
+      val den: Map[String, BigInt] = t.groupBy("__c")
+        .agg(sum("__t").as("s")).as[(String, Long)].collect()
+        .map { case (c, s) => c -> BigInt(s) }.toMap.withDefaultValue(BigInt(0))
+      val tot = classes.map(den).sum
+      val prior: Map[String, Long] = classes.map { c =>
+        c -> ((den(c) + M) * M / (tot + k * M)).toLong }.toMap
+      val conf: Map[(Int, String, String), Long] = (for (j <- 0 until r) yield {
+        val num = t.join(w.select(col("__i"), col(s"__y$j").as("__a")), "__i")
+          .groupBy("__a", "__c").agg(sum("__t").as("s"))
+          .as[(String, String, Long)].collect()
+          .map { case (a, c, s) => (a, c) -> BigInt(s) }.toMap
+          .withDefaultValue(BigInt(0))
+        for (a <- classes; c <- classes) yield
+          (j, a, c) -> ((num((a, c)) + M) * M / (den(c) + k * M)).toLong
+      }).flatten.toMap
+
+      // ---- E-step: scores from broadcast literals, item-keyed renorm ----
+      val priorDf = broadcast(classes.map(c => (c, prior(c)))
+        .toDF("__c", "__p"))
+      val confDfs = (0 until r).map { j =>
+        broadcast((for (a <- classes; c <- classes)
+          yield (a, c, conf((j, a, c))))
+          .toDF(s"__a$j", s"__cc$j", s"__m$j"))
+      }
+      var scored = w.crossJoin(clsDf).join(priorDf, Seq("__c"))
+      for (j <- 0 until r)
+        scored = scored.join(confDfs(j),
+          col(s"__y$j") === col(s"__a$j") && col("__c") === col(s"__cc$j"))
+      val prod = (0 until r).foldLeft(col("__p").cast("decimal(38,0)")) {
+        case (acc, j) => acc * col(s"__m$j") }
+      val normW = Window.partitionBy("__i")
+      // the new posterior depends on t only through the COLLECTED
+      // literals above, so the old cache can release immediately — the
+      // plan depth stays constant across sweeps
+      val prev = t
+      t = scored.select(col("__i"), col("__c"), prod.as("__s"))
+        .withColumn("__z", sum("__s").over(normW))
+        .select(col("__i"), col("__c"),
+          expr(s"cast((__s * $M) div __z as long)").as("__t"))
+        .persist()
+      prev.unpersist()
+    }
+
+    val rankW = Window.partitionBy("__i")
+      .orderBy(col("__t").desc, col("__c"))
+    t.withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") === 1)
+      .select(col("__i").as(itemCol), col("__c").as("label"),
+        col("__t").as("conf_micro"))
+  }
+
+  // ------------------------------------------------------------------
+  // oracle generator: the identical integer recursion, unrolled
+  // ------------------------------------------------------------------
+
+  /** DuckDB oracle for [[fit]]: `wideSql` must produce (item, y0..y{R-1})
+    * matching the Spark-side wide frame exactly. Generated chained CTEs,
+    * one block per sweep — all HUGEINT. */
+  def dsOracleSql(wideSql: String, itemCol: String, r: Int,
+      classes: Seq[String], iters: Int = 5): String = {
+    val M = "1000000"
+    val k = classes.length
+    val clsVals = classes.map(c => s"('$c')").mkString(",")
+    val sb = new StringBuilder
+    sb.append(s"""WITH wide AS MATERIALIZED ($wideSql),
+        cls(c) AS (VALUES $clsVals),
+        t0 AS MATERIALIZED (SELECT i, c, v * $M // $r AS t FROM (
+          SELECT item AS i, c, CAST(COUNT(*) AS HUGEINT) AS v FROM (
+            ${(0 until r).map(j => s"SELECT item, y$j AS c FROM wide")
+              .mkString(" UNION ALL ")})
+          GROUP BY 1, 2))""")
+    for (it <- 0 until iters) {
+      val tIn = s"t$it"
+      val tOut = s"t${it + 1}"
+      sb.append(s""",
+        den$it AS MATERIALIZED (SELECT cls.c,
+            COALESCE((SELECT SUM(t) FROM $tIn WHERE $tIn.c = cls.c),
+              CAST(0 AS HUGEINT)) AS den
+          FROM cls),
+        tot$it AS MATERIALIZED (SELECT SUM(den) AS tot FROM den$it),
+        prior$it AS MATERIALIZED (SELECT den$it.c,
+            (den + $M) * $M // (tot + $k * $M) AS p
+          FROM den$it CROSS JOIN tot$it)""")
+      for (j <- 0 until r) {
+        sb.append(s""",
+        num${it}_$j AS MATERIALIZED (SELECT w.y$j AS a, t.c, SUM(t.t) AS num
+          FROM $tIn t JOIN wide w ON w.item = t.i GROUP BY 1, 2),
+        conf${it}_$j AS MATERIALIZED (SELECT ca.c AS a, cc.c AS c,
+            (COALESCE(n.num, 0) + $M) * $M // (d.den + $k * $M) AS m
+          FROM cls ca CROSS JOIN cls cc
+          LEFT JOIN num${it}_$j n ON n.a = ca.c AND n.c = cc.c
+          JOIN den$it d ON d.c = cc.c)""")
+      }
+      val joins = (0 until r).map(j =>
+        s"JOIN conf${it}_$j m$j ON m$j.a = w.y$j AND m$j.c = cls.c")
+        .mkString("\n          ")
+      val prod = (0 until r).map(j => s"m$j.m").mkString(" * ")
+      sb.append(s""",
+        sc$it AS MATERIALIZED (SELECT w.item AS i, cls.c, pr.p * $prod AS s
+          FROM wide w CROSS JOIN cls
+          JOIN prior$it pr ON pr.c = cls.c
+          $joins),
+        $tOut AS MATERIALIZED (SELECT i, c,
+            (s * $M) // (SUM(s) OVER (PARTITION BY i)) AS t
+          FROM sc$it)""")
+    }
+    sb.append(s"""
+        SELECT i AS $itemCol, c AS label, CAST(t AS BIGINT) AS conf_micro
+        FROM t$iters
+        QUALIFY row_number() OVER (PARTITION BY i ORDER BY t DESC, c) = 1
+        ORDER BY $itemCol""")
+    sb.toString
+  }
+
+  /** q_m62_dawid_skene: consensus document-quality labels from the three
+    * deterministic gates of q_m55 (length / lexical / structural, each
+    * voting {low, mid, high}), with per-rater reliability learned by the
+    * EM — the label-aggregation capstone over the agreement family. */
+  private def gates(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("n_chars") < 200, lit("low"))
+        .when(col("n_chars") < 1000, lit("mid")).otherwise(lit("high"))
+        .as("r_len"),
+      when(size(filter(split(col("text"), " "), t => t =!= lit(""))) < 40,
+        lit("low"))
+        .when(size(filter(split(col("text"), " "), t => t =!= lit(""))) <
+          200, lit("mid")).otherwise(lit("high")).as("r_words"),
+      when(length(col("text")) - length(replace(col("text"), lit("."),
+        lit(""))) < 2, lit("low"))
+        .when(length(col("text")) - length(replace(col("text"), lit("."),
+          lit(""))) < 10, lit("mid")).otherwise(lit("high")).as("r_sent"))
+
+  private val wideSql =
+    """SELECT doc_id AS item,
+         CASE WHEN n_chars < 200 THEN 'low'
+              WHEN n_chars < 1000 THEN 'mid' ELSE 'high' END AS y0,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) < 40 THEN 'low'
+              WHEN len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) < 200 THEN 'mid'
+              ELSE 'high' END AS y1,
+         CASE WHEN length(text) - length(replace(text, '.', '')) < 2
+                THEN 'low'
+              WHEN length(text) - length(replace(text, '.', '')) < 10
+                THEN 'mid' ELSE 'high' END AS y2
+       FROM documents"""
+
+  private val mDs = Q(
+    (s, d) => fit(gates(s, d), "doc_id", Seq("r_len", "r_words", "r_sent"),
+      Seq("high", "low", "mid")).orderBy("doc_id"),
+    Some(dsOracleSql(wideSql, "doc_id", r = 3,
+      classes = Seq("high", "low", "mid"))))
+
+  val queries: Map[String, Q] = Map("q_m62_dawid_skene" -> mDs)
+}

@@ -109,11 +109,23 @@ object KruskalWallis {
                 - 3000000 * (CAST(tot.n AS HUGEINT) + 1) AS BIGINT)
                 AS h_micro,
               CAST(tot.tie AS BIGINT) AS t_tie,
+              -- pmod floor form: the floored per-group terms can push
+              -- h_micro slightly negative on uniform ranks, and bare //
+              -- TRUNCATES toward zero on negatives (measured DuckDB 1.x)
               CASE WHEN tot.tie <
                   CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n
-                THEN CAST(
+                THEN CAST((
                   ((3 * agg.st - 3000000 * (CAST(tot.n AS HUGEINT) + 1))
                     * (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n))
+                  - ((((3 * agg.st
+                        - 3000000 * (CAST(tot.n AS HUGEINT) + 1))
+                       * (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n))
+                      % (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n
+                         - tot.tie)
+                      + (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n
+                         - tot.tie))
+                     % (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n
+                        - tot.tie)))
                   // (CAST(tot.n AS HUGEINT) * tot.n * tot.n - tot.n
                       - tot.tie) AS BIGINT)
               END AS hc_micro

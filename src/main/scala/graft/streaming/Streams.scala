@@ -398,6 +398,32 @@ object Streams {
       .select(col("__id").as(idCol), col("n_bigrams"), col("weight_micro"))
   }
 
+  /** Streaming twin of [[graft.stats.Conformal.conformalBand]] as an
+    * anomaly gate: `bands` is the FROZEN calibration output
+    * (grp, mean_floor, qhat) — fit once on a calibration batch and
+    * persisted, the ksVsReference pattern — and each live row is
+    * flagged when its value leaves the group's conformal band
+    * |v − mean_floor| > q̂. By the split-conformal guarantee the
+    * flag's false-positive rate on exchangeable data is ≤ α of the
+    * calibration fit — a DISTRIBUTION-FREE paging threshold, vs the
+    * z-score gates that assume normal tails. Groups the calibration
+    * never saw (no band row) or whose band was null (k > n) pass
+    * through flagged as `uncalibrated` rather than silently dropped —
+    * a monitor must not mask exactly the novel traffic it exists to
+    * catch. Stateless: one broadcast stream-static join + filter, no
+    * watermark, no state store; per-batch cost is |batch|. */
+  def streamingConformalGate(rows: DataFrame, grpCol: String,
+      valCol: String, bands: DataFrame): DataFrame = {
+    val b = broadcast(bands.select(col("grp"), col("mean_floor"),
+      col("qhat")))
+    rows.join(b, col(grpCol) === col("grp"), "left")
+      .withColumn("uncalibrated",
+        col("mean_floor").isNull || col("qhat").isNull)
+      .filter(col("uncalibrated") ||
+        abs(col(valCol) - col("mean_floor")) > col("qhat"))
+      .drop("grp", "mean_floor", "qhat")
+  }
+
   final case class FunnelState(stage: Int, atUs: Long)
   final case class FunnelAdvance(userId: Long, step: Int, stepName: String,
       atUs: Long)

@@ -1206,6 +1206,33 @@ object ExplainAudit {
       "means attach as a broadcast join" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_t_heaps",
+      // token explode / min-doc-per-term / per-doc counts: map-side
+      // passes; the cumulative and checkpoint windows run over
+      // per-source DOC-RANK cells, keyed by source
+      "first-occurrence and count passes partial map-side" ->
+        (p => p.contains("partial_min") && p.contains("partial_count")),
+      "cumulative windows keyed per source (no global funnel)" ->
+        (p => p.contains("hashpartitioning(g")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_p28_kanon",
+      // ONE class-keyed pass (count + exact distinct), then a scalar
+      // reduce over class cells
+      "class pass partial map-side" -> (_.contains("partial_count")),
+      "summary is a scalar reduce, not a data window" ->
+        (p => !p.contains("Window")),
+      "no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
+    audit("q_m62_dawid_skene",
+      // the returned frame reads the PERSISTED final posterior (the
+      // constant-depth EM contract: each sweep's E-step joins broadcast
+      // literals only, and the per-sweep plans are pinned by
+      // DawidSkeneSpec); here the argmax window must key per item
+      "final posterior is the persisted sweep output" ->
+        (_.contains("InMemoryTableScan")),
+      "argmax window keyed per item" ->
+        (p => p.contains("hashpartitioning(__i")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m61_isotonic",
       // PAV pools on the driver over the collected BIN table
       // (config-sized); the bins themselves aggregated distributed

@@ -683,4 +683,40 @@ class StreamsSpec extends SparkSpecBase {
     assert(!log((1L, "A")) && !log((1L, "B")))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming conformal gate: out-of-band rows flag, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // calibration batch: group a centered at 50 (residuals spread 0..45),
+    // 10 points so k = ceil(11*0.9) = 10 -> qhat = max residual
+    val calib = ((0L until 10L).map(v => ("a", v * 10L)) ++
+      (0L until 10L).map(v => ("b", 1000L + v))).toDF("grp", "v")
+    val bands = graft.stats.Conformal.conformalBand(calib, "grp", "v")
+    val bA = bands.filter(col("grp") === "a").collect()(0)
+    assert(bA.getAs[Long]("mean_floor") === 45L &&
+      bA.getAs[Long]("qhat") === 45L)
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.streamingConformalGate(
+        input.toDF().toDF("g", "v"), "g", "v", bands)
+      .writeStream.format("memory").queryName("conformal_out")
+      .outputMode("append").start()
+    input.addData(
+      ("a", 50L),   // inside band [0, 90] -> silent
+      ("a", 91L),   // |91-45| = 46 > 45 -> flagged
+      ("a", -1L),   // |−1−45| = 46 -> flagged
+      ("b", 1004L), // inside b's band -> silent
+      ("c", 7L))    // group never calibrated -> flagged uncalibrated
+    q.processAllAvailable()
+    val out = spark.table("conformal_out").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("v"),
+        r.getAs[Boolean]("uncalibrated"))).toSet
+    q.stop()
+    assert(out === Set(("a", 91L, false), ("a", -1L, false),
+      ("c", 7L, true)))
+    // twin parity: the same filter on a batch frame flags the same rows
+    val batch = Seq(("a", 50L), ("a", 91L), ("a", -1L), ("b", 1004L),
+      ("c", 7L)).toDF("g", "v")
+    val batchOut = Streams.streamingConformalGate(batch, "g", "v", bands)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v"))).toSet
+    assert(batchOut === out.map(t => (t._1, t._2)))
+  }
 }
