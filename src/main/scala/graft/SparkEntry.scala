@@ -43,7 +43,8 @@ object SparkEntry {
       stats.TrendTest.queries ++ stats.BradleyTerry.queries ++
       stats.Conformal.queries ++ stats.Isotonic.queries ++
       text.Heaps.queries ++ etl.Privacy.queries ++
-      stats.DawidSkene.queries ++
+      stats.DawidSkene.queries ++ text.QueryLikelihood.queries ++
+      dedup.LshAudit.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++

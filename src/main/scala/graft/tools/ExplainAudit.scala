@@ -1206,6 +1206,27 @@ object ExplainAudit {
       "means attach as a broadcast join" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_t_ql_dirichlet",
+      // the Bm25 inverted-index shape: postings pruned by a LITERAL isin
+      // BEFORE the (doc, term) agg; cf/stats/query broadcast; ranking
+      // through the native bounded-heap GroupedTopK
+      "query-term prune reaches the scan as a literal In" ->
+        (p => p.contains("In(term") || p.contains("term#")
+          && p.contains("Filter")),
+      "postings aggregate partial map-side" -> (_.contains("partial_count")),
+      "ranking is the native grouped top-k (no global sort)" ->
+        (p => p.contains("GroupedTopK") && !p.contains("GlobalLimit")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_d_lsh_audit",
+      // candidates join on BAND-TUPLE keys and truth blocks on shared
+      // shingles — keyed equi-joins (broadcast at audit scale, shuffle
+      // keys at corpus scale), NEVER an all-pairs product
+      "every join is keyed (no nested-loop, no cartesian)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      "confusion assembles through a keyed full-outer join" ->
+        (_.contains("FullOuter")),
+      "minhash aggregation partial map-side" -> (_.contains("partial_min")))
     audit("q_t_heaps",
       // token explode / min-doc-per-term / per-doc counts: map-side
       // passes; the cumulative and checkpoint windows run over
