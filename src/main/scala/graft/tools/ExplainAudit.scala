@@ -1260,7 +1260,8 @@ object ExplainAudit {
       // inside pavCalibrate's input
       "driver-PAV calibration is a local frame" ->
         (_.contains("LocalTableScan")))
-    // q_s_ivf_versioned and q_d_embed_versioned carry no audit entry:
+    // q_s_ivf_versioned, q_d_embed_versioned and q_d_spans_versioned
+    // carry no audit entry:
     // each registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
     // its returned frame is an eager localCheckpoint (a bare RDD scan
