@@ -265,7 +265,18 @@ object Bench {
     "q_e_cusum",
     "q_m53_logrank",
     // round-12: jackknife ratio-metric error bars
-    "q_m54_jackknife")
+    "q_m54_jackknife",
+    // round-12 batch 4: agreement/ranking statistics (Fleiss, AUC,
+    // gains, Mann-Kendall/Theil-Sen, Bradley-Terry integer MM,
+    // conformal bands, isotonic), Dawid-Skene all-integer EM,
+    // Heaps-law fit, k-anonymity audit, LM-Dirichlet QL ranker,
+    // LSH banding operating-point audit (diagnostic-tier: runs the
+    // AllPairs truth AND an 8-hash sha256 minhash on purpose),
+    // manifest-versioned gram index lifecycle
+    "q_m55_fleiss", "q_m56_auc", "q_m57_gains", "q_m58_mann_kendall",
+    "q_m59_bradley_terry", "q_m60_conformal", "q_m61_isotonic",
+    "q_m62_dawid_skene", "q_t_heaps", "q_p28_kanon",
+    "q_t_ql_dirichlet", "q_d_lsh_audit", "q_d_spans_versioned")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -382,7 +393,16 @@ object Bench {
     "q_d_saturation" -> 0.9,
     "q_m51_gini" -> 1.4, "q_m52_km" -> 1.3,
     "q_t_vocab_coverage" -> 1.1, "q_e_cusum" -> 1.1,
-    "q_m53_logrank" -> 1.1, "q_m54_jackknife" -> 0.9)
+    "q_m53_logrank" -> 1.1, "q_m54_jackknife" -> 0.9,
+    // round-12 batch 4: TimeOne warm, sf0.1, load1 ~2 (decaying sweep);
+    // dawid_skene and lsh_audit measured AFTER their persist/AllPairs
+    // optimizations
+    "q_m55_fleiss" -> 0.7, "q_m56_auc" -> 0.5, "q_m57_gains" -> 0.6,
+    "q_m58_mann_kendall" -> 1.1, "q_m59_bradley_terry" -> 0.5,
+    "q_m60_conformal" -> 0.6, "q_m61_isotonic" -> 0.4,
+    "q_m62_dawid_skene" -> 4.9, "q_t_heaps" -> 0.8,
+    "q_p28_kanon" -> 0.3, "q_t_ql_dirichlet" -> 1.9,
+    "q_d_lsh_audit" -> 21.3, "q_d_spans_versioned" -> 4.2)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the
