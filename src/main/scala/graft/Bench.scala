@@ -276,7 +276,11 @@ object Bench {
     "q_m55_fleiss", "q_m56_auc", "q_m57_gains", "q_m58_mann_kendall",
     "q_m59_bradley_terry", "q_m60_conformal", "q_m61_isotonic",
     "q_m62_dawid_skene", "q_t_heaps", "q_p28_kanon",
-    "q_t_ql_dirichlet", "q_d_lsh_audit", "q_d_spans_versioned")
+    "q_t_ql_dirichlet", "q_d_lsh_audit", "q_d_spans_versioned",
+    // round-12 batch 5: experiment-design family — SMD balance,
+    // post-stratified effect, SRM alarm, power sizing, mSPRT monitor
+    "q_m63_smd", "q_m64_poststrat", "q_m65_srm", "q_m66_power",
+    "q_m67_msprt")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -402,7 +406,10 @@ object Bench {
     "q_m60_conformal" -> 0.6, "q_m61_isotonic" -> 0.4,
     "q_m62_dawid_skene" -> 4.9, "q_t_heaps" -> 0.8,
     "q_p28_kanon" -> 0.3, "q_t_ql_dirichlet" -> 1.9,
-    "q_d_lsh_audit" -> 21.3, "q_d_spans_versioned" -> 4.2)
+    "q_d_lsh_audit" -> 21.3, "q_d_spans_versioned" -> 4.2,
+    // round-12 batch 5: TimeOne warm, sf0.1, quiet machine
+    "q_m63_smd" -> 1.4, "q_m64_poststrat" -> 1.8, "q_m65_srm" -> 0.4,
+    "q_m66_power" -> 0.3, "q_m67_msprt" -> 0.6)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

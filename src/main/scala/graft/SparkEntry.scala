@@ -43,7 +43,9 @@ object SparkEntry {
       stats.TrendTest.queries ++ stats.BradleyTerry.queries ++
       stats.Conformal.queries ++ stats.Isotonic.queries ++
       text.Heaps.queries ++ etl.Privacy.queries ++
-      stats.DawidSkene.queries ++ text.QueryLikelihood.queries ++
+      stats.DawidSkene.queries ++ stats.AbDesign.queries ++
+      stats.ExperimentOps.queries ++
+      text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++

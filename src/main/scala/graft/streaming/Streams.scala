@@ -424,6 +424,27 @@ object Streams {
       .drop("grp", "mean_floor", "qhat")
   }
 
+  /** Streaming twin of [[graft.stats.ExperimentOps.msprtColumns]]: the
+    * always-valid A/B monitor as a live gate — a GLOBAL streaming
+    * aggregation keeps the four cumulative counts (state: one row), and
+    * every trigger re-emits the mSPRT evidence on the totals so far.
+    * Because the mixture likelihood ratio is a test martingale under
+    * H₀, acting the first time p_micro crosses the alarm line is valid
+    * with NO peeking penalty — the legitimacy a fixed-horizon z-test
+    * replayed per trigger does not have. Complete-output mode: the
+    * state is four longs, the output one row per trigger. */
+  def streamingMsprtGate(obs: DataFrame, armCol: String,
+      successCol: String, tauSq: Double = 0.0001): DataFrame =
+    graft.stats.ExperimentOps.msprtColumns(
+      obs.groupBy().agg(
+        sum(when(col(armCol) === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col(armCol) === "a" && col(successCol), 1L)
+          .otherwise(0L)).as("sa"),
+        sum(when(col(armCol) === "b", 1L).otherwise(0L)).as("nb"),
+        sum(when(col(armCol) === "b" && col(successCol), 1L)
+          .otherwise(0L)).as("sb")),
+      tauSq)
+
   final case class FunnelState(stage: Int, atUs: Long)
   final case class FunnelAdvance(userId: Long, step: Int, stepName: String,
       atUs: Long)

@@ -1206,6 +1206,33 @@ object ExplainAudit {
       "means attach as a broadcast join" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m63_smd",
+      // one per-user pre-period collapse, then ONE (variable, arm)
+      // cells pass; the SMD arithmetic runs on 2x2 cells
+      "per-user and cells aggregations partial map-side" ->
+        (p => p.contains("partial_sum") && p.contains("partial_count")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m64_poststrat",
+      // first-event window keyed per user; (stratum, arm) cells; the
+      // total is a scalar reduce over strata
+      "first-event window keyed per user" ->
+        (p => p.contains("hashpartitioning(user_id")),
+      "stratum cells partial map-side" -> (_.contains("partial_sum")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m65_srm",
+      "one scalar reduce over units" -> (_.contains("partial_sum")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
+    audit("q_m66_power",
+      "one scalar reduce over events" -> (_.contains("partial_sum")),
+      "no join" -> (p => !p.contains("Join")))
+    audit("q_m67_msprt",
+      // daily cells aggregate map-side; cumulative + running-max windows
+      // order DAY cells, never events
+      "daily cells partial map-side" -> (_.contains("partial_sum")),
+      "evidence windows run over day cells" -> (_.contains("Window")),
+      "no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
     audit("q_t_ql_dirichlet",
       // the Bm25 inverted-index shape: postings pruned by a LITERAL isin
       // BEFORE the (doc, term) agg; cf/stats/query broadcast; ranking

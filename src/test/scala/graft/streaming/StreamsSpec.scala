@@ -719,4 +719,33 @@ class StreamsSpec extends SparkSpecBase {
       .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v"))).toSet
     assert(batchOut === out.map(t => (t._1, t._2)))
   }
+
+  test("streaming mSPRT gate: per-trigger evidence equals batch prefixes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Boolean)]
+    val q = Streams.streamingMsprtGate(
+        input.toDF().toDF("arm", "won"), "arm", "won")
+      .writeStream.format("memory").queryName("msprt_out")
+      .outputMode("complete").start()
+    def batchAt(rows: Seq[(String, Boolean)]) =
+      Streams.streamingMsprtGate(rows.toDF("arm", "won"), "arm", "won")
+        .collect()(0)
+    val b1 = (1 to 50).map(i => ("a", i <= 20)) ++
+      (1 to 50).map(i => ("b", i <= 10))
+    val b2 = (1 to 50).map(i => ("a", i <= 25)) ++
+      (1 to 50).map(i => ("b", i <= 8))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val t1 = spark.table("msprt_out").collect()(0)
+    val e1 = batchAt(b1)
+    assert(t1.getAs[Long]("log_e_micro") === e1.getAs[Long]("log_e_micro"))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val t2 = spark.table("msprt_out").collect()(0)
+    val e2 = batchAt(b1 ++ b2)
+    q.stop()
+    assert(t2.getAs[Long]("log_e_micro") === e2.getAs[Long]("log_e_micro"))
+    // accumulating one-sided evidence: the monitor's p tightened
+    assert(t2.getAs[Long]("p_micro") < t1.getAs[Long]("p_micro"))
+  }
 }
