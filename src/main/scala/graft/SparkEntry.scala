@@ -44,7 +44,7 @@ object SparkEntry {
       stats.Conformal.queries ++ stats.Isotonic.queries ++
       text.Heaps.queries ++ etl.Privacy.queries ++
       stats.DawidSkene.queries ++ stats.AbDesign.queries ++
-      stats.ExperimentOps.queries ++
+      stats.ExperimentOps.queries ++ stats.TreatmentEffects.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

@@ -1206,6 +1206,21 @@ object ExplainAudit {
       "means attach as a broadcast join" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m68_qte",
+      // one (arm, value) counts pass; rank scans over distinct values
+      // per arm (the Winsorize shape); percentiles broadcast
+      "value cells partial map-side" -> (_.contains("partial_count")),
+      "rank window keyed per arm" ->
+        (p => p.contains("hashpartitioning(__g")),
+      "no cartesian (percentile expansion is a broadcast product)" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("q_m69_did",
+      // one per-user collapse + ONE conditional scalar reduce; the DiD
+      // arithmetic is a 1-row select
+      "panel collapse and cells reduce partial map-side" ->
+        (_.contains("partial_sum")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
     audit("q_m63_smd",
       // one per-user pre-period collapse, then ONE (variable, arm)
       // cells pass; the SMD arithmetic runs on 2x2 cells
