@@ -1206,6 +1206,12 @@ object ExplainAudit {
       "means attach as a broadcast join" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_inf_raking",
+      // the IPF loop runs on the collected cell table (levels x levels,
+      // the centroid precedent); the data passes are the two margin
+      // counts executed inside rakeWeights
+      "driver-IPF weights are a local frame" ->
+        (_.contains("LocalTableScan")))
     audit("q_m68_qte",
       // one (arm, value) counts pass; rank scans over distinct values
       // per arm (the Winsorize shape); percentiles broadcast
