@@ -39,11 +39,6 @@ import org.apache.spark.sql.functions._
   * checkpoint needed. */
 object DawidSkene {
 
-  /** Per-(rater, observed a, class c) smoothed confusion micro and
-    * per-class prior micro, as driver values. */
-  private final case class Model(
-      conf: Map[(Int, String, String), Long], prior: Map[String, Long])
-
   /** Fit over wide assignments (one row per item, one string label
     * column per rater). `classes`: the label universe, explicit so the
     * fit is scale-independent (a level absent at one SF must not
