@@ -45,7 +45,7 @@ object SparkEntry {
       text.Heaps.queries ++ etl.Privacy.queries ++
       stats.DawidSkene.queries ++ stats.AbDesign.queries ++
       stats.ExperimentOps.queries ++ stats.TreatmentEffects.queries ++
-      inference.Raking.queries ++
+      inference.Raking.queries ++ stats.Krippendorff.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

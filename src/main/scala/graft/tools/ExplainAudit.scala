@@ -1156,6 +1156,13 @@ object ExplainAudit {
       "fill point attaches as a broadcast 1-row frame" ->
         (_.contains("BroadcastNestedLoopJoin")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m70_kripp_alpha",
+      // one (item, category) cells pass; disagreement/expected terms
+      // fold over cells and |categories| rows
+      "rating cells partial map-side" -> (_.contains("partial_count")),
+      "sufficient statistics attach as broadcast 1-row frames" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_m55_fleiss",
       // (item, category) cells aggregate map-side; S, marginals and the
       // rater-count guard attach as broadcast 1-row frames
