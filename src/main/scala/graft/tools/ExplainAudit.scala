@@ -1156,6 +1156,13 @@ object ExplainAudit {
       "fill point attaches as a broadcast 1-row frame" ->
         (_.contains("BroadcastNestedLoopJoin")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m71_spearman",
+      // ranks from the value-counts formulation per metric; rank lookup
+      // re-attaches by keyed joins; sufficient statistics one group agg
+      "value cells partial map-side" -> (_.contains("partial_count")),
+      "rank windows keyed per group" ->
+        (p => p.contains("hashpartitioning(__g")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m70_kripp_alpha",
       // one (item, category) cells pass; disagreement/expected terms
       // fold over cells and |categories| rows
