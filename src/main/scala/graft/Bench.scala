@@ -283,7 +283,8 @@ object Bench {
     "q_m67_msprt", "q_m68_qte", "q_m69_did",
     // round-12: all-integer survey raking (IPF) and Krippendorff's
     // ragged-panel alpha
-    "q_inf_raking", "q_m70_kripp_alpha", "q_m71_spearman")
+    "q_inf_raking", "q_m70_kripp_alpha", "q_m71_spearman",
+    "q_m72_cochran_armitage")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -414,7 +415,8 @@ object Bench {
     "q_m63_smd" -> 1.4, "q_m64_poststrat" -> 1.8, "q_m65_srm" -> 0.4,
     "q_m66_power" -> 0.3, "q_m67_msprt" -> 0.6, "q_m68_qte" -> 2.0,
     "q_m69_did" -> 0.7, "q_inf_raking" -> 1.4,
-    "q_m70_kripp_alpha" -> 2.2, "q_m71_spearman" -> 1.7)
+    "q_m70_kripp_alpha" -> 2.2, "q_m71_spearman" -> 1.7,
+    "q_m72_cochran_armitage" -> 1.4)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

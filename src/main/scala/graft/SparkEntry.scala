@@ -46,7 +46,7 @@ object SparkEntry {
       stats.DawidSkene.queries ++ stats.AbDesign.queries ++
       stats.ExperimentOps.queries ++ stats.TreatmentEffects.queries ++
       inference.Raking.queries ++ stats.Krippendorff.queries ++
-      stats.Spearman.queries ++
+      stats.Spearman.queries ++ stats.CochranArmitage.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

@@ -1156,6 +1156,11 @@ object ExplainAudit {
       "fill point attaches as a broadcast 1-row frame" ->
         (_.contains("BroadcastNestedLoopJoin")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m72_cochran_armitage",
+      // ONE map-side dose-cells pass; the statistic is a 1-row select
+      "dose cells partial map-side" -> (_.contains("partial_sum")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
     audit("q_m71_spearman",
       // ranks from the value-counts formulation per metric; rank lookup
       // re-attaches by keyed joins; sufficient statistics one group agg
