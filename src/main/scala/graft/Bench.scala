@@ -284,7 +284,11 @@ object Bench {
     // round-12: all-integer survey raking (IPF) and Krippendorff's
     // ragged-panel alpha
     "q_inf_raking", "q_m70_kripp_alpha", "q_m71_spearman",
-    "q_m72_cochran_armitage")
+    "q_m72_cochran_armitage",
+    // round-12 batch 6: paired/continuous A/B companions — McNemar's
+    // paired-gate test, Welch's t + Cohen's d, Brown-Forsythe spread
+    // homogeneity
+    "q_m73_mcnemar", "q_m74_welch_t", "q_m75_levene")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -416,7 +420,10 @@ object Bench {
     "q_m66_power" -> 0.3, "q_m67_msprt" -> 0.6, "q_m68_qte" -> 2.0,
     "q_m69_did" -> 0.7, "q_inf_raking" -> 1.4,
     "q_m70_kripp_alpha" -> 2.2, "q_m71_spearman" -> 1.7,
-    "q_m72_cochran_armitage" -> 1.4)
+    "q_m72_cochran_armitage" -> 1.4,
+    // round-12 batch 6: TimeOne warm, sf0.1, quiet machine
+    "q_m73_mcnemar" -> 0.5, "q_m74_welch_t" -> 1.3,
+    "q_m75_levene" -> 2.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -47,6 +47,9 @@ object SparkEntry {
       stats.ExperimentOps.queries ++ stats.TreatmentEffects.queries ++
       inference.Raking.queries ++ stats.Krippendorff.queries ++
       stats.Spearman.queries ++ stats.CochranArmitage.queries ++
+      stats.McNemar.queries ++ stats.WelchT.queries ++
+      stats.Levene.queries ++ stats.Friedman.queries ++
+      stats.Dunn.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

@@ -1161,6 +1161,29 @@ object ExplainAudit {
       "dose cells partial map-side" -> (_.contains("partial_sum")),
       "no join, no window" ->
         (p => !p.contains("Join") && !p.contains("Window")))
+    audit("q_m73_mcnemar",
+      // ONE map-side concordance-counters pass; the statistic is a
+      // 1-row select
+      "concordance counters partial map-side" -> (_.contains("partial_")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
+    audit("q_m74_welch_t",
+      // ONE map-side sufficient-statistics pass (n, S, Q per arm);
+      // everything after is a 1-row select
+      "arm sufficient statistics partial map-side" ->
+        (_.contains("partial_sum")),
+      "purchase filter reaches the scan" ->
+        (_.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
+    audit("q_m75_levene",
+      // medians from value cells (cumulative window over DISTINCT
+      // values, keyed per variable x group), one keyed join re-attaches
+      // med2, then the ANOVA sufficient-statistics pass
+      "value cells partial map-side" -> (_.contains("partial_count")),
+      "median window keyed per (variable, group)" ->
+        (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m71_spearman",
       // ranks from the value-counts formulation per metric; rank lookup
       // re-attaches by keyed joins; sufficient statistics one group agg
