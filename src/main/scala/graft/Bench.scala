@@ -288,7 +288,10 @@ object Bench {
     // round-12 batch 6: paired/continuous A/B companions — McNemar's
     // paired-gate test, Welch's t + Cohen's d, Brown-Forsythe spread
     // homogeneity
-    "q_m73_mcnemar", "q_m74_welch_t", "q_m75_levene")
+    "q_m73_mcnemar", "q_m74_welch_t", "q_m75_levene",
+    // round-12 batch 6b: rank-based repeated measures + post-hoc —
+    // Friedman/Kendall-W, Dunn pairwise after Kruskal-Wallis
+    "q_m76_friedman", "q_m77_dunn")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -423,7 +426,8 @@ object Bench {
     "q_m72_cochran_armitage" -> 1.4,
     // round-12 batch 6: TimeOne warm, sf0.1, quiet machine
     "q_m73_mcnemar" -> 0.5, "q_m74_welch_t" -> 1.3,
-    "q_m75_levene" -> 2.9)
+    "q_m75_levene" -> 2.9,
+    "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 1.1)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

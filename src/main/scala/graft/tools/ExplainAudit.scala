@@ -1184,6 +1184,21 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m76_friedman",
+      // per-(nation, segment) cells aggregate map-side; rank windows
+      // keyed per block; n/k totals attach as broadcast 1-row frames
+      "score cells partial map-side" -> (_.contains("partial_sum")),
+      "rank windows keyed per block" ->
+        (p => p.contains("hashpartitioning(__b")),
+      "totals attach broadcast" -> (_.contains("BroadcastNestedLoopJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m77_dunn",
+      // one (group, value) cells pass; the rank window runs over
+      // DISTINCT-VALUE cells; the pair frame is a k-row self-join
+      "group-value cells partial map-side" -> (_.contains("partial_count")),
+      "tie totals reduce scalar (partial map-side)" ->
+        (_.contains("partial_sum")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m71_spearman",
       // ranks from the value-counts formulation per metric; rank lookup
       // re-attaches by keyed joins; sufficient statistics one group agg
