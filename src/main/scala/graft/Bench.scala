@@ -291,7 +291,10 @@ object Bench {
     "q_m73_mcnemar", "q_m74_welch_t", "q_m75_levene",
     // round-12 batch 6b: rank-based repeated measures + post-hoc —
     // Friedman/Kendall-W, Dunn pairwise after Kruskal-Wallis
-    "q_m76_friedman", "q_m77_dunn")
+    "q_m76_friedman", "q_m77_dunn",
+    // round-12 batch 7: distribution-distance drift pair — W1
+    // earth-mover per source, Jensen-Shannon unigram divergence
+    "q_m78_wasserstein", "q_t_jsd")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -427,7 +430,8 @@ object Bench {
     // round-12 batch 6: TimeOne warm, sf0.1, quiet machine
     "q_m73_mcnemar" -> 0.5, "q_m74_welch_t" -> 1.3,
     "q_m75_levene" -> 2.9,
-    "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 1.1)
+    "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 1.1,
+    "q_m78_wasserstein" -> 1.1, "q_t_jsd" -> 1.2)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -49,12 +49,13 @@ object SparkEntry {
       stats.Spearman.queries ++ stats.CochranArmitage.queries ++
       stats.McNemar.queries ++ stats.WelchT.queries ++
       stats.Levene.queries ++ stats.Friedman.queries ++
-      stats.Dunn.queries ++
+      stats.Dunn.queries ++ stats.Wasserstein.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++
+      text.Jsd.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++

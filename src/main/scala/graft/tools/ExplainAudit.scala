@@ -1184,6 +1184,24 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m78_wasserstein",
+      // one (source, value) cells pass; the evaluation grid attaches
+      // the k-row group frame broadcast onto DISTINCT-VALUE cells;
+      // cumulative windows keyed per group
+      "value cells partial map-side" -> (_.contains("partial_count")),
+      "group frame attaches broadcast" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "per-group CDF window keyed" ->
+        (p => p.contains("hashpartitioning(__g")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_t_jsd",
+      // one (source, word) counts pass; b attaches by the word-keyed
+      // join; the fold runs over each source's OWN vocab cells
+      "word cells partial map-side" -> (_.contains("partial_count")),
+      "word-keyed b attach" -> (p => p.contains("hashpartitioning(__w")),
+      "corpus total attaches as a broadcast 1-row frame" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_m76_friedman",
       // per-(nation, segment) cells aggregate map-side; rank windows
       // keyed per block; n/k totals attach as broadcast 1-row frames
