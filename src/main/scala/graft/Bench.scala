@@ -294,7 +294,10 @@ object Bench {
     "q_m76_friedman", "q_m77_dunn",
     // round-12 batch 7: distribution-distance drift pair — W1
     // earth-mover per source, Jensen-Shannon unigram divergence
-    "q_m78_wasserstein", "q_t_jsd")
+    "q_m78_wasserstein", "q_t_jsd",
+    // round-12 batch 7b: association effect sizes (Cramer V / Theil U)
+    // and Cliff's delta off the shared MWU sufficient statistic
+    "q_m79_assoc", "q_m80_cliffs_delta")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -431,7 +434,8 @@ object Bench {
     "q_m73_mcnemar" -> 0.5, "q_m74_welch_t" -> 1.3,
     "q_m75_levene" -> 2.9,
     "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 1.1,
-    "q_m78_wasserstein" -> 1.1, "q_t_jsd" -> 1.2)
+    "q_m78_wasserstein" -> 1.1, "q_t_jsd" -> 1.2,
+    "q_m79_assoc" -> 2.4, "q_m80_cliffs_delta" -> 1.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

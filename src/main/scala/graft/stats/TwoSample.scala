@@ -320,8 +320,47 @@ object TwoSample {
               END AS z_micro
             FROM agg"""))
 
+  /** Cliff's delta / rank-biserial effect size (Cliff, Psych. Bull.
+    * 1993) — the MAGNITUDE companion to q_m39's MWU decision:
+    * δ = P(a>b) − P(a<b) = (2U_a − n_a·n_b)/(n_a·n_b) ∈ [−1, 1],
+    * derived EXACTLY from the same doubled-U sufficient statistic
+    * (ties contribute half to U and cancel in δ). Zero new floats:
+    * one sign-safe pmod floor-division (δ is legitimately negative),
+    * so the z-family's float step never enters the δ path. */
+  def cliffsDelta(rows: DataFrame, varCol: String, grpCol: String,
+      valCol: String): DataFrame =
+    mannWhitney(rows, varCol, grpCol, valCol)
+      .select(col("variable"), col("na"), col("nb"),
+        Agreement.floorDiv(
+          (col("u2").cast("decimal(38,0)")
+            - col("na").cast("decimal(38,0)") * col("nb")) * 1000000L,
+          col("na").cast("decimal(38,0)") * col("nb")).as("delta_micro"))
+
+  private val mCliffs = Q(
+    (s, d) => cliffsDelta(workload(s, d), "v", "g", "x")
+      .orderBy("variable"),
+    Some(s"""WITH $oracleRows,
+            cum AS (SELECT v, x, ca, cb, ca + cb AS c,
+                CAST(SUM(ca + cb) OVER (PARTITION BY v ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - (ca + cb) AS cumx
+              FROM cnt),
+            agg AS (SELECT v,
+                SUM(CAST(ca AS HUGEINT) * (cumx * 2 + c + 1)) AS r2a
+              FROM cum GROUP BY 1),
+            fin AS (SELECT agg.v, tot.na, tot.nb,
+                (agg.r2a - CAST(tot.na AS HUGEINT) * (tot.na + 1)
+                  - CAST(tot.na AS HUGEINT) * tot.nb) * 1000000 AS dnum,
+                CAST(tot.na AS HUGEINT) * tot.nb AS dden
+              FROM agg JOIN tot ON agg.v = tot.v)
+            SELECT v AS variable, na, nb,
+              CAST((dnum - ((dnum % dden) + dden) % dden) // dden
+                AS BIGINT) AS delta_micro
+            FROM fin ORDER BY variable"""))
+
   val queries: Map[String, Q] = Map(
     "q_m38_ks" -> mKs,
     "q_m39_mwu" -> mMwu,
-    "q_m41_ab_test" -> mAb)
+    "q_m41_ab_test" -> mAb,
+    "q_m80_cliffs_delta" -> mCliffs)
 }

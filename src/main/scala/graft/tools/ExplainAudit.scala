@@ -1184,6 +1184,19 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m79_assoc",
+      // one (x, y) joint-counts pass per variable; marginals derive
+      // from the joint cells; folds run over contingency cells
+      "joint cells partial map-side" -> (_.contains("partial_count")),
+      "marginal/total attaches keyed or broadcast, no cartesian" ->
+        (p => !p.contains("CartesianProduct")))
+    audit("q_m80_cliffs_delta",
+      // the MWU value-counts pass, variable-keyed cumulative window,
+      // delta a k-row select off the doubled-U sufficient statistic
+      "value counts partial map-side" -> (_.contains("partial_sum")),
+      "rank window keyed per variable" ->
+        (p => p.contains("hashpartitioning(__var")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m78_wasserstein",
       // one (source, value) cells pass; the evaluation grid attaches
       // the k-row group frame broadcast onto DISTINCT-VALUE cells;
