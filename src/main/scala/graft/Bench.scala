@@ -297,7 +297,10 @@ object Bench {
     "q_m78_wasserstein", "q_t_jsd",
     // round-12 batch 7b: association effect sizes (Cramer V / Theil U)
     // and Cliff's delta off the shared MWU sufficient statistic
-    "q_m79_assoc", "q_m80_cliffs_delta")
+    "q_m79_assoc", "q_m80_cliffs_delta",
+    // round-12 batch 7c: cascade retrieval metric (ERR) and the EWMA
+    // integer control chart with its streaming-state twin
+    "q_s_err", "q_e_ewma")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -435,7 +438,8 @@ object Bench {
     "q_m75_levene" -> 2.9,
     "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 1.1,
     "q_m78_wasserstein" -> 1.1, "q_t_jsd" -> 1.2,
-    "q_m79_assoc" -> 2.4, "q_m80_cliffs_delta" -> 1.8)
+    "q_m79_assoc" -> 2.4, "q_m80_cliffs_delta" -> 1.8,
+    "q_s_err" -> 1.6, "q_e_ewma" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -56,7 +56,7 @@ object SparkEntry {
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++
-      text.Jsd.queries ++
+      text.Jsd.queries ++ etl.Ewma.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.QualityClassifier.queries ++
@@ -66,7 +66,8 @@ object SparkEntry {
       dedup.DupClusters.queries ++
       sim.SimilarityOps.queries ++ sim.VersionedIvf.queries ++
       sim.RerankFusion.queries ++ text.Novelty.queries ++
-      sim.RetrievalEval.queries ++ sim.MmrDiversify.queries ++
+      sim.RetrievalEval.queries ++ sim.Err.queries ++
+      sim.MmrDiversify.queries ++
       sim.Matryoshka.queries ++ sim.LabelProp.queries ++
       sim.KCenter.queries ++
       multimodal.MultimodalOps.queries ++

@@ -485,6 +485,40 @@ object Streams {
       }
   }
 
+  final case class EwmaState(e: Long)
+  final case class EwmaUpdate(series: String, t: Long, ewmaMilli: Long,
+      devMilli: Long, alarm: Boolean)
+
+  /** Streaming twin of [[graft.etl.Ewma.chart]]: per-series state is ONE
+    * long — the milli fixed-point EWMA level — updated with the IDENTICAL
+    * integer recursion e' = (3e + 1000x) div 4, so a single-drain stream
+    * reproduces the batch fold bit-for-bit (spec-pinned). Each arriving
+    * (series, t, x) cell first emits its one-step forecast deviation
+    * |1000x − e| and an alarm when it exceeds `thresholdMilli`, then
+    * folds in — the live small-shift monitor at O(8 bytes) state per
+    * series regardless of volume. The first cell of a series has no
+    * forecast: devMilli = −1, never an alarm. Within a micro-batch cells
+    * sort by t (the batch-fold order). */
+  def streamingEwmaGate(cells: Dataset[(String, Long, Long)],
+      thresholdMilli: Long): Dataset[EwmaUpdate] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[EwmaState]) =>
+          var e = state.getOption.map(_.e).getOrElse(-1L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, t, x) =>
+            val xs = x * 1000L
+            val dev = if (e < 0L) -1L else math.abs(xs - e)
+            e = if (e < 0L) xs else (3L * e + xs) / 4L
+            EwmaUpdate(series, t, e, dev, dev > thresholdMilli)
+          }
+          state.update(EwmaState(e))
+          out.iterator
+      }
+  }
+
   /** Typed event stream from a parquet events directory — the file-sourced
     * entry to [[sessionize]]/[[windowedCounts]]. A file stream needs its
     * schema declared up front, so the footer is read once (driver-side,

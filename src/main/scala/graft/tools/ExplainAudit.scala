@@ -1184,6 +1184,19 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_err",
+      // run and qrels are per-query bounded; the evaluation is one
+      // (qid, neighbor) equi-join plus a qid-keyed window over <= k
+      // hit rows — nothing touches the corpus
+      "hit window keyed per query" ->
+        (p => p.contains("hashpartitioning(qid")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_e_ewma",
+      // ONE map-side (series, day) aggregation; the integer fold runs
+      // over collected per-series day cells — a bounded monitoring grid
+      "day cells partial map-side" -> (_.contains("partial_count")),
+      "no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
     audit("q_m79_assoc",
       // one (x, y) joint-counts pass per variable; marginals derive
       // from the joint cells; folds run over contingency cells

@@ -748,4 +748,40 @@ class StreamsSpec extends SparkSpecBase {
     // accumulating one-sided evidence: the monitor's p tightened
     assert(t2.getAs[Long]("p_micro") < t1.getAs[Long]("p_micro"))
   }
+
+  test("streaming EWMA gate: cross-batch integer state replays the " +
+      "batch fold bit-for-bit and alarms on the forecast break") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sewma").toString
+    val input = MemoryStream[(String, Long, Long)]
+    val q = Streams.streamingEwmaGate(input.toDS(), thresholdMilli = 3000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_updates")
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    // batch 1: level 10 warm-up; batch 2: the shift to 20 then back
+    input.addData(("a", 1L, 10L), ("a", 2L, 10L), ("b", 1L, 5L))
+    q.processAllAvailable()
+    input.addData(("a", 3L, 20L), ("a", 4L, 10L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ewma_updates")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // first cell: no forecast, never an alarm
+    assert(rows(("a", 1L)) === ((10000L, -1L, false)))
+    // t=3 arrives against level 10000: dev 10000 > 3000 -> alarm;
+    // e = (30000 + 20000) / 4 = 12500
+    assert(rows(("a", 3L)) === ((12500L, 10000L, true)))
+    // t=4: dev |10000 - 12500| = 2500 under threshold; e = 11875
+    assert(rows(("a", 4L)) === ((11875L, 2500L, false)))
+    // bit-parity with the batch operator over the same cells
+    val batch = graft.etl.Ewma.chart(
+      Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 20L), ("a", 4L, 10L))
+        .toDF("s", "t", "x"), "s", "t", "x").collect()(0)
+    assert(batch.getAs[Long]("ewma_milli") === rows(("a", 4L))._1)
+    assert(batch.getAs[Long]("peak_dev_milli") === 10000L)
+    assert(batch.getAs[Long]("peak_t") === 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
