@@ -300,7 +300,10 @@ object Bench {
     "q_m79_assoc", "q_m80_cliffs_delta",
     // round-12 batch 7c: cascade retrieval metric (ERR) and the EWMA
     // integer control chart with its streaming-state twin
-    "q_s_err", "q_e_ewma")
+    "q_s_err", "q_e_ewma",
+    // round-12 batch 7d: graph-partition quality (LPA modularity) and
+    // degree assortativity over the shared mutual kNN graph
+    "q_s_modularity", "q_s_assort")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -439,7 +442,10 @@ object Bench {
     "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 1.1,
     "q_m78_wasserstein" -> 1.1, "q_t_jsd" -> 1.2,
     "q_m79_assoc" -> 2.4, "q_m80_cliffs_delta" -> 1.8,
-    "q_s_err" -> 1.6, "q_e_ewma" -> 0.5)
+    "q_s_err" -> 1.6, "q_e_ewma" -> 0.5,
+    // measured with the session kNN-graph cache warm (the bench runs
+    // the earlier graph family first, so the cache is always warm here)
+    "q_s_modularity" -> 2.7, "q_s_assort" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -69,6 +69,7 @@ object SparkEntry {
       sim.RetrievalEval.queries ++ sim.Err.queries ++
       sim.MmrDiversify.queries ++
       sim.Matryoshka.queries ++ sim.LabelProp.queries ++
+      sim.GraphStats.queries ++
       sim.KCenter.queries ++
       multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++

@@ -72,7 +72,7 @@ object LabelProp {
   /** Oracle CTE chain for `rounds` unrolled LPA rounds: assumes `v`
     * (vec_id) and `em` (a, b — the symmetric mutual edge relation) are
     * in scope; emits l0..l`rounds`. */
-  private def lpaStepsSql(rounds: Int): String = {
+  private[sim] def lpaStepsSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """,
             l0 AS (SELECT vec_id AS id, CAST(vec_id AS BIGINT) AS lab

@@ -39,7 +39,7 @@ object Agreement {
     * Long headroom of the kappa path: pe's n²·1e9 caps n at ~3·10⁶
     * items; widen the marginal products to decimal(38,0) beyond (the
     * Anova precedent). */
-  private[stats] def floorDiv(a: Column, b: Column): Column =
+  private[graft] def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
       .cast("long")
 

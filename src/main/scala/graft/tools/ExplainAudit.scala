@@ -1184,6 +1184,17 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_modularity",
+      // LPA labels attach to the edge relation by two id-keyed joins;
+      // ONE map-side community aggregation; never all-pairs
+      "community cells partial map-side" -> (_.contains("partial_sum")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_assort",
+      // one degree aggregation + two id-keyed joins + ONE scalar
+      // reduce over exact sufficient statistics
+      "degree counts partial map-side" -> (_.contains("partial_count")),
+      "sufficient statistics reduce scalar" -> (_.contains("partial_sum")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_s_err",
       // run and qrels are per-query bounded; the evaluation is one
       // (qid, neighbor) equi-join plus a qid-keyed window over <= k
