@@ -303,7 +303,10 @@ object Bench {
     "q_s_err", "q_e_ewma",
     // round-12 batch 7d: graph-partition quality (LPA modularity) and
     // degree assortativity over the shared mutual kNN graph
-    "q_s_modularity", "q_s_assort")
+    "q_s_modularity", "q_s_assort",
+    // round-12 batch 8: forecast audit (Brier/Murphy decomposition)
+    // and scale reliability (Cronbach alpha)
+    "q_m81_brier", "q_m82_cronbach")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -445,7 +448,8 @@ object Bench {
     "q_s_err" -> 1.6, "q_e_ewma" -> 0.5,
     // measured with the session kNN-graph cache warm (the bench runs
     // the earlier graph family first, so the cache is always warm here)
-    "q_s_modularity" -> 2.7, "q_s_assort" -> 0.5)
+    "q_s_modularity" -> 2.7, "q_s_assort" -> 0.5,
+    "q_m81_brier" -> 1.1, "q_m82_cronbach" -> 0.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -50,7 +50,8 @@ object SparkEntry {
       stats.McNemar.queries ++ stats.WelchT.queries ++
       stats.Levene.queries ++ stats.Friedman.queries ++
       stats.Dunn.queries ++ stats.Wasserstein.queries ++
-      stats.Association.queries ++
+      stats.Association.queries ++ stats.Brier.queries ++
+      stats.Cronbach.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

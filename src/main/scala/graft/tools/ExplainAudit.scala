@@ -1184,6 +1184,20 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m81_brier",
+      // ONE forecast-value cells pass over the per-user frame; totals
+      // broadcast; folds run over distinct-forecast cells
+      "forecast cells partial map-side" -> (_.contains("partial_count")),
+      "totals attach as a broadcast 1-row frame" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_m82_cronbach",
+      // ONE melted-frame pass for per-rater statistics (k cells) and
+      // one for row sums; the statistic is a 1-row select
+      "rater statistics partial map-side" -> (_.contains("partial_sum")),
+      "row-sum variance attaches broadcast" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_s_modularity",
       // LPA labels attach to the edge relation by two id-keyed joins;
       // ONE map-side community aggregation; never all-pairs
