@@ -306,7 +306,10 @@ object Bench {
     "q_s_modularity", "q_s_assort",
     // round-12 batch 8: forecast audit (Brier/Murphy decomposition)
     // and scale reliability (Cronbach alpha)
-    "q_m81_brier", "q_m82_cronbach")
+    "q_m81_brier", "q_m82_cronbach",
+    // round-12 batch 8b: interpolated Kneser-Ney bigram scoring — the
+    // filter-grade LM next to the add-k and stupid-backoff baselines
+    "q_t_kneser_ney")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -449,7 +452,8 @@ object Bench {
     // measured with the session kNN-graph cache warm (the bench runs
     // the earlier graph family first, so the cache is always warm here)
     "q_s_modularity" -> 2.7, "q_s_assort" -> 0.5,
-    "q_m81_brier" -> 1.1, "q_m82_cronbach" -> 0.8)
+    "q_m81_brier" -> 1.1, "q_m82_cronbach" -> 0.8,
+    "q_t_kneser_ney" -> 2.2)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -60,6 +60,7 @@ object SparkEntry {
       text.Jsd.queries ++ etl.Ewma.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
+      text.KneserNey.queries ++
       text.QualityClassifier.queries ++
       text.Dsir.queries ++
       dedup.DedupOps.queries ++ dedup.VersionedEmbedIndex.queries ++

@@ -1184,6 +1184,16 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_t_kneser_ney",
+      // all model statistics derive from ONE bigram-counts aggregation;
+      // scoring joins on bigram/unigram keys; (NN, V) attaches as a
+      // broadcast 1-row frame; one hash aggregation per doc
+      "bigram counts partial map-side" -> (_.contains("partial_count")),
+      "model attaches by bigram-keyed join" ->
+        (p => p.contains("hashpartitioning(x")),
+      "totals attach as a broadcast 1-row frame" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_m81_brier",
       // ONE forecast-value cells pass over the per-user frame; totals
       // broadcast; folds run over distinct-forecast cells
