@@ -51,7 +51,7 @@ object SparkEntry {
       stats.Levene.queries ++ stats.Friedman.queries ++
       stats.Dunn.queries ++ stats.Wasserstein.queries ++
       stats.Association.queries ++ stats.Brier.queries ++
-      stats.Cronbach.queries ++
+      stats.Cronbach.queries ++ stats.Benford.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

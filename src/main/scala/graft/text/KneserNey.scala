@@ -33,11 +33,10 @@ import org.apache.spark.sql.functions._
   * the 1-row (NN, V) frame broadcast; one hash aggregation per doc. */
 object KneserNey {
 
-  /** Per-document KN negative log-likelihood against a model corpus:
-    * (idCol, n_bigrams, nlp_micro) — exact integer micro-nats summed
-    * per doc, null for docs with < 2 tokens. */
-  def negLogMicro(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, modelTextCol: String): DataFrame = {
+  /** The per-bigram KN score frame: (__id, x, y, nlp_micro) — one row
+    * per document bigram, exact integer micro-nats. */
+  private[text] def perBigram(docs: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, modelTextCol: String): DataFrame = {
     val bc = NgramLm.bigrams(model, monotonically_increasing_id(),
         modelTextCol)
       .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
@@ -47,7 +46,7 @@ object KneserNey {
     val totals = bc.agg(count(lit(1)).as("nn"))
       .crossJoin(model.select(explode(TextOps.tokens(col(modelTextCol)))
         .as("tok")).agg(countDistinct("tok").as("v")))
-    val scored = NgramLm.bigrams(docs, col(idCol), textCol)
+    NgramLm.bigrams(docs, col(idCol), textCol)
       .join(bc, Seq("x", "y"), "left")
       .join(ctx, Seq("x"), "left")
       .join(cont, Seq("y"), "left")
@@ -61,6 +60,15 @@ object KneserNey {
              / cast(case when cx is null then nn + v + 1L
                  else 4L * cx * (nn + v + 1L) end as double))
            * 1000000.0) as bigint)"""))
+      .select(col("__id"), col("x"), col("y"), col("nlp_micro"))
+  }
+
+  /** Per-document KN negative log-likelihood against a model corpus:
+    * (idCol, n_bigrams, nlp_micro) — exact integer micro-nats summed
+    * per doc, null for docs with < 2 tokens. */
+  def negLogMicro(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelTextCol: String): DataFrame = {
+    val scored = perBigram(docs, idCol, textCol, model, modelTextCol)
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"), sum("nlp_micro").as("nlp_micro"))
     docs.select(col(idCol))
@@ -70,15 +78,41 @@ object KneserNey {
         col("nlp_micro"))
   }
 
-  /** q_t_kneser_ney: the corpus self-scored under its own KN bigram
-    * model — the filter-grade LM score next to q_t_perplexity's add-k
-    * baseline on identical dataflow. */
-  private val tKn = Q(
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      negLogMicro(docs, "doc_id", "text", docs, "text").orderBy("doc_id")
-    },
-    Some("""WITH mdb AS (SELECT
+  /** Min-k% surprisal (Shi et al., ICLR 2024 "Min-K% Prob" — the
+    * pretraining-data membership/memorization probe): per document,
+    * the mean of the k% LOWEST-probability (= highest-surprisal)
+    * bigrams. A document whose WORST tokens are still unsurprising is
+    * memorized/duplicated material; scoring only the tail makes the
+    * probe robust to the easy bulk that drags a full-document mean.
+    * k = 20%: k_top = ceil(n/5) = (n+4) div 5 — exact integers; the
+    * top-tail SUM is tie-insensitive (equal values sum identically
+    * whichever side of the cut they land). Output: (idCol, n_bigrams,
+    * k_top, mink_mean_micro = Σtail div k_top). */
+  def minKSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelTextCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pb = perBigram(docs, idCol, textCol, model, modelTextCol)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("__id")
+          .orderBy(col("nlp_micro").desc, col("x"), col("y"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("__id")))
+    val agg = pb.filter(col("rn") <= expr("(n + 4L) div 5L"))
+      .groupBy("__id")
+      .agg(max("n").as("n_bigrams"), count(lit(1)).as("k_top"),
+        sum("nlp_micro").as("tailsum"))
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("k_top"), lit(0L)).as("k_top"),
+        expr("tailsum div k_top").as("mink_mean_micro"))
+  }
+
+  /** Shared oracle chain: model statistics + the per-bigram `pb`
+    * (doc_id, x, y, nlp) frame — both registered queries tail it. */
+  private def knPbSql: String =
+    """WITH mdb AS (SELECT
                 list_filter(string_split(text, ' '), x -> x <> '') AS t
               FROM documents),
             mbg AS (SELECT t[CAST(i AS INT) + 1] AS x,
@@ -100,8 +134,8 @@ object KneserNey {
             bg AS (SELECT doc_id, t[CAST(i AS INT) + 1] AS x,
                 t[CAST(i AS INT) + 2] AS y
               FROM db, LATERAL (SELECT unnest(range(len(t) - 1)) AS i) ii),
-            sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                CAST(SUM(CAST(FLOOR(-ln(
+            pb AS (SELECT g.doc_id, g.x, g.y,
+                CAST(FLOOR(-ln(
                     CAST(CASE WHEN c2.cx IS NULL
                       THEN COALESCE(c3.n1b, 0) + 1
                       ELSE greatest(4 * COALESCE(c1.cxy, 0) - 3, 0)
@@ -111,18 +145,57 @@ object KneserNey {
                     / CAST(CASE WHEN c2.cx IS NULL THEN tt.nn + tt.v + 1
                         ELSE 4 * c2.cx * (tt.nn + tt.v + 1) END
                       AS DOUBLE))
-                  * 1000000.0) AS BIGINT)) AS BIGINT) AS nlp_micro
+                  * 1000000.0) AS BIGINT) AS nlp
               FROM bg g
               LEFT JOIN bc c1 ON g.x = c1.x AND g.y = c1.y
               LEFT JOIN ctx c2 ON g.x = c2.x
               LEFT JOIN cont c3 ON g.y = c3.y
-              CROSS JOIN tt
-              GROUP BY g.doc_id)
+              CROSS JOIN tt)"""
+
+  /** q_t_kneser_ney: the corpus self-scored under its own KN bigram
+    * model — the filter-grade LM score next to q_t_perplexity's add-k
+    * baseline on identical dataflow. */
+  private val tKn = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      negLogMicro(docs, "doc_id", "text", docs, "text").orderBy("doc_id")
+    },
+    Some(knPbSql + """,
+            sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(nlp) AS BIGINT) AS nlp_micro
+              FROM pb GROUP BY 1)
             SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
               s.nlp_micro
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN sc s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id"""))
 
-  val queries: Map[String, Q] = Map("q_t_kneser_ney" -> tKn)
+  /** q_t_mink: the min-20% surprisal membership probe — low tail-mean
+    * = even the document's WORST bigrams are unsurprising under the
+    * corpus model (memorized/duplicated material). */
+  private val tMinK = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      minKSurprisal(docs, "doc_id", "text", docs, "text").orderBy("doc_id")
+    },
+    Some(knPbSql + """,
+            rk AS (SELECT doc_id, nlp, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY nlp DESC, x, y) AS rn,
+                COUNT(*) OVER (PARTITION BY doc_id) AS n
+              FROM pb),
+            agg AS (SELECT doc_id,
+                CAST(MAX(n) AS BIGINT) AS n_bigrams,
+                CAST(COUNT(*) AS BIGINT) AS k_top,
+                CAST(SUM(nlp) AS BIGINT) AS tailsum
+              FROM rk WHERE rn <= (n + 4) // 5 GROUP BY 1)
+            SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+              COALESCE(a.k_top, 0) AS k_top,
+              CAST(a.tailsum // a.k_top AS BIGINT) AS mink_mean_micro
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_t_kneser_ney" -> tKn,
+    "q_t_mink" -> tMinK)
 }

@@ -1184,6 +1184,18 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_t_mink",
+      // the per-bigram KN frame; the tail selection is a doc-keyed
+      // window over each doc's own bigrams
+      "bigram counts partial map-side" -> (_.contains("partial_count")),
+      "tail window keyed per doc" ->
+        (p => p.contains("hashpartitioning(__id")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_m83_benford",
+      // ONE (variable, digit) counts pass; the fixed 9-digit grid
+      // materializes per variable; folds run over 9 cells
+      "digit counts partial map-side" -> (_.contains("partial_count")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_t_kneser_ney",
       // all model statistics derive from ONE bigram-counts aggregation;
       // scoring joins on bigram/unigram keys; (NN, V) attaches as a

@@ -58,4 +58,34 @@ class KneserNeySpec extends SparkSpecBase {
     val ba = score(Seq("a b", "a c"), Seq(1L -> "b a"))(1L)._2.get
     assert(twice._2.get === 2L * one + ba)
   }
+
+  private def mink(model: Seq[String], docs: Seq[(Long, String)]) =
+    KneserNey.minKSurprisal(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      model.map(Tuple1(_)).toDF("text"), "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+
+  test("min-k tail: 5 bigrams keep ceil(5/5) = 1, the most surprising") {
+    // "a b" is the only trained bigram; the rest are surprises
+    val m = mink(Seq("a b"), Seq(1L -> "a b c d e f"))
+    val (n, k, mean) = m(1L)
+    assert(n === 5L && k === 1L)
+    // the kept bigram must score at least the full-document mean
+    val full = score(Seq("a b"), Seq(1L -> "a b c d e f"))(1L)._2.get
+    assert(mean.get >= full / 5L)
+  }
+
+  test("min-k mean separates memorized text from novel text") {
+    val model = Seq("the cat sat on the mat", "the cat sat on the mat")
+    val m = mink(model,
+      Seq(1L -> "the cat sat on the mat", 2L -> "purple quantum bananas dream"))
+    assert(m(1L)._3.get < m(2L)._3.get)
+  }
+
+  test("min-k on short docs: unscorable emits k_top 0 and null mean") {
+    val m = mink(Seq("a b"), Seq(1L -> "a"))
+    assert(m(1L) === ((0L, 0L, None)))
+  }
 }
