@@ -312,7 +312,10 @@ object Bench {
     "q_t_kneser_ney",
     // round-12 batch 8c: min-k% surprisal membership probe, Benford
     // first-digit forensics
-    "q_t_mink", "q_m83_benford")
+    "q_t_mink", "q_m83_benford",
+    // round-12 batch 8d: semi-hard triplet mining over the certified
+    // brute-force candidates
+    "q_s_triplets")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -457,7 +460,8 @@ object Bench {
     "q_s_modularity" -> 2.7, "q_s_assort" -> 0.5,
     "q_m81_brier" -> 1.1, "q_m82_cronbach" -> 0.8,
     "q_t_kneser_ney" -> 2.2,
-    "q_t_mink" -> 2.5, "q_m83_benford" -> 1.8)
+    "q_t_mink" -> 2.5, "q_m83_benford" -> 1.8,
+    "q_s_triplets" -> 3.0)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -1184,6 +1184,14 @@ object ExplainAudit {
       "median window keyed per (variable, group)" ->
         (p => p.contains("hashpartitioning(__var") && p.contains("__g")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_s_triplets",
+      // anchors broadcast against the corpus (the certified rerank
+      // shape); label attach id-keyed; picks are per-anchor aggs
+      "anchors broadcast against the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      "argmin picks aggregate (partial map-side), not window-sorted" ->
+        (_.contains("partial_min")),
+      "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_t_mink",
       // the per-bigram KN frame; the tail selection is a doc-keyed
       // window over each doc's own bigrams
