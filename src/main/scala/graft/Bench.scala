@@ -315,7 +315,9 @@ object Bench {
     "q_t_mink", "q_m83_benford",
     // round-12 batch 8d: semi-hard triplet mining over the certified
     // brute-force candidates
-    "q_s_triplets")
+    "q_s_triplets",
+    // round-12 batch 8e: seasonal-naive DOW profile + Hampel outliers
+    "q_e_seasonal")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -461,7 +463,8 @@ object Bench {
     "q_m81_brier" -> 1.1, "q_m82_cronbach" -> 0.8,
     "q_t_kneser_ney" -> 2.2,
     "q_t_mink" -> 2.5, "q_m83_benford" -> 1.8,
-    "q_s_triplets" -> 3.0)
+    "q_s_triplets" -> 3.0,
+    "q_e_seasonal" -> 2.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -1246,6 +1246,13 @@ object ExplainAudit {
       "hit window keyed per query" ->
         (p => p.contains("hashpartitioning(qid")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_e_seasonal",
+      // ONE map-side (series, day) aggregation; both median passes run
+      // windows over DISTINCT-VALUE cells keyed by (series, dow)/series
+      "day cells partial map-side" -> (_.contains("partial_count")),
+      "median windows keyed per series" ->
+        (p => p.contains("hashpartitioning(series")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_e_ewma",
       // ONE map-side (series, day) aggregation; the integer fold runs
       // over collected per-series day cells — a bounded monitoring grid
