@@ -317,7 +317,9 @@ object Bench {
     // brute-force candidates
     "q_s_triplets",
     // round-12 batch 8e: seasonal-naive DOW profile + Hampel outliers
-    "q_e_seasonal")
+    "q_e_seasonal",
+    // round-12 batch 8f: HITS hubs/authorities (exact path counts)
+    "q_s_hits")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -464,7 +466,9 @@ object Bench {
     "q_t_kneser_ney" -> 2.2,
     "q_t_mink" -> 2.5, "q_m83_benford" -> 1.8,
     "q_s_triplets" -> 3.0,
-    "q_e_seasonal" -> 2.8)
+    "q_e_seasonal" -> 2.8,
+    // measured with the session kNN-graph cache warm (see q_s_modularity)
+    "q_s_hits" -> 1.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

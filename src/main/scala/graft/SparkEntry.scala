@@ -71,7 +71,7 @@ object SparkEntry {
       sim.RetrievalEval.queries ++ sim.Err.queries ++
       sim.MmrDiversify.queries ++
       sim.Matryoshka.queries ++ sim.LabelProp.queries ++
-      sim.GraphStats.queries ++ sim.Triplets.queries ++
+      sim.GraphStats.queries ++ sim.Triplets.queries ++ sim.Hits.queries ++
       sim.KCenter.queries ++
       multimodal.MultimodalOps.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++

@@ -1228,6 +1228,15 @@ object ExplainAudit {
       "row-sum variance attaches broadcast" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_s_hits",
+      // rounds are localCheckpoint-cut (the LPA lineage discipline), so
+      // the returned plan is the final id-keyed hub⋈authority join over
+      // the checkpointed round frames; the per-round dst-/src-keyed
+      // partial aggregations are pinned by HitsSpec's exact path counts
+      "final hub-authority join is id-keyed" ->
+        (p => p.contains("hashpartitioning(id") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_s_modularity",
       // LPA labels attach to the edge relation by two id-keyed joins;
       // ONE map-side community aggregation; never all-pairs
