@@ -319,7 +319,9 @@ object Bench {
     // round-12 batch 8e: seasonal-naive DOW profile + Hampel outliers
     "q_e_seasonal",
     // round-12 batch 8f: HITS hubs/authorities (exact path counts)
-    "q_s_hits")
+    "q_s_hits",
+    // round-12 batch 8g: Holt level+trend chart
+    "q_e_holt")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -468,7 +470,8 @@ object Bench {
     "q_s_triplets" -> 3.0,
     "q_e_seasonal" -> 2.8,
     // measured with the session kNN-graph cache warm (see q_s_modularity)
-    "q_s_hits" -> 1.9)
+    "q_s_hits" -> 1.9,
+    "q_e_holt" -> 0.9)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

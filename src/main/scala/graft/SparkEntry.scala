@@ -57,7 +57,7 @@ object SparkEntry {
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++
       text.PseudoRelevance.queries ++ etl.UniMax.queries ++
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++
-      text.Jsd.queries ++ etl.Ewma.queries ++ etl.Seasonal.queries ++
+      text.Jsd.queries ++ etl.Ewma.queries ++ etl.Seasonal.queries ++ etl.Holt.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.KneserNey.queries ++

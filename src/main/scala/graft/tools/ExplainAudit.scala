@@ -1262,6 +1262,12 @@ object ExplainAudit {
       "median windows keyed per series" ->
         (p => p.contains("hashpartitioning(series")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")))
+    audit("q_e_holt",
+      // same shape as q_e_ewma: ONE map-side (series, day) pass, the
+      // two-state integer fold over bounded per-series cells
+      "day cells partial map-side" -> (_.contains("partial_count")),
+      "no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")))
     audit("q_e_ewma",
       // ONE map-side (series, day) aggregation; the integer fold runs
       // over collected per-series day cells — a bounded monitoring grid
