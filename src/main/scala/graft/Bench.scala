@@ -321,7 +321,10 @@ object Bench {
     // round-12 batch 8f: HITS hubs/authorities (exact path counts)
     "q_s_hits",
     // round-12 batch 8g: Holt level+trend chart
-    "q_e_holt")
+    "q_e_holt",
+    // round-12 batch 8h: TOST equivalence, Simpson flip guard,
+    // Poisson dispersion index
+    "q_m84_tost", "q_m85_simpson", "q_e_dispersion")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -471,7 +474,9 @@ object Bench {
     "q_e_seasonal" -> 2.8,
     // measured with the session kNN-graph cache warm (see q_s_modularity)
     "q_s_hits" -> 1.9,
-    "q_e_holt" -> 0.9)
+    "q_e_holt" -> 0.9,
+    "q_m84_tost" -> 0.6, "q_m85_simpson" -> 0.7,
+    "q_e_dispersion" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -52,6 +52,7 @@ object SparkEntry {
       stats.Dunn.queries ++ stats.Wasserstein.queries ++
       stats.Association.queries ++ stats.Brier.queries ++
       stats.Cronbach.queries ++ stats.Benford.queries ++
+      stats.Simpson.queries ++ etl.Dispersion.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   * window, no second pass. */
 object WelchT {
 
-  /** Welch t² / df / Cohen's d over (armCol: boolean — true = arm 1,
-    * centsCol: integer metric). Output one row:
-    * (n1, n2, t2_micro, df_micro, d_micro, direction). */
-  def welch(rows: DataFrame, armCol: String, centsCol: String): DataFrame = {
+  /** The shared Welch sufficient-statistics stage: one map-side pass →
+    * (n1, n2, dd, a1, a2, w1, w2, md) — exact integers through the
+    * CASE-guarded identical float trees. [[welch]] and [[tost]] both
+    * tail it. */
+  private[stats] def suffStats(rows: DataFrame, armCol: String,
+      centsCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
     rows.agg(
       sum(when(col(armCol), 1L).otherwise(0L)).as("n1"),
@@ -60,6 +62,13 @@ object WelchT {
         "case when n2 > 0 then cast(num2 as double) / n2 end as w2",
         """case when n1 > 0 and n2 > 0 then
              cast(dd as double) / (cast(n1 as double) * n2) end as md""")
+  }
+
+  /** Welch t² / df / Cohen's d over (armCol: boolean — true = arm 1,
+    * centsCol: integer metric). Output one row:
+    * (n1, n2, t2_micro, df_micro, d_micro, direction). */
+  def welch(rows: DataFrame, armCol: String, centsCol: String): DataFrame = {
+    suffStats(rows, armCol, centsCol)
       // nested CASEs: the outer arm-size test guarantees every divisor
       // inside the inner branch is positive (vectorized engines do not
       // short-circuit AND, so one flat conjunction could still divide
@@ -139,5 +148,102 @@ object WelchT {
                 AS BIGINT) AS direction
             FROM dbl"""))
 
-  val queries: Map[String, Q] = Map("q_m74_welch_t" -> mWelch)
+  /** TOST equivalence test (Schuirmann, J. Pharmacokinet. Biopharm.
+    * 1987) — the A/B question q_m74 CANNOT answer: a non-significant
+    * difference is not evidence of sameness. TOST inverts the burden:
+    * the arms are equivalent within ±δ only when BOTH one-sided tests
+    * reject — (m̄₁−m̄₂) > −δ AND < +δ, each at the one-sided level.
+    * The canonical launch gate for "this cheaper pipeline variant
+    * changes nothing (within δ)".
+    *
+    * Same sufficient statistics as [[welch]]; the two statistics
+    *   t_low = (md + δ)/se,   t_up = (md − δ)/se,  se = √(a1+a2)
+    * are identical trees floored to micro, and the equivalence verdict
+    * compares the FLOORED integers against the one-sided z₀.₀₅
+    * critical value 1.644854 (normal approximation — arms here are
+    * thousands of rows; the df is emitted for callers that want the
+    * exact t quantile). Degenerate arms → null. */
+  def tost(rows: DataFrame, armCol: String, centsCol: String,
+      deltaCents: Long): DataFrame = {
+    require(deltaCents > 0, "equivalence margin must be positive")
+    suffStats(rows, armCol, centsCol)
+      .selectExpr("n1", "n2",
+        s"""case when n1 > 1 and n2 > 1 then
+             case when a1 + a2 > 0 then cast(floor(
+               (md + ${deltaCents}e0) / sqrt(a1 + a2) * 1e6) as long) end
+           end as t_low_micro""",
+        s"""case when n1 > 1 and n2 > 1 then
+             case when a1 + a2 > 0 then cast(floor(
+               (md - ${deltaCents}e0) / sqrt(a1 + a2) * 1e6) as long) end
+           end as t_up_micro""",
+        """case when n1 > 1 and n2 > 1 then
+             case when a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1) > 0
+               then cast(floor((a1 + a2) * (a1 + a2)
+                 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)) * 1e6) as long)
+             end
+           end as df_micro""")
+      .selectExpr("n1", "n2", "t_low_micro", "t_up_micro", "df_micro",
+        """case when t_low_micro is null or t_up_micro is null then null
+           else t_low_micro > 1644854L and t_up_micro < -1644854L
+           end as equivalent""")
+  }
+
+  /** q_m84_tost: are the parity arms' purchase values EQUIVALENT
+    * within ±1 currency unit (100 cents)? The sameness verdict next to
+    * q_m74's difference test on the identical frame. */
+  private val mTost = Q(
+    (s, d) => tost(
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2 === 0).as("arm"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "arm", "cents", deltaCents = 100L),
+    Some("""WITH rows0 AS (SELECT user_id % 2 = 0 AS arm,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            agg AS (SELECT
+                CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                SUM(CASE WHEN arm THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s1,
+                SUM(CASE WHEN NOT arm THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s2,
+                SUM(CASE WHEN arm THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q1,
+                SUM(CASE WHEN NOT arm THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q2
+              FROM rows0),
+            ints AS (SELECT n1, n2,
+                CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS num1,
+                CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS num2,
+                s1 * CAST(n2 AS HUGEINT) - s2 * CAST(n1 AS HUGEINT) AS dd
+              FROM agg),
+            dbl AS (SELECT n1, n2,
+                CASE WHEN n1 > 1 THEN CAST(num1 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) END AS a1,
+                CASE WHEN n2 > 1 THEN CAST(num2 AS DOUBLE)
+                  / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) END AS a2,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN CAST(dd AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * n2) END AS md
+              FROM ints),
+            ts AS (SELECT n1, n2,
+              CASE WHEN n1 > 1 AND n2 > 1 THEN
+                CASE WHEN a1 + a2 > 0 THEN CAST(floor(
+                  (md + 100e0) / sqrt(a1 + a2) * 1e6) AS BIGINT) END
+                END AS t_low_micro,
+              CASE WHEN n1 > 1 AND n2 > 1 THEN
+                CASE WHEN a1 + a2 > 0 THEN CAST(floor(
+                  (md - 100e0) / sqrt(a1 + a2) * 1e6) AS BIGINT) END
+                END AS t_up_micro,
+              CASE WHEN n1 > 1 AND n2 > 1 THEN
+                CASE WHEN a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1) > 0
+                  THEN CAST(floor((a1 + a2) * (a1 + a2)
+                    / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)) * 1e6)
+                    AS BIGINT) END
+                END AS df_micro
+              FROM dbl)
+            SELECT n1, n2, t_low_micro, t_up_micro, df_micro,
+              CASE WHEN t_low_micro IS NULL OR t_up_micro IS NULL THEN NULL
+                ELSE t_low_micro > 1644854 AND t_up_micro < -1644854
+                END AS equivalent
+            FROM ts"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_m74_welch_t" -> mWelch,
+    "q_m84_tost" -> mTost)
 }

@@ -1214,6 +1214,25 @@ object ExplainAudit {
       "totals attach as a broadcast 1-row frame" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_m84_tost",
+      // the shared Welch sufficient-statistics pass; verdict a 1-row
+      // select off the floored statistics
+      "arm sufficient statistics partial map-side" ->
+        (_.contains("partial_sum")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
+    audit("q_m85_simpson",
+      // ONE (stratum x arm) cells pass; pooled direction derives from
+      // the same cells and attaches broadcast
+      "stratum-arm cells partial map-side" -> (_.contains("partial_sum")),
+      "pooled direction attaches as a broadcast 1-row frame" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_e_dispersion",
+      // ONE map-side (series, day) pass + per-series reduce
+      "day cells partial map-side" -> (_.contains("partial_count")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
     audit("q_m81_brier",
       // ONE forecast-value cells pass over the per-user frame; totals
       // broadcast; folds run over distinct-forecast cells

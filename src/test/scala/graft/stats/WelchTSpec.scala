@@ -54,4 +54,34 @@ class WelchTSpec extends SparkSpecBase {
     assert(up.getAs[Long]("direction") === 1L)
     assert(up.getAs[Long]("d_micro") > 0L)
   }
+
+  private def to(delta: Long, rows: (Boolean, Long)*) = WelchT.tost(
+    rows.toDF("arm", "cents"), "arm", "cents", delta).collect()(0)
+
+  test("tost: identical tight arms are equivalent within a wide margin") {
+    val rows = (1 to 50).flatMap(i =>
+      Seq(true -> (10L + i % 2), false -> (10L + i % 2)))
+    val r = to(10L, rows: _*)
+    assert(r.getAs[Boolean]("equivalent"))
+    assert(r.getAs[Long]("t_low_micro") > 0L)
+    assert(r.getAs[Long]("t_up_micro") < 0L)
+  }
+
+  test("tost: a difference larger than the margin is NOT equivalent") {
+    val rows = (1 to 50).flatMap(i =>
+      Seq(true -> (10L + i % 2), false -> (40L + i % 2)))
+    val r = to(10L, rows: _*)
+    assert(!r.getAs[Boolean]("equivalent"))
+  }
+
+  test("tost: underpowered noise is not declared equivalent either") {
+    // two tiny noisy arms: difference within margin but se too big
+    val r = to(5L, true -> 0L, true -> 40L, false -> 10L, false -> 50L)
+    assert(!r.getAs[Boolean]("equivalent"))
+  }
+
+  test("tost: degenerate arms leave the verdict null") {
+    val r = to(10L, true -> 1L, false -> 2L)
+    assert(r.isNullAt(r.fieldIndex("equivalent")))
+  }
 }
