@@ -1214,6 +1214,18 @@ object ExplainAudit {
       "totals attach as a broadcast 1-row frame" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_m86_mcc",
+      // ONE map-side 2x2-cells pass; statistic a 1-row select
+      "contingency counters partial map-side" -> (_.contains("partial_")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
+    audit("q_e_autocorr",
+      // ONE (series, day) pass; per lag a calendar-keyed self-join of
+      // day cells + per-series reduce
+      "day cells partial map-side" -> (_.contains("partial_count")),
+      "lag join calendar-keyed per series" ->
+        (p => p.contains("hashpartitioning(series")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m84_tost",
       // the shared Welch sufficient-statistics pass; verdict a 1-row
       // select off the floored statistics
