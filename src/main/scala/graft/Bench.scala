@@ -326,7 +326,9 @@ object Bench {
     // Poisson dispersion index
     "q_m84_tost", "q_m85_simpson", "q_e_dispersion",
     // round-12 batch 8i: MCC agreement strength, lag-k ACF
-    "q_m86_mcc", "q_e_autocorr")
+    "q_m86_mcc", "q_e_autocorr",
+    // round-12 batch 8j: Gwet AC1 prevalence-robust agreement
+    "q_m87_gwet_ac1")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -479,7 +481,8 @@ object Bench {
     "q_e_holt" -> 0.9,
     "q_m84_tost" -> 0.6, "q_m85_simpson" -> 0.7,
     "q_e_dispersion" -> 0.5,
-    "q_m86_mcc" -> 0.5, "q_e_autocorr" -> 1.2)
+    "q_m86_mcc" -> 0.5, "q_e_autocorr" -> 1.2,
+    "q_m87_gwet_ac1" -> 0.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -53,7 +53,7 @@ object SparkEntry {
       stats.Association.queries ++ stats.Brier.queries ++
       stats.Cronbach.queries ++ stats.Benford.queries ++
       stats.Simpson.queries ++ etl.Dispersion.queries ++
-      etl.Autocorr.queries ++
+      etl.Autocorr.queries ++ stats.GwetAc1.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

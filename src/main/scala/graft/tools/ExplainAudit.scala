@@ -1214,6 +1214,13 @@ object ExplainAudit {
       "totals attach as a broadcast 1-row frame" ->
         (p => p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_m87_gwet_ac1",
+      // one (a, b) cells pass; marginals and the statistic derive
+      // from the cells (the cohenKappa shape); n attaches broadcast
+      "pair cells partial map-side" -> (_.contains("partial_count")),
+      "n attaches as a broadcast 1-row frame" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_m86_mcc",
       // ONE map-side 2x2-cells pass; statistic a 1-row select
       "contingency counters partial map-side" -> (_.contains("partial_")),
