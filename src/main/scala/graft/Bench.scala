@@ -328,7 +328,9 @@ object Bench {
     // round-12 batch 8i: MCC agreement strength, lag-k ACF
     "q_m86_mcc", "q_e_autocorr",
     // round-12 batch 8j: Gwet AC1 prevalence-robust agreement
-    "q_m87_gwet_ac1")
+    "q_m87_gwet_ac1",
+    // round-12 batch 8k: Cochran-Mantel-Haenszel stratified pool
+    "q_m88_cmh")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -482,7 +484,8 @@ object Bench {
     "q_m84_tost" -> 0.6, "q_m85_simpson" -> 0.7,
     "q_e_dispersion" -> 0.5,
     "q_m86_mcc" -> 0.5, "q_e_autocorr" -> 1.2,
-    "q_m87_gwet_ac1" -> 0.8)
+    "q_m87_gwet_ac1" -> 0.8,
+    "q_m88_cmh" -> 0.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

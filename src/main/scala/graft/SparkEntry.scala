@@ -54,6 +54,7 @@ object SparkEntry {
       stats.Cronbach.queries ++ stats.Benford.queries ++
       stats.Simpson.queries ++ etl.Dispersion.queries ++
       etl.Autocorr.queries ++ stats.GwetAc1.queries ++
+      stats.Cmh.queries ++
       text.QueryLikelihood.queries ++
       dedup.LshAudit.queries ++ dedup.VersionedGramIndex.queries ++
       sim.RankBiasedOverlap.queries ++ text.Zipf.queries ++

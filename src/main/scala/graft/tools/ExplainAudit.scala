@@ -1240,6 +1240,11 @@ object ExplainAudit {
         (_.contains("partial_sum")),
       "no join, no window" ->
         (p => !p.contains("Join") && !p.contains("Window")))
+    audit("q_m88_cmh",
+      // ONE (stratum x arm) cells pass; folds over |strata| cells
+      "stratum-arm cells partial map-side" -> (_.contains("partial_sum")),
+      "no join, no window" ->
+        (p => !p.contains("Join") && !p.contains("Window")))
     audit("q_m85_simpson",
       // ONE (stratum x arm) cells pass; pooled direction derives from
       // the same cells and attaches broadcast
