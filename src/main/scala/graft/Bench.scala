@@ -621,7 +621,12 @@ object Bench {
       if (ticksStart(0) < 0) (-1.0, -1.0, -1.0)
       else (dt(1).toDouble / totTicks, dt(3).toDouble / totTicks,
         dt(4).toDouble / totTicks)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"reruns":$rerunJson%s,"load1_per_query":$loadPerQuery%s,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"cpu_sys_frac":$sysF%.3f,"cpu_iowait_frac":$iowF%.3f,"cpu_steal_frac":$stealF%.3f,"load1_start":$loadStart%.2f,"load5_start":$load5Start%.2f,"load1_end":$loadEnd%.2f,"load5_end":$load5End%.2f,"sf":"$sfDir%s"}""")
+    // full artifact first (per-query map + load stamps, ~9 KB with 200+
+    // queries), then a COMPACT summary as the very last stdout line — the
+    // driver's tail capture truncates long lines, so the machine-readable
+    // summary must be short and last
+    println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"reruns":$rerunJson%s,"load1_per_query":$loadPerQuery%s,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"cpu_sys_frac":$sysF%.3f,"cpu_iowait_frac":$iowF%.3f,"cpu_steal_frac":$stealF%.3f,"load1_start":$loadStart%.2f,"load5_start":$load5Start%.2f,"load1_end":$loadEnd%.2f,"load5_end":$load5End%.2f,"sf":"$sfDir%s"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"n_failed":${results.count(!_._3)}%d,"failed":$failed%s,"cpu_steal_frac":$stealF%.3f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir%s"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

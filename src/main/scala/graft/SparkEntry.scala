@@ -77,6 +77,9 @@ object SparkEntry {
       sim.GraphStats.queries ++ sim.Triplets.queries ++ sim.Hits.queries ++
       sim.KCenter.queries ++
       multimodal.MultimodalOps.queries ++
+      multimodal.PerceptualHash.queries ++
+      multimodal.AudioFingerprint.queries ++
+      multimodal.VideoPHash.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
       sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++
       pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries ++

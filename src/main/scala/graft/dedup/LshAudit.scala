@@ -179,16 +179,18 @@ object LshAudit {
                 ELSE 0 END), 0) AS BIGINT) AS fn,
               CAST(COALESCE(SUM(CASE WHEN NOT is_t AND is_c THEN 1
                 ELSE 0 END), 0) AS BIGINT) AS fp,
-              CASE WHEN COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0) = 0
+              CAST(CASE WHEN COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0
+                  END), 0) = 0
                 THEN NULL
                 ELSE SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END)
                   * 1000000 // SUM(CASE WHEN is_c THEN 1 ELSE 0 END) END
-                AS precision_micro,
-              CASE WHEN COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0) = 0
+                AS BIGINT) AS precision_micro,
+              CAST(CASE WHEN COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0
+                  END), 0) = 0
                 THEN NULL
                 ELSE SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END)
                   * 1000000 // SUM(CASE WHEN is_t THEN 1 ELSE 0 END) END
-                AS recall_micro
+                AS BIGINT) AS recall_micro
             FROM j"""
     })
 

@@ -122,7 +122,7 @@ object VersionedEmbedIndex {
             m AS (SELECT ver, id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                     MAX(cosine) AS mc
                   FROM scored WHERE cosine >= 0.45 GROUP BY 1, 2)
-            SELECT q.ver, q.vec_id,
+            SELECT CAST(q.ver AS BIGINT) AS ver, q.vec_id,
                    COALESCE(m.n_matches, 0) AS n_matches,
                    ROUND(m.mc, 6) AS max_cosine,
                    (m.id IS NOT NULL) AS near_dup

@@ -104,7 +104,7 @@ object VersionedGramIndex {
                 pos - CAST(row_number() OVER
                   (PARTITION BY ver, doc_id ORDER BY pos) AS INT) AS grp
               FROM runs)
-            SELECT ver, doc_id,
+            SELECT CAST(ver AS BIGINT) AS ver, doc_id,
               CAST(MIN(pos) AS BIGINT) AS span_start,
               CAST(MAX(pos) + 49 AS BIGINT) AS span_end,
               CAST(MAX(pos) - MIN(pos) + 50 AS BIGINT) AS span_len

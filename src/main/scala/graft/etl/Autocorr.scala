@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * so r_micro = pmodfloor(num·1e6, den) — one sign-safe division of
   * decimal(38,0)/HUGEINT products (num is legitimately negative).
   * Constant series (den = 0) → null. Missing days simply contribute
-  * no pair at that lag (the t+k join is calendar-keyed).
+  * no pair at that lag (the t+k join is calendar-keyed); a (series,
+  * lag) with NO pairs at all still emits its grid row with n_pairs =
+  * 0 and null r_micro, so the output is always |series|·|lags| rows.
   *
   * Scale shape: ONE map-side (series, day) aggregation; per lag ONE
   * calendar-keyed self-join of day cells + a per-series reduce;
@@ -49,9 +51,15 @@ object Autocorr {
           sum(col("c") * col("c2")).as("num"))
         .withColumn("lag", lit(k.toLong))
     }.reduce(_ unionByName _)
-    lagged.join(den, Seq("series"))
-      .select(col("series"), col("lag"), col("n_points"), col("n_pairs"),
-        when(col("den") === 0, lit(null).cast("long"))
+    // pair-less (series, lag) cells would vanish from the inner joins;
+    // pin the full series × lags grid and left-join the pair stats back
+    val grid = den.withColumn("lag",
+      explode(array(lags.map(k => lit(k.toLong)): _*)))
+    grid.join(lagged, Seq("series", "lag"), "left")
+      .select(col("series"), col("lag"), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("den") === 0 || col("n_pairs").isNull,
+          lit(null).cast("long"))
           .otherwise(graft.stats.Agreement.floorDiv(
             col("num") * 1000000L, col("den"))).as("r_micro"))
       .orderBy("series", "lag")
@@ -90,14 +98,19 @@ object Autocorr {
                 SUM(a.c * b.c)
               FROM cent a JOIN cent b
                 ON a.series = b.series AND b.t = a.t + 7
-              GROUP BY 1)
-            SELECT l.series, l.lag, d.n_points, l.n_pairs,
-              CASE WHEN d.den = 0 THEN NULL
+              GROUP BY 1),
+            grid AS (SELECT d.series, CAST(g.lag AS BIGINT) AS lag,
+                d.n_points, d.den
+              FROM den d CROSS JOIN (SELECT UNNEST([1, 7]) AS lag) g)
+            SELECT g.series, g.lag, g.n_points,
+              COALESCE(l.n_pairs, 0) AS n_pairs,
+              CASE WHEN g.den = 0 OR l.n_pairs IS NULL THEN NULL
                 ELSE CAST(((l.num * 1000000)
-                  - (((l.num * 1000000) % d.den + d.den) % d.den))
-                  // d.den AS BIGINT) END AS r_micro
-            FROM lagged l JOIN den d ON l.series = d.series
-            ORDER BY l.series, l.lag"""))
+                  - (((l.num * 1000000) % g.den + g.den) % g.den))
+                  // g.den AS BIGINT) END AS r_micro
+            FROM grid g LEFT JOIN lagged l
+              ON g.series = l.series AND g.lag = l.lag
+            ORDER BY g.series, g.lag"""))
 
   val queries: Map[String, Q] = Map("q_e_autocorr" -> eAcf)
 }

@@ -324,7 +324,8 @@ object DataMix {
     val global = Window.partitionBy(groupCol).orderBy(col("__u"), col(idCol))
     keyed
       .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
       .select(col(idCol), col(groupCol), col("rank"))
   }
 
@@ -373,7 +374,8 @@ object DataMix {
     val global = Window.orderBy(col("key_nano"), col(idCol))
     keyed
       .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= k)
       .select(col(idCol), col(weightCol), col("key_nano"), col("rank"))
   }
 

@@ -118,7 +118,8 @@ object Expectations {
             SELECT * FROM (
               SELECT 'non_null_rate' AS "check", 'l_quantity' AS "column",
                 ROUND(SUM(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0
-                  END) / n.n, 6) AS value, 1.0 AS threshold,
+                  END) / n.n, 6) AS value,
+                CAST(1.0 AS DOUBLE) AS threshold,
                 ROUND(SUM(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0
                   END) / n.n, 6) >= 1.0 AS pass
               FROM lineitem, n GROUP BY n.n

@@ -488,7 +488,8 @@ object Relational {
       val w = Window.partitionBy("p_brand")
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
       Tables.part(s, d)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
         .select(col("p_brand"), col("rn"), col("p_partkey"),
           round(col("p_retailprice"), 2).as("price"))
         .orderBy("p_brand", "rn")

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Exactness (rule 1, zero floats): both medians ride the doubled
   * two-middle-order-statistics form ([[graft.stats.Levene]]'s med2 =
-  * lo + hi), so residuals r2 = 2x − med2 and the MAD threshold
-  * comparison |r2| > 5·mad2 are pure integers. A zero-MAD series
+  * lo + hi), so residuals a = |2x − med2| = 2|r| and the 5×MAD rule
+  * are pure integers. Because mad2 is the DOUBLED median of the
+  * already-doubled residuals (mad2 = 4·MAD while a = 2·|r|), the
+  * integer comparison is 2·a > 5·mad2 ⇔ |r| > 5·MAD — both sides
+  * carry the factor-4 doubling. A zero-MAD series
   * (perfectly repeating profile) flags ANY nonzero residual — the
   * degenerate Hampel rule, documented.
   *
@@ -62,7 +65,7 @@ object Seasonal {
       Seq("series"), "a").withColumnRenamed("med2", "mad2")
     resid.join(mad, Seq("series"))
       .withColumn("out",
-        (col("a") > col("mad2") * 5) ||
+        (col("a") * 2 > col("mad2") * 5) ||
           (col("mad2") === 0 && col("a") > 0))
       .groupBy("series", "dow")
       .agg(count(lit(1)).as("n_days"), max("med2").as("med2"),
@@ -121,7 +124,7 @@ object Seasonal {
               FROM lo2 JOIN hi2 ON lo2.series = hi2.series)
             SELECT r.series, r.dow, CAST(COUNT(*) AS BIGINT) AS n_days,
               CAST(MAX(r.med2) AS BIGINT) AS med2,
-              CAST(SUM(CASE WHEN r.a > m.mad2 * 5
+              CAST(SUM(CASE WHEN r.a * 2 > m.mad2 * 5
                   OR (m.mad2 = 0 AND r.a > 0) THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
             FROM resid r JOIN mad m ON r.series = m.series

@@ -137,7 +137,8 @@ object Err {
             perq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
                 SUM(term) AS s FROM terms GROUP BY qid)
             SELECT q.qid, COALESCE(p.hits, 0) AS hits,
-              COALESCE((p.s * 1000000) // 2705829396480, 0) AS err_micro
+              CAST(COALESCE((p.s * 1000000) // 2705829396480, 0)
+                AS BIGINT) AS err_micro
             FROM (SELECT DISTINCT qid FROM qrels) q
             LEFT JOIN perq p ON q.qid = p.qid
             ORDER BY q.qid"""))

@@ -58,7 +58,7 @@ object Matryoshka {
     val wFull = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("id"))
     cands.withColumn("cosine", cosineSim(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(wFull))
+      .withColumn("rank", row_number().over(wFull).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"),

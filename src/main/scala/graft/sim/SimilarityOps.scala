@@ -33,7 +33,7 @@ object SimilarityOps {
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
       .withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -56,7 +56,7 @@ object SimilarityOps {
     val scored = c.join(broadcast(q), col("lbl") =!= col("qlbl"))
       .withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("negative"),
         col("lbl").as("neg_label"), round(col("cosine"), 6).as("cosine"))
   }
@@ -115,7 +115,7 @@ object SimilarityOps {
         .join(q.select("qid").distinct(), Seq("qid"))), Seq("qid"))
     val scored = candidates.withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -166,7 +166,7 @@ object SimilarityOps {
       .dropDuplicates("qid", "id")
     val scored = candidates.withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -199,7 +199,7 @@ object SimilarityOps {
       .dropDuplicates("qid", "id")
       .withColumn("cosine", cosineSim(col("v"), col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -279,7 +279,7 @@ object SimilarityOps {
       .withColumn("cosine", cosineSim(col("v"), col("qv")))
       .groupBy("qid", "id").agg(max("cosine").as("cosine"))
     val wr = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(wr).cast("long")).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -335,7 +335,7 @@ object SimilarityOps {
     val top = graft.plans.GroupedTopK.topK(scored, Seq("qid"),
       Seq("cosine" -> true, "id" -> false), k)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    top.withColumn("rank", row_number().over(w))
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -435,7 +435,7 @@ object SimilarityOps {
         .select(col("id").as("qid"), col("v").as("qv"))), Seq("qid"))
       .withColumn("cosine", cosineSim(col("v"), col("qv")))
     val wR = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(wR)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(wR).cast("long")).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
@@ -503,7 +503,7 @@ object SimilarityOps {
             e => e.getField("sx")).as("sumv"))
       if (t == iters)
         out = counts.join(sums, Seq("s", "j"))
-          .select(col("s"), col("j"), col("n"),
+          .select(col("s").cast("long").as("s"), col("j"), col("n"),
             col("sumv").cast("array<long>").as("sum_v"))
       else {
         val trained = counts.join(sums, Seq("s", "j"))
@@ -1098,8 +1098,9 @@ object SimilarityOps {
                          sqrt(list_sum(list_transform(mean, x -> x * x))) AS nv
                   FROM pooled)
           SELECT grp, n_chunks,
-                 to_json(list_transform(mean,
-                   x -> CAST(ROUND(ROUND(x / nv, 6) * 1000000) AS BIGINT))) AS pooled_micro
+                 CAST(to_json(list_transform(mean,
+                   x -> CAST(ROUND(ROUND(x / nv, 6) * 1000000) AS BIGINT)))
+                   AS VARCHAR) AS pooled_micro
           FROM nrm ORDER BY grp"""))
 
   /** SemDeDup (arXiv:2303.09540): semantic deduplication by partitioning
@@ -1359,7 +1360,8 @@ object SimilarityOps {
               (SELECT unnest(range(8)) AS pp) _p),
           s2 AS (SELECT s, j, p, SUM(x) AS sx FROM e2 GROUP BY 1, 2, 3)
           SELECT s2.s, s2.j, c2.n,
-            to_json(list(CAST(s2.sx AS BIGINT) ORDER BY s2.p)) AS sum_v
+            CAST(to_json(list(CAST(s2.sx AS BIGINT) ORDER BY s2.p))
+              AS VARCHAR) AS sum_v
           FROM s2 JOIN c2 ON s2.s = c2.s AND s2.j = c2.j
           GROUP BY s2.s, s2.j, c2.n
           ORDER BY s2.s, s2.j"""))

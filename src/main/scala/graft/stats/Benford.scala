@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
 object Benford {
 
   /** Conformance per variable over (varCol, integer valueCol) rows.
-    * Output: (variable, n, mad_micro, chi2_micro) — null when a
-    * variable has no positive values. */
+    * Output: (variable, n, mad_micro, chi2_micro). A variable with no
+    * positive values has no first-significant-digit distribution at
+    * all and is OMITTED from the output (the 9-digit grid derives
+    * from the post-filter counts), not emitted as a null row. */
   def audit(rows: DataFrame, varCol: String, valueCol: String): DataFrame = {
     val pos = rows.select(col(varCol).as("__var"),
         col(valueCol).cast("long").as("__v"))

@@ -41,14 +41,21 @@ object Cronbach {
       min("nr").as("__nmin"),
       sum(col("nr").cast("decimal(38,0)") * col("qx")
         - col("sx") * col("sx")).as("svi"))
-    val perI = base.groupBy("__i").agg(sum("__x").as("t"))
+    val perI = base.groupBy("__i")
+      .agg(sum("__x").as("t"), count(lit(1)).as("__ci"))
     val vt = perI.agg(count(lit(1)).as("__ni"), sum("t").as("st"),
-        sum(col("t") * col("t")).as("qt"))
+        sum(col("t") * col("t")).as("qt"),
+        min("__ci").as("__cmin"), max("__ci").as("__cmax"))
       .select((col("__ni").cast("decimal(38,0)") * col("qt")
-        - col("st") * col("st")).as("vt"))
+        - col("st") * col("st")).as("vt"),
+        col("__cmin"), col("__cmax"))
     vi.join(broadcast(vt))
       .select(col("n_items"), col("k"),
-        when(col("__nmin") =!= col("n_items"),
+        // two-sided completeness guard: equal per-rater row counts alone
+        // would pass raters scoring equal numbers of DIFFERENT items, so
+        // also require every item to carry exactly k ratings
+        when(col("__nmin") =!= col("n_items")
+            || col("__cmin") =!= col("k") || col("__cmax") =!= col("k"),
           raise_error(lit("cronbach: ragged panel — every rater must " +
             "score every item")).cast("long"))
           .when(col("vt") === 0 || col("k") < 2, lit(null).cast("long"))

@@ -485,20 +485,27 @@ object Streams {
       }
   }
 
-  final case class EwmaState(e: Long)
+  final case class EwmaState(e: Long, lastT: Long)
   final case class EwmaUpdate(series: String, t: Long, ewmaMilli: Long,
       devMilli: Long, alarm: Boolean)
 
-  /** Streaming twin of [[graft.etl.Ewma.chart]]: per-series state is ONE
-    * long — the milli fixed-point EWMA level — updated with the IDENTICAL
-    * integer recursion e' = (3e + 1000x) div 4, so a single-drain stream
-    * reproduces the batch fold bit-for-bit (spec-pinned). Each arriving
-    * (series, t, x) cell first emits its one-step forecast deviation
-    * |1000x − e| and an alarm when it exceeds `thresholdMilli`, then
-    * folds in — the live small-shift monitor at O(8 bytes) state per
-    * series regardless of volume. The first cell of a series has no
-    * forecast: devMilli = −1, never an alarm. Within a micro-batch cells
-    * sort by t (the batch-fold order). */
+  /** Streaming twin of [[graft.etl.Ewma.chart]]: per-series state is TWO
+    * longs — the milli fixed-point EWMA level and the last folded t —
+    * updated with the IDENTICAL integer recursion e' = (3e + 1000x)
+    * div 4, so a single-drain stream reproduces the batch fold
+    * bit-for-bit (spec-pinned). Each arriving (series, t, x) cell first
+    * emits its one-step forecast deviation |1000x − e| and an alarm
+    * when it exceeds `thresholdMilli`, then folds in — the live
+    * small-shift monitor at O(16 bytes) state per series regardless of
+    * volume. The first cell of a series has no forecast: devMilli = −1,
+    * never an alarm. Within a micro-batch cells sort by t (the
+    * batch-fold order); ACROSS batches a cell whose t does not advance
+    * past the last folded t (a late or replayed arrival) is DROPPED —
+    * not folded, not emitted — so the state remains the fold of a
+    * time-monotone prefix instead of silently folding arrival order.
+    * Cross-batch bit-parity with the batch chart therefore holds
+    * exactly for streams that arrive time-ordered across batches; late
+    * cells narrow the folded set but never corrupt the recursion. */
   def streamingEwmaGate(cells: Dataset[(String, Long, Long)],
       thresholdMilli: Long): Dataset[EwmaUpdate] = {
     val spark = cells.sparkSession
@@ -507,14 +514,20 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (series: String, rows: Iterator[(String, Long, Long)],
             state: GroupState[EwmaState]) =>
-          var e = state.getOption.map(_.e).getOrElse(-1L)
-          val out = rows.toSeq.sortBy(_._2).map { case (_, t, x) =>
-            val xs = x * 1000L
-            val dev = if (e < 0L) -1L else math.abs(xs - e)
-            e = if (e < 0L) xs else (3L * e + xs) / 4L
-            EwmaUpdate(series, t, e, dev, dev > thresholdMilli)
+          val s0 = state.getOption.getOrElse(EwmaState(-1L, Long.MinValue))
+          var e = s0.e
+          var lastT = s0.lastT
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, t, x) =>
+            if (t <= lastT) None // late/replayed cell: drop, don't fold
+            else {
+              lastT = t
+              val xs = x * 1000L
+              val dev = if (e < 0L) -1L else math.abs(xs - e)
+              e = if (e < 0L) xs else (3L * e + xs) / 4L
+              Some(EwmaUpdate(series, t, e, dev, dev > thresholdMilli))
+            }
           }
-          state.update(EwmaState(e))
+          state.update(EwmaState(e, lastT))
           out.iterator
       }
   }

@@ -204,7 +204,7 @@ object Bm25 {
       .orderBy("query_id", "rank"),
     Some(s"""WITH ${oracleRankedCtes(workloadValues)}
             SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-                   score_micro
+                   CAST(score_micro AS BIGINT) AS score_micro
             FROM ranked WHERE rank <= 10
             ORDER BY query_id, rank"""))
 

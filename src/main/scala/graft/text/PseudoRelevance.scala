@@ -84,7 +84,7 @@ object PseudoRelevance {
                    UNION ALL SELECT query_id, term FROM exp),
             ${Bm25.oracleScoreFrom("2", "q2")}
             SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-                   score_micro
+                   CAST(score_micro AS BIGINT) AS score_micro
             FROM ranked2 WHERE rank <= 10
             ORDER BY query_id, rank"""))
 

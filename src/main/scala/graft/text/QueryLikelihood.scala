@@ -137,7 +137,7 @@ object QueryLikelihood {
                   ORDER BY score_micro DESC, doc_id) AS rank
               FROM scored)
             SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-                   score_micro
+                   CAST(score_micro AS BIGINT) AS score_micro
             FROM ranked WHERE rank <= 10
             ORDER BY query_id, rank"""))
 

@@ -108,6 +108,24 @@ object ExplainAudit {
       "LSH-banded candidates: equi-join on bucket, no per-block cartesian" ->
         (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")))
+    audit("q_mm_phash_neardup",
+      "pHash pairs ride the banded-Hamming equi-join, never all-pairs" ->
+        (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_mm_audio_fp",
+      "fingerprint is a pure per-partition decode: no join, no cartesian" ->
+        (p => !p.contains("Join") && !p.contains("CartesianProduct")),
+      "no single-partition funnel" -> (p => !p.contains("SinglePartition,")))
+    audit("q_mm_video_phash",
+      "per-frame candidates join on (band, frame) keys, never all-pairs" ->
+        (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_mm_audio_neardup",
+      "clip dedup is an exact-key groupBy on the fingerprint (no " +
+        "pairwise join beyond the size attach)" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("HashAggregate")))
     audit("q_t_quality",
       "text tokenized once: a single split() in the physical plan" ->
         (p => "split\\(".r.findAllIn(p).size <= 1))

@@ -108,7 +108,7 @@ class DataMixSpec extends SparkSpecBase {
       (320L until 323L).map(i => (i, "C"))).toDF("id", "source")
     val out = DataMix.reservoirSample(df, "id", "source", k = 5, seed = "s0")
       .collect().map(r => (r.getLong(0), r.getString(1),
-        r.getAs[Int]("rank").toLong))
+        r.getAs[Long]("rank")))
     val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     assert(byGroup("A").size === 5 && byGroup("B").size === 5)
     assert(byGroup("C") === Set(320L, 321L, 322L),

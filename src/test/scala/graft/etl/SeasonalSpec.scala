@@ -41,7 +41,7 @@ class SeasonalSpec extends SparkSpecBase {
     // dow 0 values {10, 20}: med2 = 30; residuals |2x-30| = {10, 10}
     val m = prof(("a", 0L, 10L), ("a", 7L, 20L))
     assert(m(("a", 0L))._2 === 30L)
-    assert(m(("a", 0L))._3 === 0L) // mad2 = 20, |r2|=10 not > 100
+    assert(m(("a", 0L))._3 === 0L) // mad2 = 20, 2a = 20 not > 100
   }
 
   test("series are profiled independently") {

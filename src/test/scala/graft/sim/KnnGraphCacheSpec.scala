@@ -23,7 +23,7 @@ class KnnGraphCacheSpec extends SparkSpecBase {
     val a = KnnGraphCache.edges(spark, sf, 16, 4, 5)
     val b = KnnGraphCache.edges(spark, sf, 16, 4, 3)
     assert(!(a eq b))
-    assert(b.collect().forall(_.getAs[Int]("rank") <= 3))
+    assert(b.collect().forall(_.getAs[Long]("rank") <= 3L))
   }
 
   test("the frozen frame survives spark.catalog.clearCache() (the Verify/Bench inter-query reset)") {

@@ -57,6 +57,6 @@ class MatryoshkaSpec extends SparkSpecBase {
     // with an 8-dim prefix the cheap order disagrees with the exact
     // order for at least one pick (else the test data is degenerate)
     assert(out.exists(r =>
-      r.getAs[Int]("rank").toLong != r.getAs[Long]("prefix_rank")))
+      r.getAs[Long]("rank") != r.getAs[Long]("prefix_rank")))
   }
 }

@@ -15,7 +15,7 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(byQ.keySet === Set(0L, 1L, 2L))
     byQ.values.foreach { rows =>
       assert(rows.length === 5)
-      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      val cos = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
       assert(cos.sameElements(cos.sorted.reverse), "descending by rank")
       assert(!rows.exists(r => r.getAs[Long]("neighbor") == r.getAs[Long]("qid")))
     }
@@ -106,7 +106,7 @@ class SimilarityOpsSpec extends SparkSpecBase {
     def probe(i: org.apache.spark.sql.DataFrame) =
       SimilarityOps.probeIvf(i, cent, emb.filter($"vec_id" < 5),
         "vec_id", "embedding", nProbe = 4, k = 3)
-        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
           r.getAs[Long]("neighbor"))).toSet
     val scratch = SimilarityOps.assignToLists(
       emb.select(col("vec_id").as("id"),
@@ -123,7 +123,7 @@ class SimilarityOpsSpec extends SparkSpecBase {
     // every subspace keeps <= kSub NON-EMPTY clusters covering the corpus
     val n = emb.count()
     (0 until 8).foreach { s =>
-      val rows = trained.filter(_.getAs[Int]("s") == s)
+      val rows = trained.filter(_.getAs[Long]("s") == s)
       assert(rows.nonEmpty && rows.length <= 16)
       assert(rows.map(_.getAs[Long]("n")).sum === n, s"subspace $s coverage")
       rows.foreach(r => assert(r.getAs[Seq[Long]]("sum_v").size === 8))
@@ -150,11 +150,11 @@ class SimilarityOpsSpec extends SparkSpecBase {
   test("IVF with nProbe == nList degenerates to exact brute force") {
     val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 10),
       "vec_id", "embedding", 3).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
         r.getAs[Long]("neighbor"), r.getAs[Double]("cosine"))).toSet
     val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
       nList = 8, nProbe = 8, k = 3, col("id") < 10).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
         r.getAs[Long]("neighbor"), r.getAs[Double]("cosine"))).toSet
     assert(ivf === exact)
   }
@@ -162,7 +162,7 @@ class SimilarityOpsSpec extends SparkSpecBase {
   test("IVF is deterministic under a fixed seed") {
     def run() = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
       nList = 8, nProbe = 2, k = 3, col("id") < 5).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
         r.getAs[Long]("neighbor"))).toSet
     assert(run() === run())
   }
@@ -348,10 +348,10 @@ class SimilarityOpsSpec extends SparkSpecBase {
       // unconstrained exact top list
       val full = SimilarityOps.bruteForceTopK(emb,
         emb.filter($"vec_id" === qid), "vec_id", "embedding", 1000)
-        .collect().sortBy(_.getAs[Int]("rank"))
+        .collect().sortBy(_.getAs[Long]("rank"))
         .filter(r => labels(r.getAs[Long]("neighbor")) != labels(qid))
         .take(4).map(_.getAs[Long]("neighbor")).toSeq
-      val mined = rows.sortBy(_.getAs[Int]("rank"))
+      val mined = rows.sortBy(_.getAs[Long]("rank"))
         .map(_.getAs[Long]("negative")).toSeq
       assert(mined === full)
     }

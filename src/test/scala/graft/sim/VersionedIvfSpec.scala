@@ -47,10 +47,10 @@ class VersionedIvfSpec extends SparkSpecBase {
     val q = vecs(Seq(1L, 2L))
     val got = VersionedIvf.probe(spark, dir, q, "vec_id", "embedding",
         nProbe = 2, k = 3, numBuckets = 4, version = 0L)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val want = SimilarityOps.probeIvf(baseOnly, cent, q, "vec_id",
         "embedding", nProbe = 2, k = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want)
   }
 

@@ -69,6 +69,15 @@ class BrierCronbachSpec extends SparkSpecBase {
     }
   }
 
+  test("equal per-rater counts over DIFFERENT items still fail loudly") {
+    // each rater scores 2 items, but the item sets differ: items 1 and 4
+    // carry one rating, 2 and 3 carry one each from the other rater —
+    // per-rater counts alone would pass, per-item counts catch it
+    intercept[Exception] {
+      al((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L), (4L, "b", 4L))
+    }
+  }
+
   test("a noisy-but-shared construct lands between 0 and 1") {
     val rows = Seq(
       (1L, "a", 10L), (1L, "b", 12L), (2L, "a", 20L), (2L, "b", 19L),

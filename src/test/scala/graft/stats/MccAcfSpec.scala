@@ -59,6 +59,15 @@ class MccAcfSpec extends SparkSpecBase {
     assert(m(("a", 1L)).getAs[Long]("n_pairs") === 1L)
   }
 
+  test("a pair-less lag still emits its grid row: n_pairs 0, null r") {
+    // two points one day apart: lag 1 has a pair, lag 7 has none —
+    // the lag-7 row must survive with n_pairs = 0 and undefined r
+    val m = ac(Seq(1, 7), ("a", 1L, 0L), ("a", 2L, 6L))
+    assert(m(("a", 1L)).getAs[Long]("n_pairs") === 1L)
+    assert(m(("a", 7L)).getAs[Long]("n_pairs") === 0L)
+    assert(m(("a", 7L)).isNullAt(m(("a", 7L)).fieldIndex("r_micro")))
+  }
+
   test("the weekly echo: period-7 pattern scores high at lag 7") {
     val rows = (0L until 28L).map(t =>
       ("a", t, if (t % 7 == 0) 100L else 10L))

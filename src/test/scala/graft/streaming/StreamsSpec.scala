@@ -784,4 +784,30 @@ class StreamsSpec extends SparkSpecBase {
     assert(batch.getAs[Long]("peak_t") === 3L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("streaming EWMA gate: a cell arriving in a later batch with an " +
+      "earlier t is dropped, not folded in arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sewmal").toString
+    val input = MemoryStream[(String, Long, Long)]
+    val q = Streams.streamingEwmaGate(input.toDS(), thresholdMilli = 3000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_late")
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    input.addData(("a", 1L, 10L), ("a", 3L, 10L))
+    q.processAllAvailable()
+    // t=2 is late (last folded t = 3) and t=3 is a replay: both dropped
+    input.addData(("a", 2L, 99L), ("a", 3L, 99L), ("a", 4L, 10L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ewma_late")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(!rows.contains(("a", 2L)))
+    assert(rows(("a", 3L)) === ((10000L, 0L, false))) // the in-order t=3
+    // t=4 folds against the level untouched by the dropped 99s
+    assert(rows(("a", 4L)) === ((10000L, 0L, false)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }

@@ -6,11 +6,24 @@ Usage: check_oracle.py <verify_out_dir> <sf_dir>
 Reads each <name> parquet dir written by graft.Verify, runs the matching
 oracle_sql.json entry in DuckDB over the sf_dir tables, normalizes both
 (columns sorted by name, rows sorted by all columns) and compares.
+
+REPRESENTATION-STRICT (NUMERIC_CONVENTION.md rule 10): the driver hashes
+the rendered representation of each cell, so `1132541` (int64) and
+`1132541.0` (float64) are DIFFERENT even when numerically equal. This
+gate therefore:
+  * FAILS (never coerces) when one side is integer-kind and the other
+    float-kind for the same column;
+  * compares DuckDB's NATIVE result types (pre-pandas, rel.types)
+    against the Spark parquet schema for every oracle — HUGEINT or
+    DECIMAL leaking out of an oracle's final SELECT, or an int32/int64
+    width split, is a FAIL even when today's driver hash happens to
+    tolerate it.
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
 sqls = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -28,6 +41,95 @@ def norm(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def arrow_kind(t):
+    """Normalize a pyarrow type to a (kind, width) tag."""
+    s = str(t)
+    if s in ("int8", "int16", "int32", "int64",
+             "uint8", "uint16", "uint32", "uint64"):
+        return ("int", int(s.lstrip("uint").lstrip("int") or 0))
+    if s == "float":  # arrow float32 prints as "float"
+        return ("float", 32)
+    if s in ("float32", "float64", "double", "halffloat"):
+        return ("float", 64 if s in ("float64", "double") else 32)
+    if s in ("string", "large_string", "utf8"):
+        return ("str", 0)
+    if s == "bool":
+        return ("bool", 0)
+    if s.startswith("date"):
+        return ("date", 0)
+    if s.startswith("timestamp"):
+        return ("ts", 0)
+    if s.startswith("decimal"):
+        return ("decimal", s)
+    if s.startswith("list") or s.startswith("large_list"):
+        return ("list", s)
+    return ("other", s)
+
+
+def duck_kind(t):
+    """Normalize a DuckDB type to the same (kind, width) tag space."""
+    s = str(t).upper()
+    if s == "BIGINT":
+        return ("int", 64)
+    if s in ("INTEGER", "INT"):
+        return ("int", 32)
+    if s == "SMALLINT":
+        return ("int", 16)
+    if s == "TINYINT":
+        return ("int", 8)
+    if s in ("UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+        return ("int", 64)
+    if s == "HUGEINT":
+        return ("HUGEINT", 128)  # never matches arrow -> always flagged
+    if s == "DOUBLE":
+        return ("float", 64)
+    if s in ("FLOAT", "REAL"):
+        return ("float", 32)
+    if s == "VARCHAR":
+        return ("str", 0)
+    if s == "BOOLEAN":
+        return ("bool", 0)
+    if s == "DATE":
+        return ("date", 0)
+    if s.startswith("TIMESTAMP"):
+        return ("ts", 0)
+    if s.startswith("DECIMAL"):
+        return ("decimal", s)
+    if s.endswith("[]") or s.startswith("LIST") or s.startswith("STRUCT"):
+        return ("list", s)
+    return ("other", s)
+
+
+def native_dtype_audit(name, sql):
+    """Compare DuckDB native result types vs Spark parquet schema.
+
+    Returns a list of human-readable divergence strings (empty = clean).
+    """
+    rel = con.sql(sql)
+    d = dict(zip(rel.columns, [duck_kind(t) for t in rel.types]))
+    sch = pq.read_schema(
+        glob.glob(f"{outdir}/{name}/*.parquet")[0])
+    s = {f.name: arrow_kind(f.type) for f in sch
+         if not f.name.startswith("_")}
+    bad = []
+    for c in sorted(set(d) & set(s)):
+        dk, sk = d[c], s[c]
+        if dk[0] == "HUGEINT":
+            bad.append(f"{c}: oracle HUGEINT (pandas->float64) vs spark "
+                       f"{sk} — add CAST(... AS BIGINT) in final SELECT")
+        elif dk[0] == "list" and sk[0] == "list":
+            pass  # element-type parity is covered by the value compare
+        elif dk[0] != sk[0]:
+            bad.append(f"{c}: oracle {dk} vs spark {sk} (kind mismatch)")
+        elif dk[0] == "int" and dk[1] != sk[1]:
+            bad.append(f"{c}: oracle int{dk[1]} vs spark int{sk[1]} "
+                       f"(width mismatch — sweep to parity)")
+        elif dk[0] == "decimal" and dk != sk:
+            bad.append(f"{c}: oracle {dk[1]} vs spark {sk[1]}")
+    return bad
+
+
+INT_KINDS = "iu"
 n_pass = n_fail = 0
 for name in sorted(sqls):
     sql = sqls[name]
@@ -37,10 +139,16 @@ for name in sorted(sqls):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        dtype_bad = native_dtype_audit(name, sql)
         a = norm(pd.read_parquet(f"{outdir}/{name}"))
         b = norm(con.sql(sql).df())
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}")
+        n_fail += 1
+        continue
+    if dtype_bad:
+        for m in dtype_bad:
+            print(f"FAIL {name}: DTYPE {m}")
         n_fail += 1
         continue
     if list(a.columns) != list(b.columns):
@@ -54,19 +162,33 @@ for name in sorted(sqls):
     ok = True
     for c in a.columns:
         av, bv = a[c].values, b[c].values
-        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+        a_f = np.issubdtype(a[c].dtype, np.floating)
+        b_f = np.issubdtype(b[c].dtype, np.floating)
+        a_i = a[c].dtype.kind in INT_KINDS
+        b_i = b[c].dtype.kind in INT_KINDS
+        if (a_f and b_i) or (a_i and b_f):
+            # The driver hashes the representation: 5 vs 5.0 is a FAIL.
+            print(f"FAIL {name}: col {c} int-vs-float dtype "
+                  f"({a[c].dtype} vs {b[c].dtype}) — representation "
+                  f"hash would mismatch even if values are equal")
+            ok = False
+            break
+        if a_f or b_f:
             av = av.astype(float); bv = bv.astype(float)
             bad = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
             if bad.any():
                 i = int(np.argmax(bad))
-                print(f"FAIL {name}: col {c} differs, e.g. row {i}: {av[i]!r} vs {bv[i]!r} (maxdiff {np.nanmax(np.abs(av-bv))})")
+                print(f"FAIL {name}: col {c} differs, e.g. row {i}: "
+                      f"{av[i]!r} vs {bv[i]!r} "
+                      f"(maxdiff {np.nanmax(np.abs(av-bv))})")
                 ok = False
                 break
         else:
             if not (av.astype(str) == bv.astype(str)).all():
                 bad = av.astype(str) != bv.astype(str)
                 i = int(np.argmax(bad))
-                print(f"FAIL {name}: col {c} differs, e.g. row {i}: {av[i]!r} vs {bv[i]!r}")
+                print(f"FAIL {name}: col {c} differs, e.g. row {i}: "
+                      f"{av[i]!r} vs {bv[i]!r}")
                 ok = False
                 break
     if ok:
