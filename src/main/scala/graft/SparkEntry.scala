@@ -26,13 +26,15 @@ object SparkEntry {
       stats.Winsorize.queries ++ stats.MutualInfo.queries ++
       stats.GroupedOls.queries ++ stats.QuantileMap.queries ++
       sim.MaxSim.queries ++ sim.HybridRrf.queries ++
+      sim.JlProject.queries ++
       sim.GraphTriangles.queries ++ sim.KCore.queries ++
       sim.ClusterLabels.queries ++
       etl.SessionPaths.queries ++ etl.SeqPatterns.queries ++
       etl.SessionFunnel.queries ++
       etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
-      etl.Expectations.queries ++ plans.GroupedTopK.queries ++
+      etl.Expectations.queries ++ etl.CurationFunnel.queries ++
+      plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++ stats.Drift.queries ++
       stats.Agreement.queries ++ stats.Bootstrap.queries ++
       stats.KruskalWallis.queries ++ stats.Cuped.queries ++
@@ -65,6 +67,7 @@ object SparkEntry {
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.KneserNey.queries ++
       text.QualityClassifier.queries ++
+      text.Blocklist.queries ++
       text.Dsir.queries ++
       dedup.DedupOps.queries ++ dedup.VersionedEmbedIndex.queries ++
       dedup.Saturation.queries ++

@@ -548,6 +548,53 @@ object Streams {
       .as[Event]
   }
 
+  final case class MgState(entries: Map[String, Long], seq: Long)
+  final case class MgUpdate(shard: Int, batchSeq: Long, value: String,
+      mgCount: Long)
+
+  /** Streaming twin of [[graft.sketch.HeavyHitters]]'s Misra–Gries
+    * pass: live heavy-hitter candidates over an unbounded
+    * high-cardinality stream in BOUNDED state. Values shard by hash
+    * (value-disjoint shards, so per-shard summaries concern disjoint
+    * key sets and their union needs no cross-shard subtraction); each
+    * shard's state is a capacity-`capacity` MG summary folded with the
+    * IDENTICAL decrement rule as the batch sketch
+    * (HeavyHitters.sketch), updated per micro-batch, re-emitted in
+    * full stamped with a per-shard batch sequence — the latest stamp
+    * IS the current summary, earlier stamps are its history. State is
+    * ≤ capacity entries per shard FOREVER, whatever the distinct-value
+    * count; the classic deficiency bound holds per shard: any value
+    * whose true count in its shard exceeds n_shard/(capacity+1)
+    * survives, and every reported count sits within
+    * [true − n_shard/(capacity+1), true] (spec-pinned). Feed the
+    * survivors to an exact recount — the batch operator's step 3 —
+    * when exact figures are needed. */
+  def streamingHeavyHitters(values: Dataset[String], nShards: Int,
+      capacity: Int): Dataset[MgUpdate] = {
+    require(nShards >= 1 && capacity >= 1)
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.groupByKey(v => math.floorMod(v.##, nShards))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[MgState]) =>
+          val s0 = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          val m = scala.collection.mutable.HashMap[String, Long](
+            s0.entries.toSeq: _*)
+          rows.foreach { v =>
+            if (m.contains(v)) m(v) += 1L
+            else if (m.size < capacity) m(v) = 1L
+            else {
+              val dead = m.keysIterator.filter(k => m(k) == 1L).toList
+              m.mapValuesInPlace((_, c) => c - 1L)
+              dead.foreach(m.remove)
+            }
+          }
+          val seq = s0.seq + 1
+          state.update(MgState(m.toMap, seq))
+          m.iterator.map { case (v, c) => MgUpdate(shard, seq, v, c) }
+      }
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

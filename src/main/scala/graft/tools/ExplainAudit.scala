@@ -126,6 +126,18 @@ object ExplainAudit {
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") &&
           p.contains("HashAggregate")))
+    audit("q_s_jl_project",
+      "projection is map-only: no join, no exchange except the sort" ->
+        (p => !p.contains("Join") && !p.contains("hashpartitioning(")))
+    audit("q_p30_curation_funnel",
+      "gate predicates fold into one scan-stage pass (no per-gate scans)" ->
+        (p => "Scan parquet".r.findAllIn(p).size <= 1))
+    audit("q_t_blocklist",
+      "lexicon joins broadcast (one corpus pass, not K regex scans)" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian, no nested loop on the gram join" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
     audit("q_t_quality",
       "text tokenized once: a single split() in the physical plan" ->
         (p => "split\\(".r.findAllIn(p).size <= 1))

@@ -785,6 +785,63 @@ class StreamsSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("streaming Misra-Gries gate: bounded state, the planted heavy " +
+      "value survives across batches within the deficiency bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("smg").toString
+    val input = MemoryStream[String]
+    val q = Streams.streamingHeavyHitters(input.toDS(), nShards = 1,
+      capacity = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mg_updates")
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    // batch 1: hot x30 + 20 distinct tail values; batch 2: hot x20 + 15
+    input.addData(Seq.fill(30)("hot") ++ (1 to 20).map("t" + _): _*)
+    q.processAllAvailable()
+    input.addData(Seq.fill(20)("hot") ++ (21 to 35).map("t" + _): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("mg_updates").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    val latestSeq = rows.map(_._1).max
+    val latest = rows.filter(_._1 == latestSeq)
+      .map(r => r._2 -> r._3).toMap
+    // bounded state: never more than capacity entries
+    assert(latest.size <= 4)
+    // n = 85, capacity 4 -> deficiency <= 85/5 = 17; hot true count 50
+    assert(latest.contains("hot"))
+    assert(latest("hot") <= 50L && latest("hot") >= 50L - 17L)
+    // no tail value can outrank the heavy one
+    latest.foreach { case (v, c) => if (v != "hot") assert(c < latest("hot")) }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("streaming Misra-Gries gate: value-hash shards hold disjoint " +
+      "key sets, each within its own capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("smgs").toString
+    val input = MemoryStream[String]
+    val q = Streams.streamingHeavyHitters(input.toDS(), nShards = 4,
+      capacity = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mg_shards")
+      .option("checkpointLocation", s"$root/cp")
+      .start()
+    input.addData((1 to 200).map(i => "v" + (i % 40)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("mg_shards").collect()
+      .map(r => (r.getInt(0), r.getString(2)))
+    // a value lives in exactly one shard
+    assert(rows.groupBy(_._2).forall(_._2.map(_._1).distinct.length == 1))
+    // per-shard entry count bounded by capacity
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.map(_._2).distinct.length <= 8)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming EWMA gate: a cell arriving in a later batch with an " +
       "earlier t is dropped, not folded in arrival order") {
     implicit val sqlCtx = spark.sqlContext
