@@ -34,6 +34,8 @@ object SparkEntry {
       etl.Scd.queries ++
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ etl.CurationFunnel.queries ++
+      etl.TemporalSplit.queries ++ etl.SkewReport.queries ++
+      etl.Curriculum.queries ++
       plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++ stats.Drift.queries ++
       stats.Agreement.queries ++ stats.Bootstrap.queries ++

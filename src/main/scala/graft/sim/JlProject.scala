@@ -20,13 +20,12 @@ import org.apache.spark.sql.functions._
   * DuckDB's sha256 — and each output component is a pure ±1-weighted
   * integer sum. No floats reach the hashed path.
   *
-  * Scale shape: map-only — the projection is a per-row fold over the
-  * vector, no shuffle, no data-sized state; the sign matrix is a
-  * plan-time constant (outDim·dim literals). The composed
-  * transform/aggregate form here is interpreted per row (fine at
-  * outDim·dim = 1k ops); the [[graft.functions.LshSignature]]-style
-  * codegen'd expression is the measured upgrade path if a profile
-  * ever shows it hot. */
+  * Scale shape: map-only — the projection is the codegen'd
+  * [[graft.functions.JlProjection]] expression (ONE fused loop per
+  * row over a flattened sign constant; the composed
+  * transform/aggregate form measured 4.9 s warm over 500 rows —
+  * CodegenFallback folds — vs sub-100 ms native), no shuffle, no
+  * data-sized state. */
 object JlProject {
 
   /** +1/−1 from the top bit of sha256("jlp:o:i"). */
@@ -42,20 +41,11 @@ object JlProject {
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, outDim: Int, scale: Int = 64): DataFrame = {
     require(outDim >= 1 && dim >= 1)
-    val signs = array((0 until outDim).flatMap(o =>
-      (0 until dim).map(i => lit(jlSign(o, i).toLong))): _*)
+    val signs = (0 until outDim).flatMap(o =>
+      (0 until dim).map(i => jlSign(o, i)))
     df.select(col(idCol),
-        col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__q", transform(col("__v"),
-        x => floor(x * scale + lit(0.5)).cast("long")))
-      .withColumn("__s", signs)
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(outDim - 1)), o =>
-          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
-            (acc, i) => acc +
-              element_at(col("__q"), i + 1) *
-              element_at(col("__s"), o * dim + i + 1)))
-          .as("proj"))
+      graft.functions.JlProjection.project(col(vecCol), signs, outDim,
+        dim, scale).as("proj"))
   }
 
   /** q_s_jl_project: the embeddings table 64-d → 16-d, every integer

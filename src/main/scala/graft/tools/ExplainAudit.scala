@@ -126,6 +126,9 @@ object ExplainAudit {
         (p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") &&
           p.contains("HashAggregate")))
+    audit("q_p31_skew_report",
+      "top-k heavy keys via TakeOrdered, not a global sort" ->
+        (_.contains("TakeOrderedAndProject")))
     audit("q_s_jl_project",
       "projection is map-only: no join, no exchange except the sort" ->
         (p => !p.contains("Join") && !p.contains("hashpartitioning(")))
