@@ -330,7 +330,18 @@ object Bench {
     // round-12 batch 8j: Gwet AC1 prevalence-robust agreement
     "q_m87_gwet_ac1",
     // round-12 batch 8k: Cochran-Mantel-Haenszel stratified pool
-    "q_m88_cmh")
+    "q_m88_cmh",
+    // round-13: perceptual media dedup (integer-DCT image pHash,
+    // Haitsma-Kalker audio fingerprint + exact-key clip dedup,
+    // frame-sampled video pHash)
+    "q_mm_phash_neardup", "q_mm_audio_fp", "q_mm_audio_neardup",
+    "q_mm_video_phash",
+    // round-13: curation surface (broadcast-lexicon blocklist gate,
+    // first-fail funnel report, curriculum ordering), scale ops
+    // (embargoed temporal split, key-skew diagnostics), codegen'd JL
+    // projection
+    "q_t_blocklist", "q_p30_curation_funnel", "q_p32_curriculum",
+    "q_e_embargo_split", "q_p31_skew_report", "q_s_jl_project")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =

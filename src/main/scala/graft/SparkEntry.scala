@@ -85,6 +85,8 @@ object SparkEntry {
       multimodal.PerceptualHash.queries ++
       multimodal.AudioFingerprint.queries ++
       multimodal.VideoPHash.queries ++
+      multimodal.MediaLake.queries ++
+      multimodal.TarShards.queries ++
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
       sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++
       pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries ++

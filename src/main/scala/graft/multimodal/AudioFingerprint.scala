@@ -217,6 +217,84 @@ object AudioFingerprint {
           ORDER BY k.media_id"""
     })
 
+  /** Silence-trim spans — VAD-lite over the real frame decode: a
+    * frame is voiced iff its exact integer PEAK clears
+    * `peakThreshold` (peak, not the float RMS, so the gate is pure
+    * integers), and the clip report gives the voiced span a trimmer
+    * keeps — leading/trailing silence removal being the first step
+    * of every speech-training prep. Output per clip: (media_id,
+    * n_frames, first_voiced, last_voiced, n_voiced,
+    * trimmed_frames) — first/last null for all-silent clips, which
+    * trim entirely. One mapPartitions decode + one clip-keyed agg. */
+  def silenceSpans(df: DataFrame, idCol: String, blobCol: String,
+      frameSamples: Int = 80, peakThreshold: Long = 1L): DataFrame = {
+    val frames = MultimodalOps.wavFrameFeatures(df, idCol, blobCol,
+      frameSamples)
+    frames
+      .withColumn("voiced", col("peak") >= peakThreshold)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min(when(col("voiced"), col("frame_id"))).as("first_voiced"),
+        max(when(col("voiced"), col("frame_id"))).as("last_voiced"),
+        sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"))
+      .withColumn("trimmed_frames",
+        when(col("n_voiced") === 0, col("n_frames"))
+          .otherwise(col("n_frames") -
+            (col("last_voiced") - col("first_voiced") + 1)))
+  }
+
+  /** q_mm_silence_spans: clips where id mod 3 = 0 carry one silent
+    * 80-sample frame at each end (samples forced 0), the rest are the
+    * q_mm_wav closed form; the oracle replays per-frame peaks and the
+    * span report exactly. */
+  private val mmSilence = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val n = (240 + (id % 5) * 16).toInt
+        val samples = Array.tabulate(n) { j =>
+          if (id % 3 == 0 && (j < 80 || j >= n - 80)) 0.toShort
+          else (((id * 31 + j * 17) % 2001) - 1000).toShort
+        }
+        Row(id, MultimodalOps.pcm16Wav(samples, 8000))
+      }
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      silenceSpans(withBlob, "doc_id", "blob").orderBy("media_id")
+    },
+    Some("""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 240 + (doc_id % 5) * 16 AS n FROM documents),
+            f AS (SELECT media_id, n, CAST(fr AS BIGINT) AS frame_id,
+                 CAST(fr * 80 AS INT) AS lo,
+                 CAST(LEAST((fr + 1) * 80, n) AS INT) AS hi
+                FROM b, LATERAL (SELECT unnest(range(0,
+                  CAST(ceil(n / 80.0) AS BIGINT))) AS fr) ff),
+            pk AS (SELECT media_id, frame_id,
+                 list_max(list_transform(range(lo, hi), j ->
+                   CASE WHEN media_id % 3 = 0
+                        AND (j < 80 OR j >= n - 80) THEN 0
+                   ELSE abs(((media_id * 31 + j * 17) % 2001) - 1000)
+                   END)) AS peak
+              FROM f),
+            v AS (SELECT media_id, frame_id, peak >= 1 AS voiced FROM pk)
+            SELECT media_id,
+              CAST(COUNT(*) AS BIGINT) AS n_frames,
+              CAST(MIN(CASE WHEN voiced THEN frame_id END) AS BIGINT)
+                AS first_voiced,
+              CAST(MAX(CASE WHEN voiced THEN frame_id END) AS BIGINT)
+                AS last_voiced,
+              CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_voiced,
+              CAST(CASE WHEN SUM(CASE WHEN voiced THEN 1 ELSE 0 END) = 0
+                THEN COUNT(*)
+                ELSE COUNT(*) - (MAX(CASE WHEN voiced THEN frame_id END)
+                  - MIN(CASE WHEN voiced THEN frame_id END) + 1) END
+                AS BIGINT) AS trimmed_frames
+            FROM v GROUP BY 1
+            ORDER BY media_id"""))
+
   /** q_mm_audio_fp: the fingerprint chain over the SAME deterministic
     * closed-form PCM blobs as q_mm_wav (sample j = ((id·31 + j·17) mod
     * 2001) − 1000), fully hash-checked: the oracle re-synthesizes the
@@ -280,5 +358,6 @@ object AudioFingerprint {
 
   val queries: Map[String, Q] = Map(
     "q_mm_audio_fp" -> mmAudioFp,
-    "q_mm_audio_neardup" -> mmAudioNearDup)
+    "q_mm_audio_neardup" -> mmAudioNearDup,
+    "q_mm_silence_spans" -> mmSilence)
 }

@@ -186,7 +186,7 @@ object PerceptualHash {
     * pHash replay: closed-form pixels, the interpolated integer DCT
     * table, the 32nd-order-statistic threshold, and the bit pack.
     * A def (object-init-order convention for shared SQL). */
-  private def phashSigCtes: String = {
+  private[multimodal] def phashSigCtes: String = {
     val tblRows = (for (u <- 0 until 8; x <- 0 until 8)
       yield s"($u, $x, ${dctT(u)(x)})").mkString(", ")
     s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),

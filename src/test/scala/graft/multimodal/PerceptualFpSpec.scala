@@ -135,6 +135,27 @@ class PerceptualFpSpec extends SparkSpecBase {
     assert(keyed(1L) === 185030L)
   }
 
+  test("silence spans: hand-built lead/tail silence trims, all-silent " +
+      "clips trim entirely, fully-voiced clips trim nothing") {
+    import org.apache.spark.sql.functions.col
+    def wav(s: Array[Short]) = MultimodalOps.pcm16Wav(s, 8000)
+    val lead = Array.fill(80)(0.toShort) ++ Array.fill(80)(5.toShort) ++
+      Array.fill(80)(0.toShort) // silent-voiced-silent
+    val allSilent = Array.fill(160)(0.toShort)
+    val voiced = Array.fill(160)(9.toShort)
+    val df = Seq((1L, wav(lead)), (2L, wav(allSilent)), (3L, wav(voiced)))
+      .toDF("media_id", "blob")
+    val m = AudioFingerprint.silenceSpans(df, "media_id", "blob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    assert(m(1L) === ((3L, 1L, 2L))) // 3 frames, 1 voiced, 2 trimmed
+    assert(m(2L) === ((2L, 0L, 2L))) // all silent: everything trims
+    assert(m(3L) === ((2L, 2L, 0L)))
+    val r1 = AudioFingerprint.silenceSpans(df, "media_id", "blob")
+      .filter(col("media_id") === 1L).head()
+    assert(r1.getLong(2) === 1L && r1.getLong(3) === 1L) // span [1, 1]
+  }
+
   test("first frame seeds only; garbage and stereo blobs emit nothing") {
     val mono = MultimodalOps.pcm16Wav(Array.tabulate(100)(_.toShort), 8000)
     val stereo = mono.clone(); stereo(22) = 2
