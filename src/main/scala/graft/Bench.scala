@@ -335,7 +335,8 @@ object Bench {
     // Haitsma-Kalker audio fingerprint + exact-key clip dedup,
     // frame-sampled video pHash)
     "q_mm_phash_neardup", "q_mm_audio_fp", "q_mm_audio_neardup",
-    "q_mm_video_phash",
+    "q_mm_video_phash", "q_mm_binary_lake", "q_mm_tar_shards",
+    "q_mm_silence_spans",
     // round-13: curation surface (broadcast-lexicon blocklist gate,
     // first-fail funnel report, curriculum ordering), scale ops
     // (embargoed temporal split, key-skew diagnostics), codegen'd JL
@@ -496,7 +497,15 @@ object Bench {
     "q_e_dispersion" -> 0.5,
     "q_m86_mcc" -> 0.5, "q_e_autocorr" -> 1.2,
     "q_m87_gwet_ac1" -> 0.8,
-    "q_m88_cmh" -> 0.8)
+    "q_m88_cmh" -> 0.8,
+    // round-13: TimeOne warm, sf0.1, quiet machine (load1 < 0.1)
+    "q_mm_phash_neardup" -> 2.5, "q_mm_audio_fp" -> 0.4,
+    "q_mm_audio_neardup" -> 0.6, "q_mm_video_phash" -> 3.4,
+    "q_mm_binary_lake" -> 2.7, "q_mm_tar_shards" -> 1.3,
+    "q_mm_silence_spans" -> 0.3,
+    "q_t_blocklist" -> 1.4, "q_p30_curation_funnel" -> 0.3,
+    "q_p32_curriculum" -> 0.6, "q_e_embargo_split" -> 0.8,
+    "q_p31_skew_report" -> 0.5, "q_s_jl_project" -> 0.2)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the
