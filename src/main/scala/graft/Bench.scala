@@ -336,7 +336,8 @@ object Bench {
     // frame-sampled video pHash)
     "q_mm_phash_neardup", "q_mm_audio_fp", "q_mm_audio_neardup",
     "q_mm_video_phash", "q_mm_binary_lake", "q_mm_tar_shards",
-    "q_mm_silence_spans",
+    "q_mm_silence_spans", "q_mm_image_decon", "q_mm_phash_clusters",
+    "q_mm_audio_decon",
     // round-13: curation surface (broadcast-lexicon blocklist gate,
     // first-fail funnel report, curriculum ordering), scale ops
     // (embargoed temporal split, key-skew diagnostics), codegen'd JL
@@ -505,7 +506,9 @@ object Bench {
     "q_mm_silence_spans" -> 0.3,
     "q_t_blocklist" -> 1.4, "q_p30_curation_funnel" -> 0.3,
     "q_p32_curriculum" -> 0.6, "q_e_embargo_split" -> 0.8,
-    "q_p31_skew_report" -> 0.5, "q_s_jl_project" -> 0.2)
+    "q_p31_skew_report" -> 0.5, "q_s_jl_project" -> 0.2,
+    "q_mm_image_decon" -> 2.1, "q_mm_phash_clusters" -> 3.9,
+    "q_mm_audio_decon" -> 1.1)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -356,8 +356,96 @@ object AudioFingerprint {
           ORDER BY media_id, frame_id"""
     })
 
+  /** q_mm_audio_decon: audio benchmark decontamination — the audio
+    * leg of the decon trilogy (text: q_d_decontaminate, image:
+    * q_mm_image_decon): even ids are the train corpus, odd ids the
+    * benchmark, same signal groups at different VOLUMES across the
+    * parity split; a benchmark clip is contaminated iff some train
+    * clip packs the identical (volume-invariant) fingerprint key —
+    * ONE exact-key join, no pairwise stage. Output per benchmark
+    * clip: (bench_id, clip_fp, n_train_matches, contaminated). */
+  private val mmAudioDecon = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val g = id % 97
+        val v = 1 + (id / 97) % 3
+        val n = (400 + (g % 5) * 80).toInt
+        val samples = Array.tabulate(n)(j =>
+          (v * (((g * 53 + j * 29) % 1601) - 800)).toShort)
+        Row(id, MultimodalOps.pcm16Wav(samples, 8000))
+      }
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      val keyed = clipFingerprint(withBlob, "doc_id", "blob")
+      val train = keyed.filter(pmod(col("media_id"), lit(2)) === 0)
+        .groupBy("clip_fp")
+        .agg(count(lit(1)).as("n_train_matches"))
+      keyed.filter(pmod(col("media_id"), lit(2)) === 1)
+        .withColumnRenamed("media_id", "bench_id")
+        .join(train, Seq("clip_fp"), "left")
+        .select(col("bench_id"), col("clip_fp"),
+          coalesce(col("n_train_matches"), lit(0L))
+            .as("n_train_matches"),
+          (coalesce(col("n_train_matches"), lit(0L)) > 0)
+            .as("contaminated"))
+        .orderBy("bench_id")
+    },
+    Some {
+      val tblRows = (for (m <- 0 until nBands; j <- 0 until frameLen)
+        yield s"($m, $j, ${cosT(m)(j)}, ${sinT(m)(j)})").mkString(", ")
+      s"""WITH atbl(m, j, ct, st) AS (VALUES $tblRows),
+          b AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 doc_id % 97 AS g,
+                 1 + (doc_id // 97) % 3 AS v,
+                 400 + (doc_id % 97 % 5) * 80 AS n FROM documents),
+          f AS (SELECT media_id, g, v, n, CAST(fr AS BIGINT) AS frame_id,
+                 CAST(fr * 80 AS INT) AS lo,
+                 CAST(LEAST((fr + 1) * 80, n) AS INT) AS hi
+                FROM b, LATERAL (SELECT unnest(range(0,
+                  CAST(ceil(n / 80.0) AS BIGINT))) AS fr) ff),
+          corr AS (SELECT f.media_id, f.frame_id, atbl.m,
+                 SUM(f.v * (((f.g * 53 + (f.lo + atbl.j) * 29) % 1601)
+                   - 800) * atbl.ct) AS cs,
+                 SUM(f.v * (((f.g * 53 + (f.lo + atbl.j) * 29) % 1601)
+                   - 800) * atbl.st) AS ss
+               FROM f JOIN atbl ON atbl.j < f.hi - f.lo
+               GROUP BY 1, 2, 3),
+          en AS (SELECT media_id, frame_id, m,
+                 cs * cs + ss * ss AS e FROM corr),
+          d AS (SELECT a.media_id, a.frame_id, a.m, (a.e - b2.e) AS de
+               FROM en a JOIN en b2
+                 ON a.media_id = b2.media_id AND a.frame_id = b2.frame_id
+                AND b2.m = a.m + 1
+               WHERE a.m < 4),
+          fps AS (SELECT cur.media_id, cur.frame_id,
+                 SUM(CASE WHEN cur.de - prv.de > 0
+                   THEN CAST(1 AS BIGINT) << CAST(cur.m AS INT)
+                   ELSE 0 END) AS fp
+               FROM d cur JOIN d prv
+                 ON cur.media_id = prv.media_id AND cur.m = prv.m
+                AND prv.frame_id = cur.frame_id - 1
+               GROUP BY 1, 2),
+          keyed AS (SELECT media_id,
+                 CAST(SUM(fp << CAST(4 * (frame_id - 1) AS INT))
+                   AS BIGINT) AS clip_fp
+               FROM fps WHERE frame_id <= 15 GROUP BY 1),
+          train AS (SELECT clip_fp,
+                 CAST(COUNT(*) AS BIGINT) AS n_train_matches
+               FROM keyed WHERE media_id % 2 = 0 GROUP BY 1)
+          SELECT k.media_id AS bench_id, k.clip_fp,
+                 COALESCE(t.n_train_matches, 0) AS n_train_matches,
+                 COALESCE(t.n_train_matches, 0) > 0 AS contaminated
+          FROM keyed k LEFT JOIN train t ON k.clip_fp = t.clip_fp
+          WHERE k.media_id % 2 = 1
+          ORDER BY bench_id"""
+    })
+
   val queries: Map[String, Q] = Map(
     "q_mm_audio_fp" -> mmAudioFp,
     "q_mm_audio_neardup" -> mmAudioNearDup,
-    "q_mm_silence_spans" -> mmSilence)
+    "q_mm_silence_spans" -> mmSilence,
+    "q_mm_audio_decon" -> mmAudioDecon)
 }

@@ -252,6 +252,111 @@ object PerceptualHash {
             OR (a.phash >> 48) & 65535 = (b.phash >> 48) & 65535)
         ORDER BY ida, idb"""))
 
+  /** Cross-corpus image matching: every (train, benchmark) pair within
+    * `maxHamming` pHash bits — the IMAGE leg of benchmark
+    * decontamination (the text legs are q_d_decontaminate's n-gram
+    * gates; vision evals leak exactly the same way, train crawls
+    * containing the eval set's re-encoded images). Candidates come
+    * from the SAME 4×16-bit banding as the self-join operator, but
+    * across two frames: only (train-band, bench-band) key collisions
+    * shuffle — never |train|×|bench|. Output: (train_id, bench_id,
+    * hamming). */
+  def crossMatchPairs(train: DataFrame, bench: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def banded(sig: DataFrame, idAs: String, hashAs: String) =
+      sig.select(col("id").as(idAs), col("phash").as(hashAs),
+        explode(array((0 until 4).map(bnd =>
+          struct(lit(bnd).as("band"),
+            shiftrightunsigned(col("phash"), bnd * 16)
+              .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    banded(train, "train_id", "ht")
+      .join(banded(bench, "bench_id", "hb"), Seq("bk"))
+      .select("train_id", "bench_id", "ht", "hb").distinct()
+      .withColumn("hamming",
+        graft.functions.SimHash64.hammingDist(col("ht"), col("hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("train_id", "bench_id", "hamming")
+  }
+
+  /** q_mm_image_decon: even-id textures are the train corpus, odd ids
+    * the benchmark — ids sharing g (= id mod 251) are re-encodes of
+    * the same content, so every cross-parity same-g pair must flag at
+    * ≤ 6 bits. The oracle replays both sides' hashes and the cross
+    * band-join predicate. */
+  private val mmImageDecon = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map(r =>
+        Row(r.getLong(0), synthTexturePng(r.getLong(0))))
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      val sig = pHashImages(withBlob, "doc_id", "blob")
+        .select(col("media_id").as("id"), col("phash"))
+      crossMatchPairs(
+        sig.filter(pmod(col("id"), lit(2)) === 0),
+        sig.filter(pmod(col("id"), lit(2)) === 1),
+        maxHamming = 6)
+        .orderBy("train_id", "bench_id")
+    },
+    Some("WITH " + phashSigCtes + """
+        SELECT a.id AS train_id, b.id AS bench_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM psig a JOIN psig b ON a.id % 2 = 0 AND b.id % 2 = 1
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+          AND ((a.phash >> 0)  & 65535 = (b.phash >> 0)  & 65535
+            OR (a.phash >> 16) & 65535 = (b.phash >> 16) & 65535
+            OR (a.phash >> 32) & 65535 = (b.phash >> 32) & 65535
+            OR (a.phash >> 48) & 65535 = (b.phash >> 48) & 65535)
+        ORDER BY train_id, bench_id"""))
+
+  /** q_mm_phash_clusters: the pHash near-dup pair set closed into
+    * connected components — the frequency-domain twin of
+    * q_mm_image_clusters (same [[MultimodalOps.visualClusters]] CC
+    * closure, same recursive-CTE oracle shape), grouping every
+    * re-encode family to one canonical media id. */
+  private val mmPhashClusters = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val rdd = docs.rdd.map(r =>
+        Row(r.getLong(0), synthTexturePng(r.getLong(0))))
+      val withBlob = s.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      val sig = pHashImages(withBlob, "doc_id", "blob")
+        .select(col("media_id").as("id"), col("phash").as("simhash"))
+      val pairs = graft.dedup.DedupOps.bandedHammingPairs(sig,
+        maxHamming = 6)
+      MultimodalOps.visualClusters(docs, "doc_id", pairs)
+        .orderBy("media_id")
+    },
+    Some("WITH RECURSIVE " + phashSigCtes + """,
+        p AS (SELECT a.id AS ida, b.id AS idb
+          FROM psig a JOIN psig b ON a.id < b.id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            AND ((a.phash >> 0)  & 65535 = (b.phash >> 0)  & 65535
+              OR (a.phash >> 16) & 65535 = (b.phash >> 16) & 65535
+              OR (a.phash >> 32) & 65535 = (b.phash >> 32) & 65535
+              OR (a.phash >> 48) & 65535 = (b.phash >> 48) & 65535)),
+        e AS (SELECT ida AS a, idb AS b FROM p
+              UNION SELECT idb AS a, ida AS b FROM p),
+        reach AS (SELECT a, b FROM e
+                  UNION
+                  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+                  WHERE e2.b <> r.a),
+        comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp
+                 FROM reach GROUP BY a),
+        allc AS (SELECT i.id, COALESCE(c.comp, i.id) AS component
+                 FROM ids i LEFT JOIN comp c ON i.id = c.id),
+        sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM allc GROUP BY 1)
+        SELECT allc.id AS media_id, allc.component, sz.cluster_size,
+               CAST(allc.id = allc.component AS INT) AS is_canonical
+        FROM allc JOIN sz ON allc.component = sz.component
+        ORDER BY media_id"""))
+
   val queries: Map[String, Q] = Map(
-    "q_mm_phash_neardup" -> mmPhashNearDup)
+    "q_mm_phash_neardup" -> mmPhashNearDup,
+    "q_mm_image_decon" -> mmImageDecon,
+    "q_mm_phash_clusters" -> mmPhashClusters)
 }

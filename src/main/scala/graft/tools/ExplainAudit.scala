@@ -116,6 +116,10 @@ object ExplainAudit {
       "fingerprint is a pure per-partition decode: no join, no cartesian" ->
         (p => !p.contains("Join") && !p.contains("CartesianProduct")),
       "no single-partition funnel" -> (p => !p.contains("SinglePartition,")))
+    audit("q_mm_image_decon",
+      "cross-corpus candidates band-keyed: no train-x-bench cartesian" ->
+        (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
     audit("q_mm_video_phash",
       "per-frame candidates join on (band, frame) keys, never all-pairs" ->
         (p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&

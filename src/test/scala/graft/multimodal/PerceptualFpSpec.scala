@@ -57,6 +57,20 @@ class PerceptualFpSpec extends SparkSpecBase {
     assert(pairs === Set((3L, 254L), (5L, 256L)))
   }
 
+  test("image decon: cross-corpus same-texture pairs flag, " +
+      "cross-texture never; candidates stay banded") {
+    val ids = Seq(3L, 254L, 5L, 256L)
+    val df = ids.map(id => (id, PerceptualHash.synthTexturePng(id)))
+      .toDF("media_id", "blob")
+    val sig = PerceptualHash.pHashImages(df, "media_id", "blob")
+      .select($"media_id".as("id"), $"phash")
+    val pairs = PerceptualHash.crossMatchPairs(
+      sig.filter($"id" % 2 === 0), sig.filter($"id" % 2 === 1),
+      maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((254L, 3L), (256L, 5L)))
+  }
+
   // -- audio fingerprint ---------------------------------------------------
 
   private def synthWav(id: Long): Array[Byte] = {

@@ -37,6 +37,58 @@ class TarShardsSpec extends SparkSpecBase {
     assert(got.map(_._1) === Seq("1.png"))
   }
 
+  test("streaming shard ingest: arriving tars drain incrementally, " +
+      "already-seen shards never reprocess across invocations") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("tarstream").toString
+    val cp = java.nio.file.Files.createTempDirectory("tarcp").toString
+    def writeShard(n: Int, ids: Seq[Long]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"shard-$n%05d.tar"),
+        TarShards.tarBytes(ids.map(id =>
+          s"$id.png" -> PerceptualHash.synthTexturePng(id))))
+    val outDir = java.nio.file.Files.createTempDirectory("tarout").toString
+    writeShard(0, Seq(1L, 2L))
+    writeShard(1, Seq(3L))
+    // parquet sink: the memory sink refuses checkpoint RECOVERY, and
+    // the cross-invocation bookkeeping is exactly what this pins
+    def drain(): Unit = {
+      val q = TarShards.tarShardPhashStream(spark, dir)
+        .toDF("shard", "media_id", "phash")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(first.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+    // the streamed hashes equal the batch operator's over the same blobs
+    import spark.implicits._
+    val batch = PerceptualHash.pHashImages(
+      Seq(1L, 2L, 3L, 9L).map(id =>
+        (id, PerceptualHash.synthTexturePng(id)))
+        .toDF("media_id", "blob"), "media_id", "blob")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    first.foreach { case (_, id, h) => assert(h === batch(id)) }
+    // a NEW shard arrives; the replay drains ONLY it (seen shards stay
+    // booked in the checkpoint)
+    writeShard(2, Seq(9L))
+    drain()
+    val second = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(second.length === 4)
+    assert(second.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 9L))
+    second.foreach { case (id, h) => assert(h === batch(id)) }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+  }
+
   test("shard scan: members explode with parsed ids, foreign names skip") {
     val dir = java.nio.file.Files.createTempDirectory("tars").toString
     java.nio.file.Files.write(
