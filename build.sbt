@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout passes through RAW (no "[info] " prefix) and the
+// "[success] Total time" trailer is suppressed, so `sbt "runMain
+// graft.Bench"`'s LAST stdout line is Bench's own compact JSON summary —
+// machine-parseable by a tail capture.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,14 +25,24 @@ object CurationFunnel {
   /** Apply `gates` (name → keep-predicate) in order; report one row
     * per gate — (stage, gate, n_in, n_dropped, n_out) — where n_in is
     * the survivor count of every earlier gate, plus a final
-    * ("survivors") row with the corpus yield. */
+    * ("survivors") row with the corpus yield.
+    *
+    * NULL gate semantics: a predicate that evaluates to NULL (e.g.
+    * `col("lang") === "en"` on a null lang) counts as FAILED — the doc
+    * is charged to that gate, not silently passed through. For a
+    * curation filter "unknown" must mean "drop": the three-valued-SQL
+    * default (`when(!keep, …)` skips on NULL) would let undecidable
+    * docs reach "survivors", which is never what a quality gate wants.
+    * Spelled `coalesce(keep, false)` here and
+    * `NOT COALESCE(cond, false)` in every oracle replay. */
   def funnelReport(docs: DataFrame, gates: Seq[(String, Column)])
       : DataFrame = {
     require(gates.nonEmpty, "at least one gate")
-    // first failing gate index (1-based), 0 = survived all
+    // first failing gate index (1-based), 0 = survived all;
+    // NULL predicate == fail (coalesce to false before negating)
     val firstFail = coalesce(
       (gates.zipWithIndex.map { case ((_, keep), i) =>
-        when(!keep, lit(i + 1L))
+        when(!coalesce(keep, lit(false)), lit(i + 1L))
       } :+ lit(0L)): _*)
     val byFail = docs.select(firstFail.as("__ff"))
       .groupBy("__ff").agg(count(lit(1)).as("n"))
@@ -71,10 +81,10 @@ object CurationFunnel {
               len(list_filter(string_split(text, ' '), x -> x <> ''))
                 AS toks FROM documents),
             ff AS (SELECT CASE
-                WHEN NOT (n_chars >= 100) THEN 1
-                WHEN NOT (lang = 'en') THEN 2
-                WHEN NOT (toks >= 30) THEN 3
-                WHEN NOT (n_chars <= toks * 8) THEN 4
+                WHEN NOT COALESCE(n_chars >= 100, false) THEN 1
+                WHEN NOT COALESCE(lang = 'en', false) THEN 2
+                WHEN NOT COALESCE(toks >= 30, false) THEN 3
+                WHEN NOT COALESCE(n_chars <= toks * 8, false) THEN 4
                 ELSE 0 END AS f FROM t),
             c AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n
                   FROM ff GROUP BY 1),
@@ -104,5 +114,82 @@ object CurationFunnel {
             FROM tot
             ORDER BY stage"""))
 
-  val queries: Map[String, Q] = Map("q_p30_curation_funnel" -> pFunnel)
+  /** q_p34_gopher_funnel: the Gopher rule battery
+    * ([[graft.text.TextOps.gopherRules]], Rae et al. 2021 §A1.1) wired
+    * through the funnel as its ordered gate chain — the composition a
+    * production curation stack actually publishes ("which RULE costs
+    * the most documents?"): drops charge the FIRST failing rule in
+    * battery order (wc → mwl → alpha → sym → stop), so the per-rule
+    * numbers decompose the total loss exactly, unlike the independent
+    * per-rule booleans q_t_gopher_rules reports (which overlap).
+    *
+    * Scale: gopherRules is pure map-side (one token split feeding all
+    * counters); the funnel adds its single gates-sized aggregation —
+    * the composition is still ONE corpus pass. */
+  private val pGopherFunnel = Q(
+    (s, d) => {
+      val rules = graft.text.TextOps.gopherRules(
+        Tables.documents(s, d), "doc_id", "text")
+      funnelReport(rules, Seq(
+        "r_wc" -> col("r_wc"), "r_mwl" -> col("r_mwl"),
+        "r_alpha" -> col("r_alpha"), "r_sym" -> col("r_sym"),
+        "r_stop" -> col("r_stop")))
+        .orderBy("stage")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            c AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+                AS BIGINT) AS len_sum,
+              CAST(len(list_filter(toks,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+              CAST(len(text) - len(regexp_replace(text, '[#…]', '', 'g'))
+                + (len(text) - len(replace(text, '...', ''))) // 3
+                AS BIGINT) AS n_sym,
+              CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is'], lower(x))))
+                AS BIGINT) AS n_stop
+              FROM t),
+            ff AS (SELECT CASE
+                WHEN NOT COALESCE(n_words >= 20 AND n_words <= 80, false)
+                  THEN 1
+                WHEN NOT COALESCE(2 * len_sum >= 7 * n_words
+                  AND len_sum <= 5 * n_words, false) THEN 2
+                WHEN NOT COALESCE(5 * n_alpha >= 4 * n_words, false) THEN 3
+                WHEN NOT COALESCE(10 * n_sym <= n_words, false) THEN 4
+                WHEN NOT COALESCE(n_stop >= 2, false) THEN 5
+                ELSE 0 END AS f FROM c),
+            cnt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM ff GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+            g(stage, gate) AS (VALUES
+              (1, 'r_wc'), (2, 'r_mwl'), (3, 'r_alpha'),
+              (4, 'r_sym'), (5, 'r_stop')),
+            d0 AS (SELECT g.stage, g.gate,
+                CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_dropped
+              FROM g LEFT JOIN cnt ON cnt.f = g.stage),
+            run AS (SELECT stage, gate, n_dropped,
+                tot.total
+                  - CAST(COALESCE(SUM(n_dropped) OVER (ORDER BY stage
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n_in
+              FROM d0, tot)
+            SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_dropped,
+                   n_in - n_dropped AS n_out
+            FROM run
+            UNION ALL
+            SELECT 6, 'survivors',
+              tot.total - CAST(COALESCE(
+                (SELECT SUM(n) FROM cnt WHERE f > 0), 0) AS BIGINT),
+              0,
+              tot.total - CAST(COALESCE(
+                (SELECT SUM(n) FROM cnt WHERE f > 0), 0) AS BIGINT)
+            FROM tot
+            ORDER BY stage"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_p30_curation_funnel" -> pFunnel,
+    "q_p34_gopher_funnel" -> pGopherFunnel)
 }

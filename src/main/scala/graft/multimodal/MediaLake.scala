@@ -40,31 +40,40 @@ object MediaLake {
     * executor-side), scan back through binaryFile, decode with
     * ImageIO, pHash — and the result must equal the SAME closed-form
     * pHash oracle as q_mm_phash_neardup, so a bug anywhere in the
-    * write → list → scan → id-parse → decode chain breaks the hash. */
+    * write → list → scan → id-parse → decode chain breaks the hash.
+    *
+    * FIXTURE DRIVE IS LOCAL-MODE-ONLY: executors write the .png files
+    * into a temp dir created on the driver, which is only a shared
+    * path when driver and executors share a filesystem (local[n]).
+    * The OPERATOR ([[readMediaDir]]) is cluster-clean; on a real
+    * cluster point the drive at a Hadoop-FS path (s3://, hdfs://).
+    * The scratch dir is deleted in a finally so a failed scan cannot
+    * leak it. */
   private val mmBinaryLake = Q(
     (s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-lake")
         .toString
-      Tables.documents(s, d).select(col("doc_id").cast("long"))
-        .rdd.foreachPartition { it =>
-          it.foreach { r =>
-            val id = r.getLong(0)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, s"$id.png"),
-              PerceptualHash.synthTexturePng(id))
+      try {
+        Tables.documents(s, d).select(col("doc_id").cast("long"))
+          .rdd.foreachPartition { it =>
+            it.foreach { r =>
+              val id = r.getLong(0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"$id.png"),
+                PerceptualHash.synthTexturePng(id))
+            }
           }
-        }
-      val out = PerceptualHash.pHashImages(
-        readMediaDir(s, dir), "media_id", "blob")
-        .select(col("media_id").as("id"), col("phash"))
-        .orderBy("id")
-      // materialize, then drop the scratch lake (the versioned-index
-      // release convention)
-      val mat = out.localCheckpoint(eager = true)
-      org.apache.hadoop.fs.FileSystem.getLocal(
-        s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(dir), true)
-      mat
+        PerceptualHash.pHashImages(
+          readMediaDir(s, dir), "media_id", "blob")
+          .select(col("media_id").as("id"), col("phash"))
+          .orderBy("id")
+          .localCheckpoint(eager = true)
+      } finally {
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
     },
     Some("WITH " + PerceptualHash.phashSigCtes + """
         SELECT id, phash FROM psig ORDER BY id"""))

@@ -39,6 +39,12 @@ object Blocklist {
     // distinct phrase lengths: a config-sized aggregate collect
     val lengths = lex.select("__len").distinct()
       .collect().map(_.getInt(0)).sorted
+    // empty (or all-whitespace) lexicon: nothing can hit — the gate is
+    // the all-keep zero-hit report, not an empty.reduce crash
+    if (lengths.isEmpty)
+      return docs.select(col(idCol),
+        lit(0L).as("n_hits"), lit(0L).as("n_phrases"),
+        lit(true).as("keep"))
     val toked = docs.select(col(idCol).as("__id"),
       TextOps.tokens(col(textCol)).as("__toks"))
     val hits = lengths.map { l =>
@@ -80,8 +86,11 @@ object Blocklist {
         .orderBy("doc_id")
     },
     Some {
+      // single quotes doubled: a phrase like "don't" must not break
+      // the generated SQL
       val lexRows = demoLexicon.map(p =>
-        s"('${p}', ${p.split(" ").length})").mkString(", ")
+        s"('${p.replace("'", "''")}', ${p.split(" ").length})")
+        .mkString(", ")
       // one branch per distinct phrase length with L INLINED: DuckDB's
       // LATERAL cannot bind a second FROM-table's column inside the
       // range bound (internal binder error), so the length must be a

@@ -28,6 +28,17 @@ class BlocklistSpec extends SparkSpecBase {
     assert(m(1L) === ((2L, 1L, true)))
   }
 
+  test("empty lexicon short-circuits to the all-keep zero-hit report") {
+    val m = gate(0L, Seq.empty, (1L, "anything at all"), (2L, ""))
+    assert(m(1L) === ((0L, 0L, true)))
+    assert(m(2L) === ((0L, 0L, true)))
+  }
+
+  test("all-whitespace lexicon rows are dropped, not crashed on") {
+    val m = gate(0L, Seq("", "   "), (1L, "anything"))
+    assert(m(1L) === ((0L, 0L, true)))
+  }
+
   test("a doc shorter than every phrase emits the zero row") {
     val m = gate(0L, Seq("one two three"), (1L, "one two"))
     assert(m(1L) === ((0L, 0L, true)))

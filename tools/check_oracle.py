@@ -19,7 +19,7 @@ gate therefore:
     width split, is a FAIL even when today's driver hash happens to
     tolerate it.
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pandas as pd
 import numpy as np
@@ -46,7 +46,10 @@ def arrow_kind(t):
     s = str(t)
     if s in ("int8", "int16", "int32", "int64",
              "uint8", "uint16", "uint32", "uint64"):
-        return ("int", int(s.lstrip("uint").lstrip("int") or 0))
+        # parse the width with a regex: lstrip("uint") is a CHAR-SET
+        # strip that only worked by coincidence (e.g. would eat the
+        # '6' of a hypothetical suffix)
+        return ("int", int(re.search(r"\d+", s).group()))
     if s == "float":  # arrow float32 prints as "float"
         return ("float", 32)
     if s in ("float32", "float64", "double", "halffloat"):
@@ -77,8 +80,17 @@ def duck_kind(t):
         return ("int", 16)
     if s == "TINYINT":
         return ("int", 8)
-    if s in ("UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+    # unsigned types map to their TRUE widths: a UINTEGER oracle column
+    # materializes as pandas uint32 and must not pass the width audit
+    # against a Spark int64 column
+    if s == "UBIGINT":
         return ("int", 64)
+    if s == "UINTEGER":
+        return ("int", 32)
+    if s == "USMALLINT":
+        return ("int", 16)
+    if s == "UTINYINT":
+        return ("int", 8)
     if s == "HUGEINT":
         return ("HUGEINT", 128)  # never matches arrow -> always flagged
     if s == "DOUBLE":
