@@ -69,7 +69,7 @@ object SparkEntry {
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.KneserNey.queries ++
       text.QualityClassifier.queries ++
-      text.Blocklist.queries ++
+      text.Blocklist.queries ++ text.UrlOps.queries ++
       text.Dsir.queries ++
       dedup.DedupOps.queries ++ dedup.VersionedEmbedIndex.queries ++
       dedup.Saturation.queries ++
