@@ -25,7 +25,11 @@ import org.apache.spark.sql.types._
   * DuckDB oracle is unchanged.
   *
   * A null vector, a length mismatch, or any null element yields a
-  * null projection (what the composed form produced). */
+  * null projection (what the composed form produced).
+  *
+  * Envelope: |acc| ≤ dim·(|v|max·scale + 1) — exact in long for
+  * dim ≤ 2¹⁶, |v| ≤ 10⁶, scale ≤ 2¹⁰ (graft.tools.NumericEnvelopes
+  * pins the bound). */
 case class JlProjection(child: Expression, signs: IndexedSeq[Int],
     outDim: Int, dim: Int, scale: Int) extends UnaryExpression {
 

@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * — the 64 constants are HARDCODED here and interpolated verbatim
   * into the oracle SQL, so no libm/StrictMath cosine ever enters
   * either engine. Coefficients C(u,v) = Σ p(r,c)·T[u][r]·T[v][c] are
-  * pure 64-bit integers (|C| ≤ 255·64·16384² ≈ 4.4e15), the
+  * pure 64-bit integers (Envelope: |C| ≤ 255·64·16384² ≈ 4.4e15 —
+  * pinned by graft.tools.NumericEnvelopes), the
   * threshold is the 32nd-smallest of the 63 AC coefficients (an
   * order statistic, no division), and the hash packs bit u·8+v−1 iff
   * C(u,v) > median — 63 bits, always non-negative, at most 31 set.

@@ -90,5 +90,68 @@ object TokenizerPipeline {
                 - start_tok // 512 + 1 AS BIGINT) AS n_segments
             FROM c ORDER BY doc_id"""))
 
-  val queries: Map[String, Q] = Map("q_pipeline_tokenize" -> pTokenize)
+  /** The unigram-LM twin of [[tokenizeCurateReleasable]]: identical
+    * mix/pack stages, token counts from the Viterbi encode
+    * ([[graft.text.UnigramLm.encodeCorpus]]) instead of BPE — the
+    * composition that certifies BOTH tokenizers drive the same
+    * curation surface (id, source, n_tokens). */
+  def tokenizeCurateUnigramReleasable(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, budget: Long,
+      targetShares: Map[String, Double]): (DataFrame, () => Unit) = {
+    val enc = graft.text.UnigramLm.encodeCorpus(docs, idCol, textCol)
+    val counted = docs.select(col(idCol), col(sourceCol))
+      .join(enc.select(col(idCol), col("n_pieces").as("n_tokens")),
+        Seq(idCol))
+    val mixed = DataMix.tokenBudgetMixByCount(
+      counted, idCol, sourceCol, targetShares)
+    TextOps.packCountedReleasable(mixed, idCol, budget)
+  }
+
+  /** q_pipeline_unigram: the same 50/30/20 mix + 512-token packing as
+    * q_pipeline_tokenize, but budgeted on unigram-LM Viterbi piece
+    * counts; the oracle swaps only the encode prefix (recursive
+    * Viterbi CTEs), certifying the stage boundary carries either
+    * tokenizer unchanged. */
+  private val pUnigram = Q(
+    (s, d) => {
+      val (out, release) = tokenizeCurateUnigramReleasable(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        budget = 512L,
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      val mat = out.orderBy("doc_id").localCheckpoint(eager = true)
+      release()
+      mat
+    },
+    Some(s"""WITH RECURSIVE ${graft.text.UnigramLm.encodePrefixCtes(4, 60, 2)},
+            t AS (SELECT d.doc_id, d.source, enc.n_tokens
+                  FROM documents d JOIN enc ON d.doc_id = enc.doc_id),
+            avail AS (SELECT source, SUM(n_tokens) AS a_s,
+                CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                            WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS p_s
+              FROM t GROUP BY source),
+            pos AS (SELECT source, CAST(a_s AS BIGINT) AS a_s, p_s
+                    FROM avail WHERE p_s > 0 AND a_s > 0),
+            ts AS (SELECT MIN(CAST(a_s AS DOUBLE) / p_s) AS t_star FROM pos),
+            rates AS (SELECT source,
+                LEAST(1.0, p_s * t_star / CAST(a_s AS DOUBLE)) AS rate
+              FROM pos CROSS JOIN ts),
+            mixed AS (SELECT t.doc_id, t.source, t.n_tokens
+              FROM t JOIN rates r ON t.source = r.source
+              WHERE ${DataMix.uniformSqlExpr("t.doc_id")} < r.rate),
+            c AS (SELECT doc_id, source, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+              FROM mixed)
+            SELECT doc_id, source, n_tokens, start_tok,
+              CAST(start_tok // 512 AS BIGINT) AS bin_first,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+                AS bin_last,
+              CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512
+                - start_tok // 512 + 1 AS BIGINT) AS n_segments
+            FROM c ORDER BY doc_id"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_pipeline_tokenize" -> pTokenize,
+    "q_pipeline_unigram" -> pUnigram)
 }

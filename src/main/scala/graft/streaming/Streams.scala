@@ -595,6 +595,54 @@ object Streams {
       }
   }
 
+  final case class MeterState(docs: Long, words: Long, pieces: Long,
+      chars: Long, oovWords: Long, seq: Long)
+  final case class MeterUpdate(source: String, batchSeq: Long, docs: Long,
+      words: Long, pieces: Long, chars: Long, oovWords: Long)
+
+  /** Streaming twin of [[graft.text.UnigramLm.encodeCorpus]]: a live
+    * token METER over arriving documents under a FIXED batch-learned
+    * unigram model — the "how many tokens has each source contributed
+    * so far" gauge a streaming ingest publishes against its budget.
+    * The model (piece → micro-nat score) is config-sized and rides the
+    * task closure; each doc's words segment with the IDENTICAL Viterbi
+    * recurrence as the batch encode
+    * ([[graft.text.UnigramLm.viterbiPieceCount]], parity spec-pinned),
+    * and running totals fold per source in mapGroupsWithState —
+    * state is ONE row per source forever.
+    *
+    * Streaming-only surface the batch encode lacks: a word with a
+    * character outside the model's inventory (the batch vocab join
+    * silently drops it) counts here as `oov_words` — the live signal
+    * that the tokenizer under-serves what is arriving. */
+  def streamingTokenMeter(docs: Dataset[(String, String)],
+      scores: Map[String, Long], maxPieceLen: Int): Dataset[MeterUpdate] = {
+    require(maxPieceLen >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, String)],
+            state: GroupState[MeterState]) =>
+          val s0 = state.getOption.getOrElse(MeterState(0, 0, 0, 0, 0, 0))
+          var (d, w, p, c, o) =
+            (s0.docs, s0.words, s0.pieces, s0.chars, s0.oovWords)
+          rows.foreach { case (_, text) =>
+            d += 1
+            text.split(" ").iterator.filter(_.nonEmpty).foreach { word =>
+              w += 1
+              c += word.length
+              val n = graft.text.UnigramLm.viterbiPieceCount(
+                word, scores, maxPieceLen)
+              if (n < 0) o += 1 else p += n
+            }
+          }
+          val s1 = MeterState(d, w, p, c, o, s0.seq + 1)
+          state.update(s1)
+          MeterUpdate(source, s1.seq, d, w, p, c, o)
+      }
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

@@ -48,7 +48,11 @@ object NgramLm {
       .select(col("__id"), col("b.x").as("x"), col("b.y").as("y"))
 
   /** Exact integer core: (idCol, n_bigrams, nlp_micro) where nlp_micro is
-    * the doc's Σ floor(−ln p · 1e6) in micro-nats. */
+    * the doc's Σ floor(−ln p · 1e6) in micro-nats.
+    *
+    * Envelope: nlp_micro ≤ n_bigrams · ceil(ln(cx + kV)·10⁶) — exact
+    * in long for 10⁹ bigrams/doc at model counts ≤ 10¹⁸
+    * (graft.tools.NumericEnvelopes pins the bound). */
   def negLogMicro(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, modelTextCol: String, k: Double = 1.0): DataFrame = {
     require(k > 0, "smoothing k must be positive")

@@ -1566,8 +1566,65 @@ object ExplainAudit {
       // inside pavCalibrate's input
       "driver-PAV calibration is a local frame" ->
         (_.contains("LocalTableScan")))
-    // q_s_ivf_versioned, q_d_embed_versioned and q_d_spans_versioned
-    // carry no audit entry:
+    audit("q_t_url_norm",
+      // normalization is pure map-side string work: the only exchange
+      // in the plan is the registry orderBy's range partitioning
+      "no join anywhere in the normalize pipeline" ->
+        (p => !p.contains("Join")),
+      "no keyed shuffle (map-only until the output sort)" ->
+        (p => !p.contains("hashpartitioning(")))
+    audit("q_p33_domain_caps",
+      "one domain-keyed aggregation (single hash shuffle)" ->
+        (p => "hashpartitioning\\(domain".r.findAllIn(p).size >= 1),
+      "total attaches as a 1-row broadcast, never a shuffled cartesian" ->
+        (p => p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")))
+    audit("q_p34_gopher_funnel",
+      "rule battery folds into one scan-stage pass (no per-rule scans)" ->
+        (p => "Scan parquet".r.findAllIn(p).size <= 1))
+    audit("q_t_unigram_lm",
+      // the learn loop's result is an eager localCheckpoint (RDD scan);
+      // the assertable surface is the final frame's shape
+      "checkpointed piece table scans without exchanges" ->
+        (p => p.contains("Scan ExistingRDD") ||
+          !p.contains("hashpartitioning(")))
+    audit("q_t_unigram_encode",
+      "encode output is the checkpointed frame (vocab DP done inside)" ->
+        (p => p.contains("Scan ExistingRDD")))
+    // the registered unigram queries checkpoint their results, so the
+    // EM loop's own plan is asserted on the library frame directly
+    section("unigram_viterbi (library frame)") {
+      val docs = graft.Tables.documents(spark, sf)
+      val (pieces, wins, release) = graft.text.UnigramLm.learnState(
+        docs, "text", 4, 60, 1)
+      val plan = graft.text.UnigramLm.viterbiSegment(wins, pieces)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      release()
+      println("=== unigram_viterbi (library frame) ===")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      Seq(
+        "piece scores attach via BROADCAST (config-sized vocab table)" ->
+          plan.contains("BroadcastHashJoin"),
+        "no cartesian in the lattice scoring join" ->
+          !plan.contains("CartesianProduct"),
+        // the per-word fold inherits the cached words frame's
+        // hashpartitioning(w) through the Generate + broadcast join,
+        // so NO exchange sits between the lattice join and the
+        // aggregate — the DP costs zero new shuffles
+        "per-word fold reuses the word partitioning (no new exchange)" -> {
+          val lines = plan.linesIterator.toVector
+          val aggIdx = lines.indexWhere(_.contains("ObjectHashAggregate"))
+          val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+          aggIdx >= 0 && joinIdx > aggIdx &&
+            !lines.slice(aggIdx, joinIdx).exists(l =>
+              l.contains("Exchange") && !l.contains("BroadcastExchange"))
+        })
+        .foreach { case (d, ok) =>
+          println(s"  [${if (ok) "OK" else "MISS"}] $d")
+          if (!ok) failures ::= s"unigram_viterbi: $d"
+        }
+    }
     // each registered query
     // builds, appends, probes, and DELETES a scratch versioned index, so
     // its returned frame is an eager localCheckpoint (a bare RDD scan
