@@ -66,7 +66,8 @@ object SparkEntry {
       text.VocabCoverage.queries ++ etl.ChangePoint.queries ++
       text.Jsd.queries ++ etl.Ewma.queries ++ etl.Seasonal.queries ++ etl.Holt.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
-      text.UnigramLm.queries ++
+      text.UnigramLm.queries ++ text.Objectives.queries ++
+      text.ChatPrep.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.KneserNey.queries ++
       text.QualityClassifier.queries ++

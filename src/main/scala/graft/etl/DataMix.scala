@@ -41,6 +41,26 @@ object DataMix {
     }.mkString("(  ", "\n               + ", "\n              ) / 4294967296.0")
   }
 
+  /** Integer sibling of [[uniformHash]]: the same first 32 md5 bits as
+    * a non-negative BIGINT in [0, 2³²) — the shared PRNG for operators
+    * that need exact modular draws (span starts, FIM cut points)
+    * rather than a double threshold. Pure map-side, reproducible under
+    * any partitioning. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** DuckDB replica of [[hash32]] over SQL expression `c` — every hex
+    * digit cast to BIGINT before the scale multiply so no INTEGER
+    * overflow can enter the sum (max term 15·16⁷ < 2³²). */
+  def hash32SqlExpr(c: String): String = {
+    val m = s"md5(CAST($c AS VARCHAR))"
+    (1 to 8).map { i =>
+      val mult = java.math.BigInteger.valueOf(16L).pow(8 - i)
+      s"CAST(strpos('0123456789abcdef', substr($m, $i, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString("(  ", "\n               + ", "\n              )")
+  }
+
   def mixSample(df: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>

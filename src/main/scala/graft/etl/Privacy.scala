@@ -73,5 +73,86 @@ object Privacy {
                 // SUM(sz) AS BIGINT) AS below_k_micro
             FROM classes"""))
 
-  val queries: Map[String, Q] = Map("q_p28_kanon" -> pKanon)
+  /** Per-class t-closeness report (Li, Li & Venkatasubramanian, ICDE
+    * 2007) — the distributional sibling of k-anonymity/l-diversity: a
+    * class can be large (k-anonymous) and diverse (l-diverse) yet
+    * still leak, when its SENSITIVE-VALUE DISTRIBUTION diverges from
+    * the table's. The report computes, per equivalence class, the
+    * total-variation distance between the class's sensitive
+    * distribution and the global one, in the house floor-micro
+    * convention: tvd_micro = Σ_v |cv·10⁶ div n_c − gv·10⁶ div N|
+    * div 2 over the GLOBAL value domain (absent class cells count as
+    * zero mass) — every share floored to micro before the difference,
+    * so both engines hash identically.
+    *
+    * Envelope: cv·10⁶ and gv·10⁶ are longs — exact for tables up to
+    * 9.2·10¹² rows (graft.tools.NumericEnvelopes pins the bound).
+    *
+    * Scale shape: ONE groupBy(quasi, sensitive) pass is the data
+    * scan; classes and the global marginal derive from those CELLS
+    * (never the rows again); the class × value grid is |classes| ×
+    * |domain| — domain is config-small, so the grid join broadcasts
+    * the marginal and the 1-row total. */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive attribute cannot also be a quasi-identifier")
+    val q = quasiCols.map(col)
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("cv"))
+    val cls = cells.groupBy(q: _*)
+      .agg(sum("cv").as("n_c"), count(lit(1)).as("n_values"))
+    val gl = cells.groupBy(col(sensitiveCol)).agg(sum("cv").as("gv"))
+    val tot = gl.agg(sum("gv").as("__N"))
+    cls.crossJoin(broadcast(gl))
+      .join(cells, quasiCols :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("cv"))
+      .crossJoin(broadcast(tot))
+      .groupBy(q: _*)
+      .agg(min("n_c").as("class_size"),
+        min("n_values").as("n_values"),
+        sum(abs(expr("cv * 1000000L div n_c")
+          - expr("gv * 1000000L div __N"))).as("__s"))
+      .select((q :+ col("class_size") :+ col("n_values") :+
+        expr("__s div 2").as("tvd_micro")): _*)
+  }
+
+  /** q_p35_tcloseness: the t-closeness table for the q_p28 release
+    * gate — same quasi-identifiers (nation, market segment), same
+    * sensitive attribute (balance sign). */
+  private val pTCloseness = Q(
+    (s, d) => tClosenessReport(
+      Tables.customer(s, d).select(col("c_nationkey"),
+        col("c_mktsegment"),
+        (col("c_acctbal") > 0).as("positive_bal")),
+      Seq("c_nationkey", "c_mktsegment"), "positive_bal")
+      .orderBy("c_nationkey", "c_mktsegment"),
+    Some("""WITH base AS (SELECT c_nationkey, c_mktsegment,
+                c_acctbal > 0 AS sv FROM customer),
+            cells AS (SELECT c_nationkey, c_mktsegment, sv,
+                CAST(COUNT(*) AS BIGINT) AS cv
+              FROM base GROUP BY 1, 2, 3),
+            cls AS (SELECT c_nationkey, c_mktsegment,
+                CAST(SUM(cv) AS BIGINT) AS n_c,
+                CAST(COUNT(*) AS BIGINT) AS n_values
+              FROM cells GROUP BY 1, 2),
+            gl AS (SELECT sv, CAST(SUM(cv) AS BIGINT) AS gv
+              FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(gv) AS BIGINT) AS N FROM gl),
+            grid AS (SELECT c.c_nationkey, c.c_mktsegment, c.n_c,
+                c.n_values, g.sv, g.gv, COALESCE(x.cv, 0) AS cv
+              FROM cls c CROSS JOIN gl g
+              LEFT JOIN cells x ON x.c_nationkey = c.c_nationkey
+                AND x.c_mktsegment = c.c_mktsegment AND x.sv = g.sv)
+            SELECT c_nationkey, c_mktsegment,
+              MIN(n_c) AS class_size, MIN(n_values) AS n_values,
+              CAST(SUM(ABS(cv * 1000000 // n_c - gv * 1000000 // N))
+                // 2 AS BIGINT) AS tvd_micro
+            FROM grid CROSS JOIN tot
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_p28_kanon" -> pKanon,
+    "q_p35_tcloseness" -> pTCloseness)
 }

@@ -643,6 +643,52 @@ object Streams {
       }
   }
 
+  final case class ChatState(nTurns: Long, badRole: Long,
+      parityBreaks: Long, emptyTurns: Long, oversizeTurns: Long,
+      indexGaps: Long)
+  final case class ChatUpdate(convId: String, nTurns: Long, badRole: Long,
+      parityBreaks: Long, emptyTurns: Long, oversizeTurns: Long,
+      indexGaps: Long, valid: Boolean)
+
+  /** Streaming twin of [[graft.text.ChatPrep.validateAlternation]]: a
+    * live structural gate over ARRIVING conversation turns (convId,
+    * turnIdx, role, turnWords) — the check an SFT ingest runs before a
+    * conversation ever reaches a training shard. Within a micro-batch
+    * a conversation's turns sort by index; across batches the state
+    * carries only the per-conversation counters (ONE row per
+    * conversation forever), and each turn must arrive at exactly the
+    * next expected index — an out-of-sequence arrival counts as
+    * `indexGaps` (the streaming analogue of the batch validator's
+    * max-index-vs-count gap; batch parity on in-order input is
+    * spec-pinned). Violation classes are IDENTICAL to the batch gate:
+    * unknown role, alternation break, empty turn, oversize turn. */
+  def streamingChatValidator(turns: Dataset[(String, Long, String, Long)],
+      maxTurnWords: Long = 1000L): Dataset[ChatUpdate] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (conv: String, rows: Iterator[(String, Long, String, Long)],
+            state: GroupState[ChatState]) =>
+          val s0 = state.getOption.getOrElse(ChatState(0, 0, 0, 0, 0, 0))
+          var (n, br, pb, et, ov, ig) = (s0.nTurns, s0.badRole,
+            s0.parityBreaks, s0.emptyTurns, s0.oversizeTurns, s0.indexGaps)
+          rows.toSeq.sortBy(_._2).foreach { case (_, idx, role, words) =>
+            val roleOk = role == "user" || role == "assistant"
+            if (!roleOk) br += 1
+            else if ((idx % 2 == 0) != (role == "user")) pb += 1
+            if (words <= 0) et += 1
+            if (words > maxTurnWords) ov += 1
+            if (idx != n) ig += 1
+            n += 1
+          }
+          val s1 = ChatState(n, br, pb, et, ov, ig)
+          state.update(s1)
+          ChatUpdate(conv, n, br, pb, et, ov, ig,
+            br == 0 && pb == 0 && et == 0 && ov == 0 && ig == 0)
+      }
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */

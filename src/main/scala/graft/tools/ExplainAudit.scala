@@ -1582,6 +1582,31 @@ object ExplainAudit {
     audit("q_p34_gopher_funnel",
       "rule battery folds into one scan-stage pass (no per-rule scans)" ->
         (p => "Scan parquet".r.findAllIn(p).size <= 1))
+    audit("q_t_span_corruption",
+      // objective construction is pure map-side array work: the only
+      // exchange is the registry orderBy's range partitioning
+      "no join anywhere in the span-corruption plan" ->
+        (p => !p.contains("Join")),
+      "no keyed shuffle (map-only until the output sort)" ->
+        (p => !p.contains("hashpartitioning(")))
+    audit("q_t_fim_split",
+      "no join anywhere in the FIM plan" ->
+        (p => !p.contains("Join")),
+      "no keyed shuffle (map-only until the output sort)" ->
+        (p => !p.contains("hashpartitioning(")))
+    audit("q_t_chat_render",
+      // the per-doc offset fold replaces the window a naive impl
+      // would shuffle for: no Window node, no keyed exchange
+      "no window operator (offsets are a per-doc array fold)" ->
+        (p => !p.contains("Window")),
+      "no keyed shuffle (map+explode until the output sort)" ->
+        (p => !p.contains("hashpartitioning(")))
+    audit("q_p35_tcloseness",
+      "global marginal and total attach via broadcast" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian product (the class-by-value grid is broadcast)" ->
+        (p => !p.contains("CartesianProduct")))
     audit("q_t_unigram_lm",
       // the learn loop's result is an eager localCheckpoint (RDD scan);
       // the assertable surface is the final frame's shape

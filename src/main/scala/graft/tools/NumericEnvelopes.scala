@@ -53,5 +53,10 @@ object NumericEnvelopes {
       "src/main/scala/graft/text/UnigramLm.scala",
       "DP path total: wordLen * ceil(ln(T + N) * 1e6) at 2^16-char " +
         "words, T <= 1e18 tokens",
-      b(1L << 16) * 42000000L))
+      b(1L << 16) * 42000000L),
+    Envelope(
+      "tcloseness-floored-share",
+      "src/main/scala/graft/etl/Privacy.scala",
+      "micro share numerators cv * 1e6 and gv * 1e6 at 9.2e12 rows",
+      b(9200000000000L) * 1000000))
 }
