@@ -1607,6 +1607,18 @@ object ExplainAudit {
           p.contains("BroadcastHashJoin")),
       "no cartesian product (the class-by-value grid is broadcast)" ->
         (p => !p.contains("CartesianProduct")))
+    audit("q_t_pack_contamination",
+      // releases the pack's rank cache in-query, so the registered
+      // frame is the eager checkpoint (the q_p36 convention)
+      "summary is the checkpointed frame (pack + explode done inside)" ->
+        (p => p.contains("Scan ExistingRDD")))
+    audit("q_p36_padding_waste",
+      // the report releases its two range-partitioned rank caches in-
+      // query, so the registered frame is the eager checkpoint; the
+      // rank itself is the GlobalIndex two-pass scheme (no single-
+      // partition window), spec-pinned at the library level
+      "summary is the checkpointed frame (ranking done inside)" ->
+        (p => p.contains("Scan ExistingRDD")))
     audit("q_t_unigram_lm",
       // the learn loop's result is an eager localCheckpoint (RDD scan);
       // the assertable surface is the final frame's shape

@@ -58,5 +58,15 @@ object NumericEnvelopes {
       "tcloseness-floored-share",
       "src/main/scala/graft/etl/Privacy.scala",
       "micro share numerators cv * 1e6 and gv * 1e6 at 9.2e12 rows",
+      b(9200000000000L) * 1000000),
+    Envelope(
+      "padding-waste-share",
+      "src/main/scala/graft/etl/PaddingReport.scala",
+      "waste_tokens * 1e6 at 9.2e12 padded tokens",
+      b(9200000000000L) * 1000000),
+    Envelope(
+      "pack-contamination-share",
+      "src/main/scala/graft/text/PackContamination.scala",
+      "cross_pairs * 1e6 at 9.2e12 total attention pairs",
       b(9200000000000L) * 1000000))
 }
