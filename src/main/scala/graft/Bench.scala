@@ -343,7 +343,16 @@ object Bench {
     // (embargoed temporal split, key-skew diagnostics), codegen'd JL
     // projection
     "q_t_blocklist", "q_p30_curation_funnel", "q_p32_curriculum",
-    "q_e_embargo_split", "q_p31_skew_report", "q_s_jl_project")
+    "q_e_embargo_split", "q_p31_skew_report", "q_s_jl_project",
+    // round-14: unigram-LM tokenizer lifecycle + its pipeline capstone,
+    // URL/domain curation entry, gopher funnel, training-objective prep
+    // (span corruption, FIM, chat render), privacy t-closeness, batch
+    // economics (padding waste, packing contamination)
+    "q_t_unigram_lm", "q_t_unigram_encode", "q_pipeline_unigram",
+    "q_t_url_norm", "q_p33_domain_caps", "q_p34_gopher_funnel",
+    "q_t_span_corruption", "q_t_fim_split", "q_t_chat_render",
+    "q_p35_tcloseness", "q_p36_padding_waste", "q_t_pack_contamination",
+    "q_p37_shuffle_quality")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -508,7 +517,15 @@ object Bench {
     "q_p32_curriculum" -> 0.6, "q_e_embargo_split" -> 0.8,
     "q_p31_skew_report" -> 0.5, "q_s_jl_project" -> 0.2,
     "q_mm_image_decon" -> 2.1, "q_mm_phash_clusters" -> 3.9,
-    "q_mm_audio_decon" -> 1.1)
+    "q_mm_audio_decon" -> 1.1,
+    // round-14: TimeOne warm, sf0.1, quiet machine
+    "q_t_unigram_lm" -> 9.0, "q_t_unigram_encode" -> 9.6,
+    "q_pipeline_unigram" -> 9.7, "q_t_url_norm" -> 0.3,
+    "q_p33_domain_caps" -> 0.4, "q_p34_gopher_funnel" -> 0.5,
+    "q_t_span_corruption" -> 1.3, "q_t_fim_split" -> 0.5,
+    "q_t_chat_render" -> 0.7, "q_p35_tcloseness" -> 0.4,
+    "q_p36_padding_waste" -> 0.8, "q_t_pack_contamination" -> 0.5,
+    "q_p37_shuffle_quality" -> 1.8)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

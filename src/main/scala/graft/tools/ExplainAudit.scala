@@ -1607,6 +1607,10 @@ object ExplainAudit {
           p.contains("BroadcastHashJoin")),
       "no cartesian product (the class-by-value grid is broadcast)" ->
         (p => !p.contains("CartesianProduct")))
+    audit("q_p37_shuffle_quality",
+      // releases its two rank caches in-query (the q_p36 convention)
+      "report is the checkpointed frame (ranks + adjacency inside)" ->
+        (p => p.contains("Scan ExistingRDD")))
     audit("q_t_pack_contamination",
       // releases the pack's rank cache in-query, so the registered
       // frame is the eager checkpoint (the q_p36 convention)

@@ -68,5 +68,10 @@ object NumericEnvelopes {
       "pack-contamination-share",
       "src/main/scala/graft/text/PackContamination.scala",
       "cross_pairs * 1e6 at 9.2e12 total attention pairs",
+      b(9200000000000L) * 1000000),
+    Envelope(
+      "shuffle-quality-shares",
+      "src/main/scala/graft/etl/ShuffleQuality.scala",
+      "same_pairs * 1e6 and ns * 1e6 at 9.2e12 docs; pm^2 <= 1e12",
       b(9200000000000L) * 1000000))
 }
