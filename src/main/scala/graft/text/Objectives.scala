@@ -141,6 +141,42 @@ object Objectives {
       .withColumn("mid_end", col("mid_start") + col("mid_chars"))
   }
 
+  /** Per-document contrastive crop-pair report (Izacard et al. 2022
+    * "Contriever": independent random crops of one document are the
+    * positive pair for contrastive retrieval pretraining). Pinned
+    * semantics (replayed verbatim by the oracle):
+    *   - crop length L = max(1, n div 2) words;
+    *   - starts a = hash32(id:":ca") mod (n−L+1),
+    *     b = hash32(id:":cb") mod (n−L+1);
+    *   - overlap = max(0, min(a,b)+L − max(a,b)); Jaccard of the two
+    *     word-index sets in floor-micro (|∩|·10⁶ div |∪|,
+    *     |∪| = 2L − |∩|);
+    *   - `usable` iff 0 < overlap < L — identical crops teach nothing
+    *     and disjoint crops are not reliable positives (the curation
+    *     gate a contrastive pair generator applies).
+    * Pure map-side, one corpus pass. */
+  def cropPairReport(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("crop_len", greatest(lit(1L), expr("__n div 2")))
+      .withColumn("__m", col("__n") - col("crop_len") + 1)
+      .withColumn("a_start",
+        h32(col(idCol).cast("string"), lit(":ca")) % col("__m"))
+      .withColumn("b_start",
+        h32(col(idCol).cast("string"), lit(":cb")) % col("__m"))
+      .withColumn("overlap",
+        greatest(lit(0L), least(col("a_start"), col("b_start"))
+          + col("crop_len") - greatest(col("a_start"), col("b_start"))))
+    base.select(col(idCol), col("__n").as("n_words"), col("crop_len"),
+      col("a_start"), col("b_start"), col("overlap"))
+      .withColumn("jaccard_micro",
+        expr("overlap * 1000000L div (2 * crop_len - overlap)"))
+      .withColumn("usable",
+        col("overlap") > 0 && col("overlap") < col("crop_len"))
+  }
+
   private def hashSql(key: String): String =
     DataMix.hash32SqlExpr(key)
 
@@ -223,7 +259,36 @@ object Objectives {
                 AS mid_end
             FROM segs ORDER BY doc_id"""))
 
+  /** q_t_crop_pairs: the contrastive positive-pair table over
+    * documents — half-doc crops, overlap Jaccard, usability gate. */
+  private val tCropPairs = Q(
+    (s, d) => cropPairReport(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+            base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+                GREATEST(1, CAST(len(ws) AS BIGINT) // 2) AS crop_len
+              FROM w WHERE len(ws) > 0),
+            cuts AS (SELECT doc_id, n, crop_len,
+                ${hashSql("CAST(doc_id AS VARCHAR) || ':ca'")}
+                  % (n - crop_len + 1) AS a_start,
+                ${hashSql("CAST(doc_id AS VARCHAR) || ':cb'")}
+                  % (n - crop_len + 1) AS b_start
+              FROM base),
+            ov AS (SELECT doc_id, n, crop_len, a_start, b_start,
+                GREATEST(0, LEAST(a_start, b_start) + crop_len
+                  - GREATEST(a_start, b_start)) AS overlap
+              FROM cuts)
+            SELECT doc_id, n AS n_words, crop_len, a_start, b_start,
+              overlap,
+              CAST(overlap * 1000000 // (2 * crop_len - overlap)
+                AS BIGINT) AS jaccard_micro,
+              overlap > 0 AND overlap < crop_len AS usable
+            FROM ov ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "q_t_span_corruption" -> tSpanCorruption,
-    "q_t_fim_split" -> tFimSplit)
+    "q_t_fim_split" -> tFimSplit,
+    "q_t_crop_pairs" -> tCropPairs)
 }

@@ -1594,6 +1594,11 @@ object ExplainAudit {
         (p => !p.contains("Join")),
       "no keyed shuffle (map-only until the output sort)" ->
         (p => !p.contains("hashpartitioning(")))
+    audit("q_t_crop_pairs",
+      "no join anywhere in the crop-pair plan" ->
+        (p => !p.contains("Join")),
+      "no keyed shuffle (map-only until the output sort)" ->
+        (p => !p.contains("hashpartitioning(")))
     audit("q_t_chat_render",
       // the per-doc offset fold replaces the window a naive impl
       // would shuffle for: no Window node, no keyed exchange

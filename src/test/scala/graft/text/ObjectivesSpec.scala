@@ -98,6 +98,40 @@ class ObjectivesSpec extends SparkSpecBase {
     }
   }
 
+  test("crop pairs: hand-traced starts and overlap Jaccard " +
+      "(independent md5 draw replay)") {
+    val got = Objectives.cropPairReport(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    docs.collect().sortBy(_.getLong(0)).zip(got).foreach { case (in, r) =>
+      val id = in.getLong(0)
+      val n = in.getString(1).split(" ").count(_.nonEmpty).toLong
+      val len = math.max(1L, n / 2)
+      val m = n - len + 1
+      val a = h32(s"$id:ca") % m
+      val b = h32(s"$id:cb") % m
+      val ov = math.max(0L, math.min(a, b) + len - math.max(a, b))
+      assert(r.getAs[Long]("crop_len") === len)
+      assert(r.getAs[Long]("a_start") === a)
+      assert(r.getAs[Long]("b_start") === b)
+      assert(r.getAs[Long]("overlap") === ov)
+      assert(r.getAs[Long]("jaccard_micro") ===
+        ov * 1000000L / (2 * len - ov))
+      assert(r.getAs[Boolean]("usable") === (ov > 0 && ov < len))
+    }
+  }
+
+  test("crop pairs: identical crops score full Jaccard but are not " +
+      "usable positives; a one-word doc degenerates cleanly") {
+    // a 1-word doc forces L=1, m=1 -> both starts 0, overlap 1
+    val one = Seq((7L, "solo")).toDF("doc_id", "text")
+    val r = Objectives.cropPairReport(one, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("crop_len") === 1L)
+    assert(r.getAs[Long]("overlap") === 1L)
+    assert(r.getAs[Long]("jaccard_micro") === 1000000L)
+    assert(!r.getAs[Boolean]("usable"))
+  }
+
   test("fim split: word and char partitions are exact decompositions") {
     Objectives.fimSplitReport(docs, "doc_id", "text").collect()
       .foreach { r =>
