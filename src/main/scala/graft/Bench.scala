@@ -352,7 +352,7 @@ object Bench {
     "q_t_url_norm", "q_p33_domain_caps", "q_p34_gopher_funnel",
     "q_t_span_corruption", "q_t_fim_split", "q_t_chat_render",
     "q_p35_tcloseness", "q_p36_padding_waste", "q_t_pack_contamination",
-    "q_p37_shuffle_quality", "q_t_crop_pairs")
+    "q_p37_shuffle_quality", "q_t_crop_pairs", "q_p38_kanon_generalize")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -525,7 +525,8 @@ object Bench {
     "q_t_span_corruption" -> 1.3, "q_t_fim_split" -> 0.5,
     "q_t_chat_render" -> 0.7, "q_p35_tcloseness" -> 0.4,
     "q_p36_padding_waste" -> 0.8, "q_t_pack_contamination" -> 0.5,
-    "q_p37_shuffle_quality" -> 1.8, "q_t_crop_pairs" -> 0.7)
+    "q_p37_shuffle_quality" -> 1.8, "q_t_crop_pairs" -> 0.7,
+    "q_p38_kanon_generalize" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -152,7 +152,110 @@ object Privacy {
             FROM grid CROSS JOIN tot
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Generalization ladder — the ACTING half of the k-anonymity audit
+    * (the q_d_exact_spans → q_d_span_scrub pattern): given an ordered
+    * ladder of quasi-identifier sets from finest to coarsest (each
+    * rung generalizes by DROPPING columns — full-domain
+    * generalization, Sweeney 2002 §4 / Samarati 2001), evaluate every
+    * rung's anonymity profile and mark the FIRST rung whose minimum
+    * class size meets the target k — the release candidate. The empty
+    * rung (one class = the whole table) guarantees a chosen rung
+    * exists for any k ≤ N.
+    *
+    * One row per rung: (rung, quasi, n_classes, k_min, l_min,
+    * rows_below_k, meets_k, chosen).
+    *
+    * Scale shape: one groupBy per rung over progressively COARSER
+    * keys (each a prefix-drop of the finest — at 100 TB these are the
+    * same corpus pass repeated |ladder| times, or one pass with
+    * ROLLUP when the ladder is nested, as here); rung summaries are
+    * class-cell aggregations; the chosen flag is a 1-row broadcast
+    * min attach. */
+  def kAnonGeneralize(df: DataFrame, ladder: Seq[Seq[String]],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(ladder.nonEmpty, "ladder must have at least one rung")
+    require(ladder.last.isEmpty,
+      "last rung must be the empty quasi set (release always possible)")
+    val rungs = ladder.zipWithIndex.map { case (quasi, i) =>
+      val keyed =
+        if (quasi.isEmpty) df.withColumn("__k", lit("*")).groupBy("__k")
+        else df.groupBy(quasi.map(col): _*)
+      keyed.agg(count(lit(1)).as("sz"),
+        countDistinct(col(sensitiveCol)).as("ldiv"))
+        .agg(count(lit(1)).as("n_classes"),
+          min("sz").as("k_min"),
+          min("ldiv").as("l_min"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L))
+            .as("rows_below_k"))
+        .select(lit(i.toLong).as("rung"),
+          lit(quasi.mkString(",")).as("quasi"),
+          col("n_classes"), col("k_min"), col("l_min"),
+          col("rows_below_k"),
+          (col("k_min") >= k).as("meets_k"))
+    }
+    val all = rungs.reduce(_ unionByName _)
+    val first = all.filter(col("meets_k"))
+      .agg(min("rung").as("__chosen"))
+    all.crossJoin(broadcast(first))
+      .withColumn("chosen", col("rung") === col("__chosen"))
+      .drop("__chosen")
+  }
+
+  /** q_p38_kanon_generalize: the release ladder for the q_p28 gate —
+    * (nation, segment) → (nation) → (*) at target k = 40. */
+  private val pGeneralize = Q(
+    (s, d) => kAnonGeneralize(
+      Tables.customer(s, d).select(col("c_nationkey"),
+        col("c_mktsegment"),
+        (col("c_acctbal") > 0).as("positive_bal")),
+      Seq(Seq("c_nationkey", "c_mktsegment"), Seq("c_nationkey"),
+        Seq.empty),
+      "positive_bal", k = 40)
+      .orderBy("rung"),
+    Some("""WITH base AS (SELECT c_nationkey, c_mktsegment,
+                c_acctbal > 0 AS sv FROM customer),
+            r0c AS (SELECT CAST(COUNT(*) AS BIGINT) AS sz,
+                CAST(COUNT(DISTINCT sv) AS BIGINT) AS ldiv
+              FROM base GROUP BY c_nationkey, c_mktsegment),
+            r1c AS (SELECT CAST(COUNT(*) AS BIGINT) AS sz,
+                CAST(COUNT(DISTINCT sv) AS BIGINT) AS ldiv
+              FROM base GROUP BY c_nationkey),
+            r2c AS (SELECT CAST(COUNT(*) AS BIGINT) AS sz,
+                CAST(COUNT(DISTINCT sv) AS BIGINT) AS ldiv
+              FROM base),
+            rungs AS (
+              SELECT CAST(0 AS BIGINT) AS rung,
+                'c_nationkey,c_mktsegment' AS quasi,
+                CAST(COUNT(*) AS BIGINT) AS n_classes,
+                MIN(sz) AS k_min, MIN(ldiv) AS l_min,
+                CAST(SUM(CASE WHEN sz < 40 THEN sz ELSE 0 END)
+                  AS BIGINT) AS rows_below_k,
+                MIN(sz) >= 40 AS meets_k
+              FROM r0c
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), 'c_nationkey',
+                CAST(COUNT(*) AS BIGINT),
+                MIN(sz), MIN(ldiv),
+                CAST(SUM(CASE WHEN sz < 40 THEN sz ELSE 0 END)
+                  AS BIGINT),
+                MIN(sz) >= 40
+              FROM r1c
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), '',
+                CAST(COUNT(*) AS BIGINT),
+                MIN(sz), MIN(ldiv),
+                CAST(SUM(CASE WHEN sz < 40 THEN sz ELSE 0 END)
+                  AS BIGINT),
+                MIN(sz) >= 40
+              FROM r2c),
+            ch AS (SELECT MIN(rung) AS c FROM rungs WHERE meets_k)
+            SELECT rung, quasi, n_classes, k_min, l_min, rows_below_k,
+              meets_k, rung = ch.c AS chosen
+            FROM rungs CROSS JOIN ch
+            ORDER BY rung"""))
+
   val queries: Map[String, Q] = Map(
     "q_p28_kanon" -> pKanon,
-    "q_p35_tcloseness" -> pTCloseness)
+    "q_p35_tcloseness" -> pTCloseness,
+    "q_p38_kanon_generalize" -> pGeneralize)
 }

@@ -1606,6 +1606,11 @@ object ExplainAudit {
         (p => !p.contains("Window")),
       "no keyed shuffle (map+explode until the output sort)" ->
         (p => !p.contains("hashpartitioning(")))
+    audit("q_p38_kanon_generalize",
+      "chosen-rung flag attaches as a 1-row broadcast" ->
+        (p => p.contains("BroadcastNestedLoopJoin")),
+      "no cartesian product in the ladder union" ->
+        (p => !p.contains("CartesianProduct")))
     audit("q_p35_tcloseness",
       "global marginal and total attach via broadcast" ->
         (p => p.contains("BroadcastNestedLoopJoin") ||
