@@ -56,8 +56,13 @@ object PaddingReport {
         sum("s").as("total_tokens"),
         sum(expr("nb * mx")).as("padded_tokens"),
         sum(expr("nb * mx - s")).as("waste_tokens"))
+      // an all-zero-length corpus has padded_tokens = 0: Spark's div
+      // would return NULL where DuckDB's // raises — guard both engines
+      // to 0 (the PackContamination total_pairs convention)
       .withColumn("waste_micro",
-        expr("waste_tokens * 1000000L div padded_tokens"))
+        when(col("padded_tokens") > 0,
+          expr("waste_tokens * 1000000L div padded_tokens"))
+          .otherwise(lit(0L)))
       .localCheckpoint(eager = true)
     relA(); relL()
     out
@@ -91,8 +96,9 @@ object PaddingReport {
               CAST(SUM(s) AS BIGINT) AS total_tokens,
               CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens,
               CAST(SUM(nb * mx - s) AS BIGINT) AS waste_tokens,
-              CAST(SUM(nb * mx - s) * 1000000 // SUM(nb * mx) AS BIGINT)
-                AS waste_micro
+              CAST(CASE WHEN SUM(nb * mx) > 0
+                THEN SUM(nb * mx - s) * 1000000 // SUM(nb * mx)
+                ELSE 0 END AS BIGINT) AS waste_micro
             FROM g GROUP BY policy ORDER BY policy"""))
 
   val queries: Map[String, Q] = Map("q_p36_padding_waste" -> pPadding)

@@ -645,7 +645,7 @@ object Streams {
 
   final case class ChatState(nTurns: Long, badRole: Long,
       parityBreaks: Long, emptyTurns: Long, oversizeTurns: Long,
-      indexGaps: Long)
+      maxIdx: Long)
   final case class ChatUpdate(convId: String, nTurns: Long, badRole: Long,
       parityBreaks: Long, emptyTurns: Long, oversizeTurns: Long,
       indexGaps: Long, valid: Boolean)
@@ -655,13 +655,16 @@ object Streams {
     * turnIdx, role, turnWords) — the check an SFT ingest runs before a
     * conversation ever reaches a training shard. Within a micro-batch
     * a conversation's turns sort by index; across batches the state
-    * carries only the per-conversation counters (ONE row per
-    * conversation forever), and each turn must arrive at exactly the
-    * next expected index — an out-of-sequence arrival counts as
-    * `indexGaps` (the streaming analogue of the batch validator's
-    * max-index-vs-count gap; batch parity on in-order input is
-    * spec-pinned). Violation classes are IDENTICAL to the batch gate:
-    * unknown role, alternation break, empty turn, oversize turn. */
+    * carries only the per-conversation counters plus the maximum turn
+    * index seen (ONE row per conversation forever). `indexGaps` is the
+    * SAME order-insensitive statistic the batch validator computes —
+    * max_index − n_turns + 1 — so once every turn has arrived the
+    * streaming number EQUALS the batch `index_gap` whatever the
+    * arrival order (late arrivals converge, duplicates go negative,
+    * exactly as in batch; spec-pinned), rather than a monotone desync
+    * counter that never recovers. Violation classes are IDENTICAL to
+    * the batch gate: unknown role, alternation break, empty turn,
+    * oversize turn. */
   def streamingChatValidator(turns: Dataset[(String, Long, String, Long)],
       maxTurnWords: Long = 1000L): Dataset[ChatUpdate] = {
     val spark = turns.sparkSession
@@ -670,20 +673,22 @@ object Streams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (conv: String, rows: Iterator[(String, Long, String, Long)],
             state: GroupState[ChatState]) =>
-          val s0 = state.getOption.getOrElse(ChatState(0, 0, 0, 0, 0, 0))
-          var (n, br, pb, et, ov, ig) = (s0.nTurns, s0.badRole,
-            s0.parityBreaks, s0.emptyTurns, s0.oversizeTurns, s0.indexGaps)
+          val s0 = state.getOption.getOrElse(
+            ChatState(0, 0, 0, 0, 0, Long.MinValue))
+          var (n, br, pb, et, ov, mx) = (s0.nTurns, s0.badRole,
+            s0.parityBreaks, s0.emptyTurns, s0.oversizeTurns, s0.maxIdx)
           rows.toSeq.sortBy(_._2).foreach { case (_, idx, role, words) =>
             val roleOk = role == "user" || role == "assistant"
             if (!roleOk) br += 1
             else if ((idx % 2 == 0) != (role == "user")) pb += 1
             if (words <= 0) et += 1
             if (words > maxTurnWords) ov += 1
-            if (idx != n) ig += 1
+            if (idx > mx) mx = idx
             n += 1
           }
-          val s1 = ChatState(n, br, pb, et, ov, ig)
+          val s1 = ChatState(n, br, pb, et, ov, mx)
           state.update(s1)
+          val ig = mx - n + 1 // = the batch validator's index_gap
           ChatUpdate(conv, n, br, pb, et, ov, ig,
             br == 0 && pb == 0 && et == 0 && ov == 0 && ig == 0)
       }

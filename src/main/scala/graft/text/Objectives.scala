@@ -51,16 +51,18 @@ object Objectives {
     *     masked words + one sentinel per run.
     * Output: (doc_id, n_words, n_starts, n_masked, n_spans,
     * enc_tokens, tgt_tokens, mask_share_micro) — pure integers, the
-    * share in floor-micro. */
+    * share in floor-micro. A document with no words emits NO row (the
+    * [[cropPairReport]] convention, and what the oracle's LATERAL
+    * unnest does implicitly — spec-pinned so the two engines agree on
+    * empty docs, not just on fixtures that lack them). */
   def spanCorruptionReport(docs: DataFrame, idCol: String, textCol: String,
       startEvery: Int = 20, spanLen: Int = 3): DataFrame = {
     require(startEvery >= 1, "startEvery is a 1-in-k rate, k >= 1")
     require(spanLen >= 1, "spanLen >= 1")
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
       .withColumn("__n", size(col("__w")).cast("long"))
-      .withColumn("__pos",
-        when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
-          .otherwise(array().cast("array<long>")))
+      .filter(col("__n") > 0)
+      .withColumn("__pos", sequence(lit(0L), col("__n") - 1))
       .withColumn("__flag", transform(col("__pos"), i =>
         (h32(col(idCol).cast("string"), lit(":"), i.cast("string"))
           % startEvery) === 0))

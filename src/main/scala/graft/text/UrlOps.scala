@@ -59,8 +59,13 @@ object UrlOps {
       .withColumn("__port",
         regexp_extract(col("__hostport"), ":([0-9]+)$", 1))
       .withColumn("__rest", expr("substr(__aft, length(__hostport) + 1)"))
-      .withColumn("__path0", regexp_extract(col("__rest"), "^([^?#]*)", 1))
-      .withColumn("__query0", regexp_extract(col("__rest"), "\\?([^#]*)", 1))
+      // rule 4 first: drop the fragment BEFORE parsing path/query, so a
+      // '?' hiding inside a fragment ("/path#a?b=1") can never be
+      // mis-read as a query string
+      .withColumn("__nofrag", regexp_replace(col("__rest"), "#.*$", ""))
+      .withColumn("__path0", regexp_extract(col("__nofrag"), "^([^?#]*)", 1))
+      .withColumn("__query0",
+        regexp_extract(col("__nofrag"), "\\?([^#]*)", 1))
       .withColumn("__host2", regexp_replace(col("__host"), "^www\\.", ""))
       .withColumn("__pathstrip", regexp_replace(col("__path0"), "/+$", ""))
       .withColumn("__path",
@@ -228,8 +233,10 @@ object UrlOps {
         regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
         substr(aft, len(hostport) + 1) AS rest FROM n2),
       n4 AS (SELECT *,
-        regexp_extract(rest, '^([^?#]*)', 1) AS path0,
-        regexp_extract(rest, '\\?([^#]*)', 1) AS query0 FROM n3),
+        regexp_extract(regexp_replace(rest, '#.*$$', ''),
+          '^([^?#]*)', 1) AS path0,
+        regexp_extract(regexp_replace(rest, '#.*$$', ''),
+          '\\?([^#]*)', 1) AS query0 FROM n3),
       n5 AS (SELECT *,
         regexp_replace(host, '^www\\.', '') AS host2,
         CASE WHEN path0 = '' OR regexp_replace(path0, '/+$$', '') = ''

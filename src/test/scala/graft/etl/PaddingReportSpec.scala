@@ -26,6 +26,17 @@ class PaddingReportSpec extends SparkSpecBase {
     assert(s.getAs[Long]("waste_micro") === 125000L)
   }
 
+  test("an all-zero-length corpus reports waste_micro 0, not NULL " +
+      "(guarded division, mirrored as CASE in the oracle)") {
+    val docs = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("doc_id", "n_tokens")
+    PaddingReport.paddingWasteReport(docs, "doc_id", "n_tokens", 2)
+      .collect().foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("waste_micro")))
+        assert(r.getAs[Long]("waste_micro") === 0L)
+        assert(r.getAs[Long]("padded_tokens") === 0L)
+      }
+  }
+
   test("a partial final batch pads only to its own max") {
     // 5 docs at B=2: sorted batches (1,2)(3,4)(5) -> padded 4+8+5=17
     val docs = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L))

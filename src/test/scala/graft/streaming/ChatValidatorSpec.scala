@@ -56,6 +56,50 @@ class ChatValidatorSpec extends SparkSpecBase {
     assert(!last.getAs[Boolean]("valid"))
   }
 
+  test("a late arrival CONVERGES the gap count back to the batch value " +
+      "(indexGaps is max-index-vs-count, not a permanent desync counter)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = Streams.streamingChatValidator(input.toDS())
+      .writeStream.format("memory").queryName("chat_converge")
+      .outputMode("update").start()
+    input.addData(("c", 0L, "user", 3L), ("c", 1L, "assistant", 4L))
+    q.processAllAvailable()
+    input.addData(("c", 3L, "assistant", 5L)) // early: gap opens
+    q.processAllAvailable()
+    input.addData(("c", 2L, "user", 2L)) // the missing turn arrives late
+    q.processAllAvailable()
+    val rows = spark.table("chat_converge").collect()
+      .sortBy(_.getAs[Long]("nTurns"))
+    q.stop()
+    assert(rows(1).getAs[Long]("indexGaps") === 1L) // while 2 is missing
+    val fin = rows.last
+    assert(fin.getAs[Long]("nTurns") === 4L)
+    assert(fin.getAs[Long]("indexGaps") === 0L) // converged
+    assert(fin.getAs[Boolean]("valid"))
+  }
+
+  test("duplicate turn indexes produce the SAME (negative) gap as the " +
+      "batch validator") {
+    implicit val sqlCtx = spark.sqlContext
+    val dup = Seq(("c", 0L, "user", 3L), ("c", 0L, "user", 3L),
+      ("c", 1L, "assistant", 4L))
+    val batchGap = ChatPrep.validateAlternation(
+      dup.toDF("conv_id", "turn_idx", "role", "turn_words"), "conv_id")
+      .collect().head.getAs[Long]("index_gap")
+    assert(batchGap === -1L)
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = Streams.streamingChatValidator(input.toDS())
+      .writeStream.format("memory").queryName("chat_dup")
+      .outputMode("update").start()
+    input.addData(dup: _*)
+    q.processAllAvailable()
+    val r = spark.table("chat_dup").collect().head
+    q.stop()
+    assert(r.getAs[Long]("indexGaps") === batchGap)
+    assert(!r.getAs[Boolean]("valid"))
+  }
+
   test("within one micro-batch turns sort by index before validation " +
       "(arrival order inside a batch is not a violation)") {
     implicit val sqlCtx = spark.sqlContext

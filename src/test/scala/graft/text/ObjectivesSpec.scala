@@ -43,6 +43,15 @@ class ObjectivesSpec extends SparkSpecBase {
     }
   }
 
+  test("span corruption: a zero-word document emits NO row (the oracle's" +
+      " LATERAL-unnest semantics, the cropPairReport convention)") {
+    val withEmpty = docs.unionByName(
+      Seq((4L, ""), (5L, "   ")).toDF("doc_id", "text"))
+    val ids = Objectives.spanCorruptionReport(withEmpty, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
   test("span corruption degenerate rates: every-position starts give " +
       "one full-doc span; spanLen 1 makes masked == starts") {
     val all = Objectives.spanCorruptionReport(docs, "doc_id", "text",

@@ -39,6 +39,20 @@ class UrlOpsSpec extends SparkSpecBase {
     assert(m("http://b.org/q?b=2&a=1") === (("http://b.org/q?b=2&a=1", "b.org")))
   }
 
+  test("a '?' inside the fragment is NOT a query string (fragment " +
+      "strips before path/query parse)") {
+    val m = norm(
+      "http://a.com/path#a?b=1",
+      "http://a.com/p?x=1#y?z=2",
+      "http://a.com#?utm_source=t")
+    // the fragment's ?b=1 must not survive as a query
+    assert(m("http://a.com/path#a?b=1") === (("http://a.com/path", "a.com")))
+    // real query kept, fragment (with its inner ?) dropped
+    assert(m("http://a.com/p?x=1#y?z=2") === (("http://a.com/p?x=1", "a.com")))
+    // fragment-only URL: empty path -> "/", no query
+    assert(m("http://a.com#?utm_source=t") === (("http://a.com/", "a.com")))
+  }
+
   test("registrable domain: longest suffix wins; fallbacks are last-two" +
       " labels then the bare host") {
     val hosts = Seq("deep.sub.example.com", "example.co.uk", "x.ac.uk",
