@@ -67,7 +67,8 @@ object SparkEntry {
       text.Jsd.queries ++ etl.Ewma.queries ++ etl.Seasonal.queries ++ etl.Holt.queries ++
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.UnigramLm.queries ++ text.Objectives.queries ++
-      text.ChatPrep.queries ++ etl.PaddingReport.queries ++
+      text.ChatPrep.queries ++ text.ChatTokens.queries ++
+      etl.PaddingReport.queries ++
       text.PackContamination.queries ++ etl.ShuffleQuality.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++
       text.KneserNey.queries ++
