@@ -48,14 +48,14 @@ object UnigramLm {
 
   /** Word-frequency table (w, freq) — the bounded table every
     * iteration runs on. */
-  private def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+  private[text] def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
   /** Seed counts: every substring of length 1..maxPieceLen of every
     * word, weighted by word frequency (overlapping occurrences all
     * count). Map-side explode + one piece-keyed aggregation. */
-  private def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+  private[text] def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
     words.select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, least($maxPieceLen, length(w))),
            l -> transform(sequence(0, length(w) - l),
@@ -68,7 +68,7 @@ object UnigramLm {
     * ·1e6) with T = Σ kept counts, N = kept pieces — add-one
     * smoothing, micro-nat longs (exact on both engines: one IEEE
     * division, one ln, one multiply, one binary floor). */
-  private def scorePieces(counts: DataFrame, vocabExtra: Int): DataFrame = {
+  private[text] def scorePieces(counts: DataFrame, vocabExtra: Int): DataFrame = {
     val chars = counts.filter(length(col("piece")) === 1)
     val multi = counts
       .filter(length(col("piece")) > 1 && col("cnt") >= 1)
@@ -84,7 +84,7 @@ object UnigramLm {
 
   /** All (j, i, piece) windows of each word with piece length ≤
     * maxPieceLen — the Viterbi lattice edges before scoring. */
-  private def windows(words: DataFrame, maxPieceLen: Int): DataFrame =
+  private[text] def windows(words: DataFrame, maxPieceLen: Int): DataFrame =
     words.select(col("w"), col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, least($maxPieceLen, length(w))),
            l -> transform(sequence(0, length(w) - l),
@@ -275,8 +275,9 @@ object UnigramLm {
 
   /** One Viterbi pass (edges → forward DP → backtrace → segments)
     * against piece table ps$prev, CTEs suffixed $t, ending in
-    * `seg$t(w, pieces)`. */
-  private def viterbiCtes(t: Int, prev: Int, maxPieceLen: Int): String =
+    * `seg$t(w, pieces)`. private[graft]: [[UnigramPrune]]'s oracle
+    * replays one pass against the seed table. */
+  private[graft] def viterbiCtes(t: Int, prev: Int, maxPieceLen: Int): String =
     s"""e$t AS (SELECT x.w, x.j, x.i, p.score_micro AS score
        |  FROM (SELECT s.w AS w, CAST(j.j AS BIGINT) AS j,
        |          CAST(j.j + l.l AS BIGINT) AS i,
@@ -313,6 +314,24 @@ object UnigramLm {
        |  FROM b$t WHERE pos > 0),
        |seg$t AS (SELECT w, pieces FROM b$t WHERE pos = 0)""".stripMargin
 
+  /** The learn chain's SEED prefix — word freqs (w0), seed counts
+    * (sc0), seed piece table (ps0). private[graft]: [[UnigramPrune]]'s
+    * oracle prunes directly off the seed model. */
+  private[graft] def seedCtes(maxPieceLen: Int, vocabExtra: Int): String =
+    s"""w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+       |          x -> x <> '')) AS w FROM documents)
+       |  GROUP BY w),
+       |sc0 AS (SELECT substr(s.w, CAST(j.j AS INT) + 1, CAST(l.l AS INT))
+       |      AS piece,
+       |    CAST(SUM(s.freq) AS BIGINT) AS cnt
+       |  FROM w0 s,
+       |    LATERAL (SELECT unnest(range(1,
+       |      least($maxPieceLen, len(s.w)) + 1)) AS l) l,
+       |    LATERAL (SELECT unnest(range(len(s.w) - l.l + 1)) AS j) j
+       |  GROUP BY 1),
+       |${pruneScoreCtes(0, "sc0", vocabExtra)}""".stripMargin
+
   private def learnCtes(maxPieceLen: Int, vocabExtra: Int,
       iters: Int): String = {
     val iterBlocks = (1 to iters).map { t =>
@@ -326,19 +345,7 @@ object UnigramLm {
          |  LEFT JOIN c$t ON p.piece = c$t.piece),
          |${pruneScoreCtes(t, s"cf$t", vocabExtra)}""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
-       |          x -> x <> '')) AS w FROM documents)
-       |  GROUP BY w),
-       |sc0 AS (SELECT substr(s.w, CAST(j.j AS INT) + 1, CAST(l.l AS INT))
-       |      AS piece,
-       |    CAST(SUM(s.freq) AS BIGINT) AS cnt
-       |  FROM w0 s,
-       |    LATERAL (SELECT unnest(range(1,
-       |      least($maxPieceLen, len(s.w)) + 1)) AS l) l,
-       |    LATERAL (SELECT unnest(range(len(s.w) - l.l + 1)) AS j) j
-       |  GROUP BY 1),
-       |${pruneScoreCtes(0, "sc0", vocabExtra)},
+    s"""${seedCtes(maxPieceLen, vocabExtra)},
        |$iterBlocks""".stripMargin
   }
 
