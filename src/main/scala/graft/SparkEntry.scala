@@ -68,7 +68,7 @@ object SparkEntry {
       text.TextOps.queries ++ text.BpeMerge.queries ++
       text.UnigramLm.queries ++ text.Objectives.queries ++
       text.ChatPrep.queries ++ text.ChatTokens.queries ++
-      text.UnigramPrune.queries ++
+      text.UnigramPrune.queries ++ text.BestFitPack.queries ++
       etl.PaddingReport.queries ++
       text.PackContamination.queries ++ etl.ShuffleQuality.queries ++
       text.NgramLm.queries ++ text.TrigramLm.queries ++

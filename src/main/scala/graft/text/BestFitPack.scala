@@ -1,0 +1,331 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Best-fit-decreasing sequence packing (Zhao et al. 2024, "Fewer
+  * Truncations Improve Language Modeling" — best-fit packing) — the
+  * ACTING half of the two r14 batch-economics reports: pack-and-chop
+  * ([[TextOps.packCountedReleasable]], priced by
+  * [[PackContamination]]) wastes nothing but SPLITS documents at
+  * every window boundary; best-fit packing first chunks each document
+  * at the budget (docs ≤ budget stay whole), then bin-packs the
+  * pieces, so the only split documents are those longer than the
+  * budget — at the price of per-bin padding waste. This operator
+  * computes BOTH layouts' exact economics on the same corpus: one row
+  * per policy with segment/bin counts, padding waste, and cross-doc
+  * attention contamination, all exact integers.
+  *
+  * Pinned packing semantics (replayed verbatim by the oracle):
+  *   - docs with n ≤ 0 are excluded from both policies;
+  *   - `chop`: the [[TextOps.packCountedReleasable]] layout in id
+  *     order — one token stream cut every `budget` tokens;
+  *   - `bestfit`: each doc emits ⌊n/budget⌋ full chunks (each exactly
+  *     fills its own bin: zero waste, zero cross pairs) plus one
+  *     residual of n mod budget tokens when nonzero; residuals are
+  *     packed best-fit in DECREASING (length, then id) order — each
+  *     item goes to the bin with the SMALLEST remaining capacity that
+  *     fits (tie: the most recently changed bin), or opens a new bin.
+  *
+  * Envelope: per-bin pair counts are < budget²/2, so corpus totals
+  * are ≈ stream tokens · budget / 2 — cross/total pairs · 10⁶ stays
+  * exact in long up to 9.2·10¹² pairs
+  * (graft.tools.NumericEnvelopes pins the bound).
+  *
+  * Scale shape: the corpus is touched twice — the chop leg is the one
+  * distributed prefix sum plus two keyed aggs (the PackContamination
+  * shape), the bestfit leg ONE aggregation to the residual-length
+  * histogram (≤ budget rows — CONFIG-sized whatever the corpus) plus
+  * one scalar reduce. The best-fit simulation itself runs on the
+  * collected histogram in O(classes²) driver time, batching
+  * same-length items and identical-composition bin classes — the
+  * exact algorithm, never a per-item or per-bin corpus-sized loop
+  * (itemwise ≡ class-batched is spec-pinned on randomized
+  * histograms). */
+object BestFitPack {
+
+  /** A class of interchangeable bins: identical remaining capacity AND
+    * segment composition (lSum/l2Sum/nSeg are PER BIN; count = how
+    * many such bins). `step` orders classes for the tie-break. */
+  final case class BinClass(rem: Long, lSum: Long, l2Sum: Long,
+      nSeg: Long, count: Long, step: Long)
+
+  /** One summary row of the report. */
+  final case class PackPolicy(policy: String, n_docs: Long,
+      n_split_docs: Long, n_segments: Long, n_bins: Long,
+      total_tokens: Long, padded_tokens: Long, waste_tokens: Long,
+      waste_micro: Long, cross_pairs: Long, total_pairs: Long,
+      contamination_micro: Long)
+
+  /** Exact best-fit-decreasing over a (length, count) histogram —
+    * lengths must be in [1, budget]. Equivalent to the itemwise
+    * simulation under the pinned tie-break, but each round moves WHOLE
+    * batches of items into WHOLE batches of interchangeable bins, so
+    * the cost is O(length classes × bin classes), independent of item
+    * count: once best-fit picks the tightest class, that bin keeps
+    * winning the tie (its remaining only shrinks) until it cannot fit
+    * another item — absorbing exactly ⌊rem/len⌋ items — and the class
+    * mates behave identically. */
+  private[text] def simulate(hist: Seq[(Long, Long)],
+      budget: Long): Vector[BinClass] = {
+    require(budget >= 1, "budget >= 1")
+    var classes = Vector.empty[BinClass]
+    var step = 0L
+    for ((len, cnt) <- hist.sortBy { case (l, _) => -l }) {
+      require(len >= 1 && len <= budget, s"length $len outside [1, budget]")
+      require(cnt >= 1, "histogram counts must be positive")
+      var c = cnt
+      while (c > 0) {
+        val elig = classes.filter(_.rem >= len)
+        if (elig.isEmpty) {
+          // open new bins: each absorbs floor(budget/len) items
+          val a = budget / len
+          val nFull = c / a
+          if (nFull > 0) {
+            step += 1
+            classes :+= BinClass(budget - a * len, a * len,
+              a * len * len, a, nFull, step)
+          }
+          val rest = c - nFull * a
+          if (rest > 0) {
+            step += 1
+            classes :+= BinClass(budget - rest * len, rest * len,
+              rest * len * len, rest, 1, step)
+          }
+          c = 0
+        } else {
+          val target = elig.minBy(k => (k.rem, -k.step))
+          val a = target.rem / len // >= 1
+          val nFull = math.min(target.count, c / a)
+          var consumed = nFull
+          var created = Vector.empty[BinClass]
+          if (nFull > 0) {
+            step += 1
+            created :+= BinClass(target.rem - a * len,
+              target.lSum + a * len, target.l2Sum + a * len * len,
+              target.nSeg + a, nFull, step)
+          }
+          c -= nFull * a
+          if (c > 0 && target.count > nFull) {
+            // one more bin takes the tail (fewer than a items)
+            step += 1
+            created :+= BinClass(target.rem - c * len,
+              target.lSum + c * len, target.l2Sum + c * len * len,
+              target.nSeg + c, 1, step)
+            consumed += 1
+            c = 0
+          }
+          classes = classes.map(k =>
+            if (k eq target) k.copy(count = k.count - consumed) else k)
+            .filter(_.count > 0) ++ created
+        }
+      }
+    }
+    classes
+  }
+
+  /** Itemwise reference simulation (the oracle's recurrence, and the
+    * equivalence baseline for [[simulate]]): lengths processed in the
+    * given order; returns per-bin (rem, lSum, l2Sum, nSeg). */
+  private[text] def simulateItemwise(lens: Seq[Long],
+      budget: Long): Seq[(Long, Long, Long, Long)] = {
+    final case class Bin(var rem: Long, var st: Long, var ls: Long,
+      var l2: Long, var ns: Long)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
+    var step = 0L
+    for (len <- lens) {
+      step += 1
+      var best: Bin = null
+      bins.foreach { b =>
+        if (b.rem >= len && (best == null || b.rem < best.rem ||
+            (b.rem == best.rem && b.st > best.st))) best = b
+      }
+      if (best == null) bins += Bin(budget - len, step, len, len * len, 1)
+      else {
+        best.rem -= len; best.st = step
+        best.ls += len; best.l2 += len * len; best.ns += 1
+      }
+    }
+    bins.map(b => (b.rem, b.ls, b.l2, b.ns)).toSeq
+  }
+
+  /** The two-policy economics report over a precomputed
+    * (idCol, n_tokens) frame. */
+  def packBestFitReport(counted: DataFrame, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val spark = counted.sparkSession
+    import spark.implicits._
+    val filtered = counted
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+
+    // ---- chop leg: the packCounted layout, priced like q_t_pack ----
+    val (packed, release) = TextOps.packCountedReleasable(
+      filtered, idCol, budget)
+    val segs = packed.select(col("start_tok"), col("n_tokens"),
+        explode(sequence(col("bin_first"), col("bin_last"))).as("__b"))
+      .select(col("__b"),
+        (least(col("start_tok") + col("n_tokens"), (col("__b") + 1) * budget)
+          - greatest(col("start_tok"), col("__b") * budget)).as("__sl"))
+    val chopBins = segs.groupBy("__b")
+      .agg(sum("__sl").as("L"), sum(expr("__sl * __sl")).as("ss"),
+        count(lit(1)).as("nseg"))
+      .agg(count(lit(1)).as("nb"), sum("nseg").as("nsegs"),
+        sum("L").as("tot"),
+        sum(expr("(L * L - ss) div 2")).as("cross"),
+        sum(expr("(L * L - L) div 2")).as("pairs"))
+      .collect()(0)
+    val chopSplit = packed
+      .agg(sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L))
+        .as("s")).collect()(0)
+    release()
+
+    // ---- bestfit leg: full chunks closed-form + histogram BFD ----
+    val b0 = filtered.agg(
+      count(lit(1)).as("nd"), sum("n_tokens").as("tot"),
+      sum(expr(s"n_tokens div $budget")).as("fullc"),
+      sum(when(col("n_tokens") > budget, 1L).otherwise(0L)).as("split"))
+      .collect()(0)
+    val hist = filtered
+      .select(expr(s"n_tokens % $budget").as("r"))
+      .filter(col("r") > 0)
+      .groupBy("r").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getAs[Long]("r"), r.getAs[Long]("c"))).toSeq
+    val classes = simulate(hist, budget)
+
+    def zl(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    def row(policy: String, nDocs: Long, split: Long, nSegs: Long,
+        nBins: Long, total: Long, cross: Long, pairs: Long): PackPolicy = {
+      val padded = nBins * budget
+      val waste = padded - total
+      PackPolicy(policy, nDocs, split, nSegs, nBins, total, padded, waste,
+        if (padded > 0) waste * 1000000L / padded else 0L,
+        cross, pairs,
+        if (pairs > 0) cross * 1000000L / pairs else 0L)
+    }
+    val chop = row("chop", zl(b0, 0), zl(chopSplit, 0), zl(chopBins, 1),
+      zl(chopBins, 0), zl(chopBins, 2), zl(chopBins, 3), zl(chopBins, 4))
+    val fullc = zl(b0, 2)
+    val best = row("bestfit", zl(b0, 0), zl(b0, 3),
+      fullc + classes.map(k => k.nSeg * k.count).sum,
+      fullc + classes.map(_.count).sum,
+      zl(b0, 1),
+      classes.map(k => k.count * (k.lSum * k.lSum - k.l2Sum) / 2).sum,
+      fullc * (budget * (budget - 1) / 2) +
+        classes.map(k => k.count * (k.lSum * (k.lSum - 1) / 2)).sum)
+    Seq(chop, best).toDF()
+  }
+
+  /** q_t_pack_bestfit: both policies priced over documents at a
+    * 64-token budget (regex token counts — docs run 10..100 tokens,
+    * so both the full-chunk path and the residual bin-packing are
+    * exercised), hash-pinned against a full itemwise best-fit replay
+    * in a DuckDB recursive CTE. */
+  private val tBestFit = Q(
+    (s, d) => packBestFitReport(
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(TextOps.bpeTokenCount(col("text")), lit(0L))
+          .as("n_tokens")),
+      "doc_id", 64L).orderBy("policy"),
+    Some("""WITH RECURSIVE t AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                AS n
+              FROM documents),
+            f AS (SELECT doc_id, n FROM t WHERE n > 0),
+            c AS (SELECT doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_tok
+              FROM f),
+            p AS (SELECT doc_id, n, start_tok, start_tok // 64 AS bf,
+                (start_tok + n - 1) // 64 AS bl
+              FROM c),
+            segs AS (SELECT b.b AS b,
+                LEAST(start_tok + n, (b.b + 1) * 64)
+                  - GREATEST(start_tok, b.b * 64) AS sl
+              FROM p, LATERAL (SELECT unnest(range(bf, bl + 1)) AS b) b),
+            cb AS (SELECT b, CAST(SUM(sl) AS BIGINT) AS L,
+                CAST(SUM(sl * sl) AS BIGINT) AS ss,
+                CAST(COUNT(*) AS BIGINT) AS nseg
+              FROM segs GROUP BY 1),
+            chop AS (SELECT 'chop' AS policy,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_docs,
+                (SELECT CAST(SUM(CASE WHEN bl > bf THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM p) AS n_split_docs,
+                CAST(SUM(nseg) AS BIGINT) AS n_segments,
+                CAST(COUNT(*) AS BIGINT) AS n_bins,
+                CAST(SUM(L) AS BIGINT) AS total_tokens,
+                CAST(SUM((L * L - ss) // 2) AS BIGINT) AS cross_pairs,
+                CAST(SUM((L * L - L) // 2) AS BIGINT) AS total_pairs
+              FROM cb),
+            it AS (SELECT row_number() OVER (ORDER BY n % 64 DESC, doc_id)
+                  AS rn,
+                CAST(n % 64 AS BIGINT) AS len
+              FROM f WHERE n % 64 > 0),
+            nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM it),
+            pk AS (
+              SELECT CAST(0 AS BIGINT) AS k,
+                CAST([] AS STRUCT(rem BIGINT, st BIGINT, ls BIGINT,
+                  l2 BIGINT, ns BIGINT)[]) AS bins
+              UNION ALL
+              SELECT s.k + 1,
+                CASE WHEN ch.tst IS NULL THEN list_append(s.bins,
+                    {'rem': 64 - it.len, 'st': s.k + 1, 'ls': it.len,
+                     'l2': it.len * it.len, 'ns': CAST(1 AS BIGINT)})
+                  ELSE list_transform(s.bins, b ->
+                    CASE WHEN b.st = ch.tst THEN
+                      {'rem': b.rem - it.len, 'st': s.k + 1,
+                       'ls': b.ls + it.len, 'l2': b.l2 + it.len * it.len,
+                       'ns': b.ns + 1}
+                    ELSE b END)
+                END AS bins
+              FROM pk s JOIN it ON it.rn = s.k + 1,
+              LATERAL (SELECT list_max(list_transform(list_filter(s.bins,
+                  b -> b.rem >= it.len AND b.rem = list_min(list_transform(
+                    list_filter(s.bins, b2 -> b2.rem >= it.len),
+                    b2 -> b2.rem))),
+                b -> b.st)) AS tst) ch),
+            fin AS (SELECT unnest(bins) AS b FROM pk, nit
+              WHERE k = nit.cnt),
+            rstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS rbins,
+                CAST(COALESCE(SUM(b.ns), 0) AS BIGINT) AS rsegs,
+                CAST(COALESCE(SUM((b.ls * b.ls - b.l2) // 2), 0)
+                  AS BIGINT) AS rcross,
+                CAST(COALESCE(SUM((b.ls * b.ls - b.ls) // 2), 0)
+                  AS BIGINT) AS rpairs
+              FROM fin),
+            bstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS total,
+                CAST(SUM(n // 64) AS BIGINT) AS fullc,
+                CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS split_docs
+              FROM f),
+            best AS (SELECT 'bestfit' AS policy, bstat.n_docs,
+                bstat.split_docs AS n_split_docs,
+                bstat.fullc + rstat.rsegs AS n_segments,
+                bstat.fullc + rstat.rbins AS n_bins,
+                bstat.total AS total_tokens,
+                rstat.rcross AS cross_pairs,
+                bstat.fullc * (64 * 63 // 2) + rstat.rpairs AS total_pairs
+              FROM bstat, rstat),
+            u AS (SELECT * FROM chop UNION ALL SELECT * FROM best)
+            SELECT policy, n_docs, n_split_docs, n_segments, n_bins,
+              CAST(total_tokens AS BIGINT) AS total_tokens,
+              CAST(n_bins * 64 AS BIGINT) AS padded_tokens,
+              CAST(n_bins * 64 - total_tokens AS BIGINT) AS waste_tokens,
+              CAST(CASE WHEN n_bins > 0
+                THEN (n_bins * 64 - total_tokens) * 1000000 // (n_bins * 64)
+                ELSE 0 END AS BIGINT) AS waste_micro,
+              CAST(cross_pairs AS BIGINT) AS cross_pairs,
+              CAST(total_pairs AS BIGINT) AS total_pairs,
+              CAST(CASE WHEN total_pairs > 0
+                THEN cross_pairs * 1000000 // total_pairs
+                ELSE 0 END AS BIGINT) AS contamination_micro
+            FROM u ORDER BY policy"""))
+
+  val queries: Map[String, Q] = Map("q_t_pack_bestfit" -> tBestFit)
+}

@@ -27,10 +27,10 @@ import org.apache.spark.sql.functions._
   * change. kept = top `vocabKeep` multi-char candidates by
   * (loss desc, piece asc).
   *
-  * Envelope: freq_w · (best_w − alt_w) ≤ freq_w · wordLen ·
-  * ceil(ln(T+N)·10⁶) — the loss sum is exact in long while corpus
-  * tokens · wordLen ≤ 9.2·10¹²/ln(T+N) (graft.tools.NumericEnvelopes
-  * pins the bound).
+  * Envelope: a piece's loss sum is ≤ corpus tokens · wordLen ·
+  * ceil(ln(T+N)·10⁶) micro-nats — exact in long for 10¹⁰ corpus
+  * tokens of 16-char words (graft.tools.NumericEnvelopes pins the
+  * bound); widen to decimal(38) beyond.
   *
   * Scale shape (the learnState discipline): ONE corpus aggregation
   * (word freqs); everything after is vocabulary-sized — the candidate

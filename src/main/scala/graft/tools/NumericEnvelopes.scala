@@ -73,5 +73,17 @@ object NumericEnvelopes {
       "shuffle-quality-shares",
       "src/main/scala/graft/etl/ShuffleQuality.scala",
       "same_pairs * 1e6 and ns * 1e6 at 9.2e12 docs; pm^2 <= 1e12",
+      b(9200000000000L) * 1000000),
+    Envelope(
+      "unigram-prune-loss-sum",
+      "src/main/scala/graft/text/UnigramPrune.scala",
+      "piece loss sum: tokens * wordLen * ceil(ln(T + N) * 1e6) at " +
+        "1e10 corpus tokens of 16-char words",
+      b(10000000000L) * 16 * 42000000L),
+    Envelope(
+      "bestfit-pack-pairs",
+      "src/main/scala/graft/text/BestFitPack.scala",
+      "cross/total attention pairs * 1e6 at 9.2e12 pairs (~ " +
+        "stream tokens * budget / 2)",
       b(9200000000000L) * 1000000))
 }
