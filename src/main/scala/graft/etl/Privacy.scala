@@ -165,18 +165,80 @@ object Privacy {
     * One row per rung: (rung, quasi, n_classes, k_min, l_min,
     * rows_below_k, meets_k, chosen).
     *
-    * Scale shape: one groupBy per rung over progressively COARSER
-    * keys (each a prefix-drop of the finest — at 100 TB these are the
-    * same corpus pass repeated |ladder| times, or one pass with
-    * ROLLUP when the ladder is nested, as here); rung summaries are
-    * class-cell aggregations; the chosen flag is a 1-row broadcast
-    * min attach. */
+    * Scale shape: a NESTED ladder (every rung a prefix of the one
+    * before — the registered shape, and what a generalization
+    * hierarchy usually is) costs exactly ONE corpus pass: a ROLLUP
+    * over the finest rung computes every prefix level's class cells
+    * in one Expand+aggregate, rung summaries pick their level by
+    * grouping_id (so data NULLs in quasi columns never conflate with
+    * the rollup's collapse marker), and the rung labels attach by
+    * broadcast (audit-pinned: one scan in the q_p38 plan). A
+    * non-nested ladder falls back to one groupBy per rung. The chosen
+    * flag is a 1-row broadcast min attach either way. */
   def kAnonGeneralize(df: DataFrame, ladder: Seq[Seq[String]],
       sensitiveCol: String, k: Int): DataFrame = {
     require(ladder.nonEmpty, "ladder must have at least one rung")
     require(ladder.last.isEmpty,
       "last rung must be the empty quasi set (release always possible)")
-    val rungs = ladder.zipWithIndex.map { case (quasi, i) =>
+    val nested = ladder.sliding(2).forall {
+      case Seq(a, b) => b.length < a.length && a.startsWith(b)
+      case _ => true
+    }
+    val all = if (nested) rollupRungs(df, ladder, sensitiveCol, k)
+      else unionRungs(df, ladder, sensitiveCol, k)
+    // the rung table is LADDER-sized: materialize it once and attach
+    // the chosen flag driver-side — a lazy min-attach would re-derive
+    // the whole corpus pass a second time (audit-pinned: the rollup
+    // path's library frame costs exactly one scan). No meeting rung
+    // (k > N) leaves chosen NULL on every row, as before.
+    val spark = df.sparkSession
+    val rows = all.collect()
+    val chosen = rows.filter(_.getAs[Boolean]("meets_k"))
+      .map(_.getAs[Long]("rung")).minOption
+    val out = rows.toSeq.map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+
+        chosen.map(c => java.lang.Boolean.valueOf(r.getAs[Long]("rung") == c))
+          .orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      all.schema.add("chosen", org.apache.spark.sql.types.BooleanType))
+  }
+
+  /** One ROLLUP pass for a nested ladder: rung i's class cells are the
+    * rollup rows whose grouping_id collapses exactly the columns rung
+    * i drops (2^(dropped) − 1); skipped prefix levels are computed by
+    * the rollup but filtered out — still one scan. */
+  private[graft] def rollupRungs(df: DataFrame, ladder: Seq[Seq[String]],
+      sensitiveCol: String, k: Int): DataFrame = {
+    val full = ladder.head
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.rollup(full.map(col): _*)
+      .agg(grouping_id().as("__gid"),
+        count(lit(1)).as("sz"),
+        countDistinct(col(sensitiveCol)).as("ldiv"))
+    val gids = ladder.map(q => (1L << (full.length - q.length)) - 1)
+    val meta = ladder.zipWithIndex.map { case (q, i) =>
+      (gids(i), i.toLong, q.mkString(","))
+    }.toDF("__gid", "rung", "quasi")
+    cells.filter(col("__gid").isin(gids: _*))
+      .groupBy("__gid")
+      .agg(count(lit(1)).as("n_classes"),
+        min("sz").as("k_min"),
+        min("ldiv").as("l_min"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L))
+          .as("rows_below_k"))
+      .join(broadcast(meta), Seq("__gid"))
+      .select(col("rung"), col("quasi"), col("n_classes"), col("k_min"),
+        col("l_min"), col("rows_below_k"),
+        (col("k_min") >= k).as("meets_k"))
+  }
+
+  /** The general path: one groupBy per rung, unioned. */
+  private[graft] def unionRungs(df: DataFrame, ladder: Seq[Seq[String]],
+      sensitiveCol: String, k: Int): DataFrame =
+    ladder.zipWithIndex.map { case (quasi, i) =>
       val keyed =
         if (quasi.isEmpty) df.withColumn("__k", lit("*")).groupBy("__k")
         else df.groupBy(quasi.map(col): _*)
@@ -192,14 +254,7 @@ object Privacy {
           col("n_classes"), col("k_min"), col("l_min"),
           col("rows_below_k"),
           (col("k_min") >= k).as("meets_k"))
-    }
-    val all = rungs.reduce(_ unionByName _)
-    val first = all.filter(col("meets_k"))
-      .agg(min("rung").as("__chosen"))
-    all.crossJoin(broadcast(first))
-      .withColumn("chosen", col("rung") === col("__chosen"))
-      .drop("__chosen")
-  }
+    }.reduce(_ unionByName _)
 
   /** q_p38_kanon_generalize: the release ladder for the q_p28 gate —
     * (nation, segment) → (nation) → (*) at target k = 40. */

@@ -1607,10 +1607,56 @@ object ExplainAudit {
       "no keyed shuffle (map+explode until the output sort)" ->
         (p => !p.contains("hashpartitioning(")))
     audit("q_p38_kanon_generalize",
-      "chosen-rung flag attaches as a 1-row broadcast" ->
-        (p => p.contains("BroadcastNestedLoopJoin")),
-      "no cartesian product in the ladder union" ->
-        (p => !p.contains("CartesianProduct")))
+      // ladder-sized result materialized once, chosen flag attached
+      // driver-side — the corpus work happens in the library frame
+      "registered frame is the materialized ladder table" ->
+        (p => p.contains("Scan ExistingRDD")))
+    // the nested 3-rung ladder rides ONE ROLLUP pass (r14 verdict
+    // what's-wrong #3): a single customer scan feeds an Expand, not
+    // one scan per rung
+    section("kanon_rollup (library frame)") {
+      val base = graft.Tables.customer(spark, sf).select(
+        org.apache.spark.sql.functions.col("c_nationkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"),
+        (org.apache.spark.sql.functions.col("c_acctbal") > 0)
+          .as("positive_bal"))
+      val plan = graft.etl.Privacy.rollupRungs(base,
+        Seq(Seq("c_nationkey", "c_mktsegment"), Seq("c_nationkey"),
+          Seq.empty),
+        "positive_bal", 40)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      println("=== kanon_rollup (library frame) ===")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      Seq(
+        // count detail-section scan headers: formatted mode prints each
+        // scan once in the tree AND once as "(n) Scan parquet"
+        "single corpus scan (ROLLUP computes every rung)" ->
+          (plan.linesIterator.count(
+            _.matches("""\(\d+\) Scan parquet\s*""")) == 1),
+        "rollup Expand present (grouping-id rung selection)" ->
+          plan.contains("Expand"),
+        "rung labels attach by broadcast" ->
+          plan.contains("BroadcastHashJoin"))
+        .foreach { case (d, ok) =>
+          println(s"  [${if (ok) "OK" else "MISS"}] $d")
+          if (!ok) failures ::= s"kanon_rollup: $d"
+        }
+    }
+    audit("q_t_chat_tokens",
+      // learn + segment + per-doc fold all happen inside the eager
+      // checkpoint (the unigram-family convention); the registered
+      // frame is the checkpointed span table
+      "span table is the checkpointed frame" ->
+        (p => p.contains("Scan ExistingRDD")))
+    audit("q_t_unigram_prune",
+      "prune table is the checkpointed frame (exclusion DP inside)" ->
+        (p => p.contains("Scan ExistingRDD")))
+    audit("q_t_pack_bestfit",
+      // both legs reduce to driver scalars (chop aggs + the histogram
+      // simulation); the registered frame is the assembled 2-row table
+      "report is a 2-row local table (corpus work reduced inside)" ->
+        (p => p.contains("LocalTableScan")))
     audit("q_p35_tcloseness",
       "global marginal and total attach via broadcast" ->
         (p => p.contains("BroadcastNestedLoopJoin") ||

@@ -49,6 +49,47 @@ class KanonGeneralizeSpec extends SparkSpecBase {
     assert(got.last.getAs[Long]("l_min") === 2L)
   }
 
+  test("the one-pass ROLLUP path equals the per-rung union path on a " +
+      "nested ladder, row for row") {
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("rung"),
+      r.getAs[String]("quasi"), r.getAs[Long]("n_classes"),
+      r.getAs[Long]("k_min"), r.getAs[Long]("l_min"),
+      r.getAs[Long]("rows_below_k"), r.getAs[Boolean]("meets_k"))
+    val viaRollup = Privacy.rollupRungs(df, ladder, "s", 4)
+      .collect().map(key).sortBy(_._1)
+    val viaUnion = Privacy.unionRungs(df, ladder, "s", 4)
+      .collect().map(key).sortBy(_._1)
+    assert(viaRollup === viaUnion)
+  }
+
+  test("a NULL quasi value stays its own class — never conflated with " +
+      "the rollup's collapse marker (grouping_id selection)") {
+    val withNull = df.unionByName(
+      Seq(("a", null: String, true), ("a", null: String, false))
+        .toDF("g1", "g2", "s"))
+    val got = Privacy.kAnonGeneralize(withNull, ladder, "s", k = 4)
+      .orderBy("rung").collect()
+    // rung 0 gains the (a, NULL) class: 4 -> 5 classes
+    assert(got(0).getAs[Long]("n_classes") === 5L)
+    // rung 1 (g1 only): still 2 classes, a grows to 6 rows
+    assert(got(1).getAs[Long]("n_classes") === 2L)
+    assert(got(1).getAs[Long]("k_min") === 4L)
+    // empty rung: one class of all 10 rows
+    assert(got(2).getAs[Long]("k_min") === 10L)
+  }
+
+  test("a non-nested ladder (rung not a prefix) falls back to the " +
+      "union path and stays exact") {
+    val skew = Seq(Seq("g1", "g2"), Seq("g2"), Seq.empty[String])
+    val got = Privacy.kAnonGeneralize(df, skew, "s", k = 4)
+      .orderBy("rung").collect()
+    assert(got(1).getAs[String]("quasi") === "g2")
+    assert(got(1).getAs[Long]("n_classes") === 2L) // x: 5 rows, y: 3
+    assert(got(1).getAs[Long]("k_min") === 3L)
+    assert(!got(1).getAs[Boolean]("meets_k"))
+    assert(got(2).getAs[Boolean]("chosen"))
+  }
+
   test("a non-terminated ladder is rejected") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonGeneralize(df, Seq(Seq("g1")), "s", k = 2)
