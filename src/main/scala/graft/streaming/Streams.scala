@@ -694,6 +694,46 @@ object Streams {
       }
   }
 
+  final case class CapState(seen: Long)
+  final case class CapDecision(domain: String, docId: String, rank: Long,
+      kept: Boolean)
+
+  /** Streaming twin of [[graft.text.UrlOps.capDocuments]] — the
+    * FineWeb per-domain share cap as a LIVE ingest gate: every
+    * arriving document gets an immediate keep/drop verdict against
+    * its domain's quota, instead of waiting for a corpus-wide count.
+    * Quotas are config DATA (the collected q_p33 domainCaps table, or
+    * an operator-set budget) riding the closure; `defaultQuota`
+    * covers domains the map has never seen. State is ONE counter per
+    * domain forever, whatever the document volume.
+    *
+    * Determinism: within a micro-batch a domain's docs rank in docId
+    * order (the chat-validator convention); across batches ranks
+    * follow ARRIVAL order, so the gate equals the batch
+    * [[graft.text.UrlOps.capDocuments]] kept set exactly when docs
+    * arrive in the batch order column's order (spec-pinned on a
+    * replayed stream). */
+  def streamingDomainCap(docs: Dataset[(String, String)],
+      quotas: Map[String, Long],
+      defaultQuota: Long): Dataset[CapDecision] = {
+    require(defaultQuota >= 0, "defaultQuota >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[(String, String)],
+            state: GroupState[CapState]) =>
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          val quota = quotas.getOrElse(domain, defaultQuota)
+          val out = rows.map(_._2).toSeq.sorted.map { id =>
+            seen += 1
+            CapDecision(domain, id, seen, seen <= quota)
+          }
+          state.update(CapState(seen))
+          out.iterator
+      }
+  }
+
   /** S9 as a stream: drain all currently-present files once
     * (Trigger.AvailableNow), land them at `outPath`, checkpoint so already-
     * seen files are never reprocessed across invocations. */
