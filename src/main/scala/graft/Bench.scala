@@ -352,7 +352,10 @@ object Bench {
     "q_t_url_norm", "q_p33_domain_caps", "q_p34_gopher_funnel",
     "q_t_span_corruption", "q_t_fim_split", "q_t_chat_render",
     "q_p35_tcloseness", "q_p36_padding_waste", "q_t_pack_contamination",
-    "q_p37_shuffle_quality", "q_t_crop_pairs", "q_p38_kanon_generalize")
+    "q_p37_shuffle_quality", "q_t_crop_pairs", "q_p38_kanon_generalize",
+    // round-15: token-level loss masks (template x unigram encode),
+    // likelihood-loss vocabulary pruning, best-fit-decreasing packing
+    "q_t_chat_tokens", "q_t_unigram_prune", "q_t_pack_bestfit")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -526,7 +529,12 @@ object Bench {
     "q_t_chat_render" -> 0.7, "q_p35_tcloseness" -> 0.4,
     "q_p36_padding_waste" -> 0.8, "q_t_pack_contamination" -> 0.5,
     "q_p37_shuffle_quality" -> 1.8, "q_t_crop_pairs" -> 0.7,
-    "q_p38_kanon_generalize" -> 1.3)
+    // r15: ROLLUP single-pass ladder cut q_p38 from 1.3 to ~0.4 warm
+    "q_p38_kanon_generalize" -> 0.5,
+    // r15 additions (TimeOne warm at sf0.1; chat_tokens carries the
+    // unigram-family per-JVM janino warm-up, conservative as recorded)
+    "q_t_chat_tokens" -> 13.6, "q_t_unigram_prune" -> 3.6,
+    "q_t_pack_bestfit" -> 1.7)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the
