@@ -45,11 +45,26 @@ import org.apache.spark.sql.functions._
   * histograms). */
 object BestFitPack {
 
+  /** A run of consecutive bin ids inside a class, stored in
+    * consumption-priority order: the run's bins are visited
+    * first, first+dir, first+2·dir, … — `dir` is −1 when the newest
+    * (highest last-change step) bin has the highest id, +1 after a
+    * conversion reverses the order. */
+  final case class Run(first: Long, count: Long, dir: Long)
+
   /** A class of interchangeable bins: identical remaining capacity AND
     * segment composition (lSum/l2Sum/nSeg are PER BIN; count = how
-    * many such bins). `step` orders classes for the tie-break. */
+    * many such bins). `step` orders classes for the tie-break; `runs`
+    * carry the physical bin ids in consumption-priority order (Σ run
+    * counts = count). */
   final case class BinClass(rem: Long, lSum: Long, l2Sum: Long,
-      nSeg: Long, count: Long, step: Long)
+      nSeg: Long, count: Long, step: Long, runs: Vector[Run])
+
+  /** One arithmetic block of the item→bin assignment for a length
+    * class: items with class rank in [crStart, crStart+nItems) map to
+    * bin binFirst + ((rank − crStart) div a) · dir. */
+  final case class Segment(len: Long, crStart: Long, nItems: Long,
+      binFirst: Long, a: Long, dir: Long)
 
   /** One summary row of the report. */
   final case class PackPolicy(policy: String, n_docs: Long,
@@ -68,71 +83,137 @@ object BestFitPack {
     * another item — absorbing exactly ⌊rem/len⌋ items — and the class
     * mates behave identically. */
   private[text] def simulate(hist: Seq[(Long, Long)],
-      budget: Long): Vector[BinClass] = {
+      budget: Long): Vector[BinClass] =
+    simulateAssign(hist, budget)._1
+
+  /** [[simulate]] plus the item→bin ASSIGNMENT: returns (final
+    * classes, assignment segments, bins opened). Bin ids number in
+    * creation order from 0 (= the itemwise algorithm's list position);
+    * an item's bin follows from its within-length-class rank through
+    * its covering [[Segment]] — both outputs are config-sized, so the
+    * per-doc manifest attaches to the corpus by broadcast. Splitting a
+    * consumption run keeps ids exact: a converted batch's bins were
+    * last changed in run order, so the NEW class's runs are the
+    * consumed chunks reversed with direction flipped (LIFO by
+    * last-change step, matching the itemwise tie-break — spec-pinned
+    * per item on randomized histograms). */
+  private[text] def simulateAssign(hist: Seq[(Long, Long)],
+      budget: Long): (Vector[BinClass], Vector[Segment], Long) = {
     require(budget >= 1, "budget >= 1")
     var classes = Vector.empty[BinClass]
+    var segs = Vector.empty[Segment]
     var step = 0L
+    var nextBin = 0L
+    // take the first n bins off a priority-ordered run list
+    def takeRuns(runs: Vector[Run], n: Long): (Vector[Run], Vector[Run]) = {
+      var need = n
+      var rest = runs
+      var taken = Vector.empty[Run]
+      while (need > 0) {
+        val h = rest.head
+        val t = math.min(h.count, need)
+        taken :+= Run(h.first, t, h.dir)
+        rest = if (t == h.count) rest.tail
+          else Run(h.first + t * h.dir, h.count - t, h.dir) +: rest.tail
+        need -= t
+      }
+      (taken, rest)
+    }
     for ((len, cnt) <- hist.sortBy { case (l, _) => -l }) {
       require(len >= 1 && len <= budget, s"length $len outside [1, budget]")
       require(cnt >= 1, "histogram counts must be positive")
       var c = cnt
+      var cr = 0L // class-rank cursor within this length class
       while (c > 0) {
         val elig = classes.filter(_.rem >= len)
         if (elig.isEmpty) {
-          // open new bins: each absorbs floor(budget/len) items
+          // open new bins: each absorbs floor(budget/len) items; ids
+          // ascend with consumption, so ONE segment covers the full
+          // batch and the partial tail bin
           val a = budget / len
           val nFull = c / a
+          val rest = c - nFull * a
+          segs :+= Segment(len, cr, c, nextBin, a, 1L)
           if (nFull > 0) {
             step += 1
             classes :+= BinClass(budget - a * len, a * len,
-              a * len * len, a, nFull, step)
+              a * len * len, a, nFull, step,
+              Vector(Run(nextBin + nFull - 1, nFull, -1L)))
           }
-          val rest = c - nFull * a
           if (rest > 0) {
             step += 1
             classes :+= BinClass(budget - rest * len, rest * len,
-              rest * len * len, rest, 1, step)
+              rest * len * len, rest, 1, step,
+              Vector(Run(nextBin + nFull, 1, -1L)))
           }
+          nextBin += nFull + (if (rest > 0) 1L else 0L)
+          cr += c
           c = 0
         } else {
           val target = elig.minBy(k => (k.rem, -k.step))
           val a = target.rem / len // >= 1
           val nFull = math.min(target.count, c / a)
-          var consumed = nFull
+          val tail = c - nFull * a
+          val hasPartial = tail > 0 && target.count > nFull
+          val consumed = nFull + (if (hasPartial) 1L else 0L)
+          val eventItems = nFull * a + (if (hasPartial) tail else 0L)
+          val (chunks, remainingRuns) = takeRuns(target.runs, consumed)
+          // emit one segment per consumed chunk; only the event's
+          // last bin may absorb fewer than a items, and the div-a
+          // mapping lands it in the same bin either way
+          var itemsLeft = eventItems
+          var crc = cr
+          chunks.foreach { ch =>
+            val ni = math.min(itemsLeft, ch.count * a)
+            if (ni > 0) segs :+= Segment(len, crc, ni, ch.first, a, ch.dir)
+            crc += ni; itemsLeft -= ni
+          }
           var created = Vector.empty[BinClass]
           if (nFull > 0) {
+            val (fullChunks, _) = takeRuns(chunks, nFull)
             step += 1
             created :+= BinClass(target.rem - a * len,
               target.lSum + a * len, target.l2Sum + a * len * len,
-              target.nSeg + a, nFull, step)
+              target.nSeg + a, nFull, step,
+              fullChunks.reverse.map(ch =>
+                Run(ch.first + (ch.count - 1) * ch.dir, ch.count, -ch.dir)))
           }
-          c -= nFull * a
-          if (c > 0 && target.count > nFull) {
-            // one more bin takes the tail (fewer than a items)
+          if (hasPartial) {
+            val (_, afterFull) = takeRuns(chunks, nFull)
+            val pb = afterFull.head // exactly one bin remains
             step += 1
-            created :+= BinClass(target.rem - c * len,
-              target.lSum + c * len, target.l2Sum + c * len * len,
-              target.nSeg + c, 1, step)
-            consumed += 1
-            c = 0
+            created :+= BinClass(target.rem - tail * len,
+              target.lSum + tail * len, target.l2Sum + tail * len * len,
+              target.nSeg + tail, 1, step, Vector(Run(pb.first, 1, -1L)))
           }
           classes = classes.map(k =>
-            if (k eq target) k.copy(count = k.count - consumed) else k)
+            if (k eq target)
+              k.copy(count = k.count - consumed, runs = remainingRuns)
+            else k)
             .filter(_.count > 0) ++ created
+          cr += eventItems
+          c -= eventItems
         }
       }
     }
-    classes
+    (classes, segs, nextBin)
   }
 
   /** Itemwise reference simulation (the oracle's recurrence, and the
     * equivalence baseline for [[simulate]]): lengths processed in the
     * given order; returns per-bin (rem, lSum, l2Sum, nSeg). */
   private[text] def simulateItemwise(lens: Seq[Long],
-      budget: Long): Seq[(Long, Long, Long, Long)] = {
-    final case class Bin(var rem: Long, var st: Long, var ls: Long,
-      var l2: Long, var ns: Long)
+      budget: Long): Seq[(Long, Long, Long, Long)] =
+    simulateItemwiseAssign(lens, budget)._1
+
+  /** Itemwise reference WITH per-item assignment: also returns each
+    * item's bin id (creation order, 0-based). */
+  private[text] def simulateItemwiseAssign(lens: Seq[Long],
+      budget: Long): (Seq[(Long, Long, Long, Long)], Seq[Long]) = {
+    final case class Bin(id: Long, var rem: Long, var st: Long,
+      var ls: Long, var l2: Long, var ns: Long)
     val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
+    val asg = scala.collection.mutable.ArrayBuffer.empty[Long]
     var step = 0L
     for (len <- lens) {
       step += 1
@@ -141,13 +222,16 @@ object BestFitPack {
         if (b.rem >= len && (best == null || b.rem < best.rem ||
             (b.rem == best.rem && b.st > best.st))) best = b
       }
-      if (best == null) bins += Bin(budget - len, step, len, len * len, 1)
-      else {
+      if (best == null) {
+        bins += Bin(bins.length, budget - len, step, len, len * len, 1)
+        asg += bins.length - 1L
+      } else {
         best.rem -= len; best.st = step
         best.ls += len; best.l2 += len * len; best.ns += 1
+        asg += best.id
       }
     }
-    bins.map(b => (b.rem, b.ls, b.l2, b.ns)).toSeq
+    (bins.map(b => (b.rem, b.ls, b.l2, b.ns)).toSeq, asg.toSeq)
   }
 
   /** The two-policy economics report over a precomputed
@@ -219,6 +303,122 @@ object BestFitPack {
     Seq(chop, best).toDF()
   }
 
+  /** Per-document manifest: one row per SEGMENT the doc contributes —
+    * (idCol, seg_idx, bin, seg_tokens). Full chunks occupy seg_idx
+    * 0..⌊n/budget⌋−1 in bins numbered by doc order; the residual (if
+    * any) is seg_idx ⌊n/budget⌋ in a best-fit bin numbered
+    * fullChunksTotal + creation order. This is what a data loader
+    * consumes; hash-gated per row against the itemwise oracle.
+    *
+    * Scale shape: full-chunk bin bases are ONE distributed prefix sum
+    * (GlobalIndex, doc order); residual ranks one more (length, id)
+    * prefix-sum pass; the assignment itself is the histogram
+    * simulation's SEGMENT table — config-sized, broadcast-joined on
+    * (length, rank-range), so the corpus never meets a per-bin
+    * structure. */
+  def packBestFitAssign(counted: DataFrame, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val spark = counted.sparkSession
+    import spark.implicits._
+    val filtered = counted
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val (cum, relCum) = graft.etl.GlobalIndex.withGlobalCumsumReleasable(
+      filtered, Seq(col(idCol)), expr(s"n_tokens div $budget"), "__fb")
+    val fullSegs = cum.filter(expr(s"n_tokens div $budget") > 0)
+      .select(col(idCol), col("__fb"),
+        explode(sequence(lit(0L), expr(s"n_tokens div $budget") - 1))
+          .as("seg_idx"))
+      .select(col(idCol), col("seg_idx"),
+        (col("__fb") + col("seg_idx")).as("bin"),
+        lit(budget).as("seg_tokens"))
+    val fullTotal = {
+      val r = filtered.agg(sum(expr(s"n_tokens div $budget"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val resid = filtered.select(col(idCol),
+        expr(s"n_tokens div $budget").as("__f"),
+        expr(s"n_tokens % $budget").as("r"))
+      .filter(col("r") > 0)
+    val (ranked, relIdx) = graft.etl.GlobalIndex.withGlobalIndexReleasable(
+      resid, Seq(col("r"), col(idCol)), "__rn")
+    val hist = resid.groupBy("r").agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getAs[Long]("r"), x.getAs[Long]("c"))).toSeq
+    // class offsets under the ASCENDING (r, id) rank order
+    val offs = hist.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (r, c)) => (r, acc + c) }
+      .sliding(2).collect { case Seq((_, acc), (r, _)) => (r, acc) }.toSeq
+    val (_, segments, _) = simulateAssign(hist, budget)
+    val offDf = (if (offs.isEmpty) Seq((-1L, 0L)) else offs)
+      .toDF("r", "__off")
+    val segDf = (if (segments.isEmpty)
+        Seq((-1L, 0L, -1L, 0L, 1L, 1L))
+      else segments.map(s =>
+        (s.len, s.crStart, s.crStart + s.nItems - 1, s.binFirst, s.a,
+          s.dir)))
+      .toDF("__sr", "__lo", "__hi", "__bf", "__a", "__dir")
+    val residSegs = ranked.join(broadcast(offDf), Seq("r"))
+      .withColumn("__cr", col("__rn") - 1 - col("__off"))
+      .join(broadcast(segDf),
+        col("r") === col("__sr") && col("__cr") >= col("__lo") &&
+          col("__cr") <= col("__hi"))
+      .select(col(idCol), col("__f").as("seg_idx"),
+        (lit(fullTotal) + col("__bf") +
+          expr("((__cr - __lo) div __a) * __dir")).as("bin"),
+        col("r").as("seg_tokens"))
+    val out = fullSegs.unionByName(residSegs)
+      .localCheckpoint(eager = true)
+    relCum(); relIdx()
+    out
+  }
+
+  /** Shared oracle chain: regex token counts (t), the n>0 corpus (f),
+    * residual items in (len desc, id) order (it, nit), and the
+    * itemwise best-fit recursion pk carrying the live bin list PLUS
+    * each item's chosen bin position (asg). */
+  private def bfdCtes: String =
+    """t AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                AS n
+              FROM documents),
+            f AS (SELECT doc_id, n FROM t WHERE n > 0),
+            it AS (SELECT row_number() OVER (ORDER BY n % 64 DESC, doc_id)
+                  AS rn,
+                doc_id,
+                CAST(n % 64 AS BIGINT) AS len,
+                CAST(n // 64 AS BIGINT) AS nf
+              FROM f WHERE n % 64 > 0),
+            nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM it),
+            pk AS (
+              SELECT CAST(0 AS BIGINT) AS k,
+                CAST([] AS STRUCT(rem BIGINT, st BIGINT, ls BIGINT,
+                  l2 BIGINT, ns BIGINT)[]) AS bins,
+                CAST([] AS BIGINT[]) AS asg
+              UNION ALL
+              SELECT s.k + 1,
+                CASE WHEN ch.tst IS NULL THEN list_append(s.bins,
+                    {'rem': 64 - it.len, 'st': s.k + 1, 'ls': it.len,
+                     'l2': it.len * it.len, 'ns': CAST(1 AS BIGINT)})
+                  ELSE list_transform(s.bins, b ->
+                    CASE WHEN b.st = ch.tst THEN
+                      {'rem': b.rem - it.len, 'st': s.k + 1,
+                       'ls': b.ls + it.len, 'l2': b.l2 + it.len * it.len,
+                       'ns': b.ns + 1}
+                    ELSE b END)
+                END AS bins,
+                list_append(s.asg, CASE WHEN ch.tst IS NULL
+                  THEN CAST(len(s.bins) + 1 AS BIGINT)
+                  ELSE CAST(list_position(list_transform(s.bins,
+                    b -> b.st), ch.tst) AS BIGINT) END) AS asg
+              FROM pk s JOIN it ON it.rn = s.k + 1,
+              LATERAL (SELECT list_max(list_transform(list_filter(s.bins,
+                  b -> b.rem >= it.len AND b.rem = list_min(list_transform(
+                    list_filter(s.bins, b2 -> b2.rem >= it.len),
+                    b2 -> b2.rem))),
+                b -> b.st)) AS tst) ch)"""
+
   /** q_t_pack_bestfit: both policies priced over documents at a
     * 64-token budget (regex token counts — docs run 10..100 tokens,
     * so both the full-chunk path and the residual bin-packing are
@@ -230,12 +430,7 @@ object BestFitPack {
         coalesce(TextOps.bpeTokenCount(col("text")), lit(0L))
           .as("n_tokens")),
       "doc_id", 64L).orderBy("policy"),
-    Some("""WITH RECURSIVE t AS (SELECT doc_id,
-              CAST(len(regexp_extract_all(text,
-                ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
-                AS n
-              FROM documents),
-            f AS (SELECT doc_id, n FROM t WHERE n > 0),
+    Some(s"""WITH RECURSIVE $bfdCtes,
             c AS (SELECT doc_id, n,
                 CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -262,33 +457,6 @@ object BestFitPack {
                 CAST(SUM((L * L - ss) // 2) AS BIGINT) AS cross_pairs,
                 CAST(SUM((L * L - L) // 2) AS BIGINT) AS total_pairs
               FROM cb),
-            it AS (SELECT row_number() OVER (ORDER BY n % 64 DESC, doc_id)
-                  AS rn,
-                CAST(n % 64 AS BIGINT) AS len
-              FROM f WHERE n % 64 > 0),
-            nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM it),
-            pk AS (
-              SELECT CAST(0 AS BIGINT) AS k,
-                CAST([] AS STRUCT(rem BIGINT, st BIGINT, ls BIGINT,
-                  l2 BIGINT, ns BIGINT)[]) AS bins
-              UNION ALL
-              SELECT s.k + 1,
-                CASE WHEN ch.tst IS NULL THEN list_append(s.bins,
-                    {'rem': 64 - it.len, 'st': s.k + 1, 'ls': it.len,
-                     'l2': it.len * it.len, 'ns': CAST(1 AS BIGINT)})
-                  ELSE list_transform(s.bins, b ->
-                    CASE WHEN b.st = ch.tst THEN
-                      {'rem': b.rem - it.len, 'st': s.k + 1,
-                       'ls': b.ls + it.len, 'l2': b.l2 + it.len * it.len,
-                       'ns': b.ns + 1}
-                    ELSE b END)
-                END AS bins
-              FROM pk s JOIN it ON it.rn = s.k + 1,
-              LATERAL (SELECT list_max(list_transform(list_filter(s.bins,
-                  b -> b.rem >= it.len AND b.rem = list_min(list_transform(
-                    list_filter(s.bins, b2 -> b2.rem >= it.len),
-                    b2 -> b2.rem))),
-                b -> b.st)) AS tst) ch),
             fin AS (SELECT unnest(bins) AS b FROM pk, nit
               WHERE k = nit.cnt),
             rstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS rbins,
@@ -327,5 +495,39 @@ object BestFitPack {
                 ELSE 0 END AS BIGINT) AS contamination_micro
             FROM u ORDER BY policy"""))
 
-  val queries: Map[String, Q] = Map("q_t_pack_bestfit" -> tBestFit)
+  /** q_t_pack_bestfit_assign: the loader-facing manifest — every
+    * document's segments with their PHYSICAL bin ids under the same
+    * 64-token best-fit layout, hash-pinned per row against the
+    * itemwise oracle's assignment list. */
+  private val tAssign = Q(
+    (s, d) => packBestFitAssign(
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(TextOps.bpeTokenCount(col("text")), lit(0L))
+          .as("n_tokens")),
+      "doc_id", 64L).orderBy("doc_id", "seg_idx"),
+    Some(s"""WITH RECURSIVE $bfdCtes,
+            fullb AS (SELECT doc_id, n, n // 64 AS nfc,
+                CAST(COALESCE(SUM(n // 64) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS fb
+              FROM f),
+            fullsegs AS (SELECT doc_id, CAST(i.i AS BIGINT) AS seg_idx,
+                CAST(fb + i.i AS BIGINT) AS bin,
+                CAST(64 AS BIGINT) AS seg_tokens
+              FROM fullb, LATERAL (SELECT unnest(range(nfc)) AS i) i),
+            ftot AS (SELECT CAST(COALESCE(SUM(n // 64), 0) AS BIGINT)
+                AS tot FROM f),
+            residsegs AS (SELECT it.doc_id, it.nf AS seg_idx,
+                CAST(ftot.tot + pk.asg[CAST(it.rn AS INT)] - 1
+                  AS BIGINT) AS bin,
+                it.len AS seg_tokens
+              FROM pk, nit, it, ftot WHERE pk.k = nit.cnt)
+            SELECT doc_id, seg_idx, bin, seg_tokens
+            FROM (SELECT * FROM fullsegs
+                  UNION ALL SELECT * FROM residsegs)
+            ORDER BY doc_id, seg_idx"""))
+
+  val queries: Map[String, Q] = Map(
+    "q_t_pack_bestfit" -> tBestFit,
+    "q_t_pack_bestfit_assign" -> tAssign)
 }

@@ -1657,6 +1657,11 @@ object ExplainAudit {
       // simulation); the registered frame is the assembled 2-row table
       "report is a 2-row local table (corpus work reduced inside)" ->
         (p => p.contains("LocalTableScan")))
+    audit("q_t_pack_bestfit_assign",
+      // two prefix-sum passes + broadcast segment attach, all inside
+      // the eager checkpoint
+      "manifest is the checkpointed frame" ->
+        (p => p.contains("Scan ExistingRDD")))
     audit("q_p35_tcloseness",
       "global marginal and total attach via broadcast" ->
         (p => p.contains("BroadcastNestedLoopJoin") ||

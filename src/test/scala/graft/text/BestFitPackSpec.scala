@@ -84,6 +84,70 @@ class BestFitPackSpec extends SparkSpecBase {
       3L * (64L * 63L / 2L) + (12L * 11L / 2L))
   }
 
+  // plain-Scala expected manifest: full-chunk bins in doc order, then
+  // residuals through the itemwise algorithm
+  private def expectedManifest(docs: Seq[(Long, Long)],
+      budget: Long): Set[(Long, Long, Long, Long)] = {
+    val pos = docs.filter(_._2 > 0).sortBy(_._1)
+    var fb = 0L
+    val full = pos.flatMap { case (id, n) =>
+      val f = n / budget
+      val rows = (0L until f).map(i => (id, i, fb + i, budget))
+      fb += f
+      rows
+    }
+    val fullTotal = fb
+    val resid = pos.map { case (id, n) => (id, n % budget) }
+      .filter(_._2 > 0)
+      .sortBy { case (id, r) => (-r, id) }
+    val (_, asg) = BestFitPack.simulateItemwiseAssign(resid.map(_._2), budget)
+    val residRows = resid.zip(asg).map { case ((id, r), bin) =>
+      val n = pos.find(_._1 == id).get._2
+      (id, n / budget, fullTotal + bin, r)
+    }
+    (full ++ residRows).toSet
+  }
+
+  test("the assignment manifest equals the itemwise algorithm per doc " +
+      "(full-chunk numbering + best-fit residual bins), randomized") {
+    val rnd = new scala.util.Random(44115L)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 35L).map(i =>
+        (i, rnd.nextInt(150).toLong)) // includes zeros and > budget
+      val got = BestFitPack.packBestFitAssign(
+        docs.toDF("doc_id", "n_tokens"), "doc_id", 64L)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("seg_idx"),
+          r.getAs[Long]("bin"), r.getAs[Long]("seg_tokens"))).toSet
+      assert(got === expectedManifest(docs, 64L), s"trial $trial")
+    }
+  }
+
+  test("the manifest is consistent with the economics report: same " +
+      "bins, same waste, same cross pairs, ids contiguous") {
+    val docs = (1L to 50L).map(i => (i, 5L + (i * 31L) % 120L))
+      .toDF("doc_id", "n_tokens")
+    val manifest = BestFitPack.packBestFitAssign(docs, "doc_id", 64L)
+      .collect()
+    val report = BestFitPack.packBestFitReport(docs, "doc_id", 64L)
+      .collect().find(_.getAs[String]("policy") == "bestfit").get
+    val byBin = manifest.groupBy(_.getAs[Long]("bin"))
+    assert(byBin.keySet === (0L until report.getAs[Long]("n_bins")).toSet)
+    byBin.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("seg_tokens")).sum <= 64L)
+    }
+    assert(manifest.length.toLong === report.getAs[Long]("n_segments"))
+    assert(manifest.map(_.getAs[Long]("seg_tokens")).sum ===
+      report.getAs[Long]("total_tokens"))
+    val waste = byBin.values.map(rows =>
+      64L - rows.map(_.getAs[Long]("seg_tokens")).sum).sum
+    assert(waste === report.getAs[Long]("waste_tokens"))
+    val cross = byBin.values.map { rows =>
+      val ls = rows.map(_.getAs[Long]("seg_tokens"))
+      (ls.sum * ls.sum - ls.map(x => x * x).sum) / 2
+    }.sum
+    assert(cross === report.getAs[Long]("cross_pairs"))
+  }
+
   test("the r14 reports re-run over the bestfit layout: padding waste " +
       "stays below arrival-order batching on the same corpus") {
     val docs = (1L to 60L).map(i => (i, 5L + (i * 13L) % 60L))
