@@ -95,7 +95,7 @@ object SparkEntry {
       cluster.MlQueries.queries ++ sketch.HeavyHitters.queries ++
       sketch.CountMin.queries ++ sketch.ThetaKmv.queries ++
       pipeline.CorpusCuration.queries ++ pipeline.SurveyCuration.queries ++
-      pipeline.TokenizerPipeline.queries
+      pipeline.TokenizerPipeline.queries ++ pipeline.SftPipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style pricing summary: scan → filter → groupBy → agg, fully

@@ -373,51 +373,62 @@ object BestFitPack {
     out
   }
 
-  /** Shared oracle chain: regex token counts (t), the n>0 corpus (f),
-    * residual items in (len desc, id) order (it, nit), and the
-    * itemwise best-fit recursion pk carrying the live bin list PLUS
-    * each item's chosen bin position (asg). */
-  private def bfdCtes: String =
+  /** The regex-token-count source CTE for the registered document
+    * queries. */
+  private def regexCountCte: String =
     """t AS (SELECT doc_id,
               CAST(len(regexp_extract_all(text,
                 ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
                 AS n
-              FROM documents),
-            f AS (SELECT doc_id, n FROM t WHERE n > 0),
-            it AS (SELECT row_number() OVER (ORDER BY n % 64 DESC, doc_id)
-                  AS rn,
+              FROM documents)"""
+
+  /** Shared oracle chain over any `src(doc_id, n)` CTE: the n>0 corpus
+    * (f), residual items in (len desc, id) order (it, nit), and the
+    * itemwise best-fit recursion pk carrying the live bin list PLUS
+    * each item's chosen bin position (asg). private[graft]: the SFT
+    * batch-plan capstone composes it over unigram chat-token totals. */
+  private[graft] def bfdCtes(src: String, budget: Long): String =
+    s"""f AS MATERIALIZED (SELECT doc_id, n FROM $src WHERE n > 0),
+            it AS MATERIALIZED (SELECT row_number()
+                  OVER (ORDER BY n % $budget DESC,
+                  doc_id) AS rn,
                 doc_id,
-                CAST(n % 64 AS BIGINT) AS len,
-                CAST(n // 64 AS BIGINT) AS nf
-              FROM f WHERE n % 64 > 0),
+                CAST(n % $budget AS BIGINT) AS len,
+                CAST(n // $budget AS BIGINT) AS nf
+              FROM f WHERE n % $budget > 0),
             nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM it),
             pk AS (
               SELECT CAST(0 AS BIGINT) AS k,
                 CAST([] AS STRUCT(rem BIGINT, st BIGINT, ls BIGINT,
                   l2 BIGINT, ns BIGINT)[]) AS bins,
-                CAST([] AS BIGINT[]) AS asg
+                CAST([] AS BIGINT[]) AS asg,
+                (SELECT COALESCE(list(len ORDER BY rn),
+                  CAST([] AS BIGINT[])) FROM it) AS lens
               UNION ALL
               SELECT s.k + 1,
                 CASE WHEN ch.tst IS NULL THEN list_append(s.bins,
-                    {'rem': 64 - it.len, 'st': s.k + 1, 'ls': it.len,
-                     'l2': it.len * it.len, 'ns': CAST(1 AS BIGINT)})
+                    {'rem': $budget - cl.len, 'st': s.k + 1, 'ls': cl.len,
+                     'l2': cl.len * cl.len, 'ns': CAST(1 AS BIGINT)})
                   ELSE list_transform(s.bins, b ->
                     CASE WHEN b.st = ch.tst THEN
-                      {'rem': b.rem - it.len, 'st': s.k + 1,
-                       'ls': b.ls + it.len, 'l2': b.l2 + it.len * it.len,
+                      {'rem': b.rem - cl.len, 'st': s.k + 1,
+                       'ls': b.ls + cl.len, 'l2': b.l2 + cl.len * cl.len,
                        'ns': b.ns + 1}
                     ELSE b END)
                 END AS bins,
                 list_append(s.asg, CASE WHEN ch.tst IS NULL
                   THEN CAST(len(s.bins) + 1 AS BIGINT)
                   ELSE CAST(list_position(list_transform(s.bins,
-                    b -> b.st), ch.tst) AS BIGINT) END) AS asg
-              FROM pk s JOIN it ON it.rn = s.k + 1,
+                    b -> b.st), ch.tst) AS BIGINT) END) AS asg,
+                s.lens AS lens
+              FROM pk s,
+              LATERAL (SELECT s.lens[CAST(s.k + 1 AS INT)] AS len) cl,
               LATERAL (SELECT list_max(list_transform(list_filter(s.bins,
-                  b -> b.rem >= it.len AND b.rem = list_min(list_transform(
-                    list_filter(s.bins, b2 -> b2.rem >= it.len),
+                  b -> b.rem >= cl.len AND b.rem = list_min(list_transform(
+                    list_filter(s.bins, b2 -> b2.rem >= cl.len),
                     b2 -> b2.rem))),
-                b -> b.st)) AS tst) ch)"""
+                b -> b.st)) AS tst) ch
+              WHERE s.k < len(s.lens))"""
 
   /** q_t_pack_bestfit: both policies priced over documents at a
     * 64-token budget (regex token counts — docs run 10..100 tokens,
@@ -430,7 +441,8 @@ object BestFitPack {
         coalesce(TextOps.bpeTokenCount(col("text")), lit(0L))
           .as("n_tokens")),
       "doc_id", 64L).orderBy("policy"),
-    Some(s"""WITH RECURSIVE $bfdCtes,
+    Some(s"""WITH RECURSIVE $regexCountCte,
+            ${bfdCtes("t", 64L)},
             c AS (SELECT doc_id, n,
                 CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -505,17 +517,24 @@ object BestFitPack {
         coalesce(TextOps.bpeTokenCount(col("text")), lit(0L))
           .as("n_tokens")),
       "doc_id", 64L).orderBy("doc_id", "seg_idx"),
-    Some(s"""WITH RECURSIVE $bfdCtes,
-            fullb AS (SELECT doc_id, n, n // 64 AS nfc,
-                CAST(COALESCE(SUM(n // 64) OVER (ORDER BY doc_id
+    Some(s"""WITH RECURSIVE $regexCountCte,
+            ${bfdCtes("t", 64L)},
+            ${assignTailSql(64L)}"""))
+
+  /** The assignment oracle's tail over the [[bfdCtes]] chain: doc-order
+    * full-chunk bins, then residual bins from the recursion's
+    * assignment list. */
+  private[graft] def assignTailSql(budget: Long): String =
+    s"""fullb AS (SELECT doc_id, n, n // $budget AS nfc,
+                CAST(COALESCE(SUM(n // $budget) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   AS BIGINT) AS fb
               FROM f),
             fullsegs AS (SELECT doc_id, CAST(i.i AS BIGINT) AS seg_idx,
                 CAST(fb + i.i AS BIGINT) AS bin,
-                CAST(64 AS BIGINT) AS seg_tokens
+                CAST($budget AS BIGINT) AS seg_tokens
               FROM fullb, LATERAL (SELECT unnest(range(nfc)) AS i) i),
-            ftot AS (SELECT CAST(COALESCE(SUM(n // 64), 0) AS BIGINT)
+            ftot AS (SELECT CAST(COALESCE(SUM(n // $budget), 0) AS BIGINT)
                 AS tot FROM f),
             residsegs AS (SELECT it.doc_id, it.nf AS seg_idx,
                 CAST(ftot.tot + pk.asg[CAST(it.rn AS INT)] - 1
@@ -525,7 +544,7 @@ object BestFitPack {
             SELECT doc_id, seg_idx, bin, seg_tokens
             FROM (SELECT * FROM fullsegs
                   UNION ALL SELECT * FROM residsegs)
-            ORDER BY doc_id, seg_idx"""))
+            ORDER BY doc_id, seg_idx"""
 
   val queries: Map[String, Q] = Map(
     "q_t_pack_bestfit" -> tBestFit,

@@ -88,20 +88,29 @@ object ChatTokens {
     * top-60 multi-char pieces, 2 EM iterations) — every offset and
     * assistant mask span hash-pinned against the full learn + segment
     * + template replay in DuckDB. */
-  private val tChatTokens = Q(
-    (s, d) => chatTokenSpans(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("doc_id", "turn_idx"),
-    Some(s"""WITH RECURSIVE ${UnigramLm.encodePrefixCtes(4, 60, 2)},
+  /** The oracle prefix ending in `ct(doc_id, turn_idx, turn_words,
+    * n_text_tokens)` — the unigram learn chain plus the per-turn
+    * chat-token sums. private[graft]: the SFT batch-plan capstone
+    * composes conversation totals on top of it. The caller must open
+    * with WITH RECURSIVE. */
+  private[graft] def chatCtes(maxPieceLen: Int, vocabExtra: Int,
+      iters: Int, wordsPerTurn: Int): String =
+    s"""${UnigramLm.encodePrefixCtes(maxPieceLen, vocabExtra, iters)},
       cwrd AS (SELECT doc_id,
           list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM documents),
       cw AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
           ws[CAST(i.i AS INT) + 1] AS wd
         FROM cwrd, LATERAL (SELECT unnest(range(len(ws))) AS i) i),
-      ct AS (SELECT cw.doc_id, cw.pos // 8 AS turn_idx,
+      ct AS (SELECT cw.doc_id, cw.pos // $wordsPerTurn AS turn_idx,
           CAST(COUNT(*) AS BIGINT) AS turn_words,
           CAST(SUM(nsg.n_pieces) AS BIGINT) AS n_text_tokens
-        FROM cw JOIN nsg ON cw.wd = nsg.w GROUP BY 1, 2),
+        FROM cw JOIN nsg ON cw.wd = nsg.w GROUP BY 1, 2)"""
+
+  private val tChatTokens = Q(
+    (s, d) => chatTokenSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "turn_idx"),
+    Some(s"""WITH RECURSIVE ${chatCtes(4, 60, 2, 8)},
       co AS (SELECT doc_id, turn_idx, turn_words, n_text_tokens,
           n_text_tokens + 2 AS turn_tokens,
           CAST(COALESCE(SUM(n_text_tokens + 2) OVER (PARTITION BY doc_id

@@ -276,7 +276,14 @@ object UnigramLm {
   /** One Viterbi pass (edges → forward DP → backtrace → segments)
     * against piece table ps$prev, CTEs suffixed $t, ending in
     * `seg$t(w, pieces)`. private[graft]: [[UnigramPrune]]'s oracle
-    * replays one pass against the seed table. */
+    * replays one pass against the seed table.
+    *
+    * The forward DP carries each word's FULL scored edge list in its
+    * recursion state and argmaxes it with list lambdas — a recursive
+    * member that referenced the edge CTE would re-evaluate the whole
+    * upstream learn chain on EVERY iteration (DuckDB inlines CTE
+    * references), which measured ~10-40x the total oracle cost at
+    * sf0.01 (r15: q_t_unigram_encode 172 s → seconds). */
   private[graft] def viterbiCtes(t: Int, prev: Int, maxPieceLen: Int): String =
     s"""e$t AS (SELECT x.w, x.j, x.i, p.score_micro AS score
        |  FROM (SELECT s.w AS w, CAST(j.j AS BIGINT) AS j,
@@ -288,18 +295,27 @@ object UnigramLm {
        |          LATERAL (SELECT unnest(range(len(s.w) - l.l + 1)) AS j) j
        |       ) x
        |  JOIN ps$prev p ON p.piece = x.piece),
+       |el$t AS (SELECT w,
+       |    list(struct_pack(j := j, i := i, s := score)) AS edges
+       |  FROM e$t GROUP BY w),
        |v$t AS (
-       |  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS best,
-       |         [CAST(0 AS BIGINT)] AS bp
-       |  FROM w0
+       |  SELECT w0.w AS w, 0 AS i, [CAST(0 AS BIGINT)] AS best,
+       |         [CAST(0 AS BIGINT)] AS bp, el.edges AS edges
+       |  FROM w0 JOIN el$t el ON el.w = w0.w
        |  UNION ALL
        |  SELECT v.w, v.i + 1 AS i,
        |    list_append(v.best, mx.t) AS best,
-       |    list_append(v.bp, mx.j) AS bp
-       |  FROM v$t v, LATERAL (
-       |    SELECT v.best[CAST(e.j AS INT) + 1] + e.score AS t, e.j AS j
-       |    FROM e$t e WHERE e.w = v.w AND e.i = v.i + 1
-       |    ORDER BY t DESC, j ASC LIMIT 1) mx
+       |    list_append(v.bp, mx.j) AS bp,
+       |    v.edges AS edges
+       |  FROM v$t v,
+       |  LATERAL (SELECT list_filter(v.edges,
+       |      e -> e.i = v.i + 1) AS cands) c0,
+       |  LATERAL (SELECT list_max(list_transform(c0.cands,
+       |      e -> v.best[CAST(e.j AS INT) + 1] + e.s)) AS t) c1,
+       |  LATERAL (SELECT c1.t AS t, list_min(list_transform(
+       |      list_filter(c0.cands,
+       |        e -> v.best[CAST(e.j AS INT) + 1] + e.s = c1.t),
+       |      e -> e.j)) AS j) mx
        |  WHERE v.i < len(v.w)),
        |vf$t AS (SELECT w, best, bp FROM v$t WHERE i = len(w)),
        |b$t AS (

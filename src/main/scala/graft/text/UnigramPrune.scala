@@ -129,14 +129,20 @@ object UnigramPrune {
       bw AS (SELECT u.w, CAST(SUM(p.score_micro) AS BIGINT) AS best
         FROM up u JOIN ps0 p ON p.piece = u.px GROUP BY 1),
       prs AS (SELECT DISTINCT w, px FROM up WHERE len(px) > 1),
+      exl AS (SELECT w, list(struct_pack(j := j, i := i, s := score,
+          p := piece)) AS edges
+        FROM ex GROUP BY w),
       vx AS (
-        SELECT w, px, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM prs
+        SELECT prs.w AS w, prs.px AS px, 0 AS i,
+          [CAST(0 AS BIGINT)] AS best, exl.edges AS edges
+        FROM prs JOIN exl ON exl.w = prs.w
         UNION ALL
-        SELECT v.w, v.px, v.i + 1 AS i, list_append(v.best, mx.t) AS best
+        SELECT v.w, v.px, v.i + 1 AS i,
+          list_append(v.best, mx.t) AS best, v.edges AS edges
         FROM vx v, LATERAL (
-          SELECT MAX(v.best[CAST(e.j AS INT) + 1] + e.score) AS t
-          FROM ex e WHERE e.w = v.w AND e.i = v.i + 1
-            AND e.piece <> v.px) mx
+          SELECT list_max(list_transform(list_filter(v.edges,
+              e -> e.i = v.i + 1 AND e.p <> v.px),
+            e -> v.best[CAST(e.j AS INT) + 1] + e.s)) AS t) mx
         WHERE v.i < len(v.w)),
       ax AS (SELECT w, px, best[len(w) + 1] AS alt FROM vx
         WHERE i = len(w)),

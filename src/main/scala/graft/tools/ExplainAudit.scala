@@ -1662,6 +1662,11 @@ object ExplainAudit {
       // the eager checkpoint
       "manifest is the checkpointed frame" ->
         (p => p.contains("Scan ExistingRDD")))
+    audit("q_pipeline_sft",
+      // chat costing + batch assignment both checkpoint inside their
+      // stages; the registered frame is the final manifest checkpoint
+      "batch manifest is the checkpointed frame" ->
+        (p => p.contains("Scan ExistingRDD")))
     audit("q_p35_tcloseness",
       "global marginal and total attach via broadcast" ->
         (p => p.contains("BroadcastNestedLoopJoin") ||
