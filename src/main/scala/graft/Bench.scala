@@ -356,7 +356,8 @@ object Bench {
     // round-15: token-level loss masks (template x unigram encode),
     // likelihood-loss vocabulary pruning, best-fit-decreasing packing
     "q_t_chat_tokens", "q_t_unigram_prune", "q_t_pack_bestfit",
-    "q_t_pack_bestfit_assign", "q_pipeline_sft")
+    "q_t_pack_bestfit_assign", "q_pipeline_sft",
+    "q_t_pack_bestfit_masks")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -536,7 +537,7 @@ object Bench {
     // unigram-family per-JVM janino warm-up, conservative as recorded)
     "q_t_chat_tokens" -> 13.6, "q_t_unigram_prune" -> 3.6,
     "q_t_pack_bestfit" -> 1.7, "q_t_pack_bestfit_assign" -> 2.5,
-    "q_pipeline_sft" -> 14.6)
+    "q_pipeline_sft" -> 14.6, "q_t_pack_bestfit_masks" -> 3.5)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -525,6 +525,15 @@ object BestFitPack {
     * full-chunk bins, then residual bins from the recursion's
     * assignment list. */
   private[graft] def assignTailSql(budget: Long): String =
+    s"""${assignManifestCtes(budget)}
+            SELECT doc_id, seg_idx, bin, seg_tokens
+            FROM manifest
+            ORDER BY doc_id, seg_idx"""
+
+  /** [[assignTailSql]]'s CTE half, ending in
+    * `manifest(doc_id, seg_idx, bin, seg_tokens)` — the composition
+    * surface for per-bin derivations (mask spans). */
+  private[graft] def assignManifestCtes(budget: Long): String =
     s"""fullb AS (SELECT doc_id, n, n // $budget AS nfc,
                 CAST(COALESCE(SUM(n // $budget) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -540,13 +549,69 @@ object BestFitPack {
                 CAST(ftot.tot + pk.asg[CAST(it.rn AS INT)] - 1
                   AS BIGINT) AS bin,
                 it.len AS seg_tokens
-              FROM pk, nit, it, ftot WHERE pk.k = nit.cnt)
-            SELECT doc_id, seg_idx, bin, seg_tokens
-            FROM (SELECT * FROM fullsegs
-                  UNION ALL SELECT * FROM residsegs)
-            ORDER BY doc_id, seg_idx"""
+              FROM pk, nit, it, ftot WHERE pk.k = nit.cnt),
+            manifest AS (SELECT * FROM fullsegs
+              UNION ALL SELECT * FROM residsegs)"""
+
+  /** Per-bin attention-mask spans over an assignment manifest — the
+    * other half of the Zhao et al. recipe (best-fit packing works
+    * BECAUSE training masks cross-document attention): for every bin,
+    * its segments in pinned (doc, seg) order with exact
+    * [start_off, end_off) token offsets inside the padded sequence.
+    * This is the block-diagonal attention-mask table a trainer feeds.
+    *
+    * Scale shape: one bin-keyed aggregation; offsets are a per-bin
+    * array fold over the bin's OWN segment list (a bin holds ≤ budget
+    * segments by construction — bounded, the ChatPrep fold
+    * discipline), never a corpus window. */
+  def packMaskSpans(manifest: DataFrame, idCol: String): DataFrame = {
+    val folded = manifest.groupBy("bin")
+      .agg(sort_array(collect_list(struct(col(idCol), col("seg_idx"),
+        col("seg_tokens")))).as("__s"))
+      .select(col("bin"), explode(transform(col("__s"), (t, i) => struct(
+        i.cast("long").as("seg_rank"),
+        t.getField(idCol).as(idCol),
+        t.getField("seg_idx").as("seg_idx"),
+        aggregate(slice(col("__s"), lit(1), i), lit(0L),
+          (a, x) => a + x.getField("seg_tokens")).as("start_off"),
+        t.getField("seg_tokens").as("__n")))).as("__t"))
+    folded.select(col("bin"),
+      col("__t.seg_rank").as("seg_rank"),
+      col(s"__t.$idCol").as(idCol),
+      col("__t.seg_idx").as("seg_idx"),
+      col("__t.start_off").as("start_off"),
+      (col("__t.start_off") + col("__t.__n")).as("end_off"))
+  }
+
+  /** q_t_pack_bestfit_masks: the mask-span table of the registered
+    * 64-token manifest — every bin's block boundaries hash-pinned. */
+  private val tMasks = Q(
+    (s, d) => packMaskSpans(packBestFitAssign(
+      Tables.documents(s, d).select(col("doc_id"),
+        coalesce(TextOps.bpeTokenCount(col("text")), lit(0L))
+          .as("n_tokens")),
+      "doc_id", 64L), "doc_id")
+      .orderBy("bin", "seg_rank"),
+    Some(s"""WITH RECURSIVE $regexCountCte,
+            ${bfdCtes("t", 64L)},
+            ${assignManifestCtes(64L)}
+            SELECT bin,
+              CAST(row_number() OVER (PARTITION BY bin
+                ORDER BY doc_id, seg_idx) - 1 AS BIGINT) AS seg_rank,
+              doc_id, seg_idx,
+              CAST(COALESCE(SUM(seg_tokens) OVER (PARTITION BY bin
+                ORDER BY doc_id, seg_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_off,
+              CAST(SUM(seg_tokens) OVER (PARTITION BY bin
+                ORDER BY doc_id, seg_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS end_off
+            FROM manifest
+            ORDER BY bin, seg_rank"""))
 
   val queries: Map[String, Q] = Map(
     "q_t_pack_bestfit" -> tBestFit,
-    "q_t_pack_bestfit_assign" -> tAssign)
+    "q_t_pack_bestfit_assign" -> tAssign,
+    "q_t_pack_bestfit_masks" -> tMasks)
 }

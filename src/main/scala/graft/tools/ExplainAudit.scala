@@ -1662,6 +1662,13 @@ object ExplainAudit {
       // the eager checkpoint
       "manifest is the checkpointed frame" ->
         (p => p.contains("Scan ExistingRDD")))
+    audit("q_t_pack_bestfit_masks",
+      // offsets are a per-bin array fold over the bin's own (bounded)
+      // segment list — one bin-keyed agg, no window over the corpus
+      "no window operator (offsets fold per bin)" ->
+        (p => !p.contains("Window")),
+      "no cartesian/broadcast-nested-loop in the span derivation" ->
+        (p => !p.contains("CartesianProduct")))
     audit("q_pipeline_sft",
       // chat costing + batch assignment both checkpoint inside their
       // stages; the registered frame is the final manifest checkpoint

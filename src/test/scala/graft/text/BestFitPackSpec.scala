@@ -148,6 +148,30 @@ class BestFitPackSpec extends SparkSpecBase {
     assert(cross === report.getAs[Long]("cross_pairs"))
   }
 
+  test("mask spans tile every bin contiguously from 0 up to its fill, " +
+      "one span per manifest segment") {
+    val docs = (1L to 30L).map(i => (i, 7L + (i * 13L) % 90L))
+      .toDF("doc_id", "n_tokens")
+    val manifest = BestFitPack.packBestFitAssign(docs, "doc_id", 64L)
+    val spans = BestFitPack.packMaskSpans(manifest, "doc_id").collect()
+    assert(spans.length === manifest.count().toInt)
+    assert(spans.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("seg_idx"))).toSet ===
+      manifest.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seg_idx"))).toSet)
+    spans.groupBy(_.getAs[Long]("bin")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("seg_rank"))
+      var off = 0L
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("seg_rank") === i.toLong)
+        assert(r.getAs[Long]("start_off") === off)
+        assert(r.getAs[Long]("end_off") > off)
+        off = r.getAs[Long]("end_off")
+      }
+      assert(off <= 64L)
+    }
+  }
+
   test("the r14 reports re-run over the bestfit layout: padding waste " +
       "stays below arrival-order batching on the same corpus") {
     val docs = (1L to 60L).map(i => (i, 5L + (i * 13L) % 60L))
