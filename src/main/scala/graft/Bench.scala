@@ -523,9 +523,10 @@ object Bench {
     "q_p31_skew_report" -> 0.5, "q_s_jl_project" -> 0.2,
     "q_mm_image_decon" -> 2.1, "q_mm_phash_clusters" -> 3.9,
     "q_mm_audio_decon" -> 1.1,
-    // round-14: TimeOne warm, sf0.1, quiet machine
-    "q_t_unigram_lm" -> 9.0, "q_t_unigram_encode" -> 9.6,
-    "q_pipeline_unigram" -> 9.7, "q_t_url_norm" -> 0.3,
+    // round-14: TimeOne warm, sf0.1, quiet machine; unigram family
+    // remeasured in r15 after the compiled-Viterbi DP (was 9.0/9.6/9.7)
+    "q_t_unigram_lm" -> 2.2, "q_t_unigram_encode" -> 2.8,
+    "q_pipeline_unigram" -> 4.3, "q_t_url_norm" -> 0.3,
     "q_p33_domain_caps" -> 0.4, "q_p34_gopher_funnel" -> 0.5,
     "q_t_span_corruption" -> 1.3, "q_t_fim_split" -> 0.5,
     "q_t_chat_render" -> 0.7, "q_p35_tcloseness" -> 0.4,
@@ -533,11 +534,12 @@ object Bench {
     "q_p37_shuffle_quality" -> 1.8, "q_t_crop_pairs" -> 0.7,
     // r15: ROLLUP single-pass ladder cut q_p38 from 1.3 to ~0.4 warm
     "q_p38_kanon_generalize" -> 0.5,
-    // r15 additions (TimeOne warm at sf0.1; chat_tokens carries the
-    // unigram-family per-JVM janino warm-up, conservative as recorded)
-    "q_t_chat_tokens" -> 13.6, "q_t_unigram_prune" -> 3.6,
+    // r15 additions (TimeOne warm at sf0.1), remeasured after the
+    // compiled-Viterbi DP (was 13.6/3.6/14.6 — the HOF fold carried a
+    // per-JVM janino warm-up the compiled expression does not pay)
+    "q_t_chat_tokens" -> 1.8, "q_t_unigram_prune" -> 1.2,
     "q_t_pack_bestfit" -> 1.7, "q_t_pack_bestfit_assign" -> 2.5,
-    "q_pipeline_sft" -> 14.6, "q_t_pack_bestfit_masks" -> 3.5)
+    "q_pipeline_sft" -> 6.3, "q_t_pack_bestfit_masks" -> 3.5)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

@@ -43,10 +43,11 @@ object ChatTokens {
       wordsPerTurn: Int = 8, maxPieceLen: Int = 4, vocabExtra: Int = 60,
       iters: Int = 2): DataFrame = {
     require(wordsPerTurn >= 1, "wordsPerTurn >= 1")
-    val (pieces, wins, release) = UnigramLm.learnState(docs, textCol,
+    val st = UnigramLm.learnState(docs, textCol,
       maxPieceLen, vocabExtra, iters)
-    val segged = UnigramLm.viterbiSegment(wins, pieces)
-      .select(col("w"), size(col("pieces")).cast("long").as("__np"))
+    val segged = st.words.select(col("w"),
+      size(graft.functions.ViterbiSegment.viterbiPieces(col("w"),
+        st.scores, maxPieceLen)).cast("long").as("__np"))
     val posWords = docs.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "w")))
     val perTurn = posWords.join(segged, Seq("w"))
@@ -79,7 +80,7 @@ object ChatTokens {
       .withColumn("mask_end_tok",
         when(col("role") === "assistant", col("tok_end")))
       .localCheckpoint(eager = true)
-    release()
+    st.release()
     out
   }
 

@@ -31,13 +31,25 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the BPE learnState discipline): ONE corpus-sized
   * aggregation up front (word frequencies); every EM iteration touches
-  * only the VOCABULARY (w, freq) — window generation is a map-side
-  * explode over words, the piece-score attach is a BROADCAST equi-join
-  * (piece table is config-sized: chars + top-K), the Viterbi DP is one
-  * higher-order fold per word (CodegenFallback, but vocab-bounded),
-  * and the M-step is a piece-keyed aggregation of vocab-sized
-  * segment lists. The corpus is touched exactly once more at encode
-  * (explode → word-key equi-join → per-doc agg).
+  * only the VOCABULARY (w, freq) — the Viterbi DP is ONE compiled
+  * Catalyst expression per word ([[graft.functions.ViterbiSegment]],
+  * whole-stage codegen) carrying the config-sized piece model (chars +
+  * top-K) as a reference object, exactly the payload a broadcast hash
+  * join would ship; the M-step re-count is one piece-keyed aggregation
+  * of the vocab's segment lists, collected config-sized and re-scored
+  * on the driver (the BpeMerge merge-table discipline). The corpus is
+  * touched exactly once more at encode (explode → word-key equi-join
+  * against the segmented vocab → per-doc agg).
+  *
+  * r15 optimization note: the DP previously ran as composed
+  * higher-order `aggregate` folds (CodegenFallback) over a lattice-
+  * edge explode + broadcast join + per-word collect_list shuffle, all
+  * repeated per EM iteration — measured 60-70% of every unigram-family
+  * query at sf0.1. The compiled expression replays the identical
+  * recurrence (tie-breaks and all — ViterbiSegmentExprSpec pins parity
+  * on the registered corpus), and the lattice join + collect_list
+  * shuffle are gone outright: an EM iteration is now ONE vocab-sized
+  * aggregation job.
   *
   * Envelope: a DP path total is ≤ wordLen · ceil(ln(T+N)·10⁶)
   * micro-nats — exact in long for 2¹⁶-char words at T ≤ 10¹⁸ corpus
@@ -62,128 +74,121 @@ object UnigramLm {
            j -> substr(w, j + 1, l))))""")).as("piece"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
 
-  /** Prune + score: all single-char pieces survive regardless of
-    * count; multi-char pieces keep the top `vocabExtra` by (cnt desc,
-    * piece asc) with cnt ≥ 1. score_micro = floor(ln((cnt+1)/(T+N))
-    * ·1e6) with T = Σ kept counts, N = kept pieces — add-one
-    * smoothing, micro-nat longs (exact on both engines: one IEEE
-    * division, one ln, one multiply, one binary floor). */
-  private[text] def scorePieces(counts: DataFrame, vocabExtra: Int): DataFrame = {
+  /** One scored piece of the driver-local model. */
+  private[graft] final case class Piece(piece: String, cnt: Long,
+      scoreMicro: Long)
+
+  /** Learned model: the config-sized piece list (driver-local, the
+    * BpeMerge merge-table discipline), the persisted word-frequency
+    * frame every consumer re-segments against, and the cache release
+    * handle. */
+  private[graft] final case class LearnedModel(pieces: Seq[Piece],
+      words: DataFrame, release: () => Unit) {
+    def scores: java.util.HashMap[String, java.lang.Long] =
+      graft.functions.ViterbiSegment.buildScores(
+        pieces.map(p => p.piece -> p.scoreMicro))
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String / DuckDB's
+    * binary-collation VARCHAR ordering, which Java's UTF-16
+    * `compareTo` diverges from outside the BMP. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** score_micro = floor(ln((cnt+1)/(T+N))·1e6) with T = Σ kept
+    * counts, N = kept pieces — add-one smoothing, micro-nat longs.
+    * Driver-local twin of the former crossJoin(broadcast(totals))
+    * rescore: one IEEE division, one ln, one multiply, one binary
+    * floor — bit-identical on every engine. */
+  private def scoreLocal(kept: Seq[(String, Long)]): Seq[Piece] = {
+    val t = kept.iterator.map(_._2).sum
+    val n = kept.size.toLong
+    kept.map { case (p, c) =>
+      Piece(p, c, math.floor(math.log((c + 1).toDouble /
+        (t + n).toDouble) * 1e6).toLong)
+    }
+  }
+
+  /** Prune + score on a driver-local count table (config-sized: the
+    * previous model's pieces): all single-char pieces survive
+    * regardless of count; multi-char pieces keep the top `vocabExtra`
+    * by (cnt desc, piece asc — UTF-8 byte order) with cnt ≥ 1. */
+  private def pruneLocal(counts: Seq[(String, Long)],
+      vocabExtra: Int): Seq[Piece] = {
+    val (chars, multiAll) = counts.partition(
+      p => p._1.codePointCount(0, p._1.length) == 1)
+    val multi = multiAll.filter(_._2 >= 1L)
+      .sortWith((x, y) =>
+        x._2 > y._2 || (x._2 == y._2 && utf8Less(x._1, y._1)))
+      .take(vocabExtra)
+    scoreLocal(chars ++ multi)
+  }
+
+  /** Seed model: the distributed seed-count aggregation pruned in
+    * Spark (the substring table is vocab-substring-sized — too big to
+    * collect wholesale at scale), then scored locally. Single-char
+    * pieces collect in full; multi-char pieces via TakeOrdered top-K —
+    * identical (cnt desc, piece asc) semantics as before. */
+  private[text] def seedModel(words: DataFrame, maxPieceLen: Int,
+      vocabExtra: Int): Seq[Piece] = {
+    val counts = seedCounts(words, maxPieceLen).persist()
     val chars = counts.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val multi = counts
       .filter(length(col("piece")) > 1 && col("cnt") >= 1)
       .orderBy(col("cnt").desc, col("piece")).limit(vocabExtra)
-    val kept = chars.unionAll(multi)
-    val tot = kept.agg(sum("cnt").as("__T"), count(lit(1)).as("__N"))
-    kept.crossJoin(broadcast(tot))
-      .select(col("piece"), col("cnt"),
-        floor(log((col("cnt") + 1).cast("double") /
-          (col("__T") + col("__N")).cast("double")) * 1e6)
-          .cast("long").as("score_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    counts.unpersist(blocking = false)
+    scoreLocal(chars ++ multi)
   }
 
-  /** All (j, i, piece) windows of each word with piece length ≤
-    * maxPieceLen — the Viterbi lattice edges before scoring. */
-  private[text] def windows(words: DataFrame, maxPieceLen: Int): DataFrame =
-    words.select(col("w"), col("freq"), explode(expr(
-        s"""flatten(transform(sequence(1, least($maxPieceLen, length(w))),
-           l -> transform(sequence(0, length(w) - l),
-           j -> struct(cast(j AS bigint) AS j, cast(j + l AS bigint) AS i,
-                       substr(w, j + 1, l) AS p))))""")).as("e"))
-      .select(col("w"), col("freq"), col("e.j").as("j"), col("e.i").as("i"),
-        col("e.p").as("p"))
-
-  /** Viterbi segmentation of every word under `pieces`: returns
-    * (w, freq, pieces array) where the array is the best segmentation
-    * (in back-to-front order — consumers only count). DP: best[i] =
-    * max over in-edges of best[j] + score, tie → smallest j (longest
-    * piece); backtrace walks the bp list. Both folds are higher-order
-    * aggregates over the word's OWN collected edge list — no joins
-    * inside the loop, vocab-sized rows only. */
-  private[graft] def viterbiSegment(wins: DataFrame,
-      pieces: DataFrame): DataFrame = {
-    val scored = wins
-      .join(broadcast(pieces.select(col("piece").as("p"),
-        col("score_micro").as("s"))), Seq("p"))
-      .groupBy("w", "freq")
-      .agg(collect_list(struct(col("j"), col("i"), col("s"))).as("edges"))
-    val wlen = length(col("w"))
-    val dpInit = struct(array(lit(0L)).as("best"), array(lit(0L)).as("bp"))
-    val dp = aggregate(sequence(lit(1), wlen), dpInit, (acc, i) => {
-      val iL = i.cast("long")
-      val cands = transform(
-        filter(col("edges"), e => e.getField("i") === iL),
-        e => struct(
-          (element_at(acc.getField("best"),
-            (e.getField("j") + 1).cast("int")) + e.getField("s")).as("t"),
-          (-e.getField("j")).as("nj")))
-      val m = array_max(cands)
-      struct(
-        concat(acc.getField("best"), array(m.getField("t"))).as("best"),
-        concat(acc.getField("bp"), array(-m.getField("nj"))).as("bp"))
-    })
-    val withDp = scored.withColumn("__dp", dp)
-      .select(col("w"), col("freq"), col("__dp.bp").as("bp"))
-    val walk = aggregate(sequence(lit(1), wlen),
-      struct(wlen.cast("long").as("pos"),
-        array().cast("array<string>").as("pieces")),
-      (acc, _) => {
-        val pos = acc.getField("pos")
-        val j = element_at(col("bp"), (pos + 1).cast("int"))
-        when(pos > 0, struct(
-          j.as("pos"),
-          concat(acc.getField("pieces"),
-            array(substr(col("w"), (j + 1).cast("int"),
-              (pos - j).cast("int")))).as("pieces")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("pieces"))
-    withDp.select(col("w"), col("freq"), walk.as("pieces"))
-  }
-
-  /** The full learn loop: seed → score → `iters` × (Viterbi E-step →
-    * re-count → prune+score M-step). Returns (final piece table
-    * persisted, the persisted windows frame, release handle). */
+  /** The full learn loop: seed → score → `iters` × (compiled-Viterbi
+    * E-step → one vocab-keyed re-count aggregation → local prune +
+    * rescore M-step). */
   private[graft] def learnState(docs: DataFrame, textCol: String,
-      maxPieceLen: Int, vocabExtra: Int, iters: Int)
-      : (DataFrame, DataFrame, () => Unit) = {
+      maxPieceLen: Int, vocabExtra: Int, iters: Int): LearnedModel = {
     require(iters >= 1, "iters >= 1")
     val words = wordFreqs(docs, textCol).persist()
     words.count()
-    val wins = windows(words, maxPieceLen).persist()
-    wins.count()
-    var pieces = scorePieces(seedCounts(words, maxPieceLen), vocabExtra)
-      .persist()
-    pieces.count()
+    var pieces = seedModel(words, maxPieceLen, vocabExtra)
     for (_ <- 1 to iters) {
-      val counts = viterbiSegment(wins, pieces)
-        .select(col("freq"), explode(col("pieces")).as("piece"))
+      val scores = graft.functions.ViterbiSegment.buildScores(
+        pieces.map(p => p.piece -> p.scoreMicro))
+      val counts = words.select(col("freq"), explode(
+          graft.functions.ViterbiSegment.viterbiPieces(col("w"), scores,
+            maxPieceLen)).as("piece"))
         .groupBy("piece").agg(sum("freq").as("cnt"))
-      val full = pieces.select("piece")
-        .join(counts, Seq("piece"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      val next = scorePieces(full, vocabExtra).persist()
-      next.count()
-      pieces.unpersist(blocking = false)
-      pieces = next
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // LEFT-join semantics of the former M-step: every piece of the
+      // previous model survives to the prune with its (possibly zero)
+      // re-count; pieces the E-step never used carry cnt 0
+      pieces = pruneLocal(
+        pieces.map(p => (p.piece, counts.getOrElse(p.piece, 0L))),
+        vocabExtra)
     }
-    val fin = pieces
-    (fin, wins, () => {
-      fin.unpersist(blocking = false)
-      wins.unpersist(blocking = false)
-      words.unpersist(blocking = false)
-      ()
-    })
+    LearnedModel(pieces, words,
+      () => { words.unpersist(blocking = false); () })
   }
 
   /** Learned piece table after `iters` hard-EM iterations:
     * (piece, cnt, score_micro). */
   def learn(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
       vocabExtra: Int = 60, iters: Int = 2): DataFrame = {
-    val (pieces, _, release) = learnState(docs, textCol, maxPieceLen,
-      vocabExtra, iters)
-    val out = pieces.localCheckpoint(eager = true)
-    release()
+    val st = learnState(docs, textCol, maxPieceLen, vocabExtra, iters)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val out = st.pieces.map(p => (p.piece, p.cnt, p.scoreMicro))
+      .toDF("piece", "cnt", "score_micro")
+    st.release()
     out
   }
 
@@ -196,10 +201,10 @@ object UnigramLm {
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
       maxPieceLen: Int = 4, vocabExtra: Int = 60,
       iters: Int = 2): DataFrame = {
-    val (pieces, wins, release) = learnState(docs, textCol, maxPieceLen,
-      vocabExtra, iters)
-    val segged = viterbiSegment(wins, pieces)
-      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
+    val st = learnState(docs, textCol, maxPieceLen, vocabExtra, iters)
+    val segged = st.words.select(col("w"),
+      size(graft.functions.ViterbiSegment.viterbiPieces(col("w"),
+        st.scores, maxPieceLen)).cast("long").as("n_pieces"))
     val corpusWords = docs.select(col(idCol),
       explode(tokens(col(textCol))).as("w"))
     val out = corpusWords.join(segged, Seq("w"))
@@ -208,7 +213,7 @@ object UnigramLm {
         sum("n_pieces").as("n_pieces"),
         sum(length(col("w"))).as("n_chars"))
       .localCheckpoint(eager = true)
-    release()
+    st.release()
     out
   }
 

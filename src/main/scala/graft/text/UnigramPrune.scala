@@ -46,50 +46,34 @@ object UnigramPrune {
   def pruneReport(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
       vocabExtra: Int = 60, vocabKeep: Int = 40): DataFrame = {
     require(vocabKeep >= 0, "vocabKeep >= 0")
+    import graft.functions.ViterbiSegment
     val words = UnigramLm.wordFreqs(docs, textCol).persist()
     words.count()
-    val wins = UnigramLm.windows(words, maxPieceLen).persist()
-    wins.count()
-    val pieces = UnigramLm.scorePieces(
-      UnigramLm.seedCounts(words, maxPieceLen), vocabExtra).persist()
-    pieces.count()
-    // per-word scored edge lists, keeping the piece STRING so the alt
-    // DP can exclude the candidate's edges
-    val scored = wins
-      .join(broadcast(pieces.select(col("piece").as("p"),
-        col("score_micro").as("s"))), Seq("p"))
-      .groupBy("w", "freq")
-      .agg(collect_list(struct(col("j"), col("i"), col("s"), col("p")))
-        .as("edges"))
-      .persist()
-    scored.count()
-    val pathPieces = UnigramLm.viterbiSegment(wins, pieces)
-      .select(col("w"), explode(col("pieces")).as("px"))
-    // best_w = the path's score sum (equals the DP best total)
-    val bestW = pathPieces
-      .join(broadcast(pieces.select(col("piece").as("px"),
-        col("score_micro").as("s"))), Seq("px"))
-      .groupBy("w").agg(sum("s").as("best"))
-    val pairs = pathPieces.filter(length(col("px")) > 1).distinct()
-    // alt_w(¬px): the viterbiSegment forward DP minus the excluded
-    // piece's edges — totals only, no backtrace (ties don't matter)
-    val wlen = length(col("w"))
-    val alt = aggregate(sequence(lit(1), wlen), array(lit(0L)),
-      (acc, i) => {
-        val iL = i.cast("long")
-        val cands = transform(
-          filter(col("edges"), e =>
-            e.getField("i") === iL && e.getField("p") =!= col("px")),
-          e => element_at(acc, (e.getField("j") + 1).cast("int"))
-            + e.getField("s"))
-        concat(acc, array(array_max(cands)))
-      },
-      acc => element_at(acc, (wlen + 1).cast("int")))
-    val losses = pairs.join(scored, Seq("w")).join(bestW, Seq("w"))
-      .select(col("px").as("piece"),
-        (col("freq") * (col("best") - alt)).as("__l"))
+    // seed model collected config-sized; the DP runs as the compiled
+    // expression carrying the score map (r15 — the former lattice
+    // explode + broadcast join + two persisted edge frames are gone)
+    val pieces = UnigramLm.seedModel(words, maxPieceLen, vocabExtra)
+    val scores = ViterbiSegment.buildScores(
+      pieces.map(p => p.piece -> p.scoreMicro))
+    // the (word, multi-char-path-piece) candidate pairs, freq riding
+    // along (array_distinct ≡ the former explode-then-distinct)
+    val pairs = words.select(col("w"), col("freq"),
+      explode(array_distinct(filter(
+        ViterbiSegment.viterbiPieces(col("w"), scores, maxPieceLen),
+        p => length(p) > 1))).as("px"))
+    // best_w = the DP best total (≡ the former path score re-sum);
+    // alt_w(¬px) = the same DP skipping the candidate's edges
+    val losses = pairs.select(col("px").as("piece"),
+      (col("freq") *
+        (ViterbiSegment.viterbiTotal(col("w"), scores, maxPieceLen) -
+          ViterbiSegment.viterbiAltTotal(col("w"), col("px"), scores,
+            maxPieceLen))).as("__l"))
       .groupBy("piece").agg(sum("__l").as("loss_micro"))
-    val multi = pieces.filter(length(col("piece")) > 1)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val multi = pieces
+      .filter(p => p.piece.codePointCount(0, p.piece.length) > 1)
+      .map(p => (p.piece, p.cnt)).toDF("piece", "cnt")
       .join(losses, Seq("piece"), "left")
       .na.fill(0L, Seq("loss_micro"))
       .select("piece", "cnt", "loss_micro")
@@ -99,9 +83,6 @@ object UnigramPrune {
       .withColumn("kept", coalesce(col("__k"), lit(false)))
       .drop("__k")
       .localCheckpoint(eager = true)
-    scored.unpersist(blocking = false)
-    pieces.unpersist(blocking = false)
-    wins.unpersist(blocking = false)
     words.unpersist(blocking = false)
     out
   }

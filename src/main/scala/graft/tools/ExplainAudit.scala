@@ -1697,10 +1697,12 @@ object ExplainAudit {
       "summary is the checkpointed frame (ranking done inside)" ->
         (p => p.contains("Scan ExistingRDD")))
     audit("q_t_unigram_lm",
-      // the learn loop's result is an eager localCheckpoint (RDD scan);
-      // the assertable surface is the final frame's shape
-      "checkpointed piece table scans without exchanges" ->
-        (p => p.contains("Scan ExistingRDD") ||
+      // r15: the learned model is driver-local (config-sized — the
+      // BpeMerge merge-table discipline), so the registered frame is a
+      // LocalTableScan; the EM loop's own jobs are pinned by the
+      // unigram_viterbi library-frame section below
+      "piece table is the driver-local model (no shuffled lineage)" ->
+        (p => p.contains("LocalTableScan") &&
           !p.contains("hashpartitioning(")))
     audit("q_t_unigram_encode",
       "encode output is the checkpointed frame (vocab DP done inside)" ->
@@ -1709,31 +1711,35 @@ object ExplainAudit {
     // EM loop's own plan is asserted on the library frame directly
     section("unigram_viterbi (library frame)") {
       val docs = graft.Tables.documents(spark, sf)
-      val (pieces, wins, release) = graft.text.UnigramLm.learnState(
-        docs, "text", 4, 60, 1)
-      val plan = graft.text.UnigramLm.viterbiSegment(wins, pieces)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-      release()
+      val st = graft.text.UnigramLm.learnState(docs, "text", 4, 60, 1)
+      // the per-word segmentation frame every consumer builds: the
+      // compiled DP expression over the persisted words frame (r15 —
+      // the former lattice explode + broadcast join + collect_list
+      // shuffle are gone; the score map rides the expression)
+      val segged = st.words.select(
+        org.apache.spark.sql.functions.col("w"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.ViterbiSegment.viterbiPieces(
+            org.apache.spark.sql.functions.col("w"), st.scores, 4)))
+      val plan = segged.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      st.release()
       println("=== unigram_viterbi (library frame) ===")
       println(plan.linesIterator.take(25).mkString("\n"))
       Seq(
-        "piece scores attach via BROADCAST (config-sized vocab table)" ->
-          plan.contains("BroadcastHashJoin"),
-        "no cartesian in the lattice scoring join" ->
-          !plan.contains("CartesianProduct"),
-        // the per-word fold inherits the cached words frame's
-        // hashpartitioning(w) through the Generate + broadcast join,
-        // so NO exchange sits between the lattice join and the
-        // aggregate — the DP costs zero new shuffles
-        "per-word fold reuses the word partitioning (no new exchange)" -> {
-          val lines = plan.linesIterator.toVector
-          val aggIdx = lines.indexWhere(_.contains("ObjectHashAggregate"))
-          val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
-          aggIdx >= 0 && joinIdx > aggIdx &&
-            !lines.slice(aggIdx, joinIdx).exists(l =>
-              l.contains("Exchange") && !l.contains("BroadcastExchange"))
-        })
+        "DP is the compiled viterbi_pieces expression" ->
+          plan.contains("viterbi_pieces"),
+        "no join anywhere in the segmentation (scores ride the expr)" ->
+          (!plan.contains("Join") && !plan.contains("CartesianProduct")),
+        // the only Exchange in the formatted tree is INSIDE the
+        // InMemoryRelation detail (the cached wordFreqs build); the
+        // segmentation itself is the Project directly over the cache
+        "zero new exchanges (DP projects straight off the cache)" ->
+          plan.linesIterator.exists(
+            _.matches("""\+- InMemoryTableScan \(\d+\)""")),
+        // formatted mode marks whole-stage-codegen nodes with '*'
+        "DP runs inside WholeStageCodegen (no CodegenFallback fold)" ->
+          plan.linesIterator.exists(_.matches("""\* Project \(\d+\)""")))
         .foreach { case (d, ok) =>
           println(s"  [${if (ok) "OK" else "MISS"}] $d")
           if (!ok) failures ::= s"unigram_viterbi: $d"
