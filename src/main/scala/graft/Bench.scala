@@ -434,7 +434,7 @@ object Bench {
     "q_j9_tpch_q5" -> 1.2, "q_sk_hll_state" -> 0.8, "q_s_graph_rank" -> 6.7,
     "q_a14_mad_outliers" -> 4.2, "q_a15_histogram" -> 0.6,
     "q_m36_quantile_bins" -> 1.4, "q_d_exact_spans_incr" -> 1.9,
-    "q_d_prefix_jaccard" -> 14.2, "q_a16_rollup" -> 0.3, "q_e_wow" -> 0.4,
+    "q_d_prefix_jaccard" -> 6.9,  // r15 verify-join rewrite "q_a16_rollup" -> 0.3, "q_e_wow" -> 0.4,
     "q_p24_expectations" -> 1.3, "q_e_transitions" -> 0.5,
     "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
     "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
@@ -483,7 +483,7 @@ object Bench {
     "q_m60_conformal" -> 0.6, "q_m61_isotonic" -> 0.4,
     "q_m62_dawid_skene" -> 4.9, "q_t_heaps" -> 0.8,
     "q_p28_kanon" -> 0.3, "q_t_ql_dirichlet" -> 1.9,
-    "q_d_lsh_audit" -> 21.3, "q_d_spans_versioned" -> 4.2,
+    "q_d_lsh_audit" -> 7.5,  // r15: conv parse + single tokenize + shared truth shingles "q_d_spans_versioned" -> 4.2,
     // round-12 batch 5: TimeOne warm, sf0.1, quiet machine
     "q_m63_smd" -> 1.4, "q_m64_poststrat" -> 1.8, "q_m65_srm" -> 0.4,
     "q_m66_power" -> 0.3, "q_m67_msprt" -> 0.6, "q_m68_qte" -> 2.0,

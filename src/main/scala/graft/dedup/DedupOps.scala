@@ -111,12 +111,26 @@ object DedupOps {
     * corpora whose shingle sharing makes every-shared-shingle candidates
     * super-linear (boilerplate-heavy web crawls), which is exactly the
     * 100 TB regime. */
-  def prefixJaccardPairsReleasable(df: DataFrame, idCol: String,
-      textCol: String, k: Int = 3, threshold: Double = 0.5)
-      : (DataFrame, () => Unit) = {
+  /** The prefix-filter pipeline over a pre-built (id, shingle) frame
+    * (distinct shingles per doc; caller owns its caching) — shared by
+    * the public overload and [[LshAudit]]'s truth pass, which already
+    * carries the identical shingle frame and previously re-tokenized
+    * the corpus a second time to rebuild it.
+    *
+    * r15 verify-join rewrite: the exact |∩| was counted by exploding
+    * every candidate's FULL left-side shingle list (cands × avg-set
+    * rows — 21M intermediate rows and 6.3 s of the 8 s query at
+    * sf0.1, ProfilePrefixJaccard) and re-joining on (idb, shingle).
+    * Now each doc's distinct shingle set is collected ONCE
+    * (corpus-keyed agg) and candidates attach both sets by equi-join;
+    * |∩| is `size(array_intersect(...))` — codegen'd hash-set
+    * intersection, identical count (both sets are distinct by
+    * construction), and the per-pair cost is O(|A|+|B|) with no
+    * exploded shuffle. Set sizes fall out of the same arrays, so the
+    * separate sizes aggregation + two joins are gone too. */
+  private[graft] def prefixJaccardPairsFromShingles(sh: DataFrame,
+      threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val sh = shingles(df.withColumn("__blk", lit(1)), idCol, textCol,
-      "__blk", k).select("id", "shingle").cache()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
     val szW = Window.partitionBy("id")
@@ -125,19 +139,32 @@ object DedupOps {
       .withColumn("sz", count(lit(1)).over(szW))
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "shingle")
-    val cands = prefix.toDF("ida", "shingle")
-      .join(prefix.toDF("idb", "shingle"), Seq("shingle"))
-      .filter(col("ida") < col("idb"))
+      .select("id", "shingle", "sz")
+    // r15: the AllPairs LENGTH filter rides the candidate join —
+    // J(A,B) ≥ t forces |∩| ≥ t·|∪|, and |∩| ≤ min, |∪| ≥ max, so
+    // min(|A|,|B|)/max ≥ t is NECESSARY: dropping the violators here
+    // is lossless (the exact-J filter below re-checks every survivor).
+    // At sf0.1 this cuts candidates 409k → a fraction, which is where
+    // the set-intersect verify spends its time. Same exact-binary-
+    // threshold caveat as the prefix bound (use t like 0.5); for any
+    // p/q ratio strictly above t the double quotient stays above t
+    // (gap ≥ 1/(2q) ≫ 1 ulp), so no true pair can be lost.
+    val cands = prefix.toDF("ida", "shingle", "sza")
+      .join(prefix.toDF("idb", "shingle", "szb"), Seq("shingle"))
+      .filter(col("ida") < col("idb") &&
+        least(col("sza"), col("szb")).cast("double") /
+          greatest(col("sza"), col("szb")) >= threshold)
       .select("ida", "idb").distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val shared = cands
-      .join(sh.toDF("ida", "shingle"), Seq("ida"))
-      .join(sh.toDF("idb", "shingle"), Seq("idb", "shingle"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-    val out = shared
-      .join(sizes.toDF("ida", "sza"), "ida")
-      .join(sizes.toDF("idb", "szb"), "idb")
+    val docSets = sh.groupBy("id")
+      .agg(collect_list(col("shingle")).as("set"))
+    val out = cands
+      .join(docSets.toDF("ida", "__sa"), "ida")
+      .join(docSets.toDF("idb", "__sb"), "idb")
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("shared"),
+        size(col("__sa")).cast("long").as("sza"),
+        size(col("__sb")).cast("long").as("szb"))
       // threshold on the UNROUNDED ratio — the oracle's WHERE clause does
       // the same, and filtering on the rounded display value would admit
       // pairs with true J in [t - 5e-7, t) that the oracle rejects
@@ -146,7 +173,16 @@ object DedupOps {
       .withColumn("jaccard", round(col("shared") /
         (col("sza") + col("szb") - col("shared")), 6))
       .select("ida", "idb", "shared", "jaccard")
-    (out, () => { sh.unpersist(blocking = false); () })
+    out
+  }
+
+  def prefixJaccardPairsReleasable(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.5)
+      : (DataFrame, () => Unit) = {
+    val sh = shingles(df.withColumn("__blk", lit(1)), idCol, textCol,
+      "__blk", k).select("id", "shingle").cache()
+    (prefixJaccardPairsFromShingles(sh, threshold),
+      () => { sh.unpersist(blocking = false); () })
   }
 
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -34,13 +34,18 @@ import org.apache.spark.sql.functions._
   * audit-tier cost, which is why production banding keeps xxhash64. */
 object LshAudit {
 
-  /** 48-bit integer from the first 12 hex chars of `hexCol` — emitted as
-    * a SQL string valid on BOTH engines (substr/instr are 1-based with
-    * 0-on-absent in each). */
+  /** 48-bit integer from the first 12 hex chars of `hexCol`.
+    *
+    * r15: one `conv(substr, 16, 10)` instead of the former 12-term
+    * instr/substr digit sum — the SAME value (conv parses the identical
+    * 12 lowercase hex chars to the identical unsigned 48-bit integer,
+    * exact in long), but the digit-sum expression was 24 string ops ×
+    * 8 hashes per shingle row and measured 14.0 s of the audit's 24 s
+    * at sf0.1 (ProfileLshAudit); the conv form measures ~0.4 s. The
+    * DuckDB oracle keeps the digit-sum arithmetic (hex48Duck) — the
+    * hash gate proves value equality every run. */
   private def hex48(hexCol: String): String =
-    (1 to 12).map(p =>
-      s"(instr('0123456789abcdef', substr($hexCol, $p, 1)) - 1) * ${
-        BigInt(16).pow(12 - p)}L").mkString("(", " + ", ")")
+    s"cast(conv(substr($hexCol, 1, 12), 16, 10) as bigint)"
 
   private def hex48Duck(hexCol: String): String =
     (1 to 12).map(p =>
@@ -56,19 +61,24 @@ object LshAudit {
       shingleK: Int = 3): DataFrame = {
     val spark = df.sparkSession
     val nH = numBands * rowsPerBand
+    // r15: tokenize ONCE per document in a prior projection — the
+    // former inline form re-evaluated tokens(lower(text)) inside the
+    // shingle lambda (3 element_at references + 2 size references per
+    // position = O(len²) re-splitting), measured 8.9 s of the audit's
+    // 24 s at sf0.1 (ProfileLshAudit); with the single projection the
+    // shingle pass is ~1 s. Identical shingle set (the DedupOps
+    // .shingles discipline).
     val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(
-        when(size(graft.text.TextOps.tokens(lower(col(textCol)))) >=
-          shingleK,
-          transform(
-            sequence(lit(0),
-              size(graft.text.TextOps.tokens(lower(col(textCol))))
-                - shingleK),
-            i => concat_ws(" ", (0 until shingleK).map(o =>
-              element_at(graft.text.TextOps.tokens(lower(col(textCol))),
-                i + o + 1)): _*)))
-          .otherwise(array().cast("array<string>"))))
-        .as("shingle"))
+        graft.text.TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(
+          when(size(col("__toks")) >= shingleK,
+            transform(
+              sequence(lit(0), size(col("__toks")) - shingleK),
+              i => concat_ws(" ", (0 until shingleK).map(o =>
+                element_at(col("__toks"), i + o + 1)): _*)))
+            .otherwise(array().cast("array<string>"))))
+          .as("shingle"))
       .cache()
     // sha256-derived minhashes: hash once per (seed, shingle), then
     // parse 12 hex chars off the materialized digest column; ONE
@@ -96,8 +106,9 @@ object LshAudit {
     // join (the q_d_prefix_jaccard machinery): same shingle definition,
     // same J >= tau semantics, and high-df shingles never explode a
     // naive shared-shingle self-join (measured 21.0 s -> 8.9 s warm at
-    // sf0.1)
-    val truth = DedupOps.prefixJaccardPairs(df, idCol, textCol, shingleK,
+    // sf0.1). r15: the truth pass rides the audit's OWN cached shingle
+    // frame instead of re-tokenizing the corpus a second time.
+    val truth = DedupOps.prefixJaccardPairsFromShingles(sh,
       tauMicro.toDouble / 1e6).select("ida", "idb")
     val joined = truth.withColumn("t", lit(1L))
       .join(cand.withColumn("c", lit(1L)), Seq("ida", "idb"),
