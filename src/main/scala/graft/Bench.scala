@@ -403,8 +403,8 @@ object Bench {
     "q_d_minhash_banded" -> 1.9, "q_s_cosine_topk" -> 0.4,
     "q_t_quality" -> 0.9, "q_e_asof" -> 0.8, "q_e_range_join" -> 0.6,
     "q_sk_heavy_hitters" -> 0.5, "q_d_embed_neardup" -> 1.4,
-    "q_j3_positional" -> 1.6, "q_t_tfidf" -> 1.4, "q_d_dup_clusters" -> 4.1,
-    "q_d_decontaminate" -> 1.0, "q_pipeline_corpus" -> 10.3,
+    "q_j3_positional" -> 1.6, "q_t_tfidf" -> 1.4, "q_d_dup_clusters" -> 1.6,  // r15 CC fast path + verify repartition
+    "q_d_decontaminate" -> 1.0, "q_pipeline_corpus" -> 10.0,
     "q_pipeline_survey" -> 0.7, "q_d_semdedup" -> 0.8, "q_t_pack" -> 0.7,
     "q_d_incremental" -> 0.6, "q_d_incremental_indexed" -> 1.3,
     "q_d_dup_spans" -> 2.4, "q_d_span_scrub" -> 2.6, "q_t_perplexity" -> 1.4,
@@ -424,7 +424,7 @@ object Bench {
     "q_d_corpus_overlap" -> 2.3, "q_a13_corr_matrix" -> 0.3,
     "q_t_entropy" -> 0.4, "q_e_session_stats" -> 3.8,
     "q_s_hard_negatives" -> 0.3, "q_d_cdc_chunks" -> 0.9,
-    "q_s_knn_graph" -> 6.0, "q_s_semantic_clusters" -> 9.3,
+    "q_s_knn_graph" -> 6.0, "q_s_semantic_clusters" -> 0.5,  // r15 CC fast path
     "q_p22_stratified_split" -> 0.3, "q_t_trigram_sb" -> 1.9,
     "q_pipeline_corpus_card" -> 0.5, "q_t_quality_norm" -> 0.5,
     "q_e_moving_avg" -> 0.6, "q_j7_interval" -> 0.3,
@@ -438,7 +438,7 @@ object Bench {
     "q_p24_expectations" -> 1.3, "q_e_transitions" -> 0.5,
     "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
     "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
-    "q_d_cc_incremental" -> 11.5,
+    "q_d_cc_incremental" -> 4.4,  // r15 CC fast path
     "q_s_ivf_append" -> 2.4, "q_sk_kmv_theta" -> 1.7,
     "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7,
     "q_t_pmi" -> 1.9, "q_e_burst" -> 1.1,
@@ -451,13 +451,13 @@ object Bench {
     "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6,
     "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0,
     "q_t_phrase_search" -> 1.2, "q_m43_quantile_map" -> 2.9,
-    "q_mm_image_clusters" -> 6.4, "q_d_embed_decon" -> 1.0,
+    "q_mm_image_clusters" -> 3.6,  // r15 CC fast path "q_d_embed_decon" -> 1.0,
     "q_e_session_funnel" -> 2.9, "q_a20_hist2d" -> 1.0,
     "q_s_cluster_labels" -> 18.0,
     // round-12 additions: TimeOne warm, sf0.1, load1 ~4 (documented —
     // remeasure on a quiet window if they flag)
     "q_s_ivf_versioned" -> 3.8, "q_s_rerank" -> 2.7,
-    "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 14.3,
+    "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 0.7,  // r15 CC fast path
     "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 4.7,
     "q_p26_doremi_tilt" -> 1.4, "q_m44_psi" -> 1.4,
     "q_m45_kappa" -> 0.7, "q_m46_bootstrap" -> 0.6,

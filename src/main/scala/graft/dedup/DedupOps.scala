@@ -536,7 +536,20 @@ object DedupOps {
     val t = docs.select(col(idCol).as("__id"),
       coalesce(substring(col(textCol), 1, prefixLen), lit("")).as("__t"))
     val present = col("ta").isNotNull && col("tb").isNotNull
+    // r15: pin the pair frame's partition count before scoring — the
+    // levenshtein arbitration is CPU-dense per row but tiny in BYTES
+    // (two ids), so AQE's byte-targeted coalescing collapsed it to ~1
+    // partition and serialized ~3.2e9 DP cells on one core (measured
+    // 32.6 s → 2.3 s at sf0.1, ProfileCorpusPipeline). The count is
+    // the session's shuffle-partition setting (the cluster-scale knob;
+    // defaultParallelism fallback), never a constant; an explicit
+    // numPartitions is exempt from AQE coalescing, and the broadcast
+    // text attach preserves it through to the filter.
+    val n = docs.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
     pairs.select("ida", "idb")
+      .repartition(n, col("ida"), col("idb"))
       .join(t.toDF("ida", "ta"), Seq("ida"), "left")
       .join(t.toDF("idb", "tb"), Seq("idb"), "left")
       .select(col("ida"), col("idb"),

@@ -49,7 +49,8 @@ object DupClusters {
     * cannot clean them up itself. The default (local) is right for
     * single-JVM runs and tests. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // Checkpoint each round, then RE-WRAP the result as a fresh LogicalRDD
@@ -88,6 +89,47 @@ object DupClusters {
     // dedup would be a full extra shuffle of the edge list
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .cache()
+    // r15 size-adaptive fast path (the AQE broadcast-threshold analogue,
+    // decided from the MEASURED edge count, never a local[*] constant):
+    // a confirmed-duplicate edge list below `smallGraphEdges` rows
+    // (default 2^20 ≈ 16 MB collected — the same order a broadcast
+    // relation would ship) closes on the driver with union-find +
+    // path compression in O(E α(E)), IDENTICAL min-label result,
+    // instead of paying O(log diameter) rounds × two shuffle joins ×
+    // per-round checkpoint jobs. The distributed loop below is
+    // untouched and takes over past the threshold (pass 0 to force it;
+    // DupClustersSpec pins small-path ≡ loop equality). The count is
+    // one job that also materializes the edge cache the loop would
+    // build anyway.
+    if (edges.count() <= smallGraphEdges) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(blocking = false)
+      // union-find where union always roots at the SMALLER id, so a
+      // component's final root IS its minimum — the loop's min-label
+      // fixpoint — and find() alone yields comp
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      import scala.jdk.CollectionConverters._
+      val assign = parent.keySet().asScala.toSeq
+        .map(n => (n: Long, find(n)))
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      return assign.toDF("id", "comp")
+    }
     // localCheckpoint (not cache) each round: an iterative self-joining
     // DataFrame otherwise DOUBLES its logical plan per iteration — caching
     // short-circuits execution but the analyzer still walks the whole

@@ -18,11 +18,13 @@ class DupClustersSpec extends SparkSpecBase {
   }
 
   test("connected components: long path converges within the iteration bound") {
+    // force the distributed loop — the driver fast path has no rounds
     // a 64-node path has diameter 63; pointer jumping must close it well
     // inside maxIter=25 (log-diameter rounds), where plain propagation
     // would need 63
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("ida", "idb")
-    val comp = DupClusters.connectedComponents(pairs).collect()
+    val comp = DupClusters.connectedComponents(pairs, smallGraphEdges = 0L)
+      .collect()
     assert(comp.length == 64 && comp.forall(_.getLong(1) == 0L))
   }
 
@@ -44,12 +46,19 @@ class DupClustersSpec extends SparkSpecBase {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expected = parent.keys.map(x => x -> find(x)).toMap
-    val got = DupClusters.connectedComponents(
+    // r15: the driver fast path (default threshold) and the distributed
+    // loop (forced with smallGraphEdges = 0) must BOTH equal the
+    // reference — and therefore each other
+    val gotSmall = DupClusters.connectedComponents(
       edges.toDF("ida", "idb")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.keySet === expected.keySet)
+    val gotLoop = DupClusters.connectedComponents(
+      edges.toDF("ida", "idb"), smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSmall.keySet === expected.keySet)
     // same partition AND the same canonical min-id representative
-    assert(got === expected)
+    assert(gotSmall === expected)
+    assert(gotLoop === expected)
   }
 
   test("connected components: empty pair list yields an empty frame, no NPE") {
@@ -114,10 +123,12 @@ class DupClustersSpec extends SparkSpecBase {
       .toString
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (20L, 21L)).toDF("ida", "idb")
-    val local = DupClusters.connectedComponents(pairs)
+    val local = DupClusters.connectedComponents(pairs, smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the reliable-path variant must also force the loop, or there is no
+    // checkpoint to compare
     val reliable = DupClusters.connectedComponents(pairs,
-      checkpointDir = Some(dir))
+      smallGraphEdges = 0L, checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === local)
   }
