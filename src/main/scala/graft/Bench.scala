@@ -419,7 +419,7 @@ object Bench {
     "q_p18_shuffle" -> 0.6, "q_t_pack_curriculum" -> 0.7,
     "q_t_gopher_rules" -> 0.8, "q_t_diversity" -> 1.2,
     "q_p19_temperature_mix" -> 0.4, "q_p20_reservoir" -> 0.3,
-    "q_d_bloom_decon" -> 7.0, "q_p21_weighted_reservoir" -> 0.2,
+    "q_d_bloom_decon" -> 1.7, "q_p21_weighted_reservoir" -> 0.2,
     "q_s_sq8" -> 1.8, "q_e_funnel" -> 0.7, "q_e_retention" -> 0.7,
     "q_d_corpus_overlap" -> 2.3, "q_a13_corr_matrix" -> 0.3,
     "q_t_entropy" -> 0.4, "q_e_session_stats" -> 3.8,
@@ -434,7 +434,8 @@ object Bench {
     "q_j9_tpch_q5" -> 1.2, "q_sk_hll_state" -> 0.8, "q_s_graph_rank" -> 6.7,
     "q_a14_mad_outliers" -> 4.2, "q_a15_histogram" -> 0.6,
     "q_m36_quantile_bins" -> 1.4, "q_d_exact_spans_incr" -> 1.9,
-    "q_d_prefix_jaccard" -> 6.9,  // r15 verify-join rewrite "q_a16_rollup" -> 0.3, "q_e_wow" -> 0.4,
+    // r15 verify-join rewrite: prefix_jaccard 14.2 -> 6.9
+    "q_d_prefix_jaccard" -> 6.9, "q_a16_rollup" -> 0.3, "q_e_wow" -> 0.4,
     "q_p24_expectations" -> 1.3, "q_e_transitions" -> 0.5,
     "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
     "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
@@ -451,14 +452,16 @@ object Bench {
     "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6,
     "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0,
     "q_t_phrase_search" -> 1.2, "q_m43_quantile_map" -> 2.9,
-    "q_mm_image_clusters" -> 3.6,  // r15 CC fast path "q_d_embed_decon" -> 1.0,
+    // r15 CC fast path: image_clusters 6.4 -> 3.6
+    "q_mm_image_clusters" -> 3.6, "q_d_embed_decon" -> 1.0,
     "q_e_session_funnel" -> 2.9, "q_a20_hist2d" -> 1.0,
     "q_s_cluster_labels" -> 18.0,
     // round-12 additions: TimeOne warm, sf0.1, load1 ~4 (documented —
     // remeasure on a quiet window if they flag)
     "q_s_ivf_versioned" -> 3.8, "q_s_rerank" -> 2.7,
     "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 0.7,  // r15 CC fast path
-    "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 4.7,
+    // r15 lineage truncation: mmr 4.7 -> 2.6
+    "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 2.6,
     "q_p26_doremi_tilt" -> 1.4, "q_m44_psi" -> 1.4,
     "q_m45_kappa" -> 0.7, "q_m46_bootstrap" -> 0.6,
     "q_s_matryoshka" -> 0.9,
@@ -470,7 +473,7 @@ object Bench {
     // and prf carry their cold index/double-pass cost margins)
     "q_d_embed_versioned" -> 4.5, "q_m49_bh_fdr" -> 1.7,
     "q_m50_kish" -> 0.4, "q_s_rbo" -> 1.3, "q_t_zipf" -> 1.0,
-    "q_t_prf" -> 3.4, "q_p27_unimax" -> 0.7,
+    "q_t_prf" -> 3.2, "q_p27_unimax" -> 0.7,
     "q_d_saturation" -> 0.9,
     "q_m51_gini" -> 1.4, "q_m52_km" -> 1.3,
     "q_t_vocab_coverage" -> 1.1, "q_e_cusum" -> 1.1,
@@ -483,7 +486,8 @@ object Bench {
     "q_m60_conformal" -> 0.6, "q_m61_isotonic" -> 0.4,
     "q_m62_dawid_skene" -> 4.9, "q_t_heaps" -> 0.8,
     "q_p28_kanon" -> 0.3, "q_t_ql_dirichlet" -> 1.9,
-    "q_d_lsh_audit" -> 7.5,  // r15: conv parse + single tokenize + shared truth shingles "q_d_spans_versioned" -> 4.2,
+    // r15 conv parse + single tokenize + shared truth shingles: 21.3 -> 7.5
+    "q_d_lsh_audit" -> 7.5, "q_d_spans_versioned" -> 4.2,
     // round-12 batch 5: TimeOne warm, sf0.1, quiet machine
     "q_m63_smd" -> 1.4, "q_m64_poststrat" -> 1.8, "q_m65_srm" -> 0.4,
     "q_m66_power" -> 0.3, "q_m67_msprt" -> 0.6, "q_m68_qte" -> 2.0,
@@ -617,6 +621,17 @@ object Bench {
 
     var reruns = List.empty[String]
     val results = BenchSet.map { name =>
+      // r15 measurement fix (documented in OPTIMIZATION_r15.md): force a
+      // GC BETWEEN queries, outside every timed region. Spark's
+      // ContextCleaner only reclaims finished queries' broadcasts and
+      // shuffle files when a JVM GC runs; with an 8 GB heap the debris
+      // of preceding queries otherwise lands on successors — measured:
+      // q_d_prefix_jaccard ran 11.4/8.0 s directly after two unrelated
+      // queries vs 7.4/5.7 s isolated, decaying over repeats. The timed
+      // region itself is unchanged (full plan via noop + clearCache),
+      // so per-query numbers remain comparable and now measure the
+      // query, not its predecessors' uncollected garbage.
+      System.gc()
       // stamp the load right before the query: a polluted run becomes
       // machine-readable per query, not just per run (round-11 bench was
       // contention-polluted end to end — load1 4 → 16 — and the artifact

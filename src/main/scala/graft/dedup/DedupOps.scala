@@ -667,27 +667,42 @@ object DedupOps {
       // are eval-suite-sized, so the persist is small and saves the
       // second tokenize+distinct pass
       .persist()
-    // kHash bit positions per gram, as a map-side array. xxhash64 (not
-    // md5): the oracle never replays the bloom — it checks the EXACT
-    // overlap result — so the probe hash only needs determinism, and the
-    // codegen'd 64-bit hash is an order of magnitude cheaper per gram
-    // than hex-md5 parsing on the corpus-sized side.
-    def positions(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      transform(sequence(lit(1), lit(kHash)), j =>
-        pmod(xxhash64(j, g), lit(mBits.toLong)))
-    val bitmap = bg.select(explode(positions(col("g"))).as("p"))
+    // kHash bit positions per gram. xxhash64 (not md5): the oracle
+    // never replays the bloom — it checks the EXACT overlap result — so
+    // the probe hash only needs determinism, and the codegen'd 64-bit
+    // hash is an order of magnitude cheaper per gram than hex-md5
+    // parsing on the corpus-sized side.
+    //
+    // r15: the bitmap is CONFIG-SIZED by construction (mBits/64 longs —
+    // 8 KB at the registered 2^16 bits, whatever the data), so it is
+    // collected once and inlined as a dense literal array; the probe
+    // unrolls the kHash loop into plain codegen'd expressions. The
+    // former shape — transform()+forall() higher-order functions
+    // (CodegenFallback, interpreted per gram row) over a broadcast MAP
+    // whose element_at is a LINEAR scan of all 1024 entries — measured
+    // 3.2 s of the query's 5.6 s at sf0.1 (ProfileBloomDecon); the
+    // unrolled probe is O(kHash) array indexing inside whole-stage
+    // codegen. Identical bitmap construction and probe positions
+    // (sequence(1, kHash) yields INTs, so the unrolled literals hash
+    // identically), hence the identical candidate set and the same
+    // spec-measured false-positive rate.
+    val nWords = mBits / 64
+    val words = new Array[Long](nWords)
+    bg.select(explode(transform(sequence(lit(1), lit(kHash)), j =>
+        pmod(xxhash64(j, col("g")), lit(mBits.toLong)))).as("p"))
       .select(expr("p div 64").as("w"),
         expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
       .groupBy("w").agg(expr("bit_or(b)").as("bw"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bw"))))
-        .as("bm"))
-    val cand = grams(docs, idCol)
-      .withColumn("__ps", positions(col("g")))
-      .crossJoin(broadcast(bitmap))
-      .filter(expr("forall(__ps, p -> " +
-        "(coalesce(element_at(bm, p div 64), 0L) & " +
-        "shiftleft(1L, cast(p % 64 as int))) != 0)"))
-      .select("id", "g")
+      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bmLit = typedlit(words.toSeq)
+    val probeHit = (1 to kHash).map { j =>
+      expr(s"(element_at(__bm, cast(pmod(xxhash64($j, g), " +
+        s"${mBits}L) div 64 as int) + 1) & " +
+        s"shiftleft(1L, cast(pmod(xxhash64($j, g), ${mBits}L) % 64 " +
+        "as int))) != 0L")
+    }.reduce(_ && _)
+    val cand = grams(docs, idCol).withColumn("__bm", bmLit)
+      .filter(probeHit).select("id", "g")
     (cand, bg)
   }
 

@@ -57,8 +57,22 @@ object MmrDiversify {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("qid"), lit(pick.toLong).as("pick"), col("id"),
           col("mmr").as("mmr_micro"))
-    var result = argmax(
-      cands.withColumn("mmr", col("rel_micro") * lamNum), 1)
+    // r15: truncate each step's lineage (the connectedComponents loop
+    // idiom — lazy localCheckpoint re-wrapped as a fresh LogicalRDD).
+    // Each greedy step references the accumulated result TWICE (the
+    // anti-join's picked set and the union), so the untruncated plan
+    // doubled per step — ~2^k window/argmax subtrees, a 500 KB
+    // formatted plan at k=4, re-analyzed and partially re-executed on
+    // every step (measured: the registered query spent ~7 of its 9 s
+    // there). With the cut, each step is one anti-join + one keyed max
+    // + one argmax window over the persisted inputs. Lazy (not eager):
+    // the single terminal action materializes all k steps in one job
+    // chain. Per-step picks are workload-bounded (queries × k rows).
+    def truncate(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(
+        df.localCheckpoint(eager = false).rdd, df.schema)
+    var result = truncate(argmax(
+      cands.withColumn("mmr", col("rel_micro") * lamNum), 1))
     (2 to k).foreach { t =>
       val picked = result.select(col("qid"), col("id"))
       val remaining = cands.join(picked, Seq("qid", "id"), "left_anti")
@@ -69,7 +83,7 @@ object MmrDiversify {
       val scored = remaining.join(ms, Seq("qid", "id"), "left")
         .withColumn("mmr", col("rel_micro") * lamNum
           - coalesce(col("maxsim"), lit(0L)) * (lamDen - lamNum))
-      result = result.unionByName(argmax(scored, t))
+      result = truncate(result.unionByName(argmax(scored, t)))
     }
     result
   }

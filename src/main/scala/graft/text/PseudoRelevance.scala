@@ -51,12 +51,23 @@ object PseudoRelevance {
     qdf.unionByName(exp)
   }
 
-  /** Full PRF retrieval: expand, then re-score. */
+  /** Full PRF retrieval: expand, then re-score.
+    *
+    * r15: the expanded-term table is eagerly materialized at the stage
+    * boundary — it is config-sized (queries × (orig + mExp) rows), but
+    * stage 2 references it TWICE (the postings semi-join and the score
+    * attach), and without the cut each reference re-derived the entire
+    * stage-1 plan (BM25 pass + feedback harvest) inside stage 2's tree:
+    * the registered query's physical plan carried 23 corpus scans / 37
+    * exchanges, most of them the same subtree replayed. With the
+    * checkpoint stage 2 sees a literal-sized local frame and the plan
+    * drops to the two honest corpus passes the scaladoc promises. */
   def prfTopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[(Int, String)], kFb: Int, mExp: Int, k: Int)
       : DataFrame =
     Bm25.bm25TopKFromTerms(df, idCol, textCol,
-      prfExpand(df, idCol, textCol, queryTerms, kFb, mExp), k)
+      prfExpand(df, idCol, textCol, queryTerms, kFb, mExp)
+        .localCheckpoint(eager = true), k)
 
   /** q_t_prf: the shared retrieval workload, 5 feedback docs, 3
     * expansion terms, top-10 re-retrieval — the oracle replays both

@@ -22,6 +22,10 @@ object TimeOne {
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     names.foreach { name =>
+      // untimed inter-query GC — same hygiene as Bench: let the
+      // ContextCleaner reclaim the previous query's broadcast/shuffle
+      // debris so its cost doesn't land in this query's numbers
+      System.gc()
       val fn = SparkEntry.queries(name)
       if (explain)
         println(fn(spark, sfDir).queryExecution.explainString(
