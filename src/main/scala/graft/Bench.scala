@@ -518,14 +518,14 @@ object Bench {
     "q_m87_gwet_ac1" -> 0.8,
     "q_m88_cmh" -> 0.8,
     // round-13: TimeOne warm, sf0.1, quiet machine (load1 < 0.1)
-    "q_mm_phash_neardup" -> 2.5, "q_mm_audio_fp" -> 0.4,
-    "q_mm_audio_neardup" -> 0.6, "q_mm_video_phash" -> 3.4,
+    "q_mm_phash_neardup" -> 1.8, "q_mm_audio_fp" -> 0.4,
+    "q_mm_audio_neardup" -> 0.6, "q_mm_video_phash" -> 3.8,
     "q_mm_binary_lake" -> 2.7, "q_mm_tar_shards" -> 1.3,
     "q_mm_silence_spans" -> 0.3,
     "q_t_blocklist" -> 1.4, "q_p30_curation_funnel" -> 0.3,
     "q_p32_curriculum" -> 0.6, "q_e_embargo_split" -> 0.8,
     "q_p31_skew_report" -> 0.5, "q_s_jl_project" -> 0.2,
-    "q_mm_image_decon" -> 2.1, "q_mm_phash_clusters" -> 3.9,
+    "q_mm_image_decon" -> 2.5, "q_mm_phash_clusters" -> 3.9,
     "q_mm_audio_decon" -> 1.1,
     // round-14: TimeOne warm, sf0.1, quiet machine; unigram family
     // remeasured in r15 after the compiled-Viterbi DP (was 9.0/9.6/9.7)

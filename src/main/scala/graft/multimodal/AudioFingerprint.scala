@@ -148,7 +148,7 @@ object AudioFingerprint {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val g = id % 97
         val v = 1 + (id / 97) % 3
@@ -251,7 +251,7 @@ object AudioFingerprint {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val n = (240 + (id % 5) * 16).toInt
         val samples = Array.tabulate(n) { j =>
@@ -305,7 +305,7 @@ object AudioFingerprint {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val n = (160 + (id % 5) * 16).toInt
         val samples = Array.tabulate(n)(j =>
@@ -368,7 +368,7 @@ object AudioFingerprint {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val g = id % 97
         val v = 1 + (id / 97) % 3

@@ -54,7 +54,8 @@ object MediaLake {
       val dir = java.nio.file.Files.createTempDirectory("graft-lake")
         .toString
       try {
-        Tables.documents(s, d).select(col("doc_id").cast("long"))
+        MultimodalOps.spreadIds(
+            Tables.documents(s, d).select(col("doc_id").cast("long")))
           .rdd.foreachPartition { it =>
             it.foreach { r =>
               val id = r.getLong(0)

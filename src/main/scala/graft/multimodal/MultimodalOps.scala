@@ -21,6 +21,23 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  /** Round-robin-spread a narrow id frame across the session's shuffle
+    * parallelism before CPU-dense media synth/decode (r15): the
+    * documents parquet is one small split — a single scan partition —
+    * so every ImageIO/PNG/WAV/GFV1 encode+decode in the registered
+    * media corpora ran on ONE core. The spread is a tiny shuffle of id
+    * rows (the blobs are synthesized AFTER it, on the spread
+    * partitions, and the library decode entries inherit the layout
+    * through their narrow maps). Partition count is the session's
+    * shuffle-partition setting — the cluster-scale knob, never a
+    * local[*] constant; at real scale a many-split media table simply
+    * pays one cheap id shuffle. Deterministic per row (the synth is a
+    * pure function of the id), so placement cannot affect results. */
+  private[multimodal] def spreadIds(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+
   /** One decoded media record. */
   final case class MediaFeatures(
       nBytes: Long, format: String, width: Int, height: Int,
@@ -672,7 +689,7 @@ object MultimodalOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val n = (160 + (id % 5) * 16).toInt
         val samples = Array.tabulate(n)(j =>
@@ -724,7 +741,7 @@ object MultimodalOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val n = (160 + (id % 5) * 16).toInt
         val samples = Array.tabulate(n)(j =>
@@ -773,7 +790,7 @@ object MultimodalOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val nf = (3 + id % 3).toInt
         val frames = (0 until nf).map(f => Array.tabulate(64)(j =>
@@ -828,7 +845,7 @@ object MultimodalOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val nf = (3 + id % 3).toInt
         val frames = (0 until nf).map { f =>
@@ -903,7 +920,7 @@ object MultimodalOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map { r =>
+      val rdd = spreadIds(docs).rdd.map { r =>
         val id = r.getLong(0)
         val img = new java.awt.image.BufferedImage(
           4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
@@ -1028,7 +1045,7 @@ object MultimodalOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map(r =>
+      val rdd = spreadIds(docs).rdd.map(r =>
         Row(r.getLong(0), synthGrayPng(r.getLong(0))))
       val withBlob = s.createDataFrame(rdd, StructType(Seq(
         StructField("doc_id", LongType), StructField("blob", BinaryType))))
@@ -1103,7 +1120,7 @@ object MultimodalOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map(r =>
+      val rdd = spreadIds(docs).rdd.map(r =>
         Row(r.getLong(0), synthGrayPng(r.getLong(0))))
       val withBlob = s.createDataFrame(rdd, StructType(Seq(
         StructField("doc_id", LongType), StructField("blob", BinaryType))))

@@ -233,7 +233,7 @@ object PerceptualHash {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map(r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map(r =>
         Row(r.getLong(0), synthTexturePng(r.getLong(0))))
       val withBlob = s.createDataFrame(rdd, StructType(Seq(
         StructField("doc_id", LongType), StructField("blob", BinaryType))))
@@ -288,7 +288,7 @@ object PerceptualHash {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map(r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map(r =>
         Row(r.getLong(0), synthTexturePng(r.getLong(0))))
       val withBlob = s.createDataFrame(rdd, StructType(Seq(
         StructField("doc_id", LongType), StructField("blob", BinaryType))))
@@ -320,7 +320,7 @@ object PerceptualHash {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map(r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map(r =>
         Row(r.getLong(0), synthTexturePng(r.getLong(0))))
       val withBlob = s.createDataFrame(rdd, StructType(Seq(
         StructField("doc_id", LongType), StructField("blob", BinaryType))))

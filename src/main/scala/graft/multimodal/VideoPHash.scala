@@ -138,7 +138,7 @@ object VideoPHash {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val rdd = docs.rdd.map(r =>
+      val rdd = MultimodalOps.spreadIds(docs).rdd.map(r =>
         Row(r.getLong(0), synthTextureClip(r.getLong(0))))
       val withBlob = s.createDataFrame(rdd, StructType(Seq(
         StructField("doc_id", LongType), StructField("blob", BinaryType))))
