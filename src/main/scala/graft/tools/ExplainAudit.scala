@@ -1000,12 +1000,14 @@ object ExplainAudit {
       "ideal-order window is query-partitioned" ->
         (p => p.contains("Window") && p.contains("hashpartitioning(qid")))
     audit("q_s_mmr",
-      // each greedy step is an anti-join + keyed max + per-query argmax
-      // window, all over workload-bounded candidate frames
-      "per-step argmax windows are query-partitioned" ->
-        (p => p.contains("Window") && p.contains("hashpartitioning(qid")),
-      "per-step max-sim aggregates partial map-side" ->
-        (_.contains("partial_max")),
+      // r15: each greedy step (anti-join + keyed max + per-query argmax
+      // window) TRUNCATES its lineage (lazy localCheckpoint → fresh
+      // LogicalRDD — the untruncated plan doubled per step), so the
+      // registered frame's plan is the final step's RDD scan; the
+      // per-step selection semantics are pinned by MmrDiversifySpec and
+      // the step-unrolled DuckDB oracle
+      "result is the truncated greedy chain (RDD scan)" ->
+        (p => p.contains("Scan ExistingRDD")),
       "no shuffled product anywhere in the k-step plan" ->
         (p => !p.contains("CartesianProduct")))
     audit("q_m44_psi",
