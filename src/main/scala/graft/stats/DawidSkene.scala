@@ -46,7 +46,138 @@ object DawidSkene {
     * label with its posterior in micro. `iters` EM sweeps after the
     * vote init. */
   def fit(wide: DataFrame, itemCol: String, raterCols: Seq[String],
-      classes: Seq[String], iters: Int = 5): DataFrame = {
+      classes: Seq[String], iters: Int = 5): DataFrame =
+    fitGated(wide, itemCol, raterCols, classes, iters, maxCombos = 1 << 16)
+
+  /** [[fit]] with an explicit fast-path gate (specs force it to 0 to pin
+    * the distributed loop). */
+  private[stats] def fitGated(wide: DataFrame, itemCol: String,
+      raterCols: Seq[String], classes: Seq[String], iters: Int,
+      maxCombos: Int): DataFrame = {
+    // Value-counts fast path (r16, guide §1.2): an item's posterior at
+    // every sweep is a function of its rater-label TUPLE alone — the init
+    // is its vote shares, and each E-step rescores it from the collected
+    // M-step literals. With k classes and R raters there are at most k^R
+    // distinct tuples (27 for q_m62), so ONE groupBy(y0..yR).count() pass
+    // feeds the ENTIRE EM driver-side in exact BigInt arithmetic (the same
+    // integral ops the distributed plan runs in decimal(38,0)), and the
+    // consensus attaches back by one broadcast join. The gate MEASURES the
+    // tuple count (free-text rater labels could make it data-sized); past
+    // it, the original per-sweep loop below runs unchanged.
+    val combos = wide
+      .groupBy(raterCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .limit(maxCombos + 1).collect()
+    if (combos.length <= maxCombos)
+      fitFromCombos(wide, itemCol, raterCols, classes, iters,
+        combos.map(row => raterCols.indices.map(row.getString).toVector ->
+          row.getLong(raterCols.length)))
+    else fitDistributed(wide, itemCol, raterCols, classes, iters)
+  }
+
+  /** Driver-side EM over (rater-label tuple, count) rows — bit-exact
+    * replica of [[fitDistributed]]'s integer recursion (all BigInt; the
+    * distributed plan's decimal(38,0) products and integral divisions are
+    * the same exact-integer ops). Emits the same (item, label, conf_micro)
+    * by broadcast-joining the per-tuple consensus onto the wide frame. */
+  private def fitFromCombos(wide: DataFrame, itemCol: String,
+      raterCols: Seq[String], classes: Seq[String], iters: Int,
+      combos: Array[(Vector[String], Long)]): DataFrame = {
+    val spark = wide.sparkSession
+    import spark.implicits._
+    val r = raterCols.length
+    val k = classes.length
+    require(k >= 2 && r >= 1, "dawidSkene: need >= 2 classes, >= 1 rater")
+    val M = BigInt(1000000L)
+    val clsSet = classes.toSet
+    // posterior per tuple: init = vote shares floored to micro, over the
+    // VOTED labels only (exactly the distributed init's support)
+    var t: Array[Map[String, BigInt]] = combos.map { case (ys, _) =>
+      ys.groupBy(identity).map { case (c, v) =>
+        c -> BigInt(v.size) * M / r }
+    }
+    // tuples with any out-of-class vote drop out of the E-step (the
+    // distributed plan's inner confusion joins drop those items the same
+    // way); they still feed the FIRST M-step through the init posterior
+    val alive = combos.map(_._1.forall(clsSet.contains))
+    for (_ <- 0 until iters) {
+      // ---- M-step: the same sufficient statistics, summed over tuples ----
+      val num = scala.collection.mutable.Map
+        .empty[(Int, String, String), BigInt].withDefaultValue(BigInt(0))
+      combos.indices.foreach { i =>
+        val cnt = BigInt(combos(i)._2)
+        val ys = combos(i)._1
+        var j = 0
+        while (j < r) {
+          t(i).foreach { case (c, tv) =>
+            num((j, ys(j), c)) += cnt * tv }
+          j += 1
+        }
+      }
+      val den: Map[String, BigInt] = classes.map { c =>
+        c -> classes.map(a => num((0, a, c))).sum }.toMap
+      val tot = classes.map(den).sum
+      val prior: Map[String, Long] = classes.map { c =>
+        c -> ((den(c) + M) * M / (tot + k * M)).toLong }.toMap
+      val conf: Map[(Int, String, String), Long] =
+        (for (j <- 0 until r; a <- classes; c <- classes) yield
+          (j, a, c) -> ((num((j, a, c)) + M) * M / (den(c) + k * M)).toLong
+        ).toMap
+      // ---- E-step: rescore each alive tuple over ALL classes ----
+      t = combos.indices.map { i =>
+        if (!alive(i)) Map.empty[String, BigInt]
+        else {
+          val ys = combos(i)._1
+          val s: Map[String, BigInt] = classes.map { c =>
+            c -> (0 until r).foldLeft(BigInt(prior(c))) {
+              (acc, j) => acc * conf((j, ys(j), c)) }
+          }.toMap
+          val z = s.values.sum
+          s.map { case (c, sv) => c -> sv * M / z }
+        }
+      }.toArray
+    }
+    // consensus per tuple: argmax by (posterior desc, class asc in UTF-8
+    // byte order — the distributed row_number's string ordering)
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(ab.length, bb.length)
+      var res = 0
+      while (i < n && res == 0) {
+        res = (ab(i) & 0xff) - (bb(i) & 0xff); i += 1 }
+      if (res != 0) res else ab.length - bb.length
+    }
+    val consensus = combos.indices.flatMap { i =>
+      val post = t(i)
+      if (post.isEmpty) None
+      else {
+        val (c, tv) = post.toSeq.minBy { case (cc, tvv) => (-tvv, cc) }(
+          Ordering.Tuple2(Ordering.BigInt, utf8Order))
+        Some((combos(i)._1, c, tv.toLong))
+      }
+    }
+    // attach on the rater-label columns themselves (labels may contain any
+    // character, so no concatenated key); the inner join drops out-of-class
+    // tuples exactly as the distributed confusion joins do
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(
+      raterCols.indices.map(j => StructField(s"__y$j", StringType)) ++
+        Seq(StructField("label", StringType),
+          StructField("conf_micro", LongType)))
+    val comboDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(consensus.map { case (ys, c, tv) =>
+        org.apache.spark.sql.Row.fromSeq(ys ++ Seq(c, tv)) }, 1), schema)
+    val cond = raterCols.zipWithIndex.map { case (rc, j) =>
+      wide(rc) === comboDf(s"__y$j") }.reduce(_ && _)
+    wide.join(broadcast(comboDf), cond)
+      .select(col(itemCol), col("label"), col("conf_micro"))
+  }
+
+  /** The original per-sweep distributed loop — the over-gate path and the
+    * parity reference. */
+  private[stats] def fitDistributed(wide: DataFrame, itemCol: String,
+      raterCols: Seq[String], classes: Seq[String], iters: Int): DataFrame = {
     val spark = wide.sparkSession
     import spark.implicits._
     val r = raterCols.length

@@ -88,16 +88,102 @@ object BpeMerge {
   /** The learn loop's full state: the ranked merge list AND the final
     * symbol table (w, freq, syms) — i.e. the vocabulary ENCODED under
     * those merges (each learn iteration's application pass doubles as the
-    * encode pass; they cannot diverge). The returned frame is persisted;
-    * the caller owns the unpersist. */
+    * encode pass; they cannot diverge). The returned frame is persisted
+    * (fast path: a local relation — unpersist is a no-op); the caller
+    * owns the unpersist.
+    *
+    * Driver-local fast path (r16, the [[graft.text.UnigramLm.learnState]]
+    * model discipline + the [[graft.dedup.DupClusters]] measured gate):
+    * every merge iteration reads and writes ONLY the word-frequency
+    * vocabulary, so when the MEASURED vocab size fits under `maxVocab`
+    * the whole loop runs driver-side — pair counts, the (cnt desc, x, y)
+    * argmax in UTF-8 byte order (Spark's string ordering), and the greedy
+    * fold — eliminating the per-merge TakeOrdered job + full-vocab
+    * persist/count/unpersist churn (2 jobs + cache turnover per merge).
+    * The symbol split stays IN SPARK (`split(w, "")` collected with the
+    * vocab) so the driver never re-implements its code-point semantics.
+    * Past the gate the original per-merge distributed loop runs
+    * unchanged; at 100 TB a vocabulary above 2²⁰ words keeps it. */
   private[text] def learnState(docs: DataFrame, textCol: String,
-      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+      nMerges: Int, maxVocab: Int = 1 << 20)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, "nMerges >= 1")
-    var words = docs
+    val words0 = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("w"), ""))
-      .persist()
+    val collected = words0.limit(maxVocab + 1).collect()
+    if (collected.length <= maxVocab) {
+      var vocab: Array[(String, Long, Array[String])] = collected.map(r =>
+        (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+      // UTF-8 byte comparison = UTF8String binary ordering = what the
+      // distributed orderBy(cnt desc, x, y) compares
+      def byteLt(a: String, b: String): Boolean = {
+        val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        while (i < n) {
+          val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+          if (d != 0) return d < 0
+          i += 1
+        }
+        ab.length < bb.length
+      }
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var rank = 1
+      while (rank <= nMerges) {
+        val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (_, freq, syms) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            cnt.update(k, cnt.getOrElse(k, 0L) + freq)
+            i += 1
+          }
+        }
+        if (cnt.isEmpty) rank = nMerges + 1 // no pairs left anywhere
+        else {
+          val ((x, y), c) = cnt.reduceLeft { (a, b) =>
+            if (b._2 > a._2 ||
+                (b._2 == a._2 && (byteLt(b._1._1, a._1._1) ||
+                  (b._1._1 == a._1._1 && byteLt(b._1._2, a._1._2))))) b
+            else a
+          }
+          merges += ((rank.toLong, x, y, c))
+          // greedy left-to-right with one-symbol lookbehind — the
+          // BpeMergeFold recurrence (spec-pinned against it)
+          vocab = vocab.map { case (w, freq, syms) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var pend: String = null
+            syms.foreach { s =>
+              if (pend != null && pend == x && s == y) {
+                out += pend + s; pend = null
+              } else {
+                if (pend != null) out += pend
+                pend = s
+              }
+            }
+            if (pend != null) out += pend
+            (w, freq, out.toArray)
+          }
+          rank += 1
+        }
+      }
+      val spark = docs.sparkSession
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(vocab.toSeq.map { case (w, f, s) =>
+          org.apache.spark.sql.Row(w, f, s.toSeq) }, 1), words0.schema)
+      (merges.toSeq, out)
+    } else learnStateDistributed(words0, nMerges)
+  }
+
+  /** The original per-merge distributed loop — the over-gate path and the
+    * parity reference ([[graft.text.BpeMergeSpec]] pins the fast path
+    * against it). */
+  private[text] def learnStateDistributed(words0: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var words = words0.persist()
     words.count() // materialize before the loop reuses it
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1

@@ -39,11 +39,82 @@ object QualityClassifier {
     }
 
   /** Batch-GD logistic fit of `label` (boolean) on `featureCols` with an
-    * intercept, zero init, `iters` full-batch steps at rate `lr`. */
+    * intercept, zero init, `iters` full-batch steps at rate `lr`.
+    *
+    * Value-counts fast path (r16, guide §1.2/§2.3 "aggregate before you
+    * shuffle"): every per-row quantity the fit ever reads — the gradient
+    * term floor((σ(w·x)−y)·xⱼ·1e6), the final correctness predicate, the
+    * positive count — depends on the row ONLY through (y, x₁..x_d). So ONE
+    * map-side-combined `groupBy(y, features).count()` pass replaces the
+    * 20 per-iteration aggregation jobs plus the two counting passes: the
+    * distinct-combo table collects once (gated on a MEASURED row bound, the
+    * [[graft.dedup.DupClusters]] small-graph precedent — quantized features
+    * keep it far below the gate in practice) and all iterations run
+    * driver-side over (combo, count) with the IDENTICAL float-op sequence,
+    * so each gradient sum is the exact same integer: Σ_rows term =
+    * Σ_combos count·term. Past the gate the original per-iteration
+    * aggregation loop runs unchanged — at 100 TB the combo table is still
+    * bounded by the quantized feature grid, but the gate decides from a
+    * measurement, never an assumption. */
   def fit(docs: DataFrame, featureCols: Seq[String], label: Column,
-      iters: Int = 20, lr: Double = 1.0): Fit = {
-    val feats = docs.select(
-      (label.cast("double").as("y") +: featureCols.map(col)): _*).persist()
+      iters: Int = 20, lr: Double = 1.0, maxCombos: Int = 1 << 20): Fit = {
+    val d = featureCols.size
+    val feats0 = docs.select(
+      (label.cast("double").as("y") +: featureCols.map(col)): _*)
+    // one data pass: distinct (y, x) combos with counts; collect bounded
+    // by maxCombos + 1 so the overflow case is detected, never guessed
+    val comboRows = feats0
+      .groupBy(col("y") +: featureCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .select((col("y") +: featureCols.map(c => col(c).cast("double"))) :+
+        col("__cnt"): _*)
+      .limit(maxCombos + 1).collect()
+    if (comboRows.length <= maxCombos) {
+      val y = comboRows.map(_.getDouble(0))
+      val xs = comboRows.map(r => Array.tabulate(d)(j => r.getDouble(j + 1)))
+      val cnt = comboRows.map(_.getLong(d + 1))
+      val n = cnt.sum
+      require(n > 0, "empty training frame")
+      var w = Array.fill(d + 1)(0.0)
+      (1 to iters).foreach { _ =>
+        val g = Array.fill(d + 1)(0L)
+        var i = 0
+        while (i < comboRows.length) {
+          // identical op order to zCol's foldLeft: ((w0 + w1·f1) + w2·f2)…
+          var z = w(0); var j = 0
+          while (j < d) { z = z + w(j + 1) * xs(i)(j); j += 1 }
+          val err = 1.0 / (1.0 + math.exp(-z)) - y(i)
+          g(0) += cnt(i) * math.floor(err * 1.0 * 1e6).toLong
+          j = 0
+          while (j < d) {
+            g(j + 1) += cnt(i) * math.floor(err * xs(i)(j) * 1e6).toLong
+            j += 1
+          }
+          i += 1
+        }
+        w = w.indices.map(j =>
+          w(j) - lr * ((g(j).toDouble / 1e6) / n.toDouble)).toArray
+      }
+      var correct = 0L
+      var pos = 0L
+      var i = 0
+      while (i < comboRows.length) {
+        var z = w(0); var j = 0
+        while (j < d) { z = z + w(j + 1) * xs(i)(j); j += 1 }
+        if ((z >= 0) == (y(i) == 1.0)) correct += cnt(i)
+        if (y(i) == 1.0) pos += cnt(i)
+        i += 1
+      }
+      Fit(w, n, correct, pos)
+    } else fitDistributed(feats0, featureCols, iters, lr)
+  }
+
+  /** The original per-iteration aggregation loop — the over-gate path
+    * (and the parity reference [[graft.text.QualityClassifierSpec]] pins
+    * the fast path against). */
+  private[text] def fitDistributed(feats0: DataFrame,
+      featureCols: Seq[String], iters: Int, lr: Double): Fit = {
+    val feats = feats0.persist()
     val n = feats.count()
     require(n > 0, "empty training frame")
     var w = Array.fill(featureCols.size + 1)(0.0)

@@ -51,4 +51,42 @@ class DawidSkeneSpec extends SparkSpecBase {
     // posteriors are exactly tied by symmetry -> smallest class label
     assert(out(1L) === "a" && out(2L) === "a")
   }
+
+  test("combo fast path equals the distributed loop row for row") {
+    // r16 value-counts rewrite: the driver-side EM over (label-tuple,
+    // count) rows must reproduce the per-sweep distributed loop exactly —
+    // same posteriors, same argmax tie-breaks — including repeated
+    // tuples, a skewed rater, and a symmetric tie
+    val rows = Seq(
+      (1L, "a", "a", "b"), (2L, "b", "b", "a"), (3L, "a", "b", "a"),
+      (4L, "b", "a", "b"), (5L, "a", "a", "b"), (6L, "a", "a", "a"),
+      (7L, "b", "b", "b"), (8L, "a", "a", "b"), (9L, "b", "a", "a"),
+      (10L, "a", "b", "b"))
+    val wide = rows.toDF("item", "r1", "r2", "r3")
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[String]("label"), r.getAs[Long]("conf_micro"))).toMap
+    val fast = collectMap(DawidSkene.fit(
+      wide, "item", Seq("r1", "r2", "r3"), classes))
+    val slow = collectMap(DawidSkene.fitGated(
+      wide, "item", Seq("r1", "r2", "r3"), classes, iters = 5,
+      maxCombos = 0))
+    assert(fast === slow)
+  }
+
+  test("combo fast path on the three-class gate shape equals distributed") {
+    val classes3 = Seq("high", "low", "mid")
+    val rows = Seq(
+      (1L, "low", "mid", "low"), (2L, "high", "high", "mid"),
+      (3L, "mid", "mid", "mid"), (4L, "low", "low", "high"),
+      (5L, "high", "mid", "high"), (6L, "low", "mid", "low"),
+      (7L, "mid", "high", "low"), (8L, "high", "high", "high"))
+    val wide = rows.toDF("item", "r1", "r2", "r3")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("item").collect().map(_.toSeq).toSeq
+    assert(dump(DawidSkene.fit(wide, "item", Seq("r1", "r2", "r3"),
+        classes3)) ===
+      dump(DawidSkene.fitGated(wide, "item", Seq("r1", "r2", "r3"),
+        classes3, iters = 5, maxCombos = 0)))
+  }
 }

@@ -43,6 +43,35 @@ class BpeMergeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("driver-local learn fast path equals the distributed loop") {
+    // r16: merges AND the final encoded vocab must be identical between
+    // the collected-vocab driver loop and the per-merge distributed loop
+    // — including the tie-break (the toy corpus ties (l,o)/(o,w)) and a
+    // multibyte word (symbol split semantics stay in Spark on both paths)
+    val docs = Seq("low low lower", "low low lower", "new newer",
+      "héllo héllo").toDF("text")
+    val (fastM, fastV) = BpeMerge.learnState(docs, "text", 3)
+    val (slowM, slowV) = BpeMerge.learnState(docs, "text", 3, maxVocab = 0)
+    assert(fastM === slowM)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).toList)).sortBy(_._1).toList
+    assert(dump(fastV) === dump(slowV))
+    slowV.unpersist(blocking = false)
+    spark.catalog.clearCache()
+  }
+
+  test("driver-local learn fast path equals distributed on the sf corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (fastM, fastV) = BpeMerge.learnState(docs, "text", 3)
+    val (slowM, slowV) = BpeMerge.learnState(docs, "text", 3, maxVocab = 0)
+    assert(fastM === slowM)
+    assert(fastV.count() === slowV.count())
+    assert(fastV.exceptAll(slowV).isEmpty && slowV.exceptAll(fastV).isEmpty)
+    slowV.unpersist(blocking = false)
+    spark.catalog.clearCache()
+  }
+
   test("applyMerge matches a reference greedy scan on 600 random inputs") {
     // one Spark job for all generated cases (PropertySpec convention)
     def ref(syms: Seq[String], x: String, y: String): List[String] = {

@@ -33,6 +33,31 @@ class QualityClassifierSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("combo fast path returns the bit-identical Fit of the distributed loop") {
+    // r16 value-counts rewrite: one groupBy(y, features).count() pass +
+    // driver iterations must reproduce the per-iteration aggregation loop
+    // EXACTLY — same float-op order, same floored gradient integers —
+    // on both the transfer features (fractional doubles) and the langid
+    // scores (long features, exercising the cast-to-double path)
+    val docs = graft.Tables.documents(spark, sf)
+    for ((feats, cols, label) <- Seq(
+      (QualityClassifier.charClassFeatures(docs, "doc_id", "text"),
+        Seq("f1", "f2", "f3"), col("y_sw")),
+      (TextOps.langId(docs, "doc_id", "text"),
+        Seq("s_en", "s_spark", "s_sql"), col("lang_pred") === "en"))) {
+      val fast = QualityClassifier.fit(feats, cols, label,
+        iters = 20, lr = 1.0)
+      val slow = QualityClassifier.fitDistributed(
+        feats.select((label.cast("double").as("y") +: cols.map(col)): _*),
+        cols, iters = 20, lr = 1.0)
+      assert(fast.n === slow.n && fast.pos === slow.pos &&
+        fast.correct === slow.correct)
+      assert(fast.weights.toSeq === slow.weights.toSeq,
+        s"weights diverge: ${fast.weights.toList} vs ${slow.weights.toList}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("char-class transfer fit beats majority on an independent label") {
     // label = stopword density (token membership); features = char-class
     // ratios only — nothing the label is defined from, so accuracy above
