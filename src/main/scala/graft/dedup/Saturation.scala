@@ -36,6 +36,8 @@ object Saturation {
     val per = h.withColumn("rn", row_number().over(w))
       .groupBy("batch").agg(count(lit(1)).as("n_docs"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_novel"))
+    // global window over the per-BATCH frame: batches are a config-sized
+    // reporting axis (bounded; r16 window audit)
     val wc = Window.orderBy("batch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per

@@ -49,6 +49,8 @@ object SeqPatterns {
       .select(col("u"), col("sid"), col("t1"), col("t2")).distinct()
     val counted = pairs.groupBy("t1", "t2")
       .agg(count(lit(1)).as("n_sessions"))
+    // global window AFTER limit(k): <= k rows by construction (bounded;
+    // r16 window audit)
     counted.orderBy(col("n_sessions").desc, col("t1"), col("t2")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("t1"), col("t2")))

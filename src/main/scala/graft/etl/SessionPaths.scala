@@ -60,6 +60,8 @@ object SessionPaths {
         s => s.getField("t"))).as("path"))
     val counted = paths.groupBy("path")
       .agg(count(lit(1)).as("n_sessions"))
+    // global window AFTER limit(k): <= k rows by construction (bounded;
+    // r16 window audit)
     counted.orderBy(col("n_sessions").desc, col("path")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))

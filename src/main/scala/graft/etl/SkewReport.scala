@@ -34,6 +34,8 @@ object SkewReport {
     val stats = counts.agg(count(lit(1)).as("n_keys"),
       sum("cnt").as("total"))
     val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+    // global window over the limit(k) frame: <= k rows by construction
+    // (bounded; r16 window audit)
     val w = Window.orderBy(col("cnt").desc, col("key"))
     top.join(broadcast(stats))
       .withColumn("rank", row_number().over(w).cast("long"))

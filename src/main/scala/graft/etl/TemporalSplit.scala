@@ -2,7 +2,6 @@ package graft.etl
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embargoed temporal split — leakage-safe train/test separation for
@@ -45,9 +44,14 @@ object TemporalSplit {
       .withColumn("sec", expr("us div 1000000"))
     val cells = base.groupBy("sec").agg(count(lit(1)).as("c"))
     val tot = cells.agg(sum("c").as("n"))
-    val cum = cells.withColumn("cum", sum("c").over(
-      Window.orderBy("sec").rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)))
+    // r16 (guide §2.2): the cumulative count formerly ran through a
+    // single-partition `Window.orderBy(sec)` — one row per distinct
+    // SECOND, i.e. 31M single-partition rows for a year of events. The
+    // distributed prefix sum (exclusive) + the cell's own count is the
+    // identical inclusive integer cumsum, range-partitioned.
+    val cum = GlobalIndex.withGlobalCumsum(
+        cells, Seq(col("sec")), col("c"), "cx")
+      .withColumn("cum", col("cx") + col("c"))
     // nearest-rank: smallest second with cum >= ceil(n * pct / 100)
     val boundary = cum.join(broadcast(tot))
       .filter(col("cum") * 100 >= col("n") * fracPct)

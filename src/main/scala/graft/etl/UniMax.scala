@@ -2,7 +2,6 @@ package graft.etl
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
@@ -39,18 +38,19 @@ object UniMax {
       budget: Long, maxEpochs: Int): DataFrame = {
     require(budget > 0 && maxEpochs >= 1,
       "need budget > 0 and maxEpochs >= 1")
-    val wOrd = Window.orderBy(col("cap"), col("domain"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val flagged = sizes
+    // r16 (guide §2.2): rank, exclusive cap prefix, and the domain count
+    // formerly funneled all domains through single-partition windows;
+    // the two-pass GlobalIndex scheme computes all three off one
+    // range-partitioned cache (domains are a data-derived axis — web
+    // corpora carry millions)
+    val base = sizes
       .select(col(domCol).as("domain"),
         col(sizeCol).cast("long").as("tokens"))
       .withColumn("cap", col("tokens") * maxEpochs)
-      .withColumn("pos", row_number().over(wOrd).cast("long"))
-      .withColumn("prefix", sum("cap").over(wOrd
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        - col("cap"))
-      .withColumn("nn", count(lit(1)).over(wAll))
+    val (running, _, nDomains) = graft.etl.GlobalIndex.withGlobalRunning(
+      base, Seq(col("cap"), col("domain")), Seq(col("cap") -> "prefix"),
+      indexCol = "pos")
+    val flagged = running.withColumn("nn", lit(nDomains))
       .withColumn("rem", lit(budget) - col("prefix"))
       .withColumn("k", col("nn") - col("pos") + 1)
       .withColumn("capped", col("cap") * col("k") <= col("rem"))

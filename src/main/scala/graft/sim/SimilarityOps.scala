@@ -630,12 +630,15 @@ object SimilarityOps {
     val g = graph.getOrElse(knnGraph(emb, idCol, vecCol, nList, nProbe, k)
       .persist())
     val hist = g.groupBy("cosine").agg(count(lit(1)).as("c"))
-    val tot = hist.agg(sum("c").as("n"))
-    val wc = Window.orderBy("cosine")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = hist.withColumn("cum", sum("c").over(wc))
-      .crossJoin(broadcast(tot))
-      .filter(col("cum") * lit(pctDen.toLong) >= col("n") * lit(pctNum.toLong))
+    // r16 (guide §2.2): the percentile cut formerly cumulated the
+    // distinct-cosine cells through a single-partition Window.orderBy;
+    // the distributed prefix sum (+ the cell's own count) is the same
+    // inclusive integer cumsum, and the grand total comes back with it
+    val (running, totals, _) = graft.etl.GlobalIndex.withGlobalRunning(
+      hist, Seq(col("cosine")), Seq(col("c") -> "__xc"))
+    val thr = running
+      .filter((col("__xc") + col("c")) * lit(pctDen.toLong) >=
+        lit(totals(0)) * lit(pctNum.toLong))
       .agg(min("cosine")).head().getDouble(0)
     val edges = g.filter(col("cosine") >= thr)
       .select(col("qid").as("ida"), col("neighbor").as("idb"))

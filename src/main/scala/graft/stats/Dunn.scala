@@ -2,7 +2,6 @@ package graft.stats
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dunn's post-hoc pairwise comparisons (Dunn, Technometrics 1964;
@@ -40,9 +39,12 @@ object Dunn {
       col(valueCol).cast("long").as("__v"))
     val gv = base.groupBy("__g", "__v").agg(count(lit(1)).as("cgv"))
     val vtot = gv.groupBy("__v").agg(sum("cgv").as("cv"))
-    val vr = vtot.withColumn("cum", sum("cv").over(
-        Window.orderBy("__v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // r16 (guide §2.2): the midrank cumulative formerly ran through a
+    // single-partition Window.orderBy over the distinct-value cells;
+    // the distributed prefix sum computes the identical integers
+    val vr = graft.etl.GlobalIndex.withGlobalRunning(
+        vtot, Seq(col("__v")), Seq(col("cv") -> "cx"))._1
+      .withColumn("cum", col("cx") + col("cv"))
       .withColumn("rho", col("cum") * 2 - col("cv") + 1)
     val tot = vtot.agg(sum("cv").as("nn"),
       sum(col("cv").cast("decimal(38,0)") * col("cv") * col("cv")

@@ -162,6 +162,8 @@ object ExperimentOps {
           sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("tb"),
           sum(when(col("user_id") % 2 =!= 0 &&
             col("event_type") === "purchase", 1L).otherwise(0L)).as("xb"))
+      // global windows over the per-DAY frame: one row per calendar day
+      // of the monitoring horizon (bounded; r16 window audit)
       val w = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = daily.select(col("day"),

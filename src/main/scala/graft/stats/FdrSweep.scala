@@ -41,24 +41,59 @@ object FdrSweep {
     * with p_(j)·m ≤ j·α_micro. */
   def bhStepUp(tests: DataFrame, idCol: String, alphaMicro: Long)
       : DataFrame = {
-    val wr = Window.orderBy(col("p_micro"), col(idCol))
-    val ranked = tests
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .withColumn("m", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    // r16 (guide §2.2): rank, m, and the bottom-up running min formerly
+    // ran through single-partition `Window.orderBy` funnels — m is the
+    // test-family size (per-group sweeps keep it a monitoring axis, but a
+    // family keyed on a data-derived axis grows with data). Now: rank =
+    // the two-pass GlobalIndex over the (p_micro, id) total order; m = a
+    // broadcast 1-row count; the step-up's suffix min = a partition-local
+    // bottom-up window plus the collected min-of-following-partitions,
+    // all on one range-partitioned cache.
+    val spark = tests.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = tests
+      .repartitionByRange(parts, col("p_micro"), col(idCol)).cache()
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val m = counts.map(_._2).sum
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
+    val offDf = broadcast(counts.map(_._1).zip(offsets)
+      .toSeq.toDF("__pid", "__off"))
+    val wr = Window.partitionBy("__pid").orderBy(col("p_micro"), col(idCol))
+    val ranked = withPid.join(offDf, Seq("__pid"))
+      .withColumn("rank",
+        row_number().over(wr).cast("long") + col("__off"))
+      .withColumn("m", lit(m))
+      .withColumn("__term", expr("(p_micro * m) div rank"))
+    // min step-up term of every FOLLOWING partition, collected (one tiny
+    // job over the cached ranged frame; ≤ one row per partition)
+    val pidMins = ranked.groupBy("__pid").agg(min("__term").as("mn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    val sufAfter = {
+      var acc = Long.MaxValue
+      pidMins.map { case (pid, mn) =>
+        val out = pid -> acc
+        acc = math.min(acc, mn); out
+      }.toSeq
+    }
+    val sufDf = broadcast(sufAfter.map { case (pid, s) =>
+      (pid, if (s == Long.MaxValue) null
+        else java.lang.Long.valueOf(s)) }.toDF("__pid", "__suf"))
     val frontier = ranked.agg(
       max(when(col("p_micro") * col("m") <= col("rank") * alphaMicro,
         col("rank"))).as("jmax"))
-    val wd = Window.orderBy(col("rank").desc)
+    val wd = Window.partitionBy("__pid").orderBy(col("rank").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked
+    ranked.join(sufDf, Seq("__pid"))
       .withColumn("p_adj_micro", least(lit(1000000L),
-        min(expr("(p_micro * m) div rank")).over(wd)))
+        least(min(col("__term")).over(wd),
+          coalesce(col("__suf"), lit(Long.MaxValue)))))
       .crossJoin(broadcast(frontier))
       .withColumn("rejected",
         col("jmax").isNotNull && col("rank") <= col("jmax"))
-      .drop("jmax")
+      .drop("jmax", "__pid", "__off", "__term", "__suf")
   }
 
   /** Per-group two-sample KS against the rest of the corpus, as exact

@@ -40,11 +40,16 @@ object LogRank {
       sum("ev").as("d"),
       sum(when(col("arm") === "a", col("ev")).otherwise(0L)).as("da"))
     val tot = cells.agg(sum("all").as("nn"), sum("alla").as("nna"))
-    val w = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = cells.crossJoin(broadcast(tot))
-      .withColumn("n", col("nn") - (sum("all").over(w) - col("all")))
-      .withColumn("na", col("nna") - (sum("alla").over(w) - col("alla")))
+    // r16 (guide §2.2): risk-set sizes are totals minus the EXCLUSIVE
+    // prefix sums over event-time cells — both computed off one
+    // range-partitioned cache instead of the former single-partition
+    // Window.orderBy(t) funnel (one row per distinct time)
+    val running = graft.etl.GlobalIndex.withGlobalRunning(
+      cells, Seq(col("t")),
+      Seq(col("all") -> "__xall", col("alla") -> "__xalla"))._1
+    val risk = running.crossJoin(broadcast(tot))
+      .withColumn("n", col("nn") - col("__xall"))
+      .withColumn("na", col("nna") - col("__xalla"))
       .filter(col("d") > 0)
     val eTree = col("d").cast("double") * col("na") / col("n")
     val vTree = eTree *

@@ -58,9 +58,11 @@ object RocAuc {
     // distinct-score counts + exclusive cumulative of STRICTLY higher
     // scores: a window over the value table, never over rows
     val cnt = rows.groupBy("__s").agg(count(lit(1)).as("c"))
-    val above = cnt.withColumn("above",
-      coalesce(sum("c").over(Window.orderBy(col("__s").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // r16 (guide §2.2): "strictly higher" is the EXCLUSIVE prefix sum in
+    // descending score order — the distributed two-pass scheme replaces
+    // the former single-partition Window.orderBy(desc) funnel
+    val above = graft.etl.GlobalIndex.withGlobalRunning(
+        cnt, Seq(col("__s").desc), Seq(col("c") -> "above"))._1
       .select("__s", "above")
     val n = rows.count()
     val ranked = rows
@@ -69,6 +71,8 @@ object RocAuc {
       .join(broadcast(above), Seq("__s"))
       .withColumn("decile",
         expr(s"(above + rn - 1) * 10 div ${n}L").cast("long"))
+    // the remaining global windows run over the DECILE frame - exactly
+    // 10 rows by construction (bounded; r16 window audit)
     ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_rows"), sum("__y").as("n_pos"))
       .withColumn("cum_rows", sum("n_rows").over(Window.orderBy("decile")

@@ -609,11 +609,18 @@ object StatsQueries {
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      // r16 (guide §2 — per-group total order without |groups|-bounded
+      // parallelism): the former PARTITION BY g window sorted a third of
+      // the corpus per task (3 returnflags at any scale); the grouped
+      // GlobalIndex range-partitions on (g, value) so the sort spreads
+      // over all partitions, and the per-(partition, group) offsets +
+      // group totals arrive from one tiny collected count. The selected
+      // ranks are the same two middle order statistics — rank values per
+      // VALUE are deterministic, and the median averages values, so tie
+      // placement cannot change it (GlobalIndexSpec grouped-median parity).
       def medianOf(df: DataFrame, valueCol: String, as: String) = {
-        val w = Window.partitionBy("g").orderBy(col(valueCol))
-        val cw = Window.partitionBy("g")
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(cw))
+        graft.etl.GlobalIndex.withGroupedIndex(
+            df.select(col("g"), col(valueCol)), Seq("g"), Seq(col(valueCol)))
           // integer middles: floor-div, not Spark's double `/`
           .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long") ||
             col("rn") === floor(col("cnt") / 2).cast("long") + 1)

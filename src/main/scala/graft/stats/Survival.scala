@@ -40,12 +40,18 @@ object Survival {
     val cells = subjects.groupBy(col(durCol).cast("long").as("t"))
       .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
         sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("cns"))
-    val wPrev = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r16 (guide §2.2): both running aggregations formerly funneled the
+    // distinct-time cells through single-partition Window.orderBy(t);
+    // each is an EXCLUSIVE distributed prefix sum plus the row's own
+    // value — identical integers. "zeroed" (has ANY dead-end happened up
+    // to t) is the inclusive count of dead-end flags being positive, and
+    // the ln-S sum only reads rows before any dead end, where every term
+    // is non-null — so the null-skipping window sum equals the
+    // null-as-0 prefix sum there.
     val total = cells.agg(sum(col("d") + col("cns")).as("n"))
-    val risk = cells.crossJoin(broadcast(total))
-      .withColumn("left_thru",
-        sum(col("d") + col("cns")).over(wPrev) - (col("d") + col("cns")))
+    val risk = graft.etl.GlobalIndex.withGlobalRunning(
+        cells, Seq(col("t")), Seq((col("d") + col("cns")) -> "left_thru"))._1
+      .crossJoin(broadcast(total))
       .withColumn("n_risk", col("n") - col("left_thru"))
     // per-death-time log term; a full-risk-set death (n = d) zeroes S
     val terms = risk.filter(col("d") > 0)
@@ -53,12 +59,13 @@ object Survival {
       .withColumn("term", when(!col("dead_end"),
         floor(log((col("n_risk") - col("d")).cast("double") /
           col("n_risk").cast("double")) * lit(1e6)).cast("long")))
-    val wCum = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    terms
-      .withColumn("zeroed", max(col("dead_end")).over(wCum))
+    graft.etl.GlobalIndex.withGlobalRunning(
+        terms, Seq(col("t")),
+        Seq(col("dead_end").cast("long") -> "__xz", col("term") -> "__xt"))._1
+      .withColumn("zeroed",
+        (col("__xz") + col("dead_end").cast("long")) >= 1)
       .withColumn("ln_s_micro",
-        when(!col("zeroed"), sum("term").over(wCum)))
+        when(!col("zeroed"), col("__xt") + col("term")))
       .select(col("t"), col("n_risk"), col("d"),
         col("cns").as("n_censored_at_t"), col("ln_s_micro"),
         when(col("zeroed"), 0L).otherwise(

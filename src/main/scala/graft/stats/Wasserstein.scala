@@ -35,13 +35,40 @@ object Wasserstein {
     val base = rows.select(col(groupCol).cast("string").as("__g"),
       col(valueCol).cast("long").as("__v"))
     val cells = base.groupBy("__g", "__v").agg(count(lit(1)).as("cgv"))
-    val wv = Window.orderBy("__v")
+    // r16 (guide §2.2): cumAll and the lead-gap formerly ran through a
+    // single-partition `Window.orderBy(__v)` — one row per DISTINCT VALUE,
+    // unbounded for wide integer domains. The two-pass GlobalIndex scheme
+    // computes both from ONE range-partitioned cache: partition-local
+    // windows plus a collected per-partition (sum, first-value) table —
+    // the cumulative sum gets the preceding partitions' total, the gap's
+    // lead() gets the NEXT partition's first value for each partition's
+    // last row (the global last row keeps gap 0, as before).
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = cells.groupBy("__v").agg(sum("cgv").as("cv"))
+      .repartitionByRange(parts, col("__v")).cache()
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    val pidStats = withPid.groupBy("__pid")
+      .agg(sum("cv").as("s"), min("__v").as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = pidStats.map(_._2).scanLeft(0L)(_ + _).init
+    val nextFirst: Seq[(Int, Option[Long])] = pidStats.indices.map { i =>
+      pidStats(i)._1 -> (if (i + 1 < pidStats.length)
+        Some(pidStats(i + 1)._3) else None) }
+    val offDf = pidStats.map(_._1).zip(offsets).zip(nextFirst.map(_._2))
+      .map { case ((pid, off), nf) =>
+        (pid, off, nf.map(java.lang.Long.valueOf).orNull) }
+      .toSeq.toDF("__pid", "__off", "__nextFirst")
+    val wv = Window.partitionBy("__pid").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vglob = cells.groupBy("__v").agg(sum("cgv").as("cv"))
-      .withColumn("cumAll", sum("cv").over(wv))
+    val wl = Window.partitionBy("__pid").orderBy("__v")
+    val vglob = withPid.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cumAll", sum("cv").over(wv) + col("__off"))
       .withColumn("gap",
-        coalesce(lead("__v", 1).over(Window.orderBy("__v")) - col("__v"),
-          lit(0L)))
+        coalesce(coalesce(lead("__v", 1).over(wl), col("__nextFirst"))
+          - col("__v"), lit(0L)))
       .select("__v", "cumAll", "gap")
     val groups = cells.groupBy("__g").agg(sum("cgv").as("ng"))
     val nAll = cells.agg(sum("cgv").as("nn"))

@@ -42,6 +42,57 @@ class GlobalIndexSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("grouped index: per-group ranks 1..n_g, totals, order-aligned") {
+    // 3 groups of uneven size, values inserted out of order, duplicates
+    // included (ties must land in one range partition and take a
+    // contiguous run of ranks)
+    val df = (0 until 6000).map { i =>
+      val g = "g" + (i % 7919 % 3)
+      (g, (i * 104729 % 500).toLong)
+    }.toDF("g", "v")
+    val out = GlobalIndex.withGroupedIndex(df, Seq("g"), Seq(col("v")),
+        numPartitions = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length === 6000)
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      val n = rows.length.toLong
+      assert(rows.forall(_._4 === n), s"group $g: totals wrong")
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to n), s"group $g: ranks not 1..$n")
+      assert(byRank.map(_._2).toSeq === byRank.map(_._2).sorted.toSeq,
+        s"group $g: rank order not value order")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("grouped median off the grouped index equals the windowed median") {
+    // the q_a14 shape: two middle order statistics per group, averaged —
+    // fast path (grouped index) vs the former PARTITION BY g window
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 5001).map { i =>
+      ("g" + (i % 3), (i * 7919 % 1000) / 8.0) }.toDF("g", "x")
+    def viaWindow = {
+      val w = Window.partitionBy("g").orderBy(col("x"))
+      val cw = Window.partitionBy("g")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long") ||
+          col("rn") === floor(col("cnt") / 2).cast("long") + 1)
+        .groupBy("g").agg(avg("x").as("med"))
+    }
+    def viaIndex =
+      GlobalIndex.withGroupedIndex(df, Seq("g"), Seq(col("x")),
+          numPartitions = 8)
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long") ||
+          col("rn") === floor(col("cnt") / 2).cast("long") + 1)
+        .groupBy("g").agg(avg("x").as("med"))
+    val a = viaWindow.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = viaIndex.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+    spark.catalog.clearCache()
+  }
+
   test("global cumsum matches a single-partition running sum; nulls are 0") {
     val df = (0 until 4000).map { i =>
       val k = (i * 7919 % 4000).toLong
