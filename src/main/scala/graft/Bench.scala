@@ -357,7 +357,11 @@ object Bench {
     // likelihood-loss vocabulary pruning, best-fit-decreasing packing
     "q_t_chat_tokens", "q_t_unigram_prune", "q_t_pack_bestfit",
     "q_t_pack_bestfit_assign", "q_pipeline_sft",
-    "q_t_pack_bestfit_masks")
+    "q_t_pack_bestfit_masks",
+    // round-16: per-stage fixed-overhead calibration probe — benched at
+    // BOTH core counts so the cross-core scaling report can subtract the
+    // scheduling/codegen floor instead of reading it as "no speedup"
+    "q_p39_stage_floor")
 
   /** (1-minute, 5-minute) load averages from /proc/loadavg (-1 when unreadable). */
   private def loadAvg(): (Double, Double) =
@@ -543,7 +547,9 @@ object Bench {
     // per-JVM janino warm-up the compiled expression does not pay)
     "q_t_chat_tokens" -> 1.8, "q_t_unigram_prune" -> 1.2,
     "q_t_pack_bestfit" -> 1.7, "q_t_pack_bestfit_assign" -> 2.5,
-    "q_pipeline_sft" -> 6.3, "q_t_pack_bestfit_masks" -> 3.5)
+    "q_pipeline_sft" -> 6.3, "q_t_pack_bestfit_masks" -> 3.5,
+    // r16 calibration probe (TimeOne warm, sf-independent)
+    "q_p39_stage_floor" -> 0.6)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the

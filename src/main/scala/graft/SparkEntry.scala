@@ -35,6 +35,7 @@ object SparkEntry {
       etl.ZOrder.queries ++ etl.MultiJoin.queries ++
       etl.Expectations.queries ++ etl.CurationFunnel.queries ++
       etl.TemporalSplit.queries ++ etl.SkewReport.queries ++
+      etl.StageFloor.queries ++
       etl.Curriculum.queries ++
       plans.GroupedTopK.queries ++
       stats.StatsQueries.queries ++ stats.Drift.queries ++

@@ -407,7 +407,14 @@ object DedupOps {
     * which is the standard trade. The band key is the shuffle key; never
     * all-pairs. */
   def bandedHammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sig.select(col("id"), col("simhash"),
+    // r16 (guide §5): both sides of the band self-join reference the
+    // signature frame — uncached, the WHOLE upstream signature
+    // derivation (tokenize+sha256 for SimHash, PNG synth+ImageIO
+    // decode+DCT for the media hashes) executed twice per query. The
+    // cache is 2 longs per id; the session (or the registry runners'
+    // per-query clearCache) releases it.
+    val sigC = sig.cache()
+    val banded = sigC.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(bnd =>
         struct(lit(bnd).as("band"),
           shiftrightunsigned(col("simhash"), bnd * 16)

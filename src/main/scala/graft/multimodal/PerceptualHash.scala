@@ -131,6 +131,7 @@ object PerceptualHash {
     val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
       .mapPartitions { it =>
+        MultimodalOps.imageIoInMemory
         it.map { case (id, bytes) =>
           try {
             val img = if (bytes == null) null
@@ -158,6 +159,7 @@ object PerceptualHash {
     * certifies. Encoded as a REAL PNG so the decode under test is
     * real. */
   private[multimodal] def synthTexturePng(id: Long): Array[Byte] = {
+    MultimodalOps.imageIoInMemory
     val img = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -182,6 +184,10 @@ object PerceptualHash {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** [[synthTexturePng]] for [[graft.tools.ImageIoBench]] (measurement
+    * access only). */
+  def synthTexturePngForBench(id: Long): Array[Byte] = synthTexturePng(id)
 
   /** Oracle CTE chain ending in `psig(id, phash)` — the synthetic-PNG
     * pHash replay: closed-form pixels, the interpolated integer DCT
@@ -292,8 +298,10 @@ object PerceptualHash {
         Row(r.getLong(0), synthTexturePng(r.getLong(0))))
       val withBlob = s.createDataFrame(rdd, StructType(Seq(
         StructField("doc_id", LongType), StructField("blob", BinaryType))))
+      // cached (r16, guide §5): the train and bench sides both filter
+      // THIS frame — uncached, the synth+decode+DCT chain ran twice
       val sig = pHashImages(withBlob, "doc_id", "blob")
-        .select(col("media_id").as("id"), col("phash"))
+        .select(col("media_id").as("id"), col("phash")).cache()
       crossMatchPairs(
         sig.filter(pmod(col("id"), lit(2)) === 0),
         sig.filter(pmod(col("id"), lit(2)) === 1),

@@ -127,6 +127,7 @@ object TarShards {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
+        MultimodalOps.imageIoInMemory
         val shard = path.split("/").last
         tarEntries(bytes).flatMap { case (name, member) =>
           re.findFirstMatchIn(name).flatMap { m =>

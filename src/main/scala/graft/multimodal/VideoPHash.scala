@@ -44,7 +44,9 @@ object VideoPHash {
       StructField("phash", LongType)))
     val rows = df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
-      .mapPartitions(_.flatMap { case (id, bytes) =>
+      .mapPartitions { it =>
+        MultimodalOps.imageIoInMemory
+        it.flatMap { case (id, bytes) =>
         MultimodalOps.videoFrames(bytes).iterator.flatMap { case (_, frames) =>
           frames.iterator.zipWithIndex
             .filter(_._2 % stride == 0)
@@ -60,7 +62,8 @@ object VideoPHash {
               }
             }
         }
-      })
+      }
+      }
     spark.createDataFrame(rows, schema)
   }
 
@@ -70,7 +73,10 @@ object VideoPHash {
     * match. Output: (ida, idb, n_matched). */
   def videoNearDupPairs(frames: DataFrame, maxHamming: Int,
       minFrames: Int): DataFrame = {
-    val banded = frames.select(col("media_id"), col("frame_idx"),
+    // r16 (guide §5): both join sides read the frame-hash frame — cached,
+    // or the GFV1 parse + per-frame PNG decode + DCT runs twice
+    val framesC = frames.cache()
+    val banded = framesC.select(col("media_id"), col("frame_idx"),
       col("phash"),
       explode(array((0 until 4).map(bnd =>
         struct(lit(bnd).as("band"),
@@ -121,6 +127,7 @@ object VideoPHash {
         r += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
+      MultimodalOps.imageIoInMemory
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }

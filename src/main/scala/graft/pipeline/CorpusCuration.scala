@@ -43,9 +43,11 @@ object CorpusCuration {
   def curateReleasable(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,
       baseRate: Double = 1.5): (DataFrame, () => Unit) = {
-    // 1. text canonicalization (NFC + control/format strip + ws collapse)
+    // 1. text canonicalization (NFC + control/format strip + ws collapse).
+    // Persisted (r16): the frame feeds BOTH the dedup keep-rule and the
+    // survivor join — uncached, the regex-heavy clean ran twice.
     val cleaned = TextOps.cleanText(docs, idCol, textCol)
-      .select(col(idCol), col("clean"))
+      .select(col(idCol), col("clean")).persist()
     // 2. exact dedup: smallest id per normalized content hash survives
     val keepIds = DedupOps.exactDedup(cleaned, idCol, "clean")
       .select(col("keep").as(idCol))
@@ -58,16 +60,23 @@ object CorpusCuration {
     // 4. exactness arbitration: prefix-bounded Levenshtein per pair
     val confirmed = DedupOps.editVerify(surv, pairs, idCol, "clean")
       .filter(col("confirmed")).select("ida", "idb")
-    // 5. close confirmed pairs into clusters, keep one canonical doc each
+    // 5. close confirmed pairs into clusters, keep one canonical doc each.
+    // Persisted (r16, guide §5): champions is itself a diamond — the
+    // decontamination grams AND the post-decon corpus read it, and Spark
+    // does not subtree-dedup across joins, so uncached the whole
+    // simhash + editVerify + CC chain re-executed per reference
+    // (ProfileCorpusPipeline measured the decon stage re-running inside
+    // the quality/sampling pass).
     val champions = DupClusters.canonicalize(surv, confirmed, idCol, "clean")
       .filter(col("is_canonical") === 1)
       .select(col("doc_id").as(idCol), col("cluster_size"))
-      .join(surv, Seq(idCol))
+      .join(surv, Seq(idCol)).persist()
     // 6. benchmark decontamination: drop docs sharing a 5-gram with bench
     val decon = DedupOps.decontaminate(champions, idCol, "clean",
         bench, benchTextCol)
       .filter(!col("contaminated")).select(idCol)
-    val cleanCorpus = champions.join(decon, Seq(idCol))
+    // persisted (r16): read by the quality scorer and the final sample join
+    val cleanCorpus = champions.join(decon, Seq(idCol)).persist()
     // 7. quality-weighted sampling on the stopword-ratio quality score
     val quality = TextOps.qualityFeatures(cleanCorpus, idCol, "clean")
       .select(col(idCol), col("stopword_ratio"))
@@ -76,7 +85,13 @@ object CorpusCuration {
       .select(col(idCol),
         length(col("clean")).cast("long").as("n_chars_clean"),
         col("cluster_size"), col("stopword_ratio"))
-    (out, () => { surv.unpersist(blocking = false); () })
+    (out, () => {
+      cleaned.unpersist(blocking = false)
+      surv.unpersist(blocking = false)
+      champions.unpersist(blocking = false)
+      cleanCorpus.unpersist(blocking = false)
+      ()
+    })
   }
 
   // -- registered query -----------------------------------------------------

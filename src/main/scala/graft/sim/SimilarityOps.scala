@@ -477,6 +477,9 @@ object SimilarityOps {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     require(iters >= 1, "iters must be >= 1")
     val sub = dim / m
+    // r16 (guide §5 caching): every Lloyd iteration reads the slice frame
+    // TWICE (assignment + cluster sums) — uncached, each sweep re-ran the
+    // parquet scan + quantize + explode chain four times over the run
     val slices = prep(corpus, idCol, vecCol)
       .select(col("id"),
         transform(col("v"), x => floor(x * scale + lit(0.5))).as("v"))
@@ -484,6 +487,7 @@ object SimilarityOps {
         col("v"))
       .select(col("id"), col("s"),
         slice(col("v"), col("s") * lit(sub) + lit(1), lit(sub)).as("sv"))
+      .cache()
     def subD2 =
       graft.functions.SquaredDistance.squaredDist(col("sv"), col("cbv"))
     var cb = slices.filter(col("id") < kSub)
