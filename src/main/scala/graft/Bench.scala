@@ -404,18 +404,20 @@ object Bench {
     "q_j2_inner_multikey" -> 1.3, "q_a2_crosstab" -> 0.5,
     "q_w5_cumsum" -> 0.7, "q_u3_explode_wordcount" -> 0.4,
     "q_e_sessionize" -> 0.8, "q_m20_chi2" -> 0.5, "q_d_exact" -> 0.5,
-    "q_d_minhash_banded" -> 1.9, "q_s_cosine_topk" -> 0.4,
+    // q_d_minhash_banded: r16 remeasured (the r11 value was a faster host)
+    "q_d_minhash_banded" -> 2.3, "q_s_cosine_topk" -> 0.4,
     "q_t_quality" -> 0.9, "q_e_asof" -> 0.8, "q_e_range_join" -> 0.6,
     "q_sk_heavy_hitters" -> 0.5, "q_d_embed_neardup" -> 1.4,
     "q_j3_positional" -> 1.6, "q_t_tfidf" -> 1.4, "q_d_dup_clusters" -> 1.6,  // r15 CC fast path + verify repartition
-    "q_d_decontaminate" -> 1.0, "q_pipeline_corpus" -> 10.0,
+    "q_d_decontaminate" -> 1.0, "q_pipeline_corpus" -> 6.5,  // r16 diamond persists
     "q_pipeline_survey" -> 0.7, "q_d_semdedup" -> 0.8, "q_t_pack" -> 0.7,
     "q_d_incremental" -> 0.6, "q_d_incremental_indexed" -> 1.3,
     "q_d_dup_spans" -> 2.4, "q_d_span_scrub" -> 2.6, "q_t_perplexity" -> 1.4,
-    "q_t_bpe_merges" -> 1.3, "q_mm_image_neardup" -> 5.6,
-    "q_t_quality_clf_transfer" -> 2.8, "q_t_bpe_encode" -> 1.8,
+    // r16: driver-local BPE loop; media ImageIO + signature caches
+    "q_t_bpe_merges" -> 0.7, "q_mm_image_neardup" -> 1.2,
+    "q_t_quality_clf_transfer" -> 0.7, "q_t_bpe_encode" -> 1.4,  // r16
     "q_s_ivf_pq" -> 1.1, "q_t_ppl_buckets" -> 3.7,
-    "q_d_decontaminate_scored" -> 1.1, "q_pipeline_tokenize" -> 3.2,
+    "q_d_decontaminate_scored" -> 1.1, "q_pipeline_tokenize" -> 2.1,  // r16 driver-local BPE loop
     "q_j_salted_adaptive" -> 0.6, "q_t_pack_grouped" -> 1.1,
     "q_d_embed_incremental" -> 1.2, "q_t_html_strip" -> 0.7,
     "q_sk_cms" -> 0.4, "q_t_dsir" -> 5.2, "q_p17_token_shards" -> 0.9,
@@ -436,13 +438,14 @@ object Bench {
     "q_t_boilerplate" -> 1.8, "q_d_exact_spans" -> 1.5,
     "q_d_exact_scrub" -> 1.4, "q_p23_zorder" -> 0.8, "q_j8_tpch_q3" -> 0.8,
     "q_j9_tpch_q5" -> 1.2, "q_sk_hll_state" -> 0.8, "q_s_graph_rank" -> 6.7,
-    "q_a14_mad_outliers" -> 4.2, "q_a15_histogram" -> 0.6,
+    // q_a14: r16 grouped GlobalIndex medians
+    "q_a14_mad_outliers" -> 3.9, "q_a15_histogram" -> 0.6,
     "q_m36_quantile_bins" -> 1.4, "q_d_exact_spans_incr" -> 1.9,
     // r15 verify-join rewrite: prefix_jaccard 14.2 -> 6.9
     "q_d_prefix_jaccard" -> 6.9, "q_a16_rollup" -> 0.3, "q_e_wow" -> 0.4,
     "q_p24_expectations" -> 1.3, "q_e_transitions" -> 0.5,
     "q_d_snapshot_diff" -> 0.3, "q_w6_grouped_topk" -> 0.3,
-    "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.2,
+    "q_p25_hilbert" -> 0.5, "q_s_pq_train" -> 2.7,  // r16 remeasured
     "q_d_cc_incremental" -> 4.4,  // r15 CC fast path
     "q_s_ivf_append" -> 2.4, "q_sk_kmv_theta" -> 1.7,
     "q_t_bm25" -> 2.4, "q_e_gapfill" -> 1.3, "q_d_fuzzy_link" -> 1.7,
@@ -451,19 +454,20 @@ object Bench {
     "q_s_maxsim" -> 0.6, "q_e_paths" -> 1.5, "q_e_scd2" -> 0.8,
     "q_m38_ks" -> 1.8, "q_m39_mwu" -> 1.4, "q_s_rrf" -> 1.9,
     "q_s_triangles" -> 8.8, "q_a19_winsorize" -> 2.5,
-    "q_a18_cube" -> 0.4, "q_t_rake" -> 1.9, "q_t_calibration" -> 5.9,
+    "q_a18_cube" -> 0.4, "q_t_rake" -> 1.9, "q_t_calibration" -> 2.0,  // r16 combo fast path
     "q_m40_mutual_info" -> 3.1, "q_e_seqpat" -> 2.4,
     "q_s_kcore" -> 11.5, "q_m41_ab_test" -> 0.6,
-    "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 4.0,
+    "q_m42_grouped_ols" -> 2.0, "q_t_fertility" -> 1.3,  // r16 driver-local BPE loop
     "q_t_phrase_search" -> 1.2, "q_m43_quantile_map" -> 2.9,
     // r15 CC fast path: image_clusters 6.4 -> 3.6
-    "q_mm_image_clusters" -> 3.6, "q_d_embed_decon" -> 1.0,
+    // q_mm_image_clusters: r16 ImageIO + signature cache
+    "q_mm_image_clusters" -> 1.6, "q_d_embed_decon" -> 1.0,
     "q_e_session_funnel" -> 2.9, "q_a20_hist2d" -> 1.0,
     "q_s_cluster_labels" -> 18.0,
     // round-12 additions: TimeOne warm, sf0.1, load1 ~4 (documented —
     // remeasure on a quiet window if they flag)
     "q_s_ivf_versioned" -> 3.8, "q_s_rerank" -> 2.7,
-    "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 0.7,  // r15 CC fast path
+    "q_t_novelty" -> 1.0, "q_s_semantic_adaptive" -> 1.1,  // r16 distributed percentile cut
     // r15 lineage truncation: mmr 4.7 -> 2.6
     "q_s_retrieval_eval" -> 1.3, "q_s_mmr" -> 2.6,
     "q_p26_doremi_tilt" -> 1.4, "q_m44_psi" -> 1.4,
@@ -475,20 +479,22 @@ object Bench {
     "q_m47_kruskal" -> 0.8, "q_m48_cuped" -> 0.7,
     // round-12 batch 3: TimeOne warm, sf0.1, load1 1.56 (embed_versioned
     // and prf carry their cold index/double-pass cost margins)
-    "q_d_embed_versioned" -> 4.5, "q_m49_bh_fdr" -> 1.7,
+    "q_d_embed_versioned" -> 4.5, "q_m49_bh_fdr" -> 2.3,  // r16 distributed BH
     "q_m50_kish" -> 0.4, "q_s_rbo" -> 1.3, "q_t_zipf" -> 1.0,
-    "q_t_prf" -> 3.2, "q_p27_unimax" -> 0.7,
+    "q_t_prf" -> 3.2, "q_p27_unimax" -> 1.2,  // r16 distributed waterfill
     "q_d_saturation" -> 0.9,
-    "q_m51_gini" -> 1.4, "q_m52_km" -> 1.3,
+    "q_m51_gini" -> 1.4, "q_m52_km" -> 2.1,  // r16 distributed KM runnings
     "q_t_vocab_coverage" -> 1.1, "q_e_cusum" -> 1.1,
-    "q_m53_logrank" -> 1.1, "q_m54_jackknife" -> 0.9,
+    "q_m53_logrank" -> 1.8,  // r16 distributed risk sets
+    "q_m54_jackknife" -> 0.9,
     // round-12 batch 4: TimeOne warm, sf0.1, load1 ~2 (decaying sweep);
     // dawid_skene and lsh_audit measured AFTER their persist/AllPairs
     // optimizations
-    "q_m55_fleiss" -> 0.7, "q_m56_auc" -> 0.5, "q_m57_gains" -> 0.6,
+    "q_m55_fleiss" -> 0.7, "q_m56_auc" -> 0.5, "q_m57_gains" -> 1.3,  // r16 distributed above-counts
     "q_m58_mann_kendall" -> 1.1, "q_m59_bradley_terry" -> 0.5,
     "q_m60_conformal" -> 0.6, "q_m61_isotonic" -> 0.4,
-    "q_m62_dawid_skene" -> 4.9, "q_t_heaps" -> 0.8,
+    // q_m62: r16 combo fast path
+    "q_m62_dawid_skene" -> 0.8, "q_t_heaps" -> 0.8,
     "q_p28_kanon" -> 0.3, "q_t_ql_dirichlet" -> 1.9,
     // r15 conv parse + single tokenize + shared truth shingles: 21.3 -> 7.5
     "q_d_lsh_audit" -> 7.5, "q_d_spans_versioned" -> 4.2,
@@ -501,8 +507,9 @@ object Bench {
     // round-12 batch 6: TimeOne warm, sf0.1, quiet machine
     "q_m73_mcnemar" -> 0.5, "q_m74_welch_t" -> 1.3,
     "q_m75_levene" -> 2.9,
-    "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 1.1,
-    "q_m78_wasserstein" -> 1.1, "q_t_jsd" -> 1.2,
+    "q_m76_friedman" -> 1.2, "q_m77_dunn" -> 2.7,  // r16 distributed midranks
+    "q_m78_wasserstein" -> 1.4,  // r16 distributed cumsum+gap
+    "q_t_jsd" -> 1.2,
     "q_m79_assoc" -> 2.4, "q_m80_cliffs_delta" -> 1.8,
     "q_s_err" -> 1.6, "q_e_ewma" -> 0.5,
     // measured with the session kNN-graph cache warm (the bench runs
@@ -522,14 +529,14 @@ object Bench {
     "q_m87_gwet_ac1" -> 0.8,
     "q_m88_cmh" -> 0.8,
     // round-13: TimeOne warm, sf0.1, quiet machine (load1 < 0.1)
-    "q_mm_phash_neardup" -> 1.8, "q_mm_audio_fp" -> 0.4,
-    "q_mm_audio_neardup" -> 0.6, "q_mm_video_phash" -> 3.8,
-    "q_mm_binary_lake" -> 2.7, "q_mm_tar_shards" -> 1.3,
+    "q_mm_phash_neardup" -> 1.0, "q_mm_audio_fp" -> 0.4,  // r16 media fixes
+    "q_mm_audio_neardup" -> 0.6, "q_mm_video_phash" -> 1.4,
+    "q_mm_binary_lake" -> 2.9, "q_mm_tar_shards" -> 1.4,
     "q_mm_silence_spans" -> 0.3,
     "q_t_blocklist" -> 1.4, "q_p30_curation_funnel" -> 0.3,
-    "q_p32_curriculum" -> 0.6, "q_e_embargo_split" -> 0.8,
+    "q_p32_curriculum" -> 0.6, "q_e_embargo_split" -> 1.7,  // r16 distributed boundary cumsum
     "q_p31_skew_report" -> 0.5, "q_s_jl_project" -> 0.2,
-    "q_mm_image_decon" -> 2.5, "q_mm_phash_clusters" -> 3.9,
+    "q_mm_image_decon" -> 1.4, "q_mm_phash_clusters" -> 1.8,
     "q_mm_audio_decon" -> 1.1,
     // round-14: TimeOne warm, sf0.1, quiet machine; unigram family
     // remeasured in r15 after the compiled-Viterbi DP (was 9.0/9.6/9.7)
@@ -549,7 +556,7 @@ object Bench {
     "q_t_pack_bestfit" -> 1.7, "q_t_pack_bestfit_assign" -> 2.5,
     "q_pipeline_sft" -> 6.3, "q_t_pack_bestfit_masks" -> 3.5,
     // r16 calibration probe (TimeOne warm, sf-independent)
-    "q_p39_stage_floor" -> 0.6)
+    "q_p39_stage_floor" -> 1.1)
 
   def main(args: Array[String]): Unit = {
     // every benched query must carry a measured reference, or the
@@ -586,6 +593,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // r16 note: status-store retention caps (spark.sql.ui.
+      // retainedExecutions etc.) were HYPOTHESIZED to explain the
+      // residual in-bench position noise and tested with a capped vs
+      // uncapped FULL bench on the same code: totals 371.4 vs 372.6 s,
+      // per-position-third geomean ratios 1.04/0.94/1.02 — no effect, so
+      // the caps are NOT shipped and the session config stays identical
+      // to prior rounds (the earlier micro-batch "confirmation" was
+      // confounded by load decaying from preceding sbt work — TimeOne
+      // batches are only trustworthy on a quiet machine).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -58,7 +58,10 @@ object Dunn {
       col("si").as("s1"))
     val b = gi.select(col("__g").as("g2"), col("ni").as("n2"),
       col("si").as("s2"))
-    a.join(b, col("g1") < col("g2"))
+    // broadcast the k-row side explicitly: gi is |groups|-sized by
+    // construction, and without the hint the ranged cache's missing size
+    // stats let the planner fall back to a shuffled CartesianProduct
+    a.join(broadcast(b), col("g1") < col("g2"))
       .join(broadcast(tot)).join(broadcast(k1))
       .select(col("g1"), col("g2"), col("n1"), col("n2"), col("nn"),
         expr("k * (k - 1) div 2").as("m"),

@@ -1553,14 +1553,15 @@ object ExplainAudit {
       "no join, no cartesian" ->
         (p => !p.contains("Join") && !p.contains("CartesianProduct")))
     audit("q_m62_dawid_skene",
-      // the returned frame reads the PERSISTED final posterior (the
-      // constant-depth EM contract: each sweep's E-step joins broadcast
-      // literals only, and the per-sweep plans are pinned by
-      // DawidSkeneSpec); here the argmax window must key per item
-      "final posterior is the persisted sweep output" ->
-        (_.contains("InMemoryTableScan")),
-      "argmax window keyed per item" ->
-        (p => p.contains("hashpartitioning(__i")),
+      // r16 combo fast path: the EM runs driver-side off the collected
+      // rater-label tuple counts, so the plan is ONE broadcast join of
+      // the k^R-row consensus relation onto the items — no per-item
+      // posterior shuffle, no window, no cartesian (DawidSkeneSpec pins
+      // the fast path against the distributed loop row-for-row)
+      "consensus attaches by broadcast join" ->
+        (_.contains("BroadcastHashJoin")),
+      "no per-item posterior shuffle" ->
+        (p => !p.contains("hashpartitioning(__i")),
       "no shuffled cartesian" -> (p => !p.contains("CartesianProduct")))
     audit("q_m61_isotonic",
       // PAV pools on the driver over the collected BIN table
